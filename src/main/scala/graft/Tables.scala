@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables plus the canonical
+  * time-series "points" projection.
+  *
+  * BTrDB's data model (grpcinterface/btrdb.proto: RawPoint, StreamDescriptor)
+  * is streams of (time int64, value float64) keyed by uuid with a
+  * collection + tags. We map the synthetic `events` table onto it:
+  *   stream identity = (user_id, event_type), collection = event_type,
+  *   tags = {user: user_id}, time axis = epoch microseconds, value = value,
+  *   version proxy = event_id (monotone insert order).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Canonical points view: (user_id, event_type, t_us, value, ver).
+    *
+    * The events parquet stores TIMESTAMP(NANOS) which Spark's µs
+    * TimestampType rejects (PARQUET_TYPE_ILLEGAL); the supported path
+    * (SPARK-40819) is `nanosAsLong`, reading ts as a long of epoch-ns.
+    * Integer `DIV 1000` then matches DuckDB's `epoch_us(ts)` exactly
+    * (both truncate; epoch values here are positive). A double-division
+    * would corrupt low bits — 1.7e18 ns exceeds 2^53.
+    */
+  def points(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events").select(
+      col("user_id"),
+      col("event_type"),
+      expr("ts DIV 1000").as("t_us"),
+      col("value"),
+      col("event_id").as("ver"))
+  }
+
+  /** SQL fragment mirroring points() for DuckDB oracles. */
+  val pointsSql: String =
+    "SELECT user_id, event_type, epoch_us(ts) AS t_us, value, event_id AS ver FROM events"
+
+  /** Derived stream-descriptor table (mprovider/metaprovider.go analogue):
+    * one row per stream with collection, tag, point count, time bounds,
+    * and latest version.
+    */
+  def streams(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir)
+      .groupBy(col("event_type").as("collection"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("t_us")).as("t_min"),
+        max(col("t_us")).as("t_max"),
+        max(col("ver")).as("version"))
+      .withColumn("uuid", md5(concat_ws("/", col("collection"), col("user_id"))))
+
+  val streamsSql: String =
+    """SELECT event_type AS collection, user_id,
+      |       CAST(count(*) AS BIGINT) AS n_points,
+      |       min(epoch_us(ts)) AS t_min, max(epoch_us(ts)) AS t_max,
+      |       max(event_id) AS version,
+      |       md5(concat(event_type, '/', CAST(user_id AS VARCHAR))) AS uuid
+      |FROM events GROUP BY event_type, user_id""".stripMargin
+}

@@ -1,0 +1,192 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BTrDB query surface re-expressed as declarative DataFrame transforms.
+  *
+  * Semantics derived from the reference:
+  *  - RawValues / AlignedWindows / Windows / Nearest / Changes:
+  *    grpcinterface/btrdb.proto:6-15 (params) and qtree/qtree.go
+  *    (QueryStatisticalValues, QueryWindow, FindNearestValue,
+  *    FindChangedSince).
+  *  - StatPoint = (windowStart, min, mean, max, count):
+  *    btrdb.proto:214-220, computed per tree node in
+  *    qtree/operators.go:91-158 (OpReduce).
+  *  - Time ranges are start-inclusive, end-exclusive (qtree.go raw query
+  *    contract); Nearest backward is exclusive, forward inclusive
+  *    (qtree/qtree.go:31-33).
+  *
+  * Every transform is a pure plan: groupBy on computed bucket columns and
+  * window functions only — no UDFs, no collect — so Catalyst pushes the
+  * stream/time filters into the parquet scan and aggregation stays
+  * map-side-partial. `streamCols` generalizes BTrDB's single uuid to any
+  * composite stream key, which is what lets the same plan fan out over
+  * every stream at once instead of one RPC per uuid.
+  */
+object TimeSeriesOps {
+
+  private def streamKey(streamCols: Seq[String]): Seq[Column] = streamCols.map(col)
+
+  /** RawValues: time-ordered scan of [start, end) at a version. */
+  def rawValues(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                version: Option[Long] = None): DataFrame = {
+    val base = points
+      .filter(col("t_us") >= start && col("t_us") < end)
+    val versioned = version.fold(base)(v => base.filter(col("ver") <= v))
+    versioned.select(streamKey(streamCols) :+ col("t_us") :+ col("value"): _*)
+  }
+
+  /** AlignedWindows: power-of-two buckets of width 2^pointWidth, aligned to
+    * the epoch (bucket start = (t >> pw) << pw), one StatPoint per
+    * non-empty bucket. The shift-based bucketing is exactly the reference's
+    * node addressing (qtree_utils.go ChildStartTime) — and is a single
+    * codegen'd integer op here.
+    */
+  def alignedWindows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                     pointWidth: Int): DataFrame = {
+    val bucket = shiftleft(shiftright(col("t_us"), pointWidth), pointWidth).as("w_start")
+    statAgg(points.filter(col("t_us") >= start && col("t_us") < end), streamCols, bucket)
+  }
+
+  /** Windows: arbitrary fixed-width buckets anchored at `start`. Windows
+    * that would extend past `end` are dropped, matching the reference
+    * (qtree.go QueryWindow emits only complete windows).
+    */
+  def windows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+              width: Long): DataFrame = {
+    val completeEnd = start + ((end - start) / width) * width
+    statAgg(points.filter(col("t_us") >= start && col("t_us") < completeEnd),
+      streamCols, widthBucket(start, width))
+  }
+
+  /** Exact integer bucketing: start + (d - d % width); avoids double
+    * division on epoch-scale longs (a floor(double) at 1.7e15 can be off
+    * by one at bucket boundaries).
+    */
+  private def widthBucket(start: Long, width: Long): Column = {
+    val d = col("t_us") - start
+    (lit(start) + d - pmod(d, lit(width))).as("w_start")
+  }
+
+  /** min/max are order-insensitive (bit-exact vs any oracle); mean is a
+    * float accumulation whose partial-aggregation order varies → rounded to
+    * 6 dp on both sides of the correctness gate.
+    */
+  private def statAgg(points: DataFrame, streamCols: Seq[String], bucket: Column): DataFrame =
+    points
+      .groupBy(streamKey(streamCols) :+ bucket: _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        round(avg(col("value")), 6).as("v_mean"),
+        max(col("value")).as("v_max"),
+        count(lit(1)).as("v_count"))
+
+  /** Whole-stream StatPoint — the qtree root node (qtree.go QueryStatisticalValues
+    * at the root resolution).
+    */
+  def statsGlobal(points: DataFrame, streamCols: Seq[String]): DataFrame =
+    points.groupBy(streamKey(streamCols): _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        round(avg(col("value")), 6).as("v_mean"),
+        max(col("value")).as("v_max"),
+        count(lit(1)).as("v_count"),
+        min(col("t_us")).as("t_first"),
+        max(col("t_us")).as("t_last"))
+
+  /** Nearest: per stream, the latest point strictly before `time`
+    * (backward=true, exclusive) or the earliest point at/after `time`
+    * (forward, inclusive) — qtree/qtree.go:31-33. One shuffle-free
+    * argmin/argmax aggregation per stream, not a sort.
+    */
+  def nearest(points: DataFrame, streamCols: Seq[String], time: Long,
+              backward: Boolean): DataFrame = {
+    val eligible =
+      if (backward) points.filter(col("t_us") < time)
+      else points.filter(col("t_us") >= time)
+    val (tAgg, vAgg) =
+      if (backward) (max(col("t_us")), max_by(col("value"), col("t_us")))
+      else (min(col("t_us")), min_by(col("value"), col("t_us")))
+    eligible.groupBy(streamKey(streamCols): _*)
+      .agg(tAgg.as("t_us"), vAgg.as("value"))
+  }
+
+  /** Changes: time ranges containing points whose version lies in
+    * (fromVer, toVer], coalesced to resolution 2^res — the Spark
+    * re-expression of qtree.go FindChangedSince, which walks the COW tree
+    * diff and merges adjacent changed ranges below the resolution cutoff.
+    * Here: align each changed time down/up to the 2^res grid, then classic
+    * gaps-and-islands (lag + running sum) to merge overlapping/adjacent
+    * ranges per stream.
+    */
+  def changes(points: DataFrame, streamCols: Seq[String], fromVer: Long, toVer: Long,
+              res: Int): DataFrame = {
+    val key = streamKey(streamCols)
+    val aligned = points
+      .filter(col("ver") > fromVer && col("ver") <= toVer)
+      .select(key
+        :+ shiftleft(shiftright(col("t_us"), res), res).as("r_start"): _*)
+      .distinct()
+      .withColumn("r_end", col("r_start") + (1L << res))
+    val byStream = Window.partitionBy(key: _*).orderBy(col("r_start"))
+    val islands = aligned
+      .withColumn("prev_end", lag(col("r_end"), 1).over(byStream))
+      .withColumn("is_new", when(col("prev_end").isNull ||
+        col("r_start") > col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("is_new")).over(
+        byStream.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(key :+ col("island"): _*)
+      .agg(min(col("r_start")).as("c_start"), max(col("r_end")).as("c_end"))
+      .drop("island")
+  }
+
+  /** As-of join: for each left point, the latest right value with
+    * t_right <= t_left, per join key. Implemented as a union + partitioned
+    * window (last_value ignoring nulls) rather than a range join: one
+    * shuffle on the stream key, no quadratic range-condition fallback —
+    * this is the shape that survives 100 TB.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftValue: String = "value", rightValue: String = "value",
+               asOfCol: String = "t_us"): DataFrame = {
+    val key = keyCols.map(col)
+    val l = left.select(key :+ col(asOfCol) :+ col(leftValue).as("l_value"): _*)
+      .withColumn("r_value", lit(null).cast("double"))
+      .withColumn("is_left", lit(1))
+    val r = right.select(key :+ col(asOfCol) :+ lit(null).cast("double").as("l_value")
+        :+ col(rightValue).as("r_value"): _*)
+      .withColumn("is_left", lit(0))
+    // right rows sort before left rows at equal timestamps => a right point
+    // at exactly t is visible to a left point at t (<= semantics).
+    val w = Window.partitionBy(key: _*).orderBy(col(asOfCol), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.select(r.columns.map(col): _*).unionByName(r.select(r.columns.map(col): _*))
+      .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(key :+ col(asOfCol) :+ col("l_value") :+ col("asof_value"): _*)
+  }
+
+  /** Resample onto a regular [start, end) grid with step `width`,
+    * forward-filling the last observed value (gap fill). The grid is
+    * generated distributed (per stream via sequence+explode), joined to the
+    * per-bucket last value, then forward-filled with a partitioned window.
+    */
+  def resample(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+               width: Long): DataFrame = {
+    val key = streamKey(streamCols)
+    val d = col("t_us") - start
+    val bucketed = points
+      .filter(col("t_us") >= start && col("t_us") < end)
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("g_t"): _*)
+      .agg(max_by(col("value"), col("t_us")).as("last_v"))
+    val grid = points.select(key: _*).distinct()
+      .withColumn("g_t", explode(sequence(lit(start), lit(end - 1), lit(width))))
+    val w = Window.partitionBy(key: _*).orderBy(col("g_t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(bucketed, streamCols :+ "g_t", "left")
+      .withColumn("v_fill", last(col("last_v"), ignoreNulls = true).over(w))
+      .select(key :+ col("g_t") :+ col("v_fill"): _*)
+  }
+}
