@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ts.{Metadata, TimeSeriesOps => TS}
+import graft.text.{Dedup, TextFunctions}
+import graft.sim.Vectors
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry implements, and the reference citations in the
@@ -159,6 +161,48 @@ object SparkEntry {
           col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    // ---- LLM-pipeline: dedup (SURVEY §2) ------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), 3, 0.5, Some(1000L))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), 3, 64, 2, 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- LLM-pipeline: similarity search ------------------------------
+    "emb_cosine_pairs" -> ((s, dir) =>
+      Vectors.cosinePairs(Tables.load(s, dir, "embeddings"), 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "emb_ann_topk" -> ((s, dir) =>
+      Vectors.annTopK(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("q_id"), col("rank"))),
+
+    "emb_ann_lsh" -> ((s, dir) =>
+      Vectors.annLsh(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // ---- LLM-pipeline: text analysis ----------------------------------
+    "text_tokens" -> ((s, dir) =>
+      TextFunctions.tokenStats(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextFunctions.quality(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, dir) =>
+      TextFunctions.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextFunctions.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -312,5 +356,121 @@ object SparkEntry {
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH d AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |           FROM documents)
+        |SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardSql(0.5, Some(1000L)),
+
+    "dedup_minhash" -> jaccardSql(0.8, None),
+
+    "emb_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |r AS (SELECT q_id, n_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM p)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(length(norm) AS BIGINT) AS n_chars_norm
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id,
+         |             CAST(len(w) AS BIGINT) AS n_words,
+         |             CAST(length(norm) AS BIGINT) AS n_chars,
+         |             len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |             len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct,
+         |             len(regexp_extract_all(norm, '[0-9]')) AS n_digit,
+         |             length(replace(norm, ' ', '')) AS n_alpha
+         |      FROM b)
+         |SELECT doc_id, n_words, n_chars,
+         |       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+         |       round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+         |       round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+         |       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS avg_word_len,
+         |       round(CAST(n_stop AS DOUBLE) / n_words * 0.4
+         |             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+         |             + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id,
+         |             CAST(len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and'))) AS BIGINT) AS n_en,
+         |             CAST(len(list_filter(w, x -> x IN ('el', 'la', 'los', 'que'))) AS BIGINT) AS n_es,
+         |             CAST(len(list_filter(w, x -> x IN ('der', 'die', 'und', 'das'))) AS BIGINT) AS n_de,
+         |             CAST(len(list_filter(w, x -> x IN ('le', 'les', 'et', 'une'))) AS BIGINT) AS n_fr
+         |      FROM b)
+         |SELECT doc_id,
+         |       CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+         |            WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+         |            WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+         |            WHEN n_fr > 0 THEN 'fr'
+         |            ELSE 'unknown' END AS lang_pred,
+         |       n_en, n_es, n_de, n_fr
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)
+         |SELECT doc_id, md5(norm) AS fp_md5,
+         |       CASE WHEN length(norm) < 8 THEN md5(norm)
+         |            ELSE list_min(list_transform(generate_series(1, CAST(length(norm) - 7 AS BIGINT)),
+         |                                         i -> md5(substr(norm, CAST(i AS INT), 8)))) END AS fp_winnow,
+         |       CAST(greatest(length(norm) - 7, 1) AS BIGINT) AS n_shingles8
+         |FROM d ORDER BY doc_id""".stripMargin,
   )
+
+  // ---- DuckDB oracle building blocks ----------------------------------
+
+  private val NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Index-ordered double dot product — mirrors graft.sim.Vectors.dotExpr
+    * term-for-term so cosines are bit-identical across engines.
+    */
+  private def DOT_SQL(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private val NORM_SQL =
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Exact word-3-gram Jaccard pairs ≥ tau — the oracle for both the scoped
+    * exact query and the (exact-verified) MinHash-LSH query.
+    */
+  private def jaccardSql(tau: Double, idLimit: Option[Long]): String = {
+    val scope = idLimit.fold("")(l => s"WHERE doc_id < $l")
+    s"""WITH docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents $scope),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+       |       FROM docs WHERE len(w) >= 3),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+       |FROM p WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

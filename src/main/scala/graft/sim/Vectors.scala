@@ -1,0 +1,120 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over Array[Float] columns: brute-force
+  * cosine (the correctness baseline) and random-hyperplane LSH (the scale
+  * path).
+  *
+  * Numeric discipline: dot products and norms are accumulated in DOUBLE in
+  * index order via `aggregate`/`zip_with`, which the DuckDB oracle mirrors
+  * term-for-term (`list_sum(list_transform(...))`) — the two engines
+  * produce bit-identical cosines, so threshold predicates select identical
+  * pair sets (no boundary flakiness).
+  */
+object Vectors {
+
+  /** Σ va[i]·vb[i] in double, index order. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Precompute the L2 norm once per vector — at pair time cosine is one
+    * dot product and one divide, not three reductions.
+    */
+  def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("nrm", expr(s"sqrt(${dotExpr(vecCol, vecCol)})"))
+
+  private def cosine: Column =
+    (expr(dotExpr("va", "vb")) / (col("na") * col("nb"))).as("cos")
+
+  private def pairBase(emb: DataFrame): (DataFrame, DataFrame) = {
+    val e = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+    (e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na")),
+      e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")))
+  }
+
+  /** All pairs with cosine ≥ tau (quadratic — scope with idLimit for
+    * oracle-sized runs; LSH below is the corpus-scale path).
+    */
+  def cosinePairs(emb: DataFrame, tau: Double, idLimit: Option[Long] = None): DataFrame = {
+    val scoped = idLimit.fold(emb)(l => emb.filter(col("vec_id") < l))
+    val (a, b) = pairBase(scoped)
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors (vec_id >= nQueries) with rank. The
+    * query side is tiny → broadcast, so the "cross join" is a single
+    * pass over the corpus with no shuffle.
+    */
+  def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val (a, b) = pairBase(emb)
+    val q = broadcast(a.filter(col("id_a") < nQueries))
+    val corpus = b.filter(col("id_b") >= nQueries)
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    q.join(corpus)
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (xorshift-seeded LCG — no
+    * runtime RNG, reproducible across runs/executors).
+    */
+  private def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(next())))
+  }
+
+  /** Random-hyperplane LSH ANN: `nTables` hash tables of `bitsPerTable`
+    * sign bits each; candidates = corpus vectors sharing a bucket with the
+    * query in ANY table (union over tables → recall stacks per table);
+    * exact cosine re-rank of candidates only. The per-table bucket join is
+    * an equality shuffle join on (table, bucket) — bounded work per bucket,
+    * no quadratic pass, which is the property that matters at 10^9 vectors.
+    */
+  def annLsh(emb: DataFrame, nQueries: Int, k: Int,
+             nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(nTables, bitsPerTable, dim)
+    val tableCols = ps.zipWithIndex.map { case (table, t) =>
+      val bits = table.zipWithIndex.map { case (plane, b) =>
+        val planeArr = plane.mkString("array(", ", ", ")")
+        s"CASE WHEN ${dotExpr("embedding", planeArr)} > 0 THEN ${1 << b} ELSE 0 END"
+      }
+      struct(lit(t).as("tbl"), expr(bits.mkString(" + ")).as("bucket"))
+    }
+    val hashed = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(tableCols: _*)).as("h"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+    val q = broadcast(hashed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"),
+        col("tbl"), col("bucket")))
+    val corpus = hashed.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"),
+        col("tbl"), col("bucket"))
+    val cand = q.join(corpus, Seq("tbl", "bucket"))
+      .select(col("id_a"), col("va"), col("na"), col("id_b"), col("vb"), col("nb"))
+      .distinct()
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    cand
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: normalization,
+  * shingling, token statistics, language-ID heuristics, fingerprints.
+  *
+  * Everything is built from codegen'd `functions._` / SQL expressions (no
+  * Scala UDFs), so the whole pipeline stays inside WholeStageCodegen and
+  * each formula has an exact DuckDB mirror for the correctness gate.
+  */
+object TextFunctions {
+
+  /** Canonical normalization: collapse whitespace, trim, lowercase. */
+  val norm: Column = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** docs + (norm, w = word array) base columns. */
+  def withBase(docs: DataFrame): DataFrame =
+    docs.withColumn("norm", norm).withColumn("w", split(col("norm"), " "))
+
+  /** Distinct word n-gram shingles over the `w` column (guarded for short
+    * docs: Spark's sequence(1,0) is descending, not empty).
+    */
+  def wordShingles(n: Int): Column = {
+    val gram = (0 until n).map(j => s"element_at(w, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
+    expr(s"CASE WHEN size(w) < $n THEN array() ELSE " +
+      s"array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> $gram)) END")
+  }
+
+  /** Per-document token statistics: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation), character count.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    withBase(docs).select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_ws_tokens"),
+      regexp_count(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"),
+      length(col("norm")).cast("long").as("n_chars_norm"))
+
+  private val stopEn = Seq("the", "a", "is", "and", "of", "to", "in")
+  private def countIn(words: Seq[String]): Column = {
+    val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+    expr(s"size(filter(w, x -> x IN $set))")
+  }
+
+  /** Quality scoring: stopword ratio, punctuation ratio, digit ratio, word
+    * stats, and a composite score. All double arithmetic is written
+    * identically in the SQL oracle so results are bit-comparable after
+    * 6 dp rounding.
+    */
+  def quality(docs: DataFrame): DataFrame =
+    withBase(docs)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_chars", length(col("norm")))
+      .withColumn("n_stop", countIn(stopEn))
+      .withColumn("n_punct", regexp_count(col("norm"), lit("[^a-z0-9 ]")))
+      .withColumn("n_digit", regexp_count(col("norm"), lit("[0-9]")))
+      .select(
+        col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_chars").cast("long").as("n_chars"),
+        round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
+        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        round(col("n_digit").cast("double") / col("n_chars"), 6).as("digit_ratio"),
+        round(length(regexp_replace(col("norm"), lit(" "), lit(""))).cast("double")
+          / col("n_words"), 6).as("avg_word_len"),
+        round(col("n_stop").cast("double") / col("n_words") * 0.4
+          + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3
+          + least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.3, 6).as("quality_score"))
+
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "is", "and"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  /** Stopword-frequency language ID. Deterministic argmax with fixed
+    * preference order (en > es > de > fr > unknown), mirrored 1:1 in SQL.
+    * (The synthetic corpus is English-vocabulary word salad, so this
+    * degenerates to 'en'/'unknown' — the point is the deterministic
+    * distributed heuristic, not a trained model.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langMarkers.foldLeft(withBase(docs)) { case (df, (lang, words)) =>
+      df.withColumn(s"n_$lang", countIn(words))
+    }
+    val Seq(en, es, de, fr) = langMarkers.map { case (l, _) => col(s"n_$l") }
+    scored.select(
+      col("doc_id"),
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown").as("lang_pred"),
+      en.cast("long").as("n_en"), es.cast("long").as("n_es"),
+      de.cast("long").as("n_de"), fr.cast("long").as("n_fr"))
+  }
+
+  /** Document fingerprints: md5 of the normalized text (exact-dedup key)
+    * plus a winnowing-style rolling fingerprint — the minimum hash over all
+    * 8-char shingles (min-of-rolling-window, the degenerate single-window
+    * form of the winnowing scheme).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withBase(docs).select(
+      col("doc_id"),
+      md5(col("norm")).as("fp_md5"),
+      expr("CASE WHEN length(norm) < 8 THEN md5(norm) ELSE " +
+        "array_min(transform(sequence(1, length(norm) - 7), i -> md5(substring(norm, i, 8)))) END")
+        .as("fp_winnow"),
+      greatest(length(col("norm")) - 7, lit(1)).cast("long").as("n_shingles8"))
+}
