@@ -130,14 +130,23 @@ object TimeSeriesOps {
         :+ shiftleft(shiftright(col("t_us"), res), res).as("r_start"): _*)
       .distinct()
       .withColumn("r_end", col("r_start") + (1L << res))
-    val byStream = Window.partitionBy(key: _*).orderBy(col("r_start"))
-    val islands = aligned
-      .withColumn("prev_end", lag(col("r_end"), 1).over(byStream))
+    mergeRanges(aligned, streamCols)
+  }
+
+  /** Coalesce overlapping/adjacent [r_start, r_end) ranges per key —
+    * gaps-and-islands via lag + running sum.
+    */
+  def mergeRanges(ranges: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val byKey = Window.partitionBy(key: _*).orderBy(col("r_start"))
+    ranges
+      .withColumn("prev_end", max(col("r_end")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("is_new", when(col("prev_end").isNull ||
         col("r_start") > col("prev_end"), 1).otherwise(0))
       .withColumn("island", sum(col("is_new")).over(
-        byStream.rowsBetween(Window.unboundedPreceding, 0)))
-    islands.groupBy(key :+ col("island"): _*)
+        byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(key :+ col("island"): _*)
       .agg(min(col("r_start")).as("c_start"), max(col("r_end")).as("c_end"))
       .drop("island")
   }

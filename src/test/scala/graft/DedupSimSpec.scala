@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Dedup
+import graft.sim.Vectors
+
+/** Property checks for the probabilistic dedup/ANN paths against their
+  * exact counterparts on the real test corpus.
+  */
+class DedupSimSpec extends SparkSuite {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+
+  test("minhash-LSH + exact verify equals the exact Jaccard pair set") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, 3, 64, 2, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash finds the planted near-duplicates") {
+    val nearDups = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J≈0.99 dups share almost all tokens → tiny Hamming distance
+    val recall = (sim intersect nearDups).size.toDouble / nearDups.size
+    assert(recall >= 0.5, s"simhash recall $recall on planted dups")
+  }
+
+  test("LSH ANN reaches usable recall vs brute force at equal k") {
+    val brute = Vectors.annTopK(emb, 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Vectors.annLsh(emb, 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ANN recall@10 was $recall")
+  }
+
+  test("exact dedup maps every doc to the minimal id of its hash group") {
+    val d = Dedup.exact(docs)
+    assert(d.count() == docs.count())
+    assert(d.filter(col("keep_id") > col("doc_id")).count() == 0)
+  }
+}

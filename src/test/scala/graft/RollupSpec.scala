@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ts.{Rollup, TimeSeriesOps}
+
+/** The rollup hierarchy must answer AlignedWindows identically to a direct
+  * aggregation over raw points — the invariant that lets stat queries never
+  * touch the fact table (qtree's core property).
+  */
+class RollupSpec extends SparkSuite {
+
+  private val T0 = 1704067200000000L
+  private val T31 = 1706659200000000L
+  private val STREAM = Seq("user_id", "event_type")
+
+  test("alignedWindows from rollup == direct aggregation over raw") {
+    val pts = Tables.points(spark, sfDir).cache()
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(24, 30, 36))
+    ru.build(pts, STREAM)
+    for (pw <- Seq(30, 36, 40)) {
+      val direct = TimeSeriesOps.alignedWindows(pts, STREAM, T0, T31, pw)
+        .orderBy("user_id", "event_type", "w_start").collect()
+      val rolled = ru.alignedWindows(pts, STREAM, T0, T31, pw)
+        .orderBy("user_id", "event_type", "w_start").collect()
+      assert(direct.length == rolled.length, s"row count at pw=$pw")
+      direct.zip(rolled).foreach { case (d, r) =>
+        assert(d.getLong(0) == r.getLong(0) && d.getString(1) == r.getString(1)
+          && d.getLong(2) == r.getLong(2), s"keys at pw=$pw")
+        assert(d.getDouble(3) == r.getDouble(3), s"min at pw=$pw")   // exact
+        assert(math.abs(d.getDouble(4) - r.getDouble(4)) <= 1e-6, s"mean at pw=$pw")
+        assert(d.getDouble(5) == r.getDouble(5), s"max at pw=$pw")   // exact
+        assert(d.getLong(6) == r.getLong(6), s"count at pw=$pw")
+      }
+    }
+  }
+
+  test("queries below the finest level fall back to raw") {
+    val pts = Tables.points(spark, sfDir)
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(30))
+    ru.build(pts, STREAM)
+    val direct = TimeSeriesOps.alignedWindows(pts, STREAM, T0, T31, 24).count()
+    assert(ru.alignedWindows(pts, STREAM, T0, T31, 24).count() == direct)
+  }
+}

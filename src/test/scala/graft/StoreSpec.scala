@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ts.Store
+
+/** MVCC semantics of the versioned point store — mirrors the reference's
+  * Insert/Delete/version behavior (quasar_test.go patterns: insert, query
+  * at old version, delete range, insert after delete).
+  */
+class StoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkStore = Store(spark, tmpDir("store"))
+
+  test("insert bumps version; reads at old version are stable") {
+    val st = mkStore
+    val v1 = st.insert("s1", Seq((10L, 1.0), (20L, 2.0)).toDF("time", "value"))
+    val v2 = st.insert("s1", Seq((30L, 3.0)).toDF("time", "value"))
+    assert(v1 == 1 && v2 == 2)
+    assert(st.rawValues("s1", 0, 100, Some(v1)).count() == 2)
+    assert(st.rawValues("s1", 0, 100, Some(v2)).count() == 3)
+    assert(st.rawValues("s1", 0, 100).count() == 3)
+  }
+
+  test("range delete hides only prior points; insert-after-delete visible") {
+    val st = mkStore
+    val v1 = st.insert("s1", (1L to 10L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    val v2 = st.deleteRange("s1", 3L, 7L) // hides 3,4,5,6
+    assert(st.rawValues("s1", 0, 100).count() == 6)
+    assert(st.rawValues("s1", 0, 100, Some(v1)).count() == 10) // time travel
+    val v3 = st.insert("s1", Seq((4L, 40.0)).toDF("time", "value"))
+    val visible = st.rawValues("s1", 0, 100, Some(v3)).collect().map(r => r.getLong(0)).sorted
+    assert(visible.toSeq == Seq(1L, 2L, 4L, 7L, 8L, 9L, 10L))
+    assert(st.version("s1") == 3)
+  }
+
+  test("obliterate hides the whole stream; other streams untouched") {
+    val st = mkStore
+    st.insert("a", Seq((1L, 1.0)).toDF("time", "value"))
+    st.insert("b", Seq((1L, 1.0)).toDF("time", "value"))
+    st.obliterate("a")
+    assert(st.rawValues("a", Long.MinValue, Long.MaxValue).count() == 0)
+    assert(st.rawValues("b", 0, 100).count() == 1)
+  }
+
+  test("changes reports inserted and deleted ranges, merged at resolution") {
+    val st = mkStore
+    val v1 = st.insert("s1", Seq((100L, 1.0), (101L, 1.0), (5000L, 2.0)).toDF("time", "value"))
+    val v2 = st.deleteRange("s1", 4000L, 6000L)
+    val ch = st.changes("s1", 0, v2, 4).orderBy("c_start").collect()
+    // res=16: points at 96..112 merge into one range; delete covers 4000-6000
+    assert(ch.length == 2)
+    assert(ch(0).getLong(0) == 96L && ch(0).getLong(1) == 112L)
+    assert(ch(1).getLong(0) <= 4000L && ch(1).getLong(1) >= 6000L)
+    // between v1 and v2 only the delete range changed
+    assert(st.changes("s1", v1, v2, 4).count() == 1)
+  }
+
+  test("compact preserves visible data and drops dead rows") {
+    val st = mkStore
+    st.insert("s1", (1L to 100L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    st.deleteRange("s1", 1L, 51L)
+    val before = st.rawValues("s1", 0, 1000).collect().map(_.getLong(0)).sorted
+    st.compact()
+    val after = st.rawValues("s1", 0, 1000).collect().map(_.getLong(0)).sorted
+    assert(before.toSeq == after.toSeq && after.length == 50)
+    assert(st.rawPoints.count() == 50) // dead rows physically gone
+  }
+}
