@@ -1,0 +1,88 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata, and per-batch decode/feature
+  * stages run as partition-local transforms.
+  *
+  * The Spark-side mechanics here are real and tested — schema, batch
+  * shape, partition-local iteration, feature vector output — while the
+  * actual codec call is a clearly-marked deterministic STUB (`fakeDecode`):
+  * this container has no image/audio libraries, and at deploy time the
+  * stub body is the only thing that changes (swap in JavaCV/FFmpeg/etc.),
+  * not the pipeline around it.
+  *
+  * Scale shape: mapPartitions keeps decode zero-shuffle (each worker
+  * decodes its own parquet split); heavy codecs amortize any per-batch
+  * init over the partition, exactly like a Pandas-UDF `mapInPandas` batch
+  * would on the Python side.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata columns a lakehouse table would
+    * carry for binary assets.
+    */
+  case class MediaRow(asset_id: Long, kind: String, width: Int, height: Int,
+                      payload: Array[Byte])
+
+  case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Long,
+                           checksum: Long, features: Array[Float])
+
+  /** Build a deterministic synthetic media table from the documents corpus
+    * (payload = utf-8 of the text; stands in for image bytes).
+    */
+  def syntheticAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("kind"),
+        (col("n_chars") % 640 + 32).cast("int").as("width"),
+        (col("n_chars") % 480 + 32).cast("int").as("height"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: a real deployment replaces this body with an actual
+    * codec (e.g. JPEG decode + resize + embedding model). Deterministic
+    * fake: rolling checksum + an 8-dim byte-histogram feature, so specs
+    * can assert exact values and the distributed plumbing is exercised
+    * end-to-end.
+    */
+  private def fakeDecode(payload: Array[Byte]): (Long, Array[Float]) = {
+    var crc = 0L
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      crc = crc * 31 + (payload(i) & 0xff)
+      hist((payload(i) & 0xff) % 8) += 1f
+      i += 1
+    }
+    (crc, hist)
+  }
+
+  /** Partition-local decode + featurize (the mapInPandas analogue). */
+  def decodeFeatures(assets: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { rows =>
+      // per-partition init would go here (codec contexts, model weights)
+      rows.map { r =>
+        val (crc, hist) = fakeDecode(r.payload)
+        MediaFeatures(r.asset_id, r.kind, r.payload.length.toLong, crc, hist)
+      }
+    }
+  }
+
+  /** Frame-sampling shape for video-like assets: explode n evenly-spaced
+    * byte offsets per asset (stand-in for frame indices), keeping the
+    * plumbing for a one-to-many decode stage honest.
+    */
+  def sampleFrames(assets: Dataset[MediaRow], n: Int): DataFrame =
+    assets.toDF()
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame_offset",
+        (col("frame_idx") * greatest(length(col("payload")), lit(1))) / n)
+      .select(col("asset_id"), col("kind"), col("frame_idx"),
+        col("frame_offset").cast("long").as("frame_offset"))
+}

@@ -1,0 +1,92 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-descriptor write path — Create / SetStreamAnnotations with the
+  * reference's compare-and-swap semantics (btrdb.proto:82-96:
+  * SetStreamAnnotationsParams.expectedAnnotationVersion; mprovider
+  * metaprovider.go enforces the CAS against etcd).
+  *
+  * Append-only parquet of descriptor revisions; the live descriptor for a
+  * uuid is its max-annotationVersion row. At 100 TB the descriptor table is
+  * ~10^6 rows against 10^13 points — always the broadcast side of any join
+  * with the fact table, and compactable by rewriting latest-revision rows.
+  */
+class MetaStore(val spark: SparkSession, val base: String) {
+  import spark.implicits._
+
+  private val dir = s"$base/streams_meta"
+
+  private def hasData = new java.io.File(dir).exists()
+
+  private def all: DataFrame =
+    if (hasData) spark.read.parquet(dir)
+    else spark.emptyDataset[(String, String, Map[String, String], Map[String, String], Long)]
+      .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
+
+  /** Live descriptors: latest revision per uuid, tombstoned rows dropped. */
+  def descriptors: DataFrame = {
+    val latest = all.groupBy($"uuid".as("u"))
+      .agg(max($"annotationVersion").as("v"))
+    all.join(latest, $"uuid" === $"u" && $"annotationVersion" === $"v")
+      .filter($"collection" =!= "")
+      .drop("u", "v")
+  }
+
+  private def descriptor(uuid: String): Option[(String, Long)] =
+    descriptors.filter($"uuid" === uuid)
+      .select($"collection", $"annotationVersion")
+      .as[(String, Long)].collect().headOption
+
+  /** Create(uuid, collection, tags, annotations) — error if it exists. */
+  def create(uuid: String, collection: String, tags: Map[String, String],
+             annotations: Map[String, String] = Map.empty): Unit = {
+    require(descriptor(uuid).isEmpty, s"stream $uuid already exists")
+    require(collection.nonEmpty, "collection must be non-empty")
+    Seq((uuid, collection, tags, annotations, 1L))
+      .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
+      .write.mode(SaveMode.Append).parquet(dir)
+  }
+
+  /** SetStreamAnnotations with CAS on expectedAnnotationVersion; `changes`
+    * values of None delete the key (KeyOptValue with empty OptValue).
+    * Returns the new annotationVersion.
+    */
+  def setAnnotations(uuid: String, expectedVersion: Long,
+                     changes: Map[String, Option[String]]): Long = {
+    val cur = descriptors.filter($"uuid" === uuid)
+      .as[(String, String, Map[String, String], Map[String, String], Long)]
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"no such stream $uuid"))
+    val (_, collection, tags, ann, ver) = cur
+    require(ver == expectedVersion,
+      s"annotation version mismatch: expected $expectedVersion, at $ver")
+    val next = changes.foldLeft(ann) {
+      case (m, (k, Some(v))) => m.updated(k, v)
+      case (m, (k, None))    => m - k
+    }
+    Seq((uuid, collection, tags, next, ver + 1))
+      .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
+      .write.mode(SaveMode.Append).parquet(dir)
+    ver + 1
+  }
+
+  /** Obliterate the descriptor (empty-collection tombstone revision). */
+  def delete(uuid: String): Unit = {
+    val ver = descriptor(uuid).map(_._2).getOrElse(0L)
+    Seq((uuid, "", Map.empty[String, String], Map.empty[String, String], ver + 1))
+      .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
+      .write.mode(SaveMode.Append).parquet(dir)
+  }
+
+  /** LookupStreams(collection prefix + exact tag matches). */
+  def lookup(collectionPrefix: String, tagMatch: Map[String, String] = Map.empty): DataFrame =
+    tagMatch.foldLeft(descriptors.filter($"collection".startsWith(collectionPrefix))) {
+      case (df, (k, v)) => df.filter(element_at($"tags", k) === v)
+    }
+}
+
+object MetaStore {
+  def apply(spark: SparkSession, base: String): MetaStore = new MetaStore(spark, base)
+}
