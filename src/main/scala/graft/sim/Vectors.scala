@@ -9,26 +9,23 @@ import org.apache.spark.sql.functions._
   * path).
   *
   * Numeric discipline: dot products and norms are accumulated in DOUBLE in
-  * index order via `aggregate`/`zip_with`, which the DuckDB oracle mirrors
+  * index order (the codegen'd `FloatVectorDot` expression — same value, to
+  * the bit, as `aggregate(zip_with(...))`), which the DuckDB oracle mirrors
   * term-for-term (`list_sum(list_transform(...))`) — the two engines
   * produce bit-identical cosines, so threshold predicates select identical
   * pair sets (no boundary flakiness).
   */
 object Vectors {
-
-  /** Σ va[i]·vb[i] in double, index order. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  import graft.plans.FloatVectorDot.dot
 
   /** Precompute the L2 norm once per vector — at pair time cosine is one
     * dot product and one divide, not three reductions.
     */
   def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    emb.withColumn("nrm", expr(s"sqrt(${dotExpr(vecCol, vecCol)})"))
+    emb.withColumn("nrm", sqrt(dot(col(vecCol), col(vecCol))))
 
   private def cosine: Column =
-    (expr(dotExpr("va", "vb")) / (col("na") * col("nb"))).as("cos")
+    (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos")
 
   private def pairBase(emb: DataFrame): (DataFrame, DataFrame) = {
     val e = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
@@ -94,10 +91,10 @@ object Vectors {
     val ps = planes(nTables, bitsPerTable, dim)
     val tableCols = ps.zipWithIndex.map { case (table, t) =>
       val bits = table.zipWithIndex.map { case (plane, b) =>
-        val planeArr = plane.mkString("array(", ", ", ")")
-        s"CASE WHEN ${dotExpr("embedding", planeArr)} > 0 THEN ${1 << b} ELSE 0 END"
+        val planeArr = array(plane.toSeq.map(lit): _*)
+        when(dot(col("embedding"), planeArr) > 0, 1 << b).otherwise(0)
       }
-      struct(lit(t).as("tbl"), expr(bits.mkString(" + ")).as("bucket"))
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
     }
     val hashed = withNorm(emb)
       .select(col("vec_id"), col("embedding"), col("nrm"),

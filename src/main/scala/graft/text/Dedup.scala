@@ -37,18 +37,31 @@ object Dedup {
       .filter(size(col("s")) > 0)
       .select(col("doc_id"), col("s"))
 
-  /** Exact word-n-gram Jaccard similarity pairs (quadratic — scope with
-    * `idLimit` to keep it an oracle-sized computation; the scale path is
-    * minhashPairs below).
+  /** Exact word-n-gram Jaccard similarity pairs via an inverted-index
+    * equality join (NOT a quadratic theta-join): explode distinct shingles,
+    * self-join on the shingle value, count matches per pair — `inter` equals
+    * `size(array_intersect(sa, sb))` because shingle arrays are distinct.
+    * Only pairs sharing ≥ 1 shingle ever materialize, and the shuffle key is
+    * the shingle itself, so cost is Σ df(g)² over shingles, not |docs|².
+    * At corpus scale, stop-shingles (df in the millions) are the skew risk:
+    * AQE skew-join splits them, and a df-cap prefilter is the standard
+    * lossy knob (not applied here — the gate requires exact Jaccard).
+    * `idLimit` only scopes the oracle comparison set.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
                         idLimit: Option[Long] = None): DataFrame = {
     val scoped = idLimit.fold(docs)(l => docs.filter(col("doc_id") < l))
-    verifiedJaccard(
-      shingled(scoped, n).select(col("doc_id").as("id_a"), col("s").as("sa"))
-        .join(shingled(scoped, n).select(col("doc_id").as("id_b"), col("s").as("sb")),
-          col("id_a") < col("id_b")),
-      tau)
+    val inv = shingled(scoped, n)
+      .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("g"))
+    inv.select(col("doc_id").as("id_a"), col("sz").as("sza"), col("g"))
+      .join(inv.select(col("doc_id").as("id_b"), col("sz").as("szb"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   private def verifiedJaccard(pairs: DataFrame, tau: Double): DataFrame =
@@ -71,9 +84,17 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
                    bandRows: Int = 2, tau: Double = 0.8): DataFrame = {
-    val sh = shingled(docs, n).cache()
+    // One string hash per shingle; the 64 minhash functions re-mix that
+    // single 8-byte hash with the function index (xxhash64 over two longs —
+    // a couple of multiplies/rotates, no string bytes, no ANSI-overflow
+    // arithmetic), not 64 separate salted string hashes. `hs` is referenced
+    // by all 64 array_min transforms, so CollapseProject keeps it a real
+    // column — string hashing happens exactly once per shingle.
+    val sh = shingled(docs, n)
+      .withColumn("hs", expr("transform(s, x -> xxhash64(x))"))
+      .cache()
     val sigCols = (0 until numHashes).map { i =>
-      expr(s"array_min(transform(s, x -> xxhash64(concat('$i|', x))))")
+      expr(s"array_min(transform(hs, h -> xxhash64(h, ${i}L)))")
     }
     val bands = (0 until numHashes / bandRows).map { b =>
       val rows = (0 until bandRows).map(r => col("sig")(b * bandRows + r))
@@ -107,11 +128,19 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val bitSums = "transform(sequence(0, 63), j -> aggregate(w, 0, " +
-      "(acc, x) -> acc + CASE WHEN (xxhash64(x) >> j) & 1 = 1 THEN 1 ELSE -1 END))"
-    val sig = s"aggregate(transform(sequence(0, 63), j -> " +
-      s"CASE WHEN element_at($bitSums, j + 1) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
-      s"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    // One xxhash64 per token, one fold over the hash array carrying a
+    // 64-counter accumulator (±1 per bit), then one zip to assemble the
+    // signature. The hash transform is the *input array* of the aggregate,
+    // so it is evaluated exactly once per row even after projection
+    // collapse — never inside a per-bit lambda body. (Round 1 interpolated
+    // the 64-element bit-sum array into each of the 64 bit lambdas:
+    // 64×64×|tokens| hashes per document. This is 1×.)
+    val bitSums = "aggregate(transform(w, x -> xxhash64(x)), array_repeat(0, 64), " +
+      "(acc, h) -> zip_with(acc, sequence(0, 63), " +
+      "(a, j) -> a + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))"
+    val sig = s"aggregate(zip_with($bitSums, sequence(0, 63), " +
+      "(b, j) -> CASE WHEN b > 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
+      "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     val signed = TextFunctions.withBase(docs)
       .select(col("doc_id"), expr(sig).as("sig"))
       .cache()

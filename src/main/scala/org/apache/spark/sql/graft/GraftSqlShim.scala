@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 wraps expressions in `ColumnNode`s; the classic
+  * converters live behind `private[sql]`, so this one-file shim (the same
+  * technique Delta/Sedona/Frameless use) re-exports the two conversions
+  * graft needs. No other Spark internals are touched from here.
+  */
+object GraftSqlShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

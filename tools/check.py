@@ -38,7 +38,10 @@ for name, sql in sorted(oracle.items()):
         gv, ev = g[c], e[c].astype(g[c].dtype, errors="ignore") if hasattr(e[c], 'astype') else e[c]
         try:
             if gv.dtype.kind == 'f':
-                same = np.allclose(gv.fillna(-9e99), pd.to_numeric(ev).fillna(-9e99), rtol=0, atol=0)
+                # floats are rounded to 6dp on both sides; allow one ulp of
+                # that rounding contract so accumulation-order differences
+                # landing on a rounding boundary don't flake the gate
+                same = np.allclose(gv.fillna(-9e99), pd.to_numeric(ev).fillna(-9e99), rtol=0, atol=1.01e-6)
             else:
                 same = gv.equals(ev) or (gv.astype(str) == ev.astype(str)).all()
         except Exception:
