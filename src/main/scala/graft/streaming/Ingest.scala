@@ -26,18 +26,31 @@ object Ingest {
   /** File-source ingest into a Store: watches `sourceDir` for parquet of
     * (uuid string, time long, value double); each micro-batch becomes one
     * version bump per distinct uuid in the batch.
+    *
+    * Idempotence (exactly-once into the store): foreachBatch is
+    * at-least-once — after a crash the checkpoint replays the last batch —
+    * so each batch is (1) written as ONE Spark job (Store.insertBatch;
+    * all-or-nothing file commit, so a batch that failed mid-write left
+    * nothing behind), then (2) recorded in a per-checkpoint commit marker.
+    * A replayed batchId whose marker exists is skipped instead of
+    * re-appended under a new version.
     */
   def intoStore(spark: SparkSession, sourceDir: String, store: Store,
                 checkpoint: String): StreamingQuery = {
     val schema = "uuid STRING, time LONG, value DOUBLE"
+    val commitDir = new java.io.File(s"${store.base}/_ingest_commits/" +
+      java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")))
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val uuids = batch.select("uuid").distinct().collect().map(_.getString(0))
-        uuids.foreach { u =>
-          store.insert(u, batch.filter(col("uuid") === u).select(col("time"), col("value")))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(commitDir, s"batch-$batchId")
+        if (!marker.exists()) {
+          store.insertBatch(batch)
+          commitDir.mkdirs()
+          marker.createNewFile()
+          ()
         }
       }
       .start()

@@ -39,12 +39,24 @@ class MetaStore(val spark: SparkSession, val base: String) {
       .select($"collection", $"annotationVersion")
       .as[(String, Long)].collect().headOption
 
-  /** Create(uuid, collection, tags, annotations) — error if it exists. */
+  /** Max revision ever written for a uuid, tombstones included — the
+    * create() base after a delete() (the tombstone row stays the max
+    * revision, so a recreated stream must start above it to be visible).
+    */
+  private def maxRevision(uuid: String): Long =
+    all.filter($"uuid" === uuid)
+      .agg(max($"annotationVersion")).as[Option[Long]]
+      .first().getOrElse(0L)
+
+  /** Create(uuid, collection, tags, annotations) — error if it exists.
+    * Create-after-delete is allowed (the reference permits re-creating an
+    * obliterated uuid): the new revision continues above the tombstone.
+    */
   def create(uuid: String, collection: String, tags: Map[String, String],
              annotations: Map[String, String] = Map.empty): Unit = {
     require(descriptor(uuid).isEmpty, s"stream $uuid already exists")
     require(collection.nonEmpty, "collection must be non-empty")
-    Seq((uuid, collection, tags, annotations, 1L))
+    Seq((uuid, collection, tags, annotations, maxRevision(uuid) + 1))
       .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
       .write.mode(SaveMode.Append).parquet(dir)
   }

@@ -76,16 +76,30 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
       TimeSeriesOps.alignedWindows(raw, streamCols, start, end, pw)
     else {
       val l = usable.max
-      val merged = merge(
-        level(l).filter(col("w_start") >= (start >> l << l) && col("w_start") < end),
-        streamCols, pw)
-      // window starts aligned below `start` only contain points < start iff
-      // start itself is aligned; enforce reference bounds on bucket starts.
-      merged
-        .filter(col("w_start") >= (start >> pw << pw) && col("w_start") < end)
-        .select(streamCols.map(col) :+ col("w_start") :+ col("v_min")
-          :+ round(col("v_sum") / col("v_count"), 6).as("v_mean")
-          :+ col("v_max") :+ col("v_count"): _*)
+      val width = 1L << pw
+      // Rollup buckets aggregate EVERY point in their 2^l span, so a level
+      // can only serve pw-windows that lie fully inside [start, end). The
+      // (at most two) partial boundary windows — the pw-bucket containing an
+      // unaligned `start` and the one containing an unaligned `end` — are
+      // computed from raw points with the exact [start, end) filter; the
+      // raw scans are single-bucket time ranges, so they partition-prune.
+      val loAligned = if ((start & (width - 1)) == 0L) start
+                      else ((start >> pw) + 1) << pw
+      val hiAligned = (end >> pw) << pw
+      if (loAligned >= hiAligned)
+        TimeSeriesOps.alignedWindows(raw, streamCols, start, end, pw)
+      else {
+        val interior = merge(
+            level(l).filter(col("w_start") >= loAligned && col("w_start") < hiAligned),
+            streamCols, pw)
+          .select(streamCols.map(col) :+ col("w_start") :+ col("v_min")
+            :+ round(col("v_sum") / col("v_count"), 6).as("v_mean")
+            :+ col("v_max") :+ col("v_count"): _*)
+        Seq((start, loAligned), (hiAligned, end))
+          .filter { case (s, e) => s < e }
+          .map { case (s, e) => TimeSeriesOps.alignedWindows(raw, streamCols, s, e, pw) }
+          .foldLeft(interior)(_ unionByName _)
+      }
     }
   }
 }

@@ -64,6 +64,28 @@ class Store(val spark: SparkSession, val base: String) {
     v
   }
 
+  /** Insert a multi-stream batch of (uuid, time, value) rows in ONE parquet
+    * job: each distinct uuid in the batch gets its own version bump (same
+    * per-stream versionMajor semantics as insert()), computed as a join
+    * instead of a driver-side loop — O(1) Spark jobs per batch instead of
+    * O(#streams), which is what the streaming ingest path needs at scale.
+    * The single job also gives all-or-nothing commit semantics (Spark's
+    * file-commit protocol), making replays of a failed batch safe.
+    */
+  def insertBatch(batch: DataFrame): Unit = {
+    val pv = rawPoints.groupBy("uuid").agg(max($"ver").as("pv"))
+    val tv = tombstones.groupBy("uuid").agg(max($"ver").as("tv"))
+    val vers = batch.select("uuid").distinct()
+      .join(pv, Seq("uuid"), "left").join(tv, Seq("uuid"), "left")
+      .select($"uuid",
+        (greatest(coalesce($"pv", lit(0L)), coalesce($"tv", lit(0L))) + 1).as("ver"))
+    batch.select($"uuid", col("time").cast("long").as("time"),
+        col("value").cast("double").as("value"))
+      .join(broadcast(vers), Seq("uuid"))
+      .select($"uuid", $"time", $"value", $"ver")
+      .write.mode(SaveMode.Append).partitionBy("uuid").parquet(pointsDir)
+  }
+
   /** Range delete [start, end) — a tombstone, not a rewrite. */
   def deleteRange(uuid: String, start: Long, end: Long): Long = {
     val v = version(uuid) + 1
@@ -122,23 +144,63 @@ class Store(val spark: SparkSession, val base: String) {
     TimeSeriesOps.mergeRanges(aligned, Seq("uuid")).drop("uuid")
   }
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+  }
+
   /** Physically drop rows invisible at the latest version and rewrite —
     * the GC/defragmentation pass (run per uuid partition, so at scale each
     * stream compacts independently).
+    *
+    * Crash safety: the new dataset is written to the side, the old dir is
+    * renamed aside (not deleted), the new one renamed in, and only then is
+    * the old data removed — a failure at any step leaves either the old or
+    * the new complete dataset on disk, never neither. Every rename result
+    * is checked; a failed swap restores the old dir and aborts loudly.
+    *
+    * Tombstone pruning: a point that survives compaction is, by the
+    * visibility predicate, covered by NO tombstone (at any asOf) — so once
+    * the dead rows are physically gone, a tombstone hides nothing and would
+    * only re-join against every future read forever. The one thing a
+    * tombstone still carries is the stream's version floor: if a stream's
+    * latest operation was a delete, its tombstone holds the max ver, and
+    * dropping it would make the next insert REUSE a version number. So
+    * pruning keeps exactly the tombstones with ver above the stream's max
+    * surviving point ver (hide nothing, preserve version monotonicity) and
+    * drops the rest.
     */
   def compact(): Unit = {
     val live = pointsAt(None).cache()
-    live.count() // materialize before overwrite
-    val tmp = s"$base/points_compacted"
-    live.write.mode(SaveMode.Overwrite).partitionBy("uuid").parquet(tmp)
-    val fs = new java.io.File(pointsDir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    live.count() // materialize fully before touching the live dir
+    val keepTombs = tombstones
+      .join(live.groupBy("uuid").agg(max($"ver").as("pv")), Seq("uuid"), "left")
+      .filter($"pv".isNull || $"ver" > $"pv")
+      .select($"uuid", $"t_start", $"t_end", $"ver")
+      .cache()
+    val nKeep = keepTombs.count()
+
+    def swapIn(tmp: java.io.File, dst: java.io.File, old: java.io.File): Unit = {
+      if (dst.exists() && !dst.renameTo(old))
+        sys.error(s"compact: could not move $dst aside; store unchanged")
+      if (tmp.exists() && !tmp.renameTo(dst)) {
+        old.renameTo(dst) // restore
+        sys.error(s"compact: could not swap in $tmp; original data restored")
+      }
+      rm(old)
     }
-    rm(fs)
-    new java.io.File(tmp).renameTo(fs)
-    live.unpersist()
+
+    val pTmp = new java.io.File(s"$base/points_compacted")
+    val pOld = new java.io.File(s"$base/points_old")
+    val tTmp = new java.io.File(s"$base/tombstones_compacted")
+    val tOld = new java.io.File(s"$base/tombstones_old")
+    Seq(pTmp, pOld, tTmp, tOld).foreach(rm) // leftovers of a crashed compact
+    live.write.mode(SaveMode.Overwrite).partitionBy("uuid").parquet(pTmp.getPath)
+    if (nKeep > 0)
+      keepTombs.write.mode(SaveMode.Overwrite).parquet(tTmp.getPath)
+    live.unpersist(); keepTombs.unpersist()
+    swapIn(pTmp, new java.io.File(pointsDir), pOld)
+    swapIn(tTmp, new java.io.File(tombsDir), tOld) // tTmp absent ⇒ old dropped
   }
 }
 

@@ -22,6 +22,26 @@ class IngestSpec extends SparkSuite {
     assert(st.version("a") == 1)
   }
 
+  test("replayed micro-batch is skipped, not re-appended (idempotent sink)") {
+    val src = tmpDir("ingest_src")
+    val ckpt = tmpDir("ingest_ckpt")
+    val st = Store(spark, tmpDir("ingest_store"))
+    Seq(("a", 10L, 1.0), ("a", 20L, 2.0))
+      .toDF("uuid", "time", "value").write.mode("append").parquet(src)
+    Ingest.intoStore(spark, src, st, ckpt).awaitTermination()
+    assert(st.rawValues("a", 0, 100).count() == 2 && st.version("a") == 1)
+    // simulate a post-commit crash replay: wipe the checkpoint so the
+    // source re-delivers the same files as batch 0 again
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(ckpt))
+    Ingest.intoStore(spark, src, st, ckpt).awaitTermination()
+    // commit marker for batch 0 exists → replay is a no-op
+    assert(st.rawValues("a", 0, 100).count() == 2, "replay must not duplicate")
+    assert(st.version("a") == 1, "replay must not bump the version")
+  }
+
   test("watermarked stat stream matches batch aggregation for closed windows") {
     // drive the events parquet through a streaming source (ts is ns-long
     // under nanosAsLong → convert to timestamp for the window op)

@@ -34,6 +34,44 @@ class RollupSpec extends SparkSuite {
     }
   }
 
+  test("alignedWindows matches direct agg when start/end are unaligned to the serving level") {
+    val pts = Tables.points(spark, sfDir).cache()
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(24, 30))
+    ru.build(pts, STREAM)
+    // bounds deliberately NOT multiples of 2^30 (nor of 2^pw): boundary
+    // pw-buckets straddle the range and must be served from raw points
+    val start = T0 + 12345L
+    val end = T31 - 98765L
+    for (pw <- Seq(30, 33)) {
+      val direct = TimeSeriesOps.alignedWindows(pts, STREAM, start, end, pw)
+        .orderBy("user_id", "event_type", "w_start").collect()
+      val rolled = ru.alignedWindows(pts, STREAM, start, end, pw)
+        .orderBy("user_id", "event_type", "w_start").collect()
+      assert(direct.length == rolled.length, s"row count at pw=$pw")
+      direct.zip(rolled).foreach { case (d, r) =>
+        assert(d.getLong(0) == r.getLong(0) && d.getString(1) == r.getString(1)
+          && d.getLong(2) == r.getLong(2), s"keys at pw=$pw")
+        assert(d.getDouble(3) == r.getDouble(3), s"min at pw=$pw")
+        assert(math.abs(d.getDouble(4) - r.getDouble(4)) <= 1e-6, s"mean at pw=$pw")
+        assert(d.getDouble(5) == r.getDouble(5), s"max at pw=$pw")
+        assert(d.getLong(6) == r.getLong(6), s"count at pw=$pw")
+      }
+    }
+  }
+
+  test("alignedWindows range narrower than one window is served from raw") {
+    val pts = Tables.points(spark, sfDir)
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(24))
+    ru.build(pts, STREAM)
+    val start = T0 + 7L
+    val end = start + (1L << 26) // < one pw=30 window
+    val direct = TimeSeriesOps.alignedWindows(pts, STREAM, start, end, 30)
+      .agg(coalesce(sum("v_count"), lit(0L))).first().getLong(0)
+    val rolled = ru.alignedWindows(pts, STREAM, start, end, 30)
+      .agg(coalesce(sum("v_count"), lit(0L))).first().getLong(0)
+    assert(direct == rolled)
+  }
+
   test("queries below the finest level fall back to raw") {
     val pts = Tables.points(spark, sfDir)
     val ru = Rollup(spark, tmpDir("rollup"), Seq(30))

@@ -66,4 +66,35 @@ class StoreSpec extends SparkSuite {
     assert(before.toSeq == after.toSeq && after.length == 50)
     assert(st.rawPoints.count() == 50) // dead rows physically gone
   }
+
+  test("compact prunes spent tombstones but keeps the version floor") {
+    val st = mkStore
+    st.insert("s1", (1L to 10L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    st.deleteRange("s1", 1L, 6L)   // spent after compact (dead rows dropped)
+    st.insert("s1", Seq((100L, 1.0)).toDF("time", "value"))
+    st.insert("s2", Seq((1L, 1.0)).toDF("time", "value"))
+    val v2 = st.deleteRange("s2", 0L, 10L) // s2's LATEST op is a delete
+    st.compact()
+    // s1's tombstone (ver 2 < max point ver 3) is gone; s2's survives as
+    // the version floor
+    assert(st.tombstones.filter($"uuid" === "s1").count() == 0)
+    assert(st.tombstones.filter($"uuid" === "s2").count() == 1)
+    // version numbering never regresses: next insert on s2 must be > v2
+    val v3 = st.insert("s2", Seq((20L, 2.0)).toDF("time", "value"))
+    assert(v3 == v2 + 1)
+    assert(st.rawValues("s2", 0, 100).count() == 1) // new point visible
+    // and visibility across all streams is unchanged
+    assert(st.rawValues("s1", 0, 1000).count() == 6)
+  }
+
+  test("insertBatch gives each stream its own version bump in one job") {
+    val st = mkStore
+    st.insert("a", Seq((1L, 1.0)).toDF("time", "value")) // a at v1
+    st.insertBatch(Seq(("a", 2L, 2.0), ("b", 1L, 1.0), ("b", 2L, 2.0))
+      .toDF("uuid", "time", "value"))
+    assert(st.version("a") == 2 && st.version("b") == 1)
+    assert(st.rawValues("a", 0, 100, Some(1L)).count() == 1) // time travel intact
+    assert(st.rawValues("a", 0, 100).count() == 2)
+    assert(st.rawValues("b", 0, 100).count() == 2)
+  }
 }
