@@ -17,6 +17,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Decouple compute parallelism from source file layout. A small corpus
+    * in one parquet file is one unsplittable scan partition (parquet splits
+    * at row-group granularity), which would pin every CPU-heavy per-row
+    * stage downstream — shingling, hashing, vector math — to a single core.
+    * Repartition up to the session's parallelism ONLY when the scan has
+    * fewer partitions; at real scale inputs already carry far more
+    * partitions than cores and this inserts no shuffle at all.
+    */
+  def rebalance(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation, Window => WindowOp}
+    // A plan that already shuffles (join/agg/window/repartition) gets its
+    // parallelism from spark.sql.shuffle.partitions — leave it alone. (Also
+    // load-bearing: under AQE, .rdd on a shuffling plan EXECUTES its query
+    // stages eagerly, so the partition probe below is only safe on narrow
+    // scan chains, where no AQE wrapper is inserted.)
+    val wide = df.queryExecution.analyzed.collectFirst {
+      case j: Join => j
+      case a: Aggregate => a
+      case r: RepartitionOperation => r
+      case w: WindowOp => w
+    }.isDefined
+    if (wide) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
+
   /** Canonical points view: (user_id, event_type, t_us, value, ver).
     *
     * The events parquet stores TIMESTAMP(NANOS) which Spark's µs

@@ -19,10 +19,12 @@ object Vectors {
   import graft.plans.FloatVectorDot.dot
 
   /** Precompute the L2 norm once per vector — at pair time cosine is one
-    * dot product and one divide, not three reductions.
+    * dot product and one divide, not three reductions. Rebalanced first:
+    * vector math downstream is CPU-bound and must not inherit a
+    * single-file scan's parallelism (see Tables.rebalance).
     */
   def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    emb.withColumn("nrm", sqrt(dot(col(vecCol), col(vecCol))))
+    graft.Tables.rebalance(emb).withColumn("nrm", sqrt(dot(col(vecCol), col(vecCol))))
 
   private def cosine: Column =
     (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos")

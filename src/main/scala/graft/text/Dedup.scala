@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.TextHashes
+
 /** Corpus deduplication at 100 TB scale: exact (hash groupBy), MinHash+LSH
   * (band-bucketed candidate join + exact verification), SimHash (pigeonhole
   * chunk join), and exact n-gram Jaccard (the small-scope oracle).
@@ -37,12 +39,22 @@ object Dedup {
       .filter(size(col("s")) > 0)
       .select(col("doc_id"), col("s"))
 
+  /** (doc_id, hs = sorted distinct hashed shingles) — the codegen'd
+    * HashedShingles expression; identical Jaccard arithmetic to string
+    * shingles (2^-64 collision caveat documented on the expression).
+    */
+  private def hashedShingled(docs: DataFrame, n: Int): DataFrame =
+    TextFunctions.withBase(docs)
+      .select(col("doc_id"), TextHashes.hashedShingles(col("norm"), n).as("hs"))
+      .filter(col("hs").isNotNull)
+
   /** Exact word-n-gram Jaccard similarity pairs via an inverted-index
-    * equality join (NOT a quadratic theta-join): explode distinct shingles,
-    * self-join on the shingle value, count matches per pair — `inter` equals
-    * `size(array_intersect(sa, sb))` because shingle arrays are distinct.
-    * Only pairs sharing ≥ 1 shingle ever materialize, and the shuffle key is
-    * the shingle itself, so cost is Σ df(g)² over shingles, not |docs|².
+    * equality join (NOT a quadratic theta-join): explode distinct hashed
+    * shingles, self-join on the hash, count matches per pair — `inter`
+    * equals the string-shingle intersection size (hashes are distinct per
+    * doc). Only pairs sharing ≥ 1 shingle ever materialize, and the shuffle
+    * key is the 8-byte shingle hash (not the string), so cost is
+    * Σ df(g)² over shingles, not |docs|², and shuffle volume is minimal.
     * At corpus scale, stop-shingles (df in the millions) are the skew risk:
     * AQE skew-join splits them, and a df-cap prefilter is the standard
     * lossy knob (not applied here — the gate requires exact Jaccard).
@@ -51,8 +63,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
                         idLimit: Option[Long] = None): DataFrame = {
     val scoped = idLimit.fold(docs)(l => docs.filter(col("doc_id") < l))
-    val inv = shingled(scoped, n)
-      .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("g"))
+    val inv = hashedShingled(scoped, n)
+      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("g"))
     inv.select(col("doc_id").as("id_a"), col("sz").as("sza"), col("g"))
       .join(inv.select(col("doc_id").as("id_b"), col("sz").as("szb"), col("g")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
@@ -64,12 +76,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact Jaccard over (ha, hb) sorted hashed-shingle arrays — codegen'd
+    * merge-walk intersection, no per-element lambda dispatch.
+    */
   private def verifiedJaccard(pairs: DataFrame, tau: Double): DataFrame =
     pairs
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter", TextHashes.intersectCount(col("ha"), col("hb")))
       .filter(col("inter") > 0)
       .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
@@ -84,24 +99,17 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
                    bandRows: Int = 2, tau: Double = 0.8): DataFrame = {
-    // One string hash per shingle; the 64 minhash functions re-mix that
-    // single 8-byte hash with the function index (xxhash64 over two longs —
-    // a couple of multiplies/rotates, no string bytes, no ANSI-overflow
-    // arithmetic), not 64 separate salted string hashes. `hs` is referenced
-    // by all 64 array_min transforms, so CollapseProject keeps it a real
-    // column — string hashing happens exactly once per shingle.
-    val sh = shingled(docs, n)
-      .withColumn("hs", expr("transform(s, x -> xxhash64(x))"))
-      .cache()
-    val sigCols = (0 until numHashes).map { i =>
-      expr(s"array_min(transform(hs, h -> xxhash64(h, ${i}L)))")
-    }
+    // Signatures come from the codegen'd MinHashSig expression: one tight
+    // loop per document over the normalized bytes (shingle slices hashed
+    // once, k remixes each) — no shingle arrays, no interpreted lambdas.
+    val sigs = TextFunctions.withBase(docs)
+      .select(col("doc_id"), TextHashes.minhashSig(col("norm"), n, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val bands = (0 until numHashes / bandRows).map { b =>
       val rows = (0 until bandRows).map(r => col("sig")(b * bandRows + r))
       struct(lit(b).as("band"), hash(rows: _*).as("bv"))
     }
-    val buckets = sh
-      .withColumn("sig", array(sigCols: _*))
+    val buckets = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
     val cand = buckets.select(col("doc_id").as("id_a"), col("band"), col("bv"))
@@ -110,10 +118,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Exact-Jaccard verification over hashed shingle sets (codegen'd merge
+    // walk per pair) — the verify side is recomputed per join but is a
+    // single cheap compiled pass over the corpus.
+    val hsh = hashedShingled(docs, n)
     verifiedJaccard(
       cand
-        .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b"),
+        .join(hsh.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
+        .join(hsh.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b"),
       tau)
   }
 
@@ -128,21 +140,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    // One xxhash64 per token, one fold over the hash array carrying a
-    // 64-counter accumulator (±1 per bit), then one zip to assemble the
-    // signature. The hash transform is the *input array* of the aggregate,
-    // so it is evaluated exactly once per row even after projection
-    // collapse — never inside a per-bit lambda body. (Round 1 interpolated
-    // the 64-element bit-sum array into each of the 64 bit lambdas:
-    // 64×64×|tokens| hashes per document. This is 1×.)
-    val bitSums = "aggregate(transform(w, x -> xxhash64(x)), array_repeat(0, 64), " +
-      "(acc, h) -> zip_with(acc, sequence(0, 63), " +
-      "(a, j) -> a + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))"
-    val sig = s"aggregate(zip_with($bitSums, sequence(0, 63), " +
-      "(b, j) -> CASE WHEN b > 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
-      "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    // Codegen'd SimHashSig: one compiled pass per document (hash each word
+    // slice once, ±1 vote per bit) — bit-identical to the HOF formulation
+    // (aggregate over xxhash64'd tokens) it replaces, at a fraction of the
+    // cost.
     val signed = TextFunctions.withBase(docs)
-      .select(col("doc_id"), expr(sig).as("sig"))
+      .select(col("doc_id"), TextHashes.simhashSig(col("norm")).as("sig"))
       .cache()
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("ci"),

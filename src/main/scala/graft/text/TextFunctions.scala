@@ -15,9 +15,13 @@ object TextFunctions {
   /** Canonical normalization: collapse whitespace, trim, lowercase. */
   val norm: Column = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
-  /** docs + (norm, w = word array) base columns. */
+  /** docs + (norm, w = word array) base columns. Rebalanced first: every
+    * downstream stage is CPU-bound per-row work that must not inherit a
+    * single-file scan's parallelism (see Tables.rebalance).
+    */
   def withBase(docs: DataFrame): DataFrame =
-    docs.withColumn("norm", norm).withColumn("w", split(col("norm"), " "))
+    graft.Tables.rebalance(docs)
+      .withColumn("norm", norm).withColumn("w", split(col("norm"), " "))
 
   /** Distinct word n-gram shingles over the `w` column (guarded for short
     * docs: Spark's sequence(1,0) is descending, not empty).
