@@ -178,6 +178,12 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.clusters(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline: similarity search ------------------------------
     "emb_cosine_pairs" -> ((s, dir) =>
       Vectors.cosinePairs(Tables.load(s, dir, "embeddings"), 0.4)
@@ -189,6 +195,10 @@ object SparkEntry {
 
     "emb_ann_lsh" -> ((s, dir) =>
       Vectors.annLsh(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("q_id"), col("rank"))),
+
+    "emb_ann_ivf" -> ((s, dir) =>
+      Vectors.annIvf(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
 
     // ---- LLM-pipeline: text analysis ----------------------------------
@@ -367,6 +377,32 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardSql(0.5, Some(1000L)),
 
     "dedup_minhash" -> jaccardSql(0.8, None),
+
+    // Connected components in SQL: reachability closure via recursive CTE
+    // (UNION dedupes states, so the recursion terminates despite cycles),
+    // cluster_id = min reachable doc_id; singletons keep their own id.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM docs WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |e AS (SELECT id_a, id_b FROM p
+         |      WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION ALL SELECT id_b, id_a FROM e),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT d.doc_id AS doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "emb_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings)

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: derive parquet-pushable bounds from comparisons on
+  * integer-division expressions.
+  *
+  * The canonical time axis is `t_us = ts DIV 1000` (epoch-ns long → µs).
+  * A predicate like `t_us >= T` sits on a DERIVED column, so the parquet
+  * scan pushes nothing and every time-range query reads every row group —
+  * at 100 TB the time filter is precisely the one that must prune. Since
+  * `DIV` is truncating division by a positive constant, each comparison
+  * implies a bound on the RAW column:
+  *
+  *   c div d >= v  ⟹  c >= v*d − (d−1)
+  *   c div d >  v  ⟹  c >= v*d + 1
+  *   c div d <= v  ⟹  c <= v*d + (d−1)
+  *   c div d <  v  ⟹  c <= v*d − 1
+  *   c div d ==  v ⟹  both of the = bounds above
+  *
+  * (bounds are valid for ALL long c, including negatives, because they are
+  * deliberately one truncation-step wider than the exact positive-c
+  * inverse). The implied conjunct is ADDED, never substituted — the
+  * original predicate still filters exactly; the new one exists so the
+  * datasource can translate it into row-group pruning + a scan PushedFilter
+  * on the raw column. Conjuncts already present are not re-added, so the
+  * rule is a fixpoint no-op after one application.
+  */
+object DivComparisonBounds extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType)     => Some(v)
+    case Literal(v: Int, IntegerType)   => Some(v.toLong)
+    case Literal(v: Short, ShortType)   => Some(v.toLong)
+    case Literal(v: Byte, ByteType)     => Some(v.toLong)
+    case Cast(inner, LongType, _, _)    => longLit(inner)
+    case _ => None
+  }
+
+  private def mul(a: Long, b: Long): Option[Long] =
+    try Some(Math.multiplyExact(a, b)) catch { case _: ArithmeticException => None }
+  private def add(a: Long, b: Long): Option[Long] =
+    try Some(Math.addExact(a, b)) catch { case _: ArithmeticException => None }
+
+  private def lower(c: Expression, d: Long, lo: Long): Expression =
+    GreaterThanOrEqual(c, Literal(lo, LongType))
+  private def upper(c: Expression, d: Long, hi: Long): Expression =
+    LessThanOrEqual(c, Literal(hi, LongType))
+
+  /** The (child, divisor) of a `div` by a positive integral literal. */
+  private object DivByConst {
+    def unapply(e: Expression): Option[(Expression, Long)] = e match {
+      case IntegralDivide(c, dl, _) => longLit(dl).filter(_ > 0).map((c, _))
+      case _ => None
+    }
+  }
+
+  private def implied(conjunct: Expression): Seq[Expression] = conjunct match {
+    case GreaterThanOrEqual(DivByConst(c, d), vl) =>
+      longLit(vl).toSeq.flatMap(v => mul(v, d).flatMap(p => add(p, -(d - 1))).map(lower(c, d, _)))
+    case GreaterThan(DivByConst(c, d), vl) =>
+      longLit(vl).toSeq.flatMap(v => mul(v, d).flatMap(p => add(p, 1)).map(lower(c, d, _)))
+    case LessThanOrEqual(DivByConst(c, d), vl) =>
+      longLit(vl).toSeq.flatMap(v => mul(v, d).flatMap(p => add(p, d - 1)).map(upper(c, d, _)))
+    case LessThan(DivByConst(c, d), vl) =>
+      longLit(vl).toSeq.flatMap(v => mul(v, d).flatMap(p => add(p, -1)).map(upper(c, d, _)))
+    case EqualTo(DivByConst(c, d), vl) =>
+      longLit(vl).toSeq.flatMap { v =>
+        mul(v, d).toSeq.flatMap(p =>
+          add(p, -(d - 1)).map(lower(c, d, _)).toSeq ++
+            add(p, d - 1).map(upper(c, d, _)).toSeq)
+      }
+    // literal-on-left variants (v OP (c div d)) — mirror the comparison
+    case GreaterThanOrEqual(vl, DivByConst(c, d)) => implied(LessThanOrEqual(IntegralDivide(c, Literal(d, LongType)), vl))
+    case GreaterThan(vl, DivByConst(c, d))        => implied(LessThan(IntegralDivide(c, Literal(d, LongType)), vl))
+    case LessThanOrEqual(vl, DivByConst(c, d))    => implied(GreaterThanOrEqual(IntegralDivide(c, Literal(d, LongType)), vl))
+    case LessThan(vl, DivByConst(c, d))           => implied(GreaterThan(IntegralDivide(c, Literal(d, LongType)), vl))
+    case EqualTo(vl, DivByConst(c, d))            => implied(EqualTo(IntegralDivide(c, Literal(d, LongType)), vl))
+    case _ => Seq.empty
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val extra = conjuncts.flatMap(implied)
+        .filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+        .distinct
+      if (extra.isEmpty) f
+      else Filter((conjuncts ++ extra).reduce(And), child)
+  }
+}
+
+/** Session extension entry point:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => DivComparisonBounds)
+}

@@ -77,6 +77,73 @@ object Vectors {
     Seq.fill(nTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(next())))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path besides LSH.
+    *
+    * A coarse quantizer of `nCells` centroids is trained with a few Lloyd
+    * rounds (deterministic init: the nCells lowest-id corpus vectors); the
+    * corpus is assigned to its nearest centroid ONCE; each query probes
+    * only the `nProbe` nearest cells and exact-cosine-reranks the vectors
+    * in them — touching nProbe/nCells of the corpus instead of all of it.
+    *
+    * Scale shape: the centroid table is tiny by construction (it IS the
+    * compression), so it lives on the driver and enters the plan as
+    * literals — assignment is a narrow codegen'd projection over the
+    * corpus, no join, no shuffle; the per-query candidate join shuffles on
+    * the cell id. Lloyd's mean-update is a posexplode + groupBy(cell, pos)
+    * aggregation — distributed, with only nCells×dim averaged values ever
+    * collected. Assignment minimizes Euclidean distance (argmax of
+    * 2·v·c − |c|², |v|² constant per row); re-rank uses exact cosine.
+    */
+  def annIvf(emb: DataFrame, nQueries: Int, k: Int,
+             nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3,
+             dim: Int = 64): DataFrame = {
+    val all = withNorm(emb)
+    val corpus = all.filter(col("vec_id") >= nQueries).cache()
+
+    def cellScores(cents: Array[Array[Double]]): Column = {
+      val structs = cents.zipWithIndex.map { case (c, i) =>
+        val lit2 = array(c.map(lit).toSeq: _*)
+        val n2 = c.map(x => x * x).sum
+        struct((dot(col("embedding"), lit2) * 2 - lit(n2)).as("score"),
+          lit(i).as("cell"))
+      }
+      array(structs.toSeq: _*)
+    }
+    def assign(cents: Array[Array[Double]]): Column =
+      array_max(cellScores(cents)).getField("cell")
+
+    // deterministic seed: lowest-id corpus vectors
+    var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var iter = 0
+    while (iter < lloydIters) {
+      val means = corpus.withColumn("cell", assign(cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      iter += 1
+    }
+
+    val assigned = corpus.withColumn("cell", assign(cents))
+    val probes = broadcast(all.filter(col("vec_id") < nQueries)
+      .withColumn("p", explode(slice(reverse(array_sort(cellScores(cents))), 1, nProbe)))
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("p.cell").as("cell")))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    probes
+      .join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("cell")), Seq("cell"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Random-hyperplane LSH ANN: `nTables` hash tables of `bitsPerTable`
     * sign bits each; candidates = corpus vectors sharing a bucket with the
     * query in ANY table (union over tables → recall stacks per table), with

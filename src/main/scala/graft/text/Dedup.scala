@@ -129,6 +129,46 @@ object Dedup {
       tau)
   }
 
+  /** Connected components over a near-dup pair graph: every document gets
+    * `cluster_id` = the minimum doc_id reachable through pair edges (its
+    * own id when it appears in no pair). This is the step that turns a
+    * pair list into actual dedup decisions — keep one representative per
+    * cluster, drop the rest.
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own label and its neighbors' labels, converging in
+    * O(component diameter) rounds — near-dup clusters are dense (almost
+    * cliques), so diameter is tiny in practice. Each round is one shuffle
+    * join + aggregation; `localCheckpoint` cuts the growing lineage so
+    * round N's plan doesn't replay rounds 1..N-1 (at cluster scale,
+    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` persists to
+    * reliable storage instead). Convergence is detected distributed
+    * (count of changed labels), never by collecting labels.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("v"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, labels("v") === nbrMin("src"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.withColumnRenamed("lbl", "new")
+        .join(labels, "v")
+        .filter(col("new") =!= col("lbl")).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Candidate generation uses the pigeonhole principle: split the 64-bit

@@ -40,6 +40,46 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.3, s"ANN recall@10 was $recall")
   }
 
+  test("clusters: labels are component minima, closed under the pair edges") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(docs, 3, 64, 2, 0.8).cache()
+    val cl = Dedup.clusters(docs, pairs).cache()
+    assert(cl.count() == docs.count(), "every doc gets a cluster")
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() == 0, "label <= own id")
+    // both endpoints of every edge share a label
+    val lbl = cl.as[(Long, Long)].collect().toMap
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"edge ($a,$b) splits clusters")
+    }
+    // a known transitive case: label equals min over the whole component,
+    // verified by union-find on the driver over the (small) edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    lbl.foreach { case (v, l) => assert(l == find(v), s"doc $v: $l != ${find(v)}") }
+  }
+
+  test("IVF ANN reaches usable recall vs brute force at equal k") {
+    val brute = Vectors.annTopK(emb, 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Vectors.annIvf(emb, 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@10 was $recall")
+    // structural: at most k results per query, ranks contiguous from 1
+    val byQ = Vectors.annIvf(emb, 5, 10).select("q_id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq)
+    byQ.foreach { case (q, ranks) =>
+      assert(ranks == (1L to ranks.length), s"query $q ranks $ranks")
+    }
+  }
+
   test("exact dedup maps every doc to the minimal id of its hash group") {
     val d = Dedup.exact(docs)
     assert(d.count() == docs.count())

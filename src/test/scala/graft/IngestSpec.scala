@@ -66,6 +66,35 @@ class IngestSpec extends SparkSuite {
     assert(got > total / 2, s"emitted $got of $total points in closed windows")
   }
 
+  test("deadband state carries across micro-batches and matches batch result") {
+    import graft.streaming.{Deadband, RawPoint}
+    val src = tmpDir("db_src")
+    val ckpt = tmpDir("db_ckpt")
+    // batch 1: s ramps 0.0, 0.05, 0.2, 0.25 — eps=0.1 keeps 0.0, 0.2
+    Seq(RawPoint("s", 1, 0.0), RawPoint("s", 2, 0.05), RawPoint("s", 3, 0.2),
+      RawPoint("s", 4, 0.25)).toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(src).as[RawPoint]
+    val q = Deadband.compress(stream, 0.1).writeStream
+      .outputMode("append").format("memory").queryName("db_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // batch 2: 0.28 (within eps of last emitted 0.2 → dropped), 0.35 (kept)
+    Seq(RawPoint("s", 5, 0.28), RawPoint("s", 6, 0.35))
+      .toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT time FROM db_out ORDER BY time")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L, 6L), s"emitted $got")
+    // the same function on the full batch Dataset agrees
+    val batch = Deadband.compress(
+      Seq(RawPoint("s", 1, 0.0), RawPoint("s", 2, 0.05), RawPoint("s", 3, 0.2),
+        RawPoint("s", 4, 0.25), RawPoint("s", 5, 0.28), RawPoint("s", 6, 0.35)).toDS(),
+      0.1).collect().map(_.time).sorted.toSeq
+    assert(batch == got, s"batch $batch != streaming $got")
+  }
+
   private def stageAsDir(df: org.apache.spark.sql.DataFrame): String = {
     val d = tmpDir("stage")
     df.write.mode("overwrite").parquet(d)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ts.{Store, TimeSeriesOps => TS}
+
+/** Physical-plan audits — the properties that decide whether an operator
+  * survives a 100× scale-up: time filters reaching the parquet scan,
+  * dimension joins broadcasting, no accidental cartesian products, hot
+  * paths inside WholeStageCodegen.
+  */
+class PlanShapeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val T08 = 1704672000000000L
+  private val T22 = 1705881600000000L
+  private val STREAM = Seq("user_id", "event_type")
+
+  private def physical(df: DataFrame): String = {
+    // other suites may have cached equivalent plans (cache substitution
+    // would replace the FileScan under audit with InMemoryTableScan)
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("time-range filters on t_us reach the parquet scan as raw ts bounds") {
+    // t_us = ts DIV 1000 is derived; without DivComparisonBounds the scan
+    // pushes nothing on the time axis and every row group is read.
+    val plan = physical(
+      TS.rawValues(Tables.points(spark, sfDir), STREAM, T08, T22))
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(ts"),
+      s"lower ts bound not pushed:\n${plan.take(3000)}")
+    assert(plan.contains("LessThanOrEqual(ts"),
+      s"upper ts bound not pushed:\n${plan.take(3000)}")
+  }
+
+  test("stream-identity filters are pushed to the scan") {
+    val plan = physical(
+      Tables.points(spark, sfDir)
+        .filter(col("user_id") === 7 && col("event_type") === "click"))
+    assert(plan.contains("EqualTo(user_id,7)"), plan.take(3000))
+    assert(plan.contains("EqualTo(event_type,click)"), plan.take(3000))
+  }
+
+  test("q3 dimension join broadcasts; no cartesian product") {
+    val plan = physical(SparkEntry.queries("q3_join")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("tombstone visibility anti-join broadcasts the tombstone side") {
+    val st = Store(spark, tmpDir("plan_store"))
+    st.insert("s1", Seq((1L, 1.0), (2L, 2.0)).toDF("time", "value"))
+    st.deleteRange("s1", 0L, 2L)
+    val plan = physical(st.pointsAt(None))
+    assert(plan.contains("Broadcast"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("core aggregations run inside WholeStageCodegen") {
+    // AQE materializes the final plan (with codegen spans) only on
+    // execution — run the query, then audit the final adaptive plan.
+    for (q <- Seq("q1_agg", "ts_aligned_windows")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // executes THIS plan (count() would build a new one)
+      val plan = df.queryExecution.executedPlan.toString
+      // "*(n)" prefixes mark WholeStageCodegen stages in the tree string
+      assert(plan.contains("*("), s"$q:\n${plan.take(3000)}")
+      assert(plan.contains("*(1) Filter") || plan.contains("*(1) HashAggregate") ||
+        plan.contains("*(1) Project"), s"$q scan stage not codegen'd:\n${plan.take(3000)}")
+    }
+  }
+
+  test("LLM-pipeline joins shuffle on keys, never cartesian") {
+    for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "emb_ann_lsh")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+}
