@@ -213,6 +213,20 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) =>
       TextFunctions.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_pii" -> ((s, dir) =>
+      TextFunctions.piiScan(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_repetition" -> ((s, dir) =>
+      TextFunctions.repetition(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "sample_stratified" -> ((s, dir) =>
+      TextFunctions.sampleStratified(Tables.load(s, dir, "documents"), "source", 0.3)
+        .orderBy(col("doc_id"))),
+
+    "corpus_stats" -> ((s, dir) =>
+      TextFunctions.corpusStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("lang"), col("source"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -469,6 +483,55 @@ object SparkEntry {
          |            ELSE 'unknown' END AS lang_pred,
          |       n_en, n_es, n_de, n_fr
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |c AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+         |        CAST(len(regexp_extract_all(norm, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+         |        CAST(len(regexp_extract_all(norm, '\\d{3}[- ]\\d{3,4}[- ]\\d{4}')) AS BIGINT) AS n_phone,
+         |        CAST(len(regexp_extract_all(norm, '\\d{6,}')) AS BIGINT) AS n_digit_runs
+         |      FROM d)
+         |SELECT doc_id, n_email, n_ipv4, n_phone, n_digit_runs,
+         |       (n_email + n_ipv4 + n_phone > 0) AS has_pii
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |               i -> concat(w[i], ' ', w[i + 1]))) AS g
+         |      FROM b WHERE len(w) >= 2),
+         |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         |       CAST(max(c) AS BIGINT) AS top_count,
+         |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, source AS stratum FROM documents
+        |WHERE substring(md5(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 2) < '4d'
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, lang, source, norm, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id, lang, source,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(length(norm) AS BIGINT) AS n_chars,
+         |        len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |        len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
+         |      FROM b),
+         |q AS (SELECT doc_id, lang, source, n_words,
+         |        round(CAST(n_stop AS DOUBLE) / n_words * 0.4
+         |              + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+         |              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |      FROM c)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |       round(avg(n_words), 6) AS avg_words,
+         |       round(avg(quality_score), 6) AS avg_quality
+         |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)

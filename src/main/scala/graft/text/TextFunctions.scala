@@ -100,6 +100,78 @@ object TextFunctions {
       de.cast("long").as("n_de"), fr.cast("long").as("n_fr"))
   }
 
+  /** PII surface detection: per-document counts of email-shaped, IPv4-
+    * shaped, and phone-shaped spans plus digit runs, and a has_pii flag —
+    * the filter signal a training-data pipeline applies before anything
+    * else. Pure regexp_count (codegen'd, one pass each) with patterns
+    * chosen to evaluate identically under Java regex and RE2 (DuckDB).
+    */
+  def piiScan(docs: DataFrame): DataFrame =
+    withBase(docs)
+      .withColumn("n_email", regexp_count(col("norm"),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")))
+      .withColumn("n_ipv4", regexp_count(col("norm"),
+        lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")))
+      .withColumn("n_phone", regexp_count(col("norm"),
+        lit("\\d{3}[- ]\\d{3,4}[- ]\\d{4}")))
+      .withColumn("n_digit_runs", regexp_count(col("norm"), lit("\\d{6,}")))
+      .select(
+        col("doc_id"),
+        col("n_email").cast("long").as("n_email"),
+        col("n_ipv4").cast("long").as("n_ipv4"),
+        col("n_phone").cast("long").as("n_phone"),
+        col("n_digit_runs").cast("long").as("n_digit_runs"),
+        (col("n_email") + col("n_ipv4") + col("n_phone") > 0).as("has_pii"))
+
+  /** Deterministic stratified sampling: keep a ~rate fraction of each
+    * stratum by comparing a hex prefix of md5(stratum|doc_id) against a
+    * threshold — reproducible across runs/engines (no RNG), uniform within
+    * strata, and a pure narrow projection+filter (no shuffle, no sort —
+    * THE way to cut a 100 TB corpus down without moving it). `rate` is
+    * quantized to 1/256ths by the 2-hex-digit prefix.
+    */
+  def sampleStratified(docs: DataFrame, stratumCol: String, rate: Double): DataFrame = {
+    val threshold = f"${math.round(rate * 256).toInt}%02x"
+    docs
+      .withColumn("bucket",
+        substring(md5(concat(col(stratumCol), lit("|"), col("doc_id").cast("string"))), 1, 2))
+      .filter(col("bucket") < lit(threshold))
+      .select(col("doc_id"), col(stratumCol).as("stratum"))
+  }
+
+  /** Per-(lang, source) corpus rollup — the "dataset card" numbers: doc
+    * count, token totals, mean quality. One map-side-partial groupBy.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("n_words"), col("quality_score"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(q, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        round(avg(col("n_words")), 6).as("avg_words"),
+        round(avg(col("quality_score")), 6).as("avg_quality"))
+  }
+
+  /** Repetition scoring (the Gopher-style quality signal): fraction of all
+    * word 2-grams taken by the single most frequent one. Word salad scores
+    * low; template/boilerplate text scores high. Exploded-bigram groupBy —
+    * both aggregations are map-side partial.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val bigrams = withBase(docs)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+        .as("g"))
+    bigrams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_2grams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_2grams"), 6).as("rep_ratio"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dedup key)
     * plus a winnowing-style rolling fingerprint — the minimum hash over all
     * 8-char shingles (min-of-rolling-window, the degenerate single-window
