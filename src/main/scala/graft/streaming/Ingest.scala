@@ -36,7 +36,7 @@ object Ingest {
     * re-appended under a new version.
     */
   def intoStore(spark: SparkSession, sourceDir: String, store: Store,
-                checkpoint: String): StreamingQuery = {
+                checkpoint: String, rollup: Option[graft.ts.Rollup] = None): StreamingQuery = {
     val schema = "uuid STRING, time LONG, value DOUBLE"
     val commitDir = new java.io.File(s"${store.base}/_ingest_commits/" +
       java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")))
@@ -48,6 +48,12 @@ object Ingest {
         val marker = new java.io.File(commitDir, s"batch-$batchId")
         if (!marker.exists()) {
           store.insertBatch(batch)
+          // maintain the statistical hierarchy on the write path, like the
+          // reference's tree aggregates; delta=<batchId> makes a replayed
+          // batch overwrite its own contribution instead of double-counting
+          rollup.foreach(_.appendBatch(
+            batch.select(col("uuid"), col("time").as("t_us"), col("value")),
+            Seq("uuid"), s"b$batchId"))
           commitDir.mkdirs()
           marker.createNewFile()
           ()

@@ -51,19 +51,56 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
         sum(col("v_sum")).as("v_sum"),
         sum(col("v_count")).as("v_count"))
 
-  /** Build all levels, each from the previous (a single raw scan total). */
+  /** Build (or rebuild) all levels, each from the previous — a single raw
+    * scan total. Every level lives under a `delta=` subdir (the same
+    * layout appendBatch extends), so a full build is just the compacted
+    * `delta=base`; building clears any previous deltas (it subsumes them).
+    */
   def build(points: DataFrame, streamCols: Seq[String]): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
     var prev: DataFrame = null
     pointwidths.zipWithIndex.foreach { case (pw, i) =>
       val level =
         if (i == 0) bucketize(points, streamCols, pw)
         else merge(prev, streamCols, pw)
-      level.write.mode(SaveMode.Overwrite).parquet(levelDir(pw))
+      rm(new java.io.File(levelDir(pw)))
+      level.write.mode(SaveMode.Overwrite).parquet(s"${levelDir(pw)}/delta=base")
       prev = spark.read.parquet(levelDir(pw))
     }
   }
 
   def level(pw: Int): DataFrame = spark.read.parquet(levelDir(pw))
+
+  /** Incrementally append one ingest batch's contribution to EVERY level —
+    * the streaming-maintenance path (the reference updates its tree's
+    * internal aggregates on each commit; here each micro-batch lands a
+    * delta at each pointwidth, chained coarse-from-fine so the batch is
+    * bucketized once). Duplicate w_start buckets across deltas are exact
+    * partial aggregates: every read path re-merges buckets (min/max/sum/
+    * count are associative), so deltas never need compaction for
+    * correctness — a periodic build() collapses them for read efficiency.
+    *
+    * `writeId` makes replays idempotent: a delta lands at
+    * `rollup_pw<pw>/delta=<writeId>` with Overwrite, so a replayed batch
+    * (same writeId) overwrites its own delta instead of double-counting.
+    */
+  def appendBatch(points: DataFrame, streamCols: Seq[String], writeId: String): Unit = {
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    var prev: DataFrame = null
+    pointwidths.zipWithIndex.foreach { case (pw, i) =>
+      val delta =
+        if (i == 0) bucketize(points, streamCols, pw)
+        else merge(prev, streamCols, pw)
+      delta.cache()
+      cached += delta
+      delta.write.mode(SaveMode.Overwrite).parquet(s"${levelDir(pw)}/delta=$writeId")
+      prev = delta
+    }
+    cached.foreach(_.unpersist())
+  }
 
   /** Serve AlignedWindows(pointWidth=pw) from the coarsest usable level.
     * Falls back to `raw` when pw is finer than the finest level. Output

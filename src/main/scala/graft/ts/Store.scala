@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
   * btrdb.proto:16-21,196-208).
   *
   * Layout (append-only, no file is ever rewritten except by compact()):
-  *   base/points/     (uuid, time, value, ver)  partitioned by uuid
-  *   base/tombstones/ (uuid, t_start, t_end, ver)
+  *   base/points/ub=N/tb=M/   (uuid, time, value, ver)
+  *   base/tombstones/         (uuid, t_start, t_end, ver)
+  *
+  * Partitioning: `ub` = xxhash64(uuid) mod 64 (uuid bucket — bounded
+  * directory fan-out at millions of streams, unlike partitioning on the
+  * raw uuid) and `tb` = time >> 42 (≈51-day time buckets in µs). Every
+  * per-stream read derives both partition predicates itself (the bucket
+  * of a literal uuid is computable on the driver; a [start, end) range
+  * maps to a [tb_lo, tb_hi] interval), so stream- AND time-scoped queries
+  * prune partitions before any file is opened — at 100 TB a one-stream
+  * one-day query touches 1/64th of one time bucket.
   *
   * Versioning is per-stream (BTrDB's versionMajor): each insert or delete
   * batch bumps the stream's version by one. Visibility of point p at
@@ -20,26 +29,47 @@ import org.apache.spark.sql.functions._
   * it, so insert-after-delete behaves exactly like the reference.
   *
   * Scale: appends are blind writes (no read-modify-write); reads prune on
-  * the uuid partition column and push time/ver filters to parquet. The
-  * tombstone side of the visibility anti-join is tiny (one row per delete
-  * call) and broadcasts. compact() physically drops dead rows and rewrites
-  * a stream's partition — BTrDB's tree GC, done as a deterministic batch
-  * job instead of reference counting.
+  * the (ub, tb) partition columns and push uuid/time/ver filters to
+  * parquet row groups. The tombstone side of the visibility anti-join is
+  * tiny (one row per delete call) and broadcasts. compact() physically
+  * drops dead rows and rewrites partitions — BTrDB's tree GC, done as a
+  * deterministic batch job instead of reference counting.
   */
 class Store(val spark: SparkSession, val base: String) {
   private val pointsDir = s"$base/points"
   private val tombsDir  = s"$base/tombstones"
 
   import spark.implicits._
+  import Store.{TimeBucketShift, UuidBuckets}
 
   private def hasData(dir: String): Boolean =
     new java.io.File(dir).exists()
 
+  /** Partition columns for a (uuid, time, value, ver) batch. */
+  private def withLayout(df: DataFrame): DataFrame =
+    df.withColumn("ub", pmod(xxhash64($"uuid"), lit(UuidBuckets)))
+      .withColumn("tb", shiftright($"time", TimeBucketShift))
+
+  /** Driver-side uuid bucket — same value as the Spark xxhash64 column
+    * expression (XXH64 over the UTF-8 bytes, seed 42), so literal-uuid
+    * reads can prune the ub partition without touching data.
+    */
+  private def ubOf(uuid: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(uuid)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    ((h % UuidBuckets) + UuidBuckets) % UuidBuckets
+  }
+
+  /** Stream-scoped raw read with ub partition pruning. */
+  private def streamPoints(uuid: String): DataFrame =
+    rawPoints.filter($"ub" === ubOf(uuid) && $"uuid" === uuid)
+
   /** All raw point rows (no visibility applied). */
   def rawPoints: DataFrame =
     if (hasData(pointsDir)) spark.read.parquet(pointsDir)
-    else spark.emptyDataset[(String, Long, Double, Long)]
-      .toDF("uuid", "time", "value", "ver")
+    else spark.emptyDataset[(String, Long, Double, Long, Long, Long)]
+      .toDF("uuid", "time", "value", "ver", "ub", "tb")
 
   def tombstones: DataFrame =
     if (hasData(tombsDir)) spark.read.parquet(tombsDir)
@@ -48,7 +78,7 @@ class Store(val spark: SparkSession, val base: String) {
 
   /** Latest committed version per stream (max over inserts and deletes). */
   def version(uuid: String): Long = {
-    val p = rawPoints.filter($"uuid" === uuid).agg(max($"ver")).as[Option[Long]].first().getOrElse(0L)
+    val p = streamPoints(uuid).agg(max($"ver")).as[Option[Long]].first().getOrElse(0L)
     val t = tombstones.filter($"uuid" === uuid).agg(max($"ver")).as[Option[Long]].first().getOrElse(0L)
     math.max(p, t)
   }
@@ -58,9 +88,9 @@ class Store(val spark: SparkSession, val base: String) {
     */
   def insert(uuid: String, points: DataFrame): Long = {
     val v = version(uuid) + 1
-    points.select(lit(uuid).as("uuid"), col("time").cast("long").as("time"),
-        col("value").cast("double").as("value"), lit(v).as("ver"))
-      .write.mode(SaveMode.Append).partitionBy("uuid").parquet(pointsDir)
+    withLayout(points.select(lit(uuid).as("uuid"), col("time").cast("long").as("time"),
+        col("value").cast("double").as("value"), lit(v).as("ver")))
+      .write.mode(SaveMode.Append).partitionBy("ub", "tb").parquet(pointsDir)
     v
   }
 
@@ -79,11 +109,11 @@ class Store(val spark: SparkSession, val base: String) {
       .join(pv, Seq("uuid"), "left").join(tv, Seq("uuid"), "left")
       .select($"uuid",
         (greatest(coalesce($"pv", lit(0L)), coalesce($"tv", lit(0L))) + 1).as("ver"))
-    batch.select($"uuid", col("time").cast("long").as("time"),
+    withLayout(batch.select($"uuid", col("time").cast("long").as("time"),
         col("value").cast("double").as("value"))
       .join(broadcast(vers), Seq("uuid"))
-      .select($"uuid", $"time", $"value", $"ver")
-      .write.mode(SaveMode.Append).partitionBy("uuid").parquet(pointsDir)
+      .select($"uuid", $"time", $"value", $"ver"))
+      .write.mode(SaveMode.Append).partitionBy("ub", "tb").parquet(pointsDir)
   }
 
   /** Range delete [start, end) — a tombstone, not a rewrite. */
@@ -120,19 +150,27 @@ class Store(val spark: SparkSession, val base: String) {
         "left_anti")
   }
 
-  /** RawValues over the store at a version — start inclusive, end exclusive. */
-  def rawValues(uuid: String, start: Long, end: Long, asOf: Option[Long] = None): DataFrame =
+  /** RawValues over the store at a version — start inclusive, end
+    * exclusive. Derives both partition predicates (ub from the literal
+    * uuid, [tb_lo, tb_hi] from the time range) so the scan opens only the
+    * stream's bucket within the touched time buckets.
+    */
+  def rawValues(uuid: String, start: Long, end: Long, asOf: Option[Long] = None): DataFrame = {
+    if (end <= start) return pointsAt(asOf).filter(lit(false)).select($"time", $"value")
     pointsAt(asOf)
+      .filter($"ub" === ubOf(uuid) &&
+        $"tb" >= (start >> TimeBucketShift) && $"tb" <= ((end - 1) >> TimeBucketShift))
       .filter($"uuid" === uuid && $"time" >= start && $"time" < end)
       .select($"time", $"value")
+  }
 
   /** Changed time ranges between two versions (FindChangedSince): inserted
     * points and deleted ranges with fromVer < ver <= toVer, aligned to the
     * 2^res grid and gap-merged per stream.
     */
   def changes(uuid: String, fromVer: Long, toVer: Long, res: Int): DataFrame = {
-    val ins = rawPoints
-      .filter($"uuid" === uuid && $"ver" > fromVer && $"ver" <= toVer)
+    val ins = streamPoints(uuid)
+      .filter($"ver" > fromVer && $"ver" <= toVer)
       .select(shiftleft(shiftright($"time", res), res).as("r_start"))
       .withColumn("r_end", $"r_start" + (1L << res))
     val del = tombstones
@@ -195,7 +233,7 @@ class Store(val spark: SparkSession, val base: String) {
     val tTmp = new java.io.File(s"$base/tombstones_compacted")
     val tOld = new java.io.File(s"$base/tombstones_old")
     Seq(pTmp, pOld, tTmp, tOld).foreach(rm) // leftovers of a crashed compact
-    live.write.mode(SaveMode.Overwrite).partitionBy("uuid").parquet(pTmp.getPath)
+    live.write.mode(SaveMode.Overwrite).partitionBy("ub", "tb").parquet(pTmp.getPath)
     if (nKeep > 0)
       keepTombs.write.mode(SaveMode.Overwrite).parquet(tTmp.getPath)
     live.unpersist(); keepTombs.unpersist()
@@ -205,5 +243,10 @@ class Store(val spark: SparkSession, val base: String) {
 }
 
 object Store {
+  /** Directory fan-out bound: ub = xxhash64(uuid) mod UuidBuckets. */
+  val UuidBuckets = 64
+  /** tb = time >> TimeBucketShift: ≈51-day buckets at µs resolution. */
+  val TimeBucketShift = 42
+
   def apply(spark: SparkSession, base: String): Store = new Store(spark, base)
 }

@@ -66,6 +66,23 @@ class IngestSpec extends SparkSuite {
     assert(got > total / 2, s"emitted $got of $total points in closed windows")
   }
 
+  test("ingest maintains the rollup hierarchy alongside the store") {
+    import graft.ts.Rollup
+    val src = tmpDir("ru_src")
+    val st = Store(spark, tmpDir("ru_store"))
+    val ru = Rollup(spark, tmpDir("ru_rollup"), Seq(4, 8))
+    Seq(("a", 10L, 1.0), ("a", 300L, 2.0), ("b", 70L, 3.0), ("a", 290L, 5.0))
+      .toDF("uuid", "time", "value").write.mode("append").parquet(src)
+    Ingest.intoStore(spark, src, st, tmpDir("ru_ckpt"), Some(ru)).awaitTermination()
+    val pts = st.pointsAt(None).select(col("uuid"), col("time").as("t_us"), col("value"))
+    val direct = graft.ts.TimeSeriesOps.alignedWindows(pts, Seq("uuid"), 0L, 1024L, 8)
+      .orderBy("uuid", "w_start").collect()
+    val rolled = ru.alignedWindows(pts, Seq("uuid"), 0L, 1024L, 8)
+      .orderBy("uuid", "w_start").collect()
+    assert(direct.length == rolled.length && direct.nonEmpty)
+    direct.zip(rolled).foreach { case (d, r) => assert(d == r) }
+  }
+
   test("deadband state carries across micro-batches and matches batch result") {
     import graft.streaming.{Deadband, RawPoint}
     val src = tmpDir("db_src")

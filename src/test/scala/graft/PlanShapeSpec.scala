@@ -49,6 +49,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("store rawValues prunes (ub, tb) partitions for a literal uuid + range") {
+    val st = Store(spark, tmpDir("plan_store_prune"))
+    st.insert("s1", Seq((1L, 1.0), (2L, 2.0)).toDF("time", "value"))
+    st.insert("s2", Seq((1L, 9.0)).toDF("time", "value"))
+    val plan = physical(st.rawValues("s1", 0L, 100L))
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("(ub#") && plan.contains("(tb#"),
+      s"partition pruning missing:\n${plan.take(3000)}")
+    // and the result is correct despite the pruning
+    assert(st.rawValues("s1", 0L, 100L).count() == 2)
+  }
+
   test("tombstone visibility anti-join broadcasts the tombstone side") {
     val st = Store(spark, tmpDir("plan_store"))
     st.insert("s1", Seq((1L, 1.0), (2L, 2.0)).toDF("time", "value"))

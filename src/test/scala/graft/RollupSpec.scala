@@ -72,6 +72,32 @@ class RollupSpec extends SparkSuite {
     assert(direct == rolled)
   }
 
+  test("incremental appendBatch deltas serve the same answers as a full build") {
+    val pts = Tables.points(spark, sfDir).cache()
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(24, 30))
+    // land the data as three deltas instead of one build
+    val splits = Seq(
+      pts.filter(col("user_id") % 3 === 0),
+      pts.filter(col("user_id") % 3 === 1),
+      pts.filter(col("user_id") % 3 === 2))
+    splits.zipWithIndex.foreach { case (b, i) => ru.appendBatch(b, STREAM, s"b$i") }
+    // replay of a delta must overwrite, not double-count
+    ru.appendBatch(splits(1), STREAM, "b1")
+    val direct = TimeSeriesOps.alignedWindows(pts, STREAM, T0, T31, 30)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val rolled = ru.alignedWindows(pts, STREAM, T0, T31, 30)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(direct.length == rolled.length)
+    direct.zip(rolled).foreach { case (d, r) =>
+      assert(d.getLong(2) == r.getLong(2) && d.getDouble(3) == r.getDouble(3)
+        && math.abs(d.getDouble(4) - r.getDouble(4)) <= 1e-6
+        && d.getDouble(5) == r.getDouble(5) && d.getLong(6) == r.getLong(6))
+    }
+    // build() compacts: same answers afterwards
+    ru.build(pts, STREAM)
+    assert(ru.alignedWindows(pts, STREAM, T0, T31, 30).count() == direct.length)
+  }
+
   test("queries below the finest level fall back to raw") {
     val pts = Tables.points(spark, sfDir)
     val ru = Rollup(spark, tmpDir("rollup"), Seq(30))
