@@ -57,6 +57,25 @@ object SparkEntry {
       TS.windows(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    "ts_windows_at_version" -> ((s, dir) =>
+      TS.windows(Tables.points(s, dir), STREAM, T0, T29, DAY, version = Some(500))
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // AlignedWindows served from the materialized rollup hierarchy (the
+    // qtree read path), with bounds deliberately unaligned to the serving
+    // level so the partial boundary windows exercise the raw fallback —
+    // the oracle is the plain direct aggregation, proving the hierarchy
+    // answers identically.
+    "ts_aligned_rollup" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val ru = graft.ts.Rollup(s,
+        s"${System.getProperty("java.io.tmpdir")}/graft_rollup_${Integer.toHexString(dir.hashCode)}",
+        Seq(24, 30, 36))
+      ru.build(pts, STREAM)
+      ru.alignedWindows(pts, STREAM, T0 + 12345L, T31 - 98765L, 36)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))
+    }),
+
     "ts_nearest_before" -> ((s, dir) =>
       TS.nearest(Tables.points(s, dir), STREAM, T15, backward = true)
         .orderBy(col("user_id"), col("event_type"))),
@@ -251,6 +270,23 @@ object SparkEntry {
          |       min(value) AS v_min, round(avg(value), 6) AS v_mean,
          |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
          |FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    "ts_windows_at_version" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT user_id, event_type,
+         |       $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       min(value) AS v_min, round(avg(value), 6) AS v_mean,
+         |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
+         |FROM pts WHERE ver <= 500 AND t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    "ts_aligned_rollup" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT user_id, event_type, (t_us >> 36) << 36 AS w_start,
+         |       min(value) AS v_min, round(avg(value), 6) AS v_mean,
+         |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
+         |FROM pts WHERE t_us >= ${T0 + 12345L} AND t_us < ${T31 - 98765L}
          |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_nearest_before" ->

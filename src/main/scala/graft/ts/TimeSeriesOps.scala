@@ -44,10 +44,17 @@ object TimeSeriesOps {
     * node addressing (qtree_utils.go ChildStartTime) — and is a single
     * codegen'd integer op here.
     */
+  /** Filter to rows visible at `version` (None = latest) — every stat RPC
+    * in the reference takes versionMajor; the same composes here.
+    */
+  private def atVersion(points: DataFrame, version: Option[Long]): DataFrame =
+    version.fold(points)(v => points.filter(col("ver") <= v))
+
   def alignedWindows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-                     pointWidth: Int): DataFrame = {
+                     pointWidth: Int, version: Option[Long] = None): DataFrame = {
     val bucket = shiftleft(shiftright(col("t_us"), pointWidth), pointWidth).as("w_start")
-    statAgg(points.filter(col("t_us") >= start && col("t_us") < end), streamCols, bucket)
+    statAgg(atVersion(points, version).filter(col("t_us") >= start && col("t_us") < end),
+      streamCols, bucket)
   }
 
   /** Windows: arbitrary fixed-width buckets anchored at `start`. Windows
@@ -55,9 +62,10 @@ object TimeSeriesOps {
     * (qtree.go QueryWindow emits only complete windows).
     */
   def windows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-              width: Long): DataFrame = {
+              width: Long, version: Option[Long] = None): DataFrame = {
     val completeEnd = start + ((end - start) / width) * width
-    statAgg(points.filter(col("t_us") >= start && col("t_us") < completeEnd),
+    statAgg(atVersion(points, version)
+        .filter(col("t_us") >= start && col("t_us") < completeEnd),
       streamCols, widthBucket(start, width))
   }
 
@@ -86,8 +94,9 @@ object TimeSeriesOps {
   /** Whole-stream StatPoint — the qtree root node (qtree.go QueryStatisticalValues
     * at the root resolution).
     */
-  def statsGlobal(points: DataFrame, streamCols: Seq[String]): DataFrame =
-    points.groupBy(streamKey(streamCols): _*)
+  def statsGlobal(points: DataFrame, streamCols: Seq[String],
+                  version: Option[Long] = None): DataFrame =
+    atVersion(points, version).groupBy(streamKey(streamCols): _*)
       .agg(
         min(col("value")).as("v_min"),
         round(avg(col("value")), 6).as("v_mean"),
@@ -102,10 +111,11 @@ object TimeSeriesOps {
     * argmin/argmax aggregation per stream, not a sort.
     */
   def nearest(points: DataFrame, streamCols: Seq[String], time: Long,
-              backward: Boolean): DataFrame = {
+              backward: Boolean, version: Option[Long] = None): DataFrame = {
+    val versioned = atVersion(points, version)
     val eligible =
-      if (backward) points.filter(col("t_us") < time)
-      else points.filter(col("t_us") >= time)
+      if (backward) versioned.filter(col("t_us") < time)
+      else versioned.filter(col("t_us") >= time)
     val (tAgg, vAgg) =
       if (backward) (max(col("t_us")), max_by(col("value"), col("t_us")))
       else (min(col("t_us")), min_by(col("value"), col("t_us")))
