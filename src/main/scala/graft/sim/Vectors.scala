@@ -97,20 +97,27 @@ object Vectors {
   def annIvf(emb: DataFrame, nQueries: Int, k: Int,
              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3,
              dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val all = withNorm(emb)
     val corpus = all.filter(col("vec_id") >= nQueries).cache()
 
-    def cellScores(cents: Array[Array[Double]]): Column = {
-      val structs = cents.zipWithIndex.map { case (c, i) =>
-        val lit2 = array(c.map(lit).toSeq: _*)
-        val n2 = c.map(x => x * x).sum
-        struct((dot(col("embedding"), lit2) * 2 - lit(n2)).as("score"),
-          lit(i).as("cell"))
-      }
-      array(structs.toSeq: _*)
-    }
-    def assign(cents: Array[Array[Double]]): Column =
-      array_max(cellScores(cents)).getField("cell")
+    // Centroids enter every plan as a BROADCAST 16-row DataFrame, not as
+    // 16×dim literal columns — a 1000-literal expression tree costs more
+    // in per-query analysis than the broadcast join it replaces.
+    def centDf(cents: Array[Array[Double]]): DataFrame =
+      broadcast(cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
+        .toDF("cell", "cvec", "cn2"))
+
+    // nearest centroid by Euclidean distance = argmax(2·v·c − |c|²);
+    // max(struct(score, cell)) is a deterministic argmax (ties → max cell)
+    def assign(cents: Array[Array[Double]]): DataFrame =
+      corpus.join(centDf(cents))
+        .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
 
     // deterministic seed: lowest-id corpus vectors
     var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(nCells)
@@ -118,7 +125,7 @@ object Vectors {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var iter = 0
     while (iter < lloydIters) {
-      val means = corpus.withColumn("cell", assign(cents))
+      val means = assign(cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
         .collect()
@@ -128,11 +135,15 @@ object Vectors {
       iter += 1
     }
 
-    val assigned = corpus.withColumn("cell", assign(cents))
+    val assigned = assign(cents)
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
     val probes = broadcast(all.filter(col("vec_id") < nQueries)
-      .withColumn("p", explode(slice(reverse(array_sort(cellScores(cents))), 1, nProbe)))
+      .join(centDf(cents))
+      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na"), col("p.cell").as("cell")))
+        col("nrm").as("na"), col("cell")))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     probes
       .join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -157,19 +168,23 @@ object Vectors {
     */
   def annLsh(emb: DataFrame, nQueries: Int, k: Int,
              nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    val ps = planes(nTables, bitsPerTable, dim)
-    val tableCols = ps.zipWithIndex.map { case (table, t) =>
-      val bits = table.zipWithIndex.map { case (plane, b) =>
-        val planeArr = array(plane.toSeq.map(lit): _*)
-        when(dot(col("embedding"), planeArr) > 0, 1 << b).otherwise(0)
-      }
-      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
-    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Hyperplanes enter the plan as a broadcast (nTables·bitsPerTable)-row
+    // DataFrame — not thousands of literal columns (analysis cost) — and
+    // each vector's bucket per table is one broadcast join + groupBy.
+    val planesDf = broadcast(planes(nTables, bitsPerTable, dim).zipWithIndex
+      .flatMap { case (table, t) =>
+        table.zipWithIndex.map { case (plane, b) => (t, b, plane.toSeq) }
+      }.toDF("tbl", "bit", "pvec"))
     val hashed = withNorm(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array(tableCols: _*)).as("h"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+      .join(planesDf)
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(
+        sum(when(dot(col("embedding"), col("pvec")) > 0, expr("shiftleft(1, bit)"))
+          .otherwise(0)).as("bucket"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("tbl"), col("bucket"))
     val probeFlips = (-1 until bitsPerTable).map { j =>
       if (j < 0) col("bucket") else expr(s"bucket ^ ${1 << j}")
     }
