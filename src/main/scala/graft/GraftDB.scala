@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ts.{MetaStore, Store, TimeSeriesOps => TS}
+
+/** The reference's client API shape, Spark-native: connect to a base path,
+  * create/look up streams, then query per-stream handles — the surface a
+  * btrdb-server user actually programs against (its Go/Python bindings:
+  * Create, StreamFromUUID, InsertTV, RawValues, AlignedWindows, Windows,
+  * Nearest, Changes, Version, DeleteRange, Obliterate, ListCollections,
+  * LookupStreams).
+  *
+  * Everything returns DataFrames (lazy plans): a handle query can be
+  * composed into bigger Spark jobs, joined with other tables, or fanned
+  * out over many streams — the thing an RPC-per-stream client can't do.
+  * Writes go through Store (MVCC append log) and MetaStore (descriptor
+  * CAS log); reads prune on the store's (ub, tb) partition layout.
+  */
+class GraftDB(val spark: SparkSession, val base: String) {
+  val meta = MetaStore(spark, base)
+  val store = Store(spark, base)
+
+  /** Create(uuid, collection, tags, annotations) → handle. */
+  def create(uuid: String, collection: String, tags: Map[String, String] = Map.empty,
+             annotations: Map[String, String] = Map.empty): StreamHandle = {
+    meta.create(uuid, collection, tags, annotations)
+    new StreamHandle(uuid)
+  }
+
+  /** StreamFromUUID — handle for an existing stream. */
+  def stream(uuid: String): StreamHandle = new StreamHandle(uuid)
+
+  def listCollections(prefix: String = ""): DataFrame =
+    meta.descriptors.select(col("collection")).distinct()
+      .filter(col("collection").startsWith(prefix))
+
+  def lookupStreams(collectionPrefix: String,
+                    tags: Map[String, String] = Map.empty): DataFrame =
+    meta.lookup(collectionPrefix, tags)
+
+  /** Per-stream query/write surface. All reads take an optional
+    * `version` (None = latest) like the RPCs' versionMajor.
+    */
+  class StreamHandle(val uuid: String) {
+    private val K = Seq("uuid")
+
+    /** The stream's visible points as the canonical (uuid, t_us, value,
+      * ver) frame every TimeSeriesOps transform consumes.
+      */
+    def points(version: Option[Long] = None): DataFrame =
+      store.streamAt(uuid, version)
+        .select(col("uuid"), col("time").as("t_us"), col("value"), col("ver"))
+
+    def insert(points: DataFrame): Long = store.insert(uuid, points)
+    def version: Long = store.version(uuid)
+    def flush(): Long = store.flush(uuid)
+    def deleteRange(start: Long, end: Long): Long = store.deleteRange(uuid, start, end)
+
+    /** Obliterate: full-range point tombstone + descriptor tombstone. */
+    def obliterate(): Long = {
+      meta.delete(uuid)
+      store.obliterate(uuid)
+    }
+
+    def rawValues(start: Long, end: Long, version: Option[Long] = None): DataFrame =
+      store.rawValues(uuid, start, end, version)
+
+    def alignedWindows(start: Long, end: Long, pointWidth: Int,
+                       version: Option[Long] = None): DataFrame =
+      TS.alignedWindows(points(version), K, start, end, pointWidth).drop("uuid")
+
+    def windows(start: Long, end: Long, width: Long,
+                version: Option[Long] = None): DataFrame =
+      TS.windows(points(version), K, start, end, width).drop("uuid")
+
+    def nearest(time: Long, backward: Boolean,
+                version: Option[Long] = None): DataFrame =
+      TS.nearest(points(version), K, time, backward).drop("uuid")
+
+    def changes(fromVer: Long, toVer: Long, resolution: Int): DataFrame =
+      store.changes(uuid, fromVer, toVer, resolution)
+
+    def statsGlobal(version: Option[Long] = None): DataFrame =
+      TS.statsGlobal(points(version), K).drop("uuid")
+
+    def annotations: Map[String, String] = {
+      import spark.implicits._
+      meta.descriptors.filter(col("uuid") === uuid)
+        .select(col("annotations")).as[Map[String, String]]
+        .collect().headOption.getOrElse(Map.empty)
+    }
+
+    def setAnnotations(expectedVersion: Long,
+                       changes: Map[String, Option[String]]): Long =
+      meta.setAnnotations(uuid, expectedVersion, changes)
+  }
+}
+
+object GraftDB {
+  def apply(spark: SparkSession, base: String): GraftDB = new GraftDB(spark, base)
+}

@@ -96,8 +96,49 @@ object DivComparisonBounds extends Rule[LogicalPlan] with PredicateHelper {
 
 /** Session extension entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  * Installs the optimizer rule and registers graft's custom expressions as
+  * SQL functions, so `spark.sql` users get the same codegen'd primitives
+  * as the Column API:
+  *   fvec_dot(a, b), minhash_sig(norm, n, k), simhash_sig(norm),
+  *   hashed_shingles(norm, n), sorted_intersect_count(a, b)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans", name, usage),
+      (args: Seq[Expression]) => builder(args))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DivComparisonBounds)
+    ext.injectFunction(fn("fvec_dot",
+      "fvec_dot(a, b) - double dot product of two float/double arrays") {
+      case Seq(a, b) => FloatVectorDot(a, b)
+    })
+    ext.injectFunction(fn("minhash_sig",
+      "minhash_sig(norm, n, k) - k-function MinHash over word n-gram shingles") {
+      case Seq(s, n, k) => MinHashSig(s, intLit(n, "n"), intLit(k, "k"))
+    })
+    ext.injectFunction(fn("simhash_sig",
+      "simhash_sig(norm) - 64-bit SimHash of the words of norm") {
+      case Seq(s) => SimHashSig(s)
+    })
+    ext.injectFunction(fn("hashed_shingles",
+      "hashed_shingles(norm, n) - sorted distinct hashed word n-gram shingles") {
+      case Seq(s, n) => HashedShingles(s, intLit(n, "n"))
+    })
+    ext.injectFunction(fn("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |a ∩ b| of sorted distinct long arrays") {
+      case Seq(a, b) => SortedIntersectCount(a, b)
+    })
+  }
 }

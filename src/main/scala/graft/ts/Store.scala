@@ -150,6 +150,12 @@ class Store(val spark: SparkSession, val base: String) {
         "left_anti")
   }
 
+  /** One stream's visible points at `asOf`, with ub partition pruning —
+    * the canonical per-stream read the query facade builds on.
+    */
+  def streamAt(uuid: String, asOf: Option[Long] = None): DataFrame =
+    pointsAt(asOf).filter($"ub" === ubOf(uuid) && $"uuid" === uuid)
+
   /** RawValues over the store at a version — start inclusive, end
     * exclusive. Derives both partition predicates (ub from the literal
     * uuid, [tb_lo, tb_hi] from the time range) so the scan opens only the

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end client-API walk: the sequence a reference user runs —
+  * create, insert, stat queries, nearest, time travel, delete, changes,
+  * obliterate — through the GraftDB facade.
+  */
+class GraftDBSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("full stream lifecycle through the facade") {
+    val db = GraftDB(spark, tmpDir("graftdb"))
+    val s = db.create("u-1", "plant/a", Map("unit" -> "V"))
+
+    val v1 = s.insert((0L until 64L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    assert(v1 == 1 && s.version == 1)
+
+    // raw + stat reads
+    assert(s.rawValues(0, 64).count() == 64)
+    // pointWidth=4 → 2^4 = 16-wide aligned buckets over [0, 64) = 4 windows
+    val aw = s.alignedWindows(0, 64, 4).orderBy("w_start").collect()
+    assert(aw.length == 4 && aw.head.getLong(0) == 0L)
+    assert(aw.head.getDouble(1) == 0.0 && aw.head.getDouble(3) == 15.0
+      && aw.head.getLong(4) == 16L)
+    val w = s.windows(0, 60, 10).collect()
+    assert(w.length == 6) // complete windows only
+    val nb = s.nearest(32, backward = true).head()
+    assert(nb.getLong(0) == 31L && nb.getDouble(1) == 31.0)
+
+    // MVCC: delete a range, old version still whole
+    val v2 = s.deleteRange(16, 48)
+    assert(s.rawValues(0, 64).count() == 32)
+    assert(s.rawValues(0, 64, version = Some(v1)).count() == 64)
+    assert(s.statsGlobal().head().getLong(3) == 32L)
+    val ch = s.changes(v1, v2, 2).collect()
+    assert(ch.length == 1 && ch.head.getLong(0) <= 16 && ch.head.getLong(1) >= 48)
+
+    // annotations CAS
+    val av = s.setAnnotations(1L, Map("calib" -> Some("x")))
+    assert(av == 2L && s.annotations == Map("calib" -> "x"))
+
+    // discovery
+    assert(db.listCollections("plant/").count() == 1)
+    assert(db.lookupStreams("plant/", Map("unit" -> "V")).count() == 1)
+
+    // obliterate: gone from data and metadata
+    s.obliterate()
+    assert(s.rawValues(0, 64).count() == 0)
+    assert(db.lookupStreams("plant/").count() == 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.mm.Multimodal
+
+/** Multimodal plumbing: binary payload schema, partition-local decode
+  * (deterministic stub), one-to-many frame sampling shape.
+  */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val assets = Multimodal.syntheticAssets(spark, docs)
+
+  test("synthetic assets carry typed metadata and binary payloads") {
+    val a = assets.cache()
+    assert(a.count() == docs.count())
+    val r = a.filter($"asset_id" === 0).head()
+    assert(r.kind.startsWith("img/") && r.width >= 32 && r.height >= 32)
+    assert(r.payload.nonEmpty)
+  }
+
+  test("decodeFeatures is deterministic and exact per payload") {
+    val feats = Multimodal.decodeFeatures(assets).cache()
+    assert(feats.count() == docs.count())
+    // recompute one row's stub decode on the driver and compare exactly
+    val row = assets.filter($"asset_id" === 1).head()
+    val got = feats.filter($"asset_id" === 1).head()
+    var crc = 0L
+    val hist = new Array[Float](8)
+    row.payload.foreach { b => crc = crc * 31 + (b & 0xff); hist((b & 0xff) % 8) += 1f }
+    assert(got.n_bytes == row.payload.length.toLong)
+    assert(got.checksum == crc)
+    assert(got.features.toSeq == hist.toSeq)
+    // histogram mass equals payload length (no byte dropped)
+    assert(feats.filter(expr("aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + x) <> n_bytes"))
+      .count() == 0)
+  }
+
+  test("sampleFrames explodes n evenly spaced offsets per asset") {
+    val frames = Multimodal.sampleFrames(assets, 4)
+    assert(frames.count() == docs.count() * 4)
+    val f = frames.filter($"asset_id" === 2).orderBy($"frame_idx").collect()
+    assert(f.map(_.getInt(2)).toSeq == Seq(0, 1, 2, 3))
+    val offs = f.map(_.getLong(3))
+    assert(offs.head == 0L && offs.sameElements(offs.sorted))
+  }
+}
