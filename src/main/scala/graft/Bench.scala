@@ -12,9 +12,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: JIT + codegen + parquet reader
-    // init land here instead of inside the first timed query.
-    try SparkEntry.queries.values.foreach(_(spark, "/root/testdata/sf0.001").count())
-    catch { case _: Throwable => () }
+    // init land here instead of inside the first timed query. Per-query
+    // try so one failure can't silently strip warmup from the rest; the
+    // dir is overridable for machines without the default layout.
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmupDir).exists())
+      SparkEntry.queries.values.foreach { q =>
+        try q(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -26,17 +26,22 @@ object Tables {
     * partitions than cores and this inserts no shuffle at all.
     */
   def rebalance(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation, Window => WindowOp}
-    // A plan that already shuffles (join/agg/window/repartition) gets its
-    // parallelism from spark.sql.shuffle.partitions — leave it alone. (Also
-    // load-bearing: under AQE, .rdd on a shuffling plan EXECUTES its query
-    // stages eagerly, so the partition probe below is only safe on narrow
-    // scan chains, where no AQE wrapper is inserted.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Join, LocalLimit, RepartitionOperation, Sort, Window => WindowOp}
+    // A plan that already shuffles or orders (join/agg/window/repartition/
+    // sort/dedup) gets its parallelism from spark.sql.shuffle.partitions,
+    // and a round-robin repartition would destroy a sort — leave it alone.
+    // (Also load-bearing: under AQE, .rdd on a shuffling plan EXECUTES its
+    // query stages eagerly, so the partition probe below is only safe on
+    // narrow scan chains, where no AQE wrapper is inserted.)
     val wide = df.queryExecution.analyzed.collectFirst {
       case j: Join => j
       case a: Aggregate => a
       case r: RepartitionOperation => r
       case w: WindowOp => w
+      case s: Sort => s
+      case l: GlobalLimit => l
+      case l: LocalLimit => l
+      case d: Deduplicate => d
     }.isDefined
     if (wide) df
     else {

@@ -41,15 +41,25 @@ case class FloatVectorDot(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  override def nullable: Boolean = true
+
+  /** Mirrors the `aggregate(zip_with(a, b, (x,y) -> x*y), ...)` HOF form
+    * exactly, including its null semantics: a length mismatch (zip_with
+    * null-pads) or a null element makes the product null — a corrupt or
+    * truncated embedding surfaces as null instead of a plausible-looking
+    * partial dot product.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val xf = elemType(left) == FloatType
     val yf = elemType(right) == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -66,12 +76,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       def get(arr: String, e: Expression) =
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, left)} * ${get(b, right)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(a, left)} * ${get(b, right)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

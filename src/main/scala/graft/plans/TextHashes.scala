@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,6 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashes {
 
   private val SEED = 42L // Spark's xxhash64 default seed
+
+  /** Shared input check: SQL-registered functions must reject non-string
+    * input at analysis time, not ClassCastException at runtime.
+    */
+  private[plans] def requireString(name: String, child: Expression): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires a string input, got ${child.dataType.sql}")
 
   /** Word start/end offsets of `norm` (split on single spaces — the exact
     * semantics of split(norm, ' '): an empty string is one empty word).
@@ -188,6 +197,8 @@ object TextHashes {
   * document has fewer than n words.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireString(prettyName, child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
@@ -209,6 +220,8 @@ case class MinHashSig(child: Expression, n: Int, k: Int) extends UnaryExpression
   * null when the document has fewer than n words.
   */
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireString(prettyName, child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "hashed_shingles"
@@ -229,6 +242,16 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 /** |a ∩ b| of two sorted distinct array<long> columns (merge walk). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs (sorted, distinct), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
@@ -245,6 +268,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 /** 64-bit SimHash of a normalized-text column. */
 case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireString(prettyName, child)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
 

@@ -95,8 +95,7 @@ object Vectors {
     * 2·v·c − |c|², |v|² constant per row); re-rank uses exact cosine.
     */
   def annIvf(emb: DataFrame, nQueries: Int, k: Int,
-             nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3,
-             dim: Int = 64): DataFrame = {
+             nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val all = withNorm(emb)
@@ -136,6 +135,10 @@ object Vectors {
     }
 
     val assigned = assign(cents)
+    // Lloyd's driver-side collects are done — release the cached corpus
+    // (the final returned plan rescans it once; holding the cache for a
+    // lazily-consumed result would leak executor storage per call)
+    corpus.unpersist()
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
     val probes = broadcast(all.filter(col("vec_id") < nQueries)
       .join(centDf(cents))

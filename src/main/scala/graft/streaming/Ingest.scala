@@ -28,34 +28,60 @@ object Ingest {
     * version bump per distinct uuid in the batch.
     *
     * Idempotence (exactly-once into the store): foreachBatch is
-    * at-least-once — after a crash the checkpoint replays the last batch —
-    * so each batch is (1) written as ONE Spark job (Store.insertBatch;
-    * all-or-nothing file commit, so a batch that failed mid-write left
-    * nothing behind), then (2) recorded in a per-checkpoint commit marker.
-    * A replayed batchId whose marker exists is skipped instead of
-    * re-appended under a new version.
+    * at-least-once — after a crash the checkpoint replays the last batch.
+    * The protocol per batch:
+    *   1. persist an INTENT file with the per-uuid versions this batch
+    *      will assign (Store.nextVersions),
+    *   2. write the batch as ONE all-or-nothing parquet job at exactly
+    *      those versions (Store.insertBatchAt),
+    *   3. append the rollup deltas (Overwrite to a writeId path — replay
+    *      overwrites its own contribution),
+    *   4. create the commit marker, drop the intent.
+    * On replay: marker present → done, skip. Intent present without
+    * marker → the job either committed fully or not at all, so comparing
+    * current stream versions against the intended ones tells which; a
+    * landed batch skips the re-insert (closing the crash window between
+    * job commit and marker creation that a marker-only protocol leaves
+    * open) but still re-runs the idempotent rollup append + marker.
+    * The rollup writeId embeds the checkpoint id, so multiple ingest
+    * streams maintaining one rollup can never clobber each other's
+    * deltas (batchIds restart at 0 per checkpoint).
     */
   def intoStore(spark: SparkSession, sourceDir: String, store: Store,
                 checkpoint: String, rollup: Option[graft.ts.Rollup] = None): StreamingQuery = {
     val schema = "uuid STRING, time LONG, value DOUBLE"
-    val commitDir = new java.io.File(s"${store.base}/_ingest_commits/" +
-      java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")))
+    val ckptId = java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
+    val commitDir = new java.io.File(s"${store.base}/_ingest_commits/$ckptId")
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new java.io.File(commitDir, s"batch-$batchId")
+        val intent = new java.io.File(commitDir, s"batch-$batchId.intent")
         if (!marker.exists()) {
-          store.insertBatch(batch)
-          // maintain the statistical hierarchy on the write path, like the
-          // reference's tree aggregates; delta=<batchId> makes a replayed
-          // batch overwrite its own contribution instead of double-counting
+          import scala.jdk.CollectionConverters._
+          val landed = intent.exists() && {
+            val intents = java.nio.file.Files.readAllLines(intent.toPath).asScala
+              .filter(_.nonEmpty).map { line =>
+                val i = line.lastIndexOf('\t')
+                (line.substring(0, i), line.substring(i + 1).toLong)
+              }
+            intents.nonEmpty && intents.forall { case (u, v) => store.version(u) >= v }
+          }
+          if (!landed) {
+            val vers = store.nextVersions(batch)
+            commitDir.mkdirs()
+            java.nio.file.Files.write(intent.toPath,
+              vers.map { case (u, v) => s"$u\t$v" }.asJava)
+            store.insertBatchAt(batch, vers)
+          }
           rollup.foreach(_.appendBatch(
             batch.select(col("uuid"), col("time").as("t_us"), col("value")),
-            Seq("uuid"), s"b$batchId"))
+            Seq("uuid"), s"${ckptId}_b$batchId"))
           commitDir.mkdirs()
           marker.createNewFile()
+          intent.delete()
           ()
         }
       }

@@ -166,6 +166,11 @@ object Dedup {
       converged = changed == 0L
       it += 1
     }
+    // silent nonconvergence would report one real cluster as several —
+    // fail loudly instead (long near-dup chains can exceed the bound)
+    require(converged,
+      s"clusters() did not converge in $maxIter rounds; raise maxIter " +
+        "(component diameter exceeds it)")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -131,12 +131,19 @@ object TextFunctions {
     * quantized to 1/256ths by the 2-hex-digit prefix.
     */
   def sampleStratified(docs: DataFrame, stratumCol: String, rate: Double): DataFrame = {
-    val threshold = f"${math.round(rate * 256).toInt}%02x"
-    docs
-      .withColumn("bucket",
-        substring(md5(concat(col(stratumCol), lit("|"), col("doc_id").cast("string"))), 1, 2))
-      .filter(col("bucket") < lit(threshold))
-      .select(col("doc_id"), col(stratumCol).as("stratum"))
+    val base = docs.select(col("doc_id"), col(stratumCol).as("stratum"))
+    if (rate >= 1.0) base
+    else if (rate <= 0.0) base.filter(lit(false))
+    else {
+      // clamp to 2 hex digits: "100" (3 chars) would compare lexicographically
+      // against 2-char buckets and keep ~6.6% instead of ~100%
+      val threshold = f"${math.min(255L, math.round(rate * 256)).toInt}%02x"
+      docs
+        .withColumn("bucket",
+          substring(md5(concat(col(stratumCol), lit("|"), col("doc_id").cast("string"))), 1, 2))
+        .filter(col("bucket") < lit(threshold))
+        .select(col("doc_id"), col(stratumCol).as("stratum"))
+    }
   }
 
   /** Per-(lang, source) corpus rollup — the "dataset card" numbers: doc

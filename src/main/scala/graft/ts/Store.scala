@@ -65,16 +65,24 @@ class Store(val spark: SparkSession, val base: String) {
   private def streamPoints(uuid: String): DataFrame =
     rawPoints.filter($"ub" === ubOf(uuid) && $"uuid" === uuid)
 
-  /** All raw point rows (no visibility applied). */
-  def rawPoints: DataFrame =
+  /** All raw point rows (no visibility applied). A missing live dir first
+    * attempts crashed-swap recovery, so a compact() that died mid-rename
+    * never reads as an empty store.
+    */
+  def rawPoints: DataFrame = {
+    if (!hasData(pointsDir)) recoverCrashedSwap()
     if (hasData(pointsDir)) spark.read.parquet(pointsDir)
     else spark.emptyDataset[(String, Long, Double, Long, Long, Long)]
       .toDF("uuid", "time", "value", "ver", "ub", "tb")
+  }
 
-  def tombstones: DataFrame =
+  def tombstones: DataFrame = {
+    if (!hasData(tombsDir) && new java.io.File(s"$base/tombstones_old").exists())
+      recoverCrashedSwap()
     if (hasData(tombsDir)) spark.read.parquet(tombsDir)
     else spark.emptyDataset[(String, Long, Long, Long)]
       .toDF("uuid", "t_start", "t_end", "ver")
+  }
 
   /** Latest committed version per stream (max over inserts and deletes). */
   def version(uuid: String): Long = {
@@ -102,16 +110,34 @@ class Store(val spark: SparkSession, val base: String) {
     * The single job also gives all-or-nothing commit semantics (Spark's
     * file-commit protocol), making replays of a failed batch safe.
     */
-  def insertBatch(batch: DataFrame): Unit = {
+  def insertBatch(batch: DataFrame): Unit =
+    insertBatchAt(batch, nextVersions(batch))
+
+  /** The per-uuid versions the next batch write will assign — driver-
+    * collected (metadata-scale: one row per distinct uuid in the batch).
+    * Exposed so an idempotent writer can persist the intent BEFORE the
+    * write and later decide whether a crashed attempt committed (the write
+    * is one all-or-nothing job: either every uuid reached its intended
+    * version or none did).
+    */
+  def nextVersions(batch: DataFrame): Seq[(String, Long)] = {
     val pv = rawPoints.groupBy("uuid").agg(max($"ver").as("pv"))
     val tv = tombstones.groupBy("uuid").agg(max($"ver").as("tv"))
-    val vers = batch.select("uuid").distinct()
+    batch.select("uuid").distinct()
       .join(pv, Seq("uuid"), "left").join(tv, Seq("uuid"), "left")
       .select($"uuid",
         (greatest(coalesce($"pv", lit(0L)), coalesce($"tv", lit(0L))) + 1).as("ver"))
+      .as[(String, Long)].collect().toSeq
+  }
+
+  /** Write a batch at pre-assigned per-uuid versions (from nextVersions)
+    * in ONE parquet job — all-or-nothing file commit.
+    */
+  def insertBatchAt(batch: DataFrame, vers: Seq[(String, Long)]): Unit = {
+    val versDf = vers.toDF("uuid", "ver")
     withLayout(batch.select($"uuid", col("time").cast("long").as("time"),
         col("value").cast("double").as("value"))
-      .join(broadcast(vers), Seq("uuid"))
+      .join(broadcast(versDf), Seq("uuid"))
       .select($"uuid", $"time", $"value", $"ver"))
       .write.mode(SaveMode.Append).partitionBy("ub", "tb").parquet(pointsDir)
   }
@@ -214,7 +240,27 @@ class Store(val spark: SparkSession, val base: String) {
     * surviving point ver (hide nothing, preserve version monotonicity) and
     * drops the rest.
     */
+  /** Restore a crashed swap before doing anything else: if the live dir is
+    * missing, the previous compact died between its two renames — the data
+    * survives in `*_old` (pre-compact, preferred: tombstones unpruned ⇒
+    * consistent) or `*_compacted`. Without this, the leftover cleanup below
+    * would delete the only surviving copy.
+    */
+  private def recoverCrashedSwap(): Unit = {
+    def restore(dst: java.io.File, candidates: Seq[java.io.File]): Unit =
+      if (!dst.exists()) candidates.find(_.exists()).foreach { c =>
+        if (!c.renameTo(dst)) sys.error(s"compact: could not restore $c to $dst")
+      }
+    restore(new java.io.File(pointsDir),
+      Seq(new java.io.File(s"$base/points_old"), new java.io.File(s"$base/points_compacted")))
+    // tombstones may legitimately be absent (all pruned); restoring a stale
+    // *_old set is still correct — those tombstones hide nothing after a
+    // completed points swap, they are merely unpruned
+    restore(new java.io.File(tombsDir), Seq(new java.io.File(s"$base/tombstones_old")))
+  }
+
   def compact(): Unit = {
+    recoverCrashedSwap()
     val live = pointsAt(None).cache()
     live.count() // materialize fully before touching the live dir
     val keepTombs = tombstones

@@ -66,6 +66,31 @@ class IngestSpec extends SparkSuite {
     assert(got > total / 2, s"emitted $got of $total points in closed windows")
   }
 
+  test("a batch that committed before the crash is not re-inserted on replay") {
+    // simulate the pre-marker crash window: data landed (insertBatchAt),
+    // intent file present, NO commit marker — the replay must detect the
+    // landed versions and skip the insert instead of duplicating
+    val src = tmpDir("pm_src")
+    val ckpt = tmpDir("pm_ckpt")
+    val st = Store(spark, tmpDir("pm_store"))
+    val data = Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("b", 5L, 3.0))
+      .toDF("uuid", "time", "value")
+    data.write.mode("append").parquet(src)
+    val vers = st.nextVersions(data)
+    st.insertBatchAt(data, vers) // the crashed attempt's committed write
+    val ckptId = java.util.UUID.nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString
+    val commitDir = new java.io.File(s"${st.base}/_ingest_commits/$ckptId")
+    commitDir.mkdirs()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.write(
+      new java.io.File(commitDir, "batch-0.intent").toPath,
+      vers.map { case (u, v) => s"$u\t$v" }.asJava)
+    Ingest.intoStore(spark, src, st, ckpt).awaitTermination()
+    assert(st.rawValues("a", 0, 100).count() == 2, "landed batch must not duplicate")
+    assert(st.version("a") == 1 && st.version("b") == 1)
+    assert(new java.io.File(commitDir, "batch-0").exists(), "marker completed")
+  }
+
   test("ingest maintains the rollup hierarchy alongside the store") {
     import graft.ts.Rollup
     val src = tmpDir("ru_src")

@@ -87,6 +87,28 @@ class StoreSpec extends SparkSuite {
     assert(st.rawValues("s1", 0, 1000).count() == 6)
   }
 
+  test("a compact crashed mid-swap recovers: reads see data, re-compact keeps it") {
+    val base = tmpDir("store")
+    val st = Store(spark, base)
+    st.insert("s1", (1L to 20L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    st.deleteRange("s1", 1L, 6L)
+    // simulate dying between `dst.renameTo(old)` and `tmp.renameTo(dst)`:
+    // live dirs gone, *_old holds the only copy
+    assert(new java.io.File(s"$base/points")
+      .renameTo(new java.io.File(s"$base/points_old")))
+    assert(new java.io.File(s"$base/tombstones")
+      .renameTo(new java.io.File(s"$base/tombstones_old")))
+    // read path self-heals instead of seeing an empty store
+    assert(st.rawValues("s1", 0, 100).count() == 15)
+    // and a subsequent compact must not destroy the recovered data
+    val st2 = Store(spark, base)
+    assert(new java.io.File(s"$base/points")
+      .renameTo(new java.io.File(s"$base/points_old")))
+    st2.compact()
+    assert(st2.rawValues("s1", 0, 100).count() == 15)
+    assert(st2.rawPoints.count() == 15) // dead rows dropped by the compact
+  }
+
   test("insertBatch gives each stream its own version bump in one job") {
     val st = mkStore
     st.insert("a", Seq((1L, 1.0)).toDF("time", "value")) // a at v1
