@@ -31,8 +31,10 @@ object SparkEntry {
   private val DAY = 86400000000L
   private val STREAM = Seq("user_id", "event_type")
 
-  private val PTS_SQL =
-    "SELECT user_id, event_type, epoch_us(ts) AS t_us, value, event_id AS ver FROM events"
+  // Single source of truth for the SQL mirror of Tables.points/streams —
+  // a private copy here would silently diverge if the loader changes.
+  private val PTS_SQL = Tables.pointsSql
+  private val STREAMS_SQL = Tables.streamsSql
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * aligned statistical windows over every stream at once — the core
@@ -68,8 +70,11 @@ object SparkEntry {
     // answers identically.
     "ts_aligned_rollup" -> ((s, dir) => {
       val pts = Tables.points(s, dir)
+      // keyed by data dir AND process: concurrent Verify/Bench runs must
+      // not race on one build dir (build() deletes it recursively first)
       val ru = graft.ts.Rollup(s,
-        s"${System.getProperty("java.io.tmpdir")}/graft_rollup_${Integer.toHexString(dir.hashCode)}",
+        s"${System.getProperty("java.io.tmpdir")}/graft_rollup_" +
+          s"${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}",
         Seq(24, 30, 36))
       ru.build(pts, STREAM)
       ru.alignedWindows(pts, STREAM, T0 + 12345L, T31 - 98765L, 36)
@@ -133,9 +138,13 @@ object SparkEntry {
 
     "ts_asof_join" -> ((s, dir) => {
       val p = Tables.points(s, dir)
+      // right side deduped to one value per (key, t): DuckDB's ASOF join
+      // semantics are undefined under duplicate right timestamps — both
+      // sides agree on last-write-wins = max(value)
       TS.asofJoin(
           p.filter(col("event_type") === "click"),
-          p.filter(col("event_type") === "purchase"),
+          p.filter(col("event_type") === "purchase")
+            .groupBy(col("user_id"), col("t_us")).agg(max(col("value")).as("value")),
           Seq("user_id"))
         .orderBy(col("user_id"), col("t_us"))
     }),
@@ -289,15 +298,28 @@ object SparkEntry {
          |FROM pts WHERE t_us >= ${T0 + 12345L} AND t_us < ${T31 - 98765L}
          |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
 
+    // argmax ties (same t_us after ns→µs truncation) resolve to the max
+    // value on both sides: Spark max_by(value, (t_us, value)) ≡ this
+    // two-level max — bare arg_max would pick by encounter order.
     "ts_nearest_before" ->
-      s"""WITH pts AS ($PTS_SQL)
-         |SELECT user_id, event_type, max(t_us) AS t_us, arg_max(value, t_us) AS value
-         |FROM pts WHERE t_us < $T15 GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type, max(t_us) AS t_us
+         |      FROM pts WHERE t_us < $T15 GROUP BY 1, 2)
+         |SELECT m.user_id AS user_id, m.event_type AS event_type,
+         |       m.t_us AS t_us, max(p.value) AS value
+         |FROM m JOIN pts p ON p.user_id = m.user_id
+         |  AND p.event_type = m.event_type AND p.t_us = m.t_us
+         |GROUP BY 1, 2, 3 ORDER BY user_id, event_type""".stripMargin,
 
     "ts_nearest_after" ->
-      s"""WITH pts AS ($PTS_SQL)
-         |SELECT user_id, event_type, min(t_us) AS t_us, arg_min(value, t_us) AS value
-         |FROM pts WHERE t_us >= $T15 GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type, min(t_us) AS t_us
+         |      FROM pts WHERE t_us >= $T15 GROUP BY 1, 2)
+         |SELECT m.user_id AS user_id, m.event_type AS event_type,
+         |       m.t_us AS t_us, min(p.value) AS value
+         |FROM m JOIN pts p ON p.user_id = m.user_id
+         |  AND p.event_type = m.event_type AND p.t_us = m.t_us
+         |GROUP BY 1, 2, 3 ORDER BY user_id, event_type""".stripMargin,
 
     "ts_changes" ->
       s"""WITH pts AS ($PTS_SQL),
@@ -334,27 +356,25 @@ object SparkEntry {
          |FROM pts GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     "meta_stream_info" ->
-      s"""SELECT md5(concat(event_type, '/', CAST(user_id AS VARCHAR))) AS uuid,
-         |       event_type AS collection, user_id,
-         |       CAST(count(*) AS BIGINT) AS n_points,
-         |       min(epoch_us(ts)) AS t_min, max(epoch_us(ts)) AS t_max,
-         |       max(event_id) AS version
-         |FROM events GROUP BY event_type, user_id ORDER BY uuid""".stripMargin,
+      s"""WITH s AS ($STREAMS_SQL)
+         |SELECT uuid, collection, user_id, n_points, t_min, t_max, version
+         |FROM s ORDER BY uuid""".stripMargin,
 
     "meta_list_collections" ->
-      "SELECT DISTINCT event_type AS collection FROM events WHERE event_type >= '' ORDER BY collection LIMIT 3",
+      s"""WITH s AS ($STREAMS_SQL)
+         |SELECT DISTINCT collection FROM s WHERE collection >= ''
+         |ORDER BY collection LIMIT 3""".stripMargin,
 
     "meta_lookup_streams" ->
-      s"""SELECT md5(concat(event_type, '/', CAST(user_id AS VARCHAR))) AS uuid,
-         |       event_type AS collection, user_id, max(event_id) AS version
-         |FROM events WHERE event_type LIKE 'c%' AND user_id < 8
-         |GROUP BY event_type, user_id ORDER BY uuid""".stripMargin,
+      s"""WITH s AS ($STREAMS_SQL)
+         |SELECT uuid, collection, user_id, version FROM s
+         |WHERE collection LIKE 'c%' AND user_id < 8 ORDER BY uuid""".stripMargin,
 
     "meta_usage" ->
-      s"""SELECT event_type AS collection,
-         |       CAST(count(DISTINCT user_id) AS BIGINT) AS tag_user_count,
-         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_streams
-         |FROM events GROUP BY event_type ORDER BY collection""".stripMargin,
+      s"""WITH s AS ($STREAMS_SQL)
+         |SELECT collection, CAST(count(*) AS BIGINT) AS tag_user_count,
+         |       CAST(count(*) AS BIGINT) AS n_streams
+         |FROM s GROUP BY collection ORDER BY collection""".stripMargin,
 
     "ts_csv_export" ->
       s"""WITH pts AS ($PTS_SQL)
@@ -370,7 +390,8 @@ object SparkEntry {
     "ts_asof_join" ->
       s"""WITH pts AS ($PTS_SQL),
          |c AS (SELECT user_id, t_us, value FROM pts WHERE event_type = 'click'),
-         |p AS (SELECT user_id, t_us, value FROM pts WHERE event_type = 'purchase')
+         |p AS (SELECT user_id, t_us, max(value) AS value FROM pts
+         |      WHERE event_type = 'purchase' GROUP BY 1, 2)
          |SELECT c.user_id AS user_id, c.t_us AS t_us, c.value AS l_value, p.value AS asof_value
          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.t_us
          |ORDER BY user_id, t_us""".stripMargin,
@@ -379,9 +400,14 @@ object SparkEntry {
       s"""WITH pts AS ($PTS_SQL),
          |s AS (SELECT DISTINCT user_id, event_type FROM pts),
          |g AS (SELECT user_id, event_type, unnest(generate_series($T0, ${T29 - 1}, $DAY)) AS g_t FROM s),
-         |b AS (SELECT user_id, event_type, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS g_t,
-         |             arg_max(value, t_us) AS last_v
-         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29 GROUP BY 1, 2, 3)
+         |pb AS (SELECT user_id, event_type, t_us, value,
+         |              $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS g_t
+         |       FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |b0 AS (SELECT user_id, event_type, g_t, max(t_us) AS mt FROM pb GROUP BY 1, 2, 3),
+         |b AS (SELECT pb.user_id, pb.event_type, pb.g_t, max(pb.value) AS last_v
+         |      FROM pb JOIN b0 ON pb.user_id = b0.user_id AND pb.event_type = b0.event_type
+         |        AND pb.g_t = b0.g_t AND pb.t_us = b0.mt
+         |      GROUP BY 1, 2, 3)
          |SELECT g.user_id, g.event_type, g.g_t,
          |       last_value(b.last_v IGNORE NULLS) OVER (PARTITION BY g.user_id, g.event_type
          |           ORDER BY g.g_t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill

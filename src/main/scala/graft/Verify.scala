@@ -20,13 +20,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous run's output FIRST: a query that throws must
+      // leave nothing for the comparator to (wrongly) pass against
+      rm(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failures > 0)
+      System.err.println(s"[verify] $failures queries failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -18,35 +18,48 @@ class MetaStore(val spark: SparkSession, val base: String) {
 
   private val dir = s"$base/streams_meta"
 
-  private def hasData = new java.io.File(dir).exists()
+  private def hasData = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   private def all: DataFrame =
     if (hasData) spark.read.parquet(dir)
     else spark.emptyDataset[(String, String, Map[String, String], Map[String, String], Long)]
       .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
 
-  /** Live descriptors: latest revision per uuid, tombstoned rows dropped. */
+  /** Live descriptors: latest revision per uuid, tombstoned rows dropped.
+    * Deduped deterministically (should duplicate max-revision rows ever
+    * exist, e.g. from racing writers, the lexicographically-max descriptor
+    * wins) — the write path assumes a single writer per uuid, like any
+    * append-log without an external lock; see setAnnotations.
+    */
   def descriptors: DataFrame = {
-    val latest = all.groupBy($"uuid".as("u"))
-      .agg(max($"annotationVersion").as("v"))
-    all.join(latest, $"uuid" === $"u" && $"annotationVersion" === $"v")
-      .filter($"collection" =!= "")
-      .drop("u", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"uuid")
+      .orderBy($"annotationVersion".desc, $"collection".desc)
+    all.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"collection" =!= "")
+      .drop("rn")
   }
 
-  private def descriptor(uuid: String): Option[(String, Long)] =
-    descriptors.filter($"uuid" === uuid)
-      .select($"collection", $"annotationVersion")
-      .as[(String, Long)].collect().headOption
-
-  /** Max revision ever written for a uuid, tombstones included — the
-    * create() base after a delete() (the tombstone row stays the max
-    * revision, so a recreated stream must start above it to be visible).
+  /** One collect answering both liveness and the next revision:
+    * (liveCollection if the max-revision row is not a tombstone, maxRev).
     */
-  private def maxRevision(uuid: String): Long =
-    all.filter($"uuid" === uuid)
-      .agg(max($"annotationVersion")).as[Option[Long]]
-      .first().getOrElse(0L)
+  private def state(uuid: String): (Option[String], Long) = {
+    val rows = all.filter($"uuid" === uuid)
+      .select($"collection", $"annotationVersion")
+      .as[(String, Long)].collect()
+    if (rows.isEmpty) (None, 0L)
+    else {
+      val (coll, rev) = rows.maxBy(r => (r._2, r._1))
+      (Some(coll).filter(_.nonEmpty), rev)
+    }
+  }
+
+  private def descriptor(uuid: String): Option[(String, Long)] = {
+    val (live, rev) = state(uuid)
+    live.map((_, rev))
+  }
 
   /** Create(uuid, collection, tags, annotations) — error if it exists.
     * Create-after-delete is allowed (the reference permits re-creating an
@@ -54,9 +67,10 @@ class MetaStore(val spark: SparkSession, val base: String) {
     */
   def create(uuid: String, collection: String, tags: Map[String, String],
              annotations: Map[String, String] = Map.empty): Unit = {
-    require(descriptor(uuid).isEmpty, s"stream $uuid already exists")
+    val (live, maxRev) = state(uuid)
+    require(live.isEmpty, s"stream $uuid already exists")
     require(collection.nonEmpty, "collection must be non-empty")
-    Seq((uuid, collection, tags, annotations, maxRevision(uuid) + 1))
+    Seq((uuid, collection, tags, annotations, maxRev + 1))
       .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
       .write.mode(SaveMode.Append).parquet(dir)
   }
@@ -84,10 +98,15 @@ class MetaStore(val spark: SparkSession, val base: String) {
     ver + 1
   }
 
-  /** Obliterate the descriptor (empty-collection tombstone revision). */
+  /** Obliterate the descriptor (empty-collection tombstone revision).
+    * Errors when the stream does not exist (like the reference's
+    * Obliterate) — basing the tombstone on anything but the true max
+    * revision would fabricate a duplicate annotationVersion.
+    */
   def delete(uuid: String): Unit = {
-    val ver = descriptor(uuid).map(_._2).getOrElse(0L)
-    Seq((uuid, "", Map.empty[String, String], Map.empty[String, String], ver + 1))
+    val (live, maxRev) = state(uuid)
+    require(live.isDefined, s"no such stream $uuid")
+    Seq((uuid, "", Map.empty[String, String], Map.empty[String, String], maxRev + 1))
       .toDF("uuid", "collection", "tags", "annotations", "annotationVersion")
       .write.mode(SaveMode.Append).parquet(dir)
   }

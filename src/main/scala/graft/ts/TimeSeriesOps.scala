@@ -29,14 +29,18 @@ object TimeSeriesOps {
 
   private def streamKey(streamCols: Seq[String]): Seq[Column] = streamCols.map(col)
 
+  /** Filter to rows visible at `version` (None = latest) — every stat RPC
+    * in the reference takes versionMajor; the same composes here.
+    */
+  private def atVersion(points: DataFrame, version: Option[Long]): DataFrame =
+    version.fold(points)(v => points.filter(col("ver") <= v))
+
   /** RawValues: time-ordered scan of [start, end) at a version. */
   def rawValues(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-                version: Option[Long] = None): DataFrame = {
-    val base = points
+                version: Option[Long] = None): DataFrame =
+    atVersion(points, version)
       .filter(col("t_us") >= start && col("t_us") < end)
-    val versioned = version.fold(base)(v => base.filter(col("ver") <= v))
-    versioned.select(streamKey(streamCols) :+ col("t_us") :+ col("value"): _*)
-  }
+      .select(streamKey(streamCols) :+ col("t_us") :+ col("value"): _*)
 
   /** AlignedWindows: power-of-two buckets of width 2^pointWidth, aligned to
     * the epoch (bucket start = (t >> pw) << pw), one StatPoint per
@@ -44,12 +48,6 @@ object TimeSeriesOps {
     * node addressing (qtree_utils.go ChildStartTime) — and is a single
     * codegen'd integer op here.
     */
-  /** Filter to rows visible at `version` (None = latest) — every stat RPC
-    * in the reference takes versionMajor; the same composes here.
-    */
-  private def atVersion(points: DataFrame, version: Option[Long]): DataFrame =
-    version.fold(points)(v => points.filter(col("ver") <= v))
-
   def alignedWindows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
                      pointWidth: Int, version: Option[Long] = None): DataFrame = {
     val bucket = shiftleft(shiftright(col("t_us"), pointWidth), pointWidth).as("w_start")
@@ -109,6 +107,11 @@ object TimeSeriesOps {
     * (backward=true, exclusive) or the earliest point at/after `time`
     * (forward, inclusive) — qtree/qtree.go:31-33. One shuffle-free
     * argmin/argmax aggregation per stream, not a sort.
+    *
+    * The argmax carries (t_us, value) so equal-timestamp ties (possible
+    * after ns→µs truncation) resolve deterministically — max_by on the
+    * bare timestamp would pick by encounter order, and the DuckDB oracle
+    * could legitimately pick the other row.
     */
   def nearest(points: DataFrame, streamCols: Seq[String], time: Long,
               backward: Boolean, version: Option[Long] = None): DataFrame = {
@@ -117,8 +120,8 @@ object TimeSeriesOps {
       if (backward) versioned.filter(col("t_us") < time)
       else versioned.filter(col("t_us") >= time)
     val (tAgg, vAgg) =
-      if (backward) (max(col("t_us")), max_by(col("value"), col("t_us")))
-      else (min(col("t_us")), min_by(col("value"), col("t_us")))
+      if (backward) (max(col("t_us")), max_by(col("value"), struct(col("t_us"), col("value"))))
+      else (min(col("t_us")), min_by(col("value"), struct(col("t_us"), col("value"))))
     eligible.groupBy(streamKey(streamCols): _*)
       .agg(tAgg.as("t_us"), vAgg.as("value"))
   }
@@ -199,7 +202,8 @@ object TimeSeriesOps {
     val bucketed = points
       .filter(col("t_us") >= start && col("t_us") < end)
       .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("g_t"): _*)
-      .agg(max_by(col("value"), col("t_us")).as("last_v"))
+      // (t_us, value) argmax: deterministic under equal-timestamp ties
+      .agg(max_by(col("value"), struct(col("t_us"), col("value"))).as("last_v"))
     val grid = points.select(key: _*).distinct()
       .withColumn("g_t", explode(sequence(lit(start), lit(end - 1), lit(width))))
     val w = Window.partitionBy(key: _*).orderBy(col("g_t"))

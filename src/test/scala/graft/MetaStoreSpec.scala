@@ -42,6 +42,21 @@ class MetaStoreSpec extends SparkSuite {
     assert(v == d.head._5 + 1)
   }
 
+  test("delete requires an existing stream; double delete is rejected") {
+    val ms = mk
+    intercept[IllegalArgumentException] { ms.delete("ghost") }
+    ms.create("u1", "c", Map.empty)
+    ms.delete("u1")
+    intercept[IllegalArgumentException] { ms.delete("u1") }
+    // revision history stays strictly monotone: recreate continues above
+    ms.create("u1", "c2", Map.empty)
+    import spark.implicits._
+    val revs = spark.read.parquet(s"${ms.base}/streams_meta")
+      .filter($"uuid" === "u1").select($"annotationVersion")
+      .as[Long].collect().sorted
+    assert(revs.toSeq == Seq(1L, 2L, 3L), s"revisions were ${revs.toSeq}")
+  }
+
   test("double create is rejected while the stream lives") {
     val ms = mk
     ms.create("u1", "c", Map.empty)
