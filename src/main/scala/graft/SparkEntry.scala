@@ -136,6 +136,12 @@ object SparkEntry {
         .orderBy(col("w_start"))
     }),
 
+    "ts_gaps" -> ((s, dir) =>
+      TS.gaps(Tables.points(s, dir)
+          .filter(!(col("t_us") >= T08 && col("t_us") < T15) || col("user_id") =!= 1),
+        STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_asof_join" -> ((s, dir) => {
       val p = Tables.points(s, dir)
       // right side deduped to one value per (key, t): DuckDB's ASOF join
@@ -386,6 +392,20 @@ object SparkEntry {
          |FROM pts
          |WHERE event_type = 'click' AND user_id IN (1, 2, 3) AND t_us >= $T0 AND t_us < $T29
          |GROUP BY 1 ORDER BY w_start""".stripMargin,
+
+    "ts_gaps" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |f AS (SELECT * FROM pts WHERE NOT (t_us >= $T08 AND t_us < $T15) OR user_id <> 1),
+         |s AS (SELECT DISTINCT user_id, event_type FROM f),
+         |g AS (SELECT user_id, event_type,
+         |             unnest(generate_series($T0, ${T29 - 1}, $DAY)) AS w_start FROM s),
+         |o AS (SELECT DISTINCT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |      FROM f WHERE t_us >= $T0 AND t_us < $T29)
+         |SELECT g.user_id AS user_id, g.event_type AS event_type, g.w_start AS w_start
+         |FROM g ANTI JOIN o ON g.user_id = o.user_id
+         |  AND g.event_type = o.event_type AND g.w_start = o.w_start
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_asof_join" ->
       s"""WITH pts AS ($PTS_SQL),

@@ -164,6 +164,28 @@ object TimeSeriesOps {
       .drop("island")
   }
 
+  /** Gap detection: the grid buckets of width `width` anchored at `start`
+    * in which a stream has NO points — the telemetry-outage query (the
+    * reference's users detect dead sensors by querying Windows and looking
+    * for missing StatPoints; this returns the missing set directly).
+    * Distributed grid generation (sequence+explode per stream) anti-joined
+    * against the occupied buckets: both sides shuffle on (stream, bucket),
+    * nothing quadratic.
+    */
+  def gaps(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+           width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val pts = atVersion(points, version)
+    val occupied = pts
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key :+ widthBucket(start, width): _*)
+      .distinct()
+    val grid = pts.select(key: _*).distinct()
+      .withColumn("w_start", explode(sequence(lit(start), lit(completeEnd - 1), lit(width))))
+    grid.join(occupied, streamCols :+ "w_start", "left_anti")
+  }
+
   /** As-of join: for each left point, the latest right value with
     * t_right <= t_left, per join key. Implemented as a union + partitioned
     * window (last_value ignoring nulls) rather than a range join: one
