@@ -146,8 +146,12 @@ object Dedup {
     * (count of changed labels), never by collecting labels.
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the edge list ONCE — it is re-joined every round, and
+    // without this each round would recompute the entire upstream pair
+    // pipeline (e.g. the full MinHash-LSH candidate generation)
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl"))
       .localCheckpoint()
     var converged = false
