@@ -122,19 +122,12 @@ object SparkEntry {
       Metadata.metadataUsage(Tables.streams(s, dir), "")
         .orderBy(col("collection"))),
 
-    "ts_csv_export" -> ((s, dir) => {
-      val p = Tables.points(s, dir)
-        .filter(col("event_type") === "click" && col("user_id").isin(1, 2, 3) &&
-          col("t_us") >= T0 && col("t_us") < T29)
-      val d = col("t_us") - T0
-      p.groupBy((lit(T0) + d - pmod(d, lit(DAY))).as("w_start"))
-        .agg(
-          round(avg(when(col("user_id") === 1, col("value"))), 6).as("u1_mean"),
-          round(avg(when(col("user_id") === 2, col("value"))), 6).as("u2_mean"),
-          round(avg(when(col("user_id") === 3, col("value"))), 6).as("u3_mean"),
-          count(lit(1)).as("n_points"))
-        .orderBy(col("w_start"))
-    }),
+    "ts_csv_export" -> ((s, dir) =>
+      TS.csvExport(
+          Tables.points(s, dir).filter(col("event_type") === "click"),
+          Seq(1, 2, 3).map(u => (s"u$u", col("user_id") === u)),
+          T0, T29, DAY)
+        .orderBy(col("w_start"))),
 
     "ts_gaps" -> ((s, dir) =>
       TS.gaps(Tables.points(s, dir)

@@ -164,6 +164,28 @@ object TimeSeriesOps {
       .drop("island")
   }
 
+  /** GenerateCSV: one row per window, one mean column per requested
+    * stream (grpcinterface/csv.go — the reference streams an aligned CSV
+    * of N streams side by side). `streams` is (label, membership
+    * predicate); output columns are `<label>_mean` plus the window's
+    * total point count. A single pass + one groupBy: the per-stream
+    * pivot is conditional aggregation, not N scans or N joins.
+    */
+  def csvExport(points: DataFrame, streams: Seq[(String, Column)],
+                start: Long, end: Long, width: Long,
+                version: Option[Long] = None): DataFrame = {
+    require(streams.nonEmpty, "csvExport needs at least one stream")
+    val d = col("t_us") - start
+    val aggs = streams.map { case (label, pred) =>
+      round(avg(when(pred, col("value"))), 6).as(s"${label}_mean")
+    } :+ count(lit(1)).as("n_points")
+    atVersion(points, version)
+      .filter(streams.map(_._2).reduce(_ || _) &&
+        col("t_us") >= start && col("t_us") < end)
+      .groupBy((lit(start) + d - pmod(d, lit(width))).as("w_start"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Gap detection: the grid buckets of width `width` anchored at `start`
     * in which a stream has NO points — the telemetry-outage query (the
     * reference's users detect dead sensors by querying Windows and looking

@@ -35,6 +35,16 @@ class PlanShapeSpec extends SparkSuite {
       s"upper ts bound not pushed:\n${plan.take(3000)}")
   }
 
+  test("div-bound rule also fires for literal-on-left comparisons") {
+    // T15 > t_us  ⇔  t_us < T15; t_us is ts DIV 1000, so the raw upper
+    // bound on ts must still reach the scan through the reversed pattern
+    val T15 = 1705276800000000L
+    val plan = physical(
+      Tables.points(spark, sfDir).filter(expr(s"$T15 > t_us")))
+    assert(plan.contains("LessThanOrEqual(ts") || plan.contains("LessThan(ts"),
+      s"reversed-literal bound not pushed:\n${plan.take(3000)}")
+  }
+
   test("stream-identity filters are pushed to the scan") {
     val plan = physical(
       Tables.points(spark, sfDir)
