@@ -129,6 +129,10 @@ object SparkEntry {
           T0, T29, DAY)
         .orderBy(col("w_start"))),
 
+    "ts_delta" -> ((s, dir) =>
+      TS.delta(Tables.points(s, dir), STREAM)
+        .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
+
     "ts_gaps" -> ((s, dir) =>
       TS.gaps(Tables.points(s, dir)
           .filter(!(col("t_us") >= T08 && col("t_us") < T15) || col("user_id") =!= 1),
@@ -204,6 +208,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), 3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_shared_ngram" -> ((s, dir) =>
+      Dedup.sharedNgramPairs(Tables.load(s, dir, "documents"), 20)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "corpus_filter" -> ((s, dir) =>
+      TextFunctions.corpusFilter(Tables.load(s, dir, "documents"), 0.5)
+        .orderBy(col("doc_id"))),
 
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -386,6 +398,20 @@ object SparkEntry {
          |WHERE event_type = 'click' AND user_id IN (1, 2, 3) AND t_us >= $T0 AND t_us < $T29
          |GROUP BY 1 ORDER BY w_start""".stripMargin,
 
+    "ts_delta" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |l AS (SELECT user_id, event_type, t_us, value,
+         |             lag(t_us) OVER w AS prev_t, lag(value) OVER w AS prev_v
+         |      FROM pts
+         |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_us, value))
+         |SELECT user_id, event_type, t_us, value,
+         |       round(value - prev_v, 6) AS dv,
+         |       t_us - prev_t AS dt_us,
+         |       CASE WHEN t_us - prev_t > 0
+         |            THEN round((value - prev_v) / (t_us - prev_t) * 1e6, 6) END AS rate_per_s
+         |FROM l WHERE prev_t IS NOT NULL
+         |ORDER BY user_id, event_type, t_us, value""".stripMargin,
+
     "ts_gaps" ->
       s"""WITH pts AS ($PTS_SQL),
          |f AS (SELECT * FROM pts WHERE NOT (t_us >= $T08 AND t_us < $T15) OR user_id <> 1),
@@ -466,6 +492,46 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardSql(0.5, Some(1000L)),
 
     "dedup_minhash" -> jaccardSql(0.8, None),
+
+    "dedup_shared_ngram" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |               generate_series(1, greatest(len(w) - 19, 0)),
+         |               i -> array_to_string(w[i:i+19], ' '))) AS s
+         |       FROM docs WHERE len(w) >= 20),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             len(list_intersect(a.s, b.s)) AS n_shared
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared > 0 ORDER BY id_a, id_b""".stripMargin,
+
+    "corpus_filter" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(length(norm) AS BIGINT) AS n_chars,
+         |        len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |        len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
+         |      FROM b),
+         |q AS (SELECT doc_id,
+         |        round(CAST(n_stop AS DOUBLE) / n_words * 0.4
+         |              + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+         |              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |      FROM c),
+         |pii AS (SELECT doc_id,
+         |          (len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |           + len(regexp_extract_all(norm, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |           + len(regexp_extract_all(norm, '\\d{3}[- ]\\d{3,4}[- ]\\d{4}'))) > 0 AS has_pii
+         |        FROM d),
+         |k AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(norm)) AS is_dup
+         |      FROM d)
+         |SELECT q.doc_id AS doc_id,
+         |       q.quality_score >= 0.5 AS quality_ok,
+         |       pii.has_pii AS has_pii, k.is_dup AS is_dup,
+         |       (q.quality_score >= 0.5 AND NOT pii.has_pii AND NOT k.is_dup) AS keep
+         |FROM q JOIN pii ON q.doc_id = pii.doc_id JOIN k ON q.doc_id = k.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // Connected components in SQL: reachability closure via recursive CTE
     // (UNION dedupes states, so the recursion terminates despite cycles),

@@ -129,6 +129,23 @@ object Dedup {
       tau)
   }
 
+  /** Exact shared-long-n-gram pairs: documents sharing at least one exact
+    * run of `n` consecutive words (the "substring duplication" signal of
+    * exact-substring dedup — long verbatim overlaps catch boilerplate and
+    * near-copies that token-set Jaccard dilutes). Same inverted-index
+    * shape as ngramJaccardPairs, but n is long (default 20) so the index
+    * is sparse and the join tiny; output counts the shared n-grams.
+    */
+  def sharedNgramPairs(docs: DataFrame, n: Int = 20): DataFrame = {
+    val inv = hashedShingled(docs, n)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+    inv.select(col("doc_id").as("id_a"), col("g"))
+      .join(inv.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Connected components over a near-dup pair graph: every document gets
     * `cluster_id` = the minimum doc_id reachable through pair edges (its
     * own id when it appears in no pair). This is the step that turns a

@@ -179,6 +179,23 @@ object TextFunctions {
         round(col("top_count").cast("double") / col("n_2grams"), 6).as("rep_ratio"))
   }
 
+  /** The composed keep/drop decision a training pipeline actually ships:
+    * every document with its filter verdicts (quality floor, PII, exact
+    * duplicate) and the final `keep` flag — filters evaluate in one pass
+    * over the corpus; the dedup verdict reuses the exact-dedup mapping.
+    */
+  def corpusFilter(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality_score"))
+    val pii = piiScan(docs).select(col("doc_id"), col("has_pii"))
+    val dup = Dedup.exact(docs).select(col("doc_id"), col("is_dup"))
+    q.join(pii, "doc_id").join(dup, "doc_id")
+      .select(col("doc_id"),
+        (col("quality_score") >= minQuality).as("quality_ok"),
+        col("has_pii"), col("is_dup"),
+        (col("quality_score") >= minQuality && !col("has_pii") && !col("is_dup"))
+          .as("keep"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dedup key)
     * plus a winnowing-style rolling fingerprint — the minimum hash over all
     * 8-char shingles (min-of-rolling-window, the degenerate single-window

@@ -164,6 +164,31 @@ object TimeSeriesOps {
       .drop("island")
   }
 
+  /** Per-stream first difference / rate of change: for each point, the
+    * delta against the previous point of the same stream (lag window) —
+    * the derivative query every TSDB front-end offers. Window ordered by
+    * (t_us, value) so equal-timestamp ties are deterministic. One shuffle
+    * on the stream key; rate is per second (µs axis).
+    */
+  def delta(points: DataFrame, streamCols: Seq[String],
+            version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val w = Window.partitionBy(key: _*).orderBy(col("t_us"), col("value"))
+    atVersion(points, version)
+      .select(key :+ col("t_us") :+ col("value"): _*)
+      .withColumn("prev_t", lag(col("t_us"), 1).over(w))
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+      .select(key ++ Seq(col("t_us"), col("value"),
+        round(col("value") - col("prev_v"), 6).as("dv"),
+        (col("t_us") - col("prev_t")).as("dt_us"),
+        // null rate on zero dt (equal-µs ties): engines disagree on x/0
+        when(col("t_us") - col("prev_t") > 0,
+          round((col("value") - col("prev_v")) /
+            (col("t_us") - col("prev_t")).cast("double") * 1e6, 6))
+          .as("rate_per_s")): _*)
+  }
+
   /** GenerateCSV: one row per window, one mean column per requested
     * stream (grpcinterface/csv.go — the reference streams an aligned CSV
     * of N streams side by side). `streams` is (label, membership
