@@ -228,6 +228,18 @@ object SparkEntry {
       Vectors.cosinePairs(Tables.load(s, dir, "embeddings"), 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // semantic dedup: connected components over the cosine≥τ pair graph —
+    // the same clustering operator driving token-level dedup, applied to
+    // embedding-space near-duplicates
+    "emb_clusters" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.clusters(
+          emb.select(col("vec_id").as("doc_id")),
+          Vectors.cosinePairs(emb, 0.4).select(col("id_a"), col("id_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "emb_ann_topk" -> ((s, dir) =>
       Vectors.annTopK(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
@@ -566,6 +578,24 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_clusters" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |       WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |        UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |lbl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT v.vec_id AS vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id
+         |FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
 
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
