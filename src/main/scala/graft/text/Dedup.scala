@@ -152,23 +152,47 @@ object Dedup {
     * pair list into actual dedup decisions — keep one representative per
     * cluster, drop the rest.
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * min of its own label and its neighbors' labels, converging in
-    * O(component diameter) rounds — near-dup clusters are dense (almost
-    * cliques), so diameter is tiny in practice. Each round is one shuffle
-    * join + aggregation; `localCheckpoint` cuts the growing lineage so
-    * round N's plan doesn't replay rounds 1..N-1 (at cluster scale,
-    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` persists to
-    * reliable storage instead). Convergence is detected distributed
-    * (count of changed labels), never by collecting labels.
+    * Two regimes, same answer:
+    *  - The pair set is metadata-scale relative to the corpus (it is the
+    *    DUPLICATE graph, not the data). When it fits on the driver
+    *    (≤ driverEdgeLimit edges), a union-find over the collected edges
+    *    builds the component mapping in one pass, broadcast-joined back —
+    *    one count + one collect instead of per-round Spark jobs.
+    *  - Above the limit: distributed min-label propagation with pointer
+    *    jumping (lbl(v) ← lbl(lbl(v)) each round squares the propagation
+    *    distance → O(log diameter) rounds). Each round is a shuffle join
+    *    + aggregation; `localCheckpoint` cuts the growing lineage (at
+    *    cluster scale, `setCheckpointDir` + `checkpoint()` persists to
+    *    reliable storage instead). Convergence is detected distributed.
     */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25,
+               driverEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // materialize the edge list ONCE — it is re-joined every round, and
     // without this each round would recompute the entire upstream pair
     // pipeline (e.g. the full MinHash-LSH candidate generation)
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint()
+    if (edges.count() <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root
+      }
+      val mapping = parent.keysIterator.toArray.map(v => (v, find(v))).toSeq
+        .toDF("doc_id", "cluster_id")
+      return docs.select(col("doc_id"))
+        .join(broadcast(mapping), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl"))
       .localCheckpoint()
     var converged = false
@@ -176,9 +200,19 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, labels("v") === nbrMin("src"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jumping (path halving): lbl(v) ← lbl(lbl(v)). Neighbor-min
+      // alone propagates one hop per round (O(diameter) rounds — sparse
+      // random near-dup graphs have long chains); the shortcut squares the
+      // propagation distance, giving O(log diameter) rounds. Labels only
+      // decrease and every label IS a vertex, so the self-join always hits.
+      val next = stepped.as("x")
+        .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")),
+          col("x.lbl") === col("pv"), "left")
+        .select(col("x.v").as("v"),
+          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint()
       val changed = next.withColumnRenamed("lbl", "new")
         .join(labels, "v")

@@ -40,6 +40,16 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.3, s"ANN recall@10 was $recall")
   }
 
+  test("clusters: driver union-find and distributed propagation agree") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(docs, 3, 64, 2, 0.8).cache()
+    val viaDriver = Dedup.clusters(docs, pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val viaSpark = Dedup.clusters(docs, pairs, driverEdgeLimit = -1L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(viaDriver == viaSpark, "the two clustering regimes must agree")
+  }
+
   test("clusters: labels are component minima, closed under the pair edges") {
     import spark.implicits._
     val pairs = Dedup.minhashPairs(docs, 3, 64, 2, 0.8).cache()
