@@ -71,11 +71,13 @@ object SparkEntry {
     "ts_aligned_rollup" -> ((s, dir) => {
       val pts = Tables.points(s, dir)
       // keyed by data dir AND process: concurrent Verify/Bench runs must
-      // not race on one build dir (build() deletes it recursively first)
+      // not race on one build dir (build() deletes it recursively first).
+      // Levels 30+36 only — this query serves pw36; building a finer
+      // never-served level would just burn the benchmark's write budget
       val ru = graft.ts.Rollup(s,
         s"${System.getProperty("java.io.tmpdir")}/graft_rollup_" +
           s"${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}",
-        Seq(24, 30, 36))
+        Seq(30, 36))
       ru.build(pts, STREAM)
       ru.alignedWindows(pts, STREAM, T0 + 12345L, T31 - 98765L, 36)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))
