@@ -12,9 +12,12 @@ import graft.sim.Vectors
   * implementing objects (graft.ts.*, graft.text.*, graft.sim.*).
   *
   * Every `queries` entry has a deterministic total order (orderBy over
-  * enough columns) mirrored by an ORDER BY in `oracleSql`; float
-  * accumulations are rounded identically on both sides (sums→2dp,
-  * means→6dp); min/max stay unrounded (order-insensitive, bit-exact).
+  * enough columns) mirrored by an ORDER BY in `oracleSql`; every emitted
+  * float goes through the graft.Quant contract (exact integer micro-unit
+  * sums + scale-0 rounding, mirrored here by Q6/US6/MEAN6) so both gate
+  * engines agree bit-for-bit — plain round(x, 6) systematically diverges
+  * on half-microunit boundaries; min/max stay unrounded (order-
+  * insensitive, bit-exact).
   * Time axis is epoch microseconds everywhere: Spark `unix_micros` and
   * DuckDB `epoch_us` truncate the parquet ns timestamps identically.
   */
@@ -159,20 +162,33 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("g_t"))),
 
     // ---- General analytics -------------------------------------------
-    "q1_agg" -> ((s, dir) =>
+    // Money sums/means go through exact integer sub-unit sums (graft.Quant
+    // doc): l_* values are 2-dp decimals, so their sums and means land
+    // exactly on rounding boundaries where engine round() implementations
+    // disagree. disc_price is a 4-dp rational, charge 6-dp — summed as
+    // exact integers at that scale, rounded once at scale 0.
+    "q1_agg" -> ((s, dir) => {
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = discPrice * (lit(1) + col("l_tax"))
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          (round(sum(round(discPrice * 1e4, 0).cast("long")).cast("double") / 100, 0) / 100
+            + lit(0d)).as("sum_disc_price"),
+          (round(sum(round(charge * 1e6, 0).cast("long")).cast("double") / 1e4, 0) / 100
+            + lit(0d)).as("sum_charge"),
+          Quant.mean6(sum(round(col("l_quantity"), 0).cast("long") * 1000000L),
+            count(lit(1))).as("avg_qty"),
+          Quant.mean6(sum(round(col("l_extendedprice") * 100, 0).cast("long") * 10000L),
+            count(lit(1))).as("avg_price"),
+          Quant.mean6(sum(round(col("l_discount") * 100, 0).cast("long") * 10000L),
+            count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
 
     "q3_join" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -183,7 +199,8 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg((round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e4, 0)
+            .cast("long")).cast("double") / 100, 0) / 100 + lit(0d)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -193,7 +210,8 @@ object SparkEntry {
         .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
           col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+        .agg((round(sum(round(col("l_extendedprice") * col("l_discount") * 1e4, 0)
+          .cast("long")).cast("double") / 100, 0) / 100 + lit(0d)).as("revenue"))),
 
     // ---- LLM-pipeline: dedup (SURVEY §2) ------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -292,7 +310,7 @@ object SparkEntry {
     "ts_aligned_windows" ->
       s"""WITH pts AS ($PTS_SQL)
          |SELECT user_id, event_type, (t_us >> 36) << 36 AS w_start,
-         |       min(value) AS v_min, round(avg(value), 6) AS v_mean,
+         |       min(value) AS v_min, $V_MEAN_SQL,
          |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
          |FROM pts WHERE t_us >= $T0 AND t_us < $T31
          |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
@@ -301,7 +319,7 @@ object SparkEntry {
       s"""WITH pts AS ($PTS_SQL)
          |SELECT user_id, event_type,
          |       $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
-         |       min(value) AS v_min, round(avg(value), 6) AS v_mean,
+         |       min(value) AS v_min, $V_MEAN_SQL,
          |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
          |FROM pts WHERE t_us >= $T0 AND t_us < $T29
          |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
@@ -310,7 +328,7 @@ object SparkEntry {
       s"""WITH pts AS ($PTS_SQL)
          |SELECT user_id, event_type,
          |       $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
-         |       min(value) AS v_min, round(avg(value), 6) AS v_mean,
+         |       min(value) AS v_min, $V_MEAN_SQL,
          |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
          |FROM pts WHERE ver <= 500 AND t_us >= $T0 AND t_us < $T29
          |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
@@ -318,7 +336,7 @@ object SparkEntry {
     "ts_aligned_rollup" ->
       s"""WITH pts AS ($PTS_SQL)
          |SELECT user_id, event_type, (t_us >> 36) << 36 AS w_start,
-         |       min(value) AS v_min, round(avg(value), 6) AS v_mean,
+         |       min(value) AS v_min, $V_MEAN_SQL,
          |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
          |FROM pts WHERE t_us >= ${T0 + 12345L} AND t_us < ${T31 - 98765L}
          |GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
@@ -375,7 +393,7 @@ object SparkEntry {
 
     "ts_stats_global" ->
       s"""WITH pts AS ($PTS_SQL)
-         |SELECT user_id, event_type, min(value) AS v_min, round(avg(value), 6) AS v_mean,
+         |SELECT user_id, event_type, min(value) AS v_min, $V_MEAN_SQL,
          |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count,
          |       min(t_us) AS t_first, max(t_us) AS t_last
          |FROM pts GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
@@ -404,9 +422,9 @@ object SparkEntry {
     "ts_csv_export" ->
       s"""WITH pts AS ($PTS_SQL)
          |SELECT $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
-         |       round(avg(CASE WHEN user_id = 1 THEN value END), 6) AS u1_mean,
-         |       round(avg(CASE WHEN user_id = 2 THEN value END), 6) AS u2_mean,
-         |       round(avg(CASE WHEN user_id = 3 THEN value END), 6) AS u3_mean,
+         |       ${CSV_MEAN_SQL(1)} AS u1_mean,
+         |       ${CSV_MEAN_SQL(2)} AS u2_mean,
+         |       ${CSV_MEAN_SQL(3)} AS u3_mean,
          |       CAST(count(*) AS BIGINT) AS n_points
          |FROM pts
          |WHERE event_type = 'click' AND user_id IN (1, 2, 3) AND t_us >= $T0 AND t_us < $T29
@@ -419,10 +437,10 @@ object SparkEntry {
          |      FROM pts
          |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_us, value))
          |SELECT user_id, event_type, t_us, value,
-         |       round(value - prev_v, 6) AS dv,
+         |       ${Q6("value - prev_v")} AS dv,
          |       t_us - prev_t AS dt_us,
          |       CASE WHEN t_us - prev_t > 0
-         |            THEN round((value - prev_v) / (t_us - prev_t) * 1e6, 6) END AS rate_per_s
+         |            THEN ${Q6("(value - prev_v) / (t_us - prev_t) * 1e6")} END AS rate_per_s
          |FROM l WHERE prev_t IS NOT NULL
          |ORDER BY user_id, event_type, t_us, value""".stripMargin,
 
@@ -468,20 +486,20 @@ object SparkEntry {
          |ORDER BY g.user_id, g.event_type, g.g_t""".stripMargin,
 
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 6) AS avg_qty,
-        |       round(avg(l_extendedprice), 6) AS avg_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
-        |       CAST(count(*) AS BIGINT) AS count_order
-        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       round(sum(l_extendedprice), 2) AS sum_base_price,
+         |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS sum_disc_price,
+         |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 0) / 100 + 0 AS sum_charge,
+         |       ${MEAN6("sum(CAST(round(l_quantity, 0) AS BIGINT) * 1000000)", "count(*)")} AS avg_qty,
+         |       ${MEAN6("sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000)", "count(*)")} AS avg_price,
+         |       ${MEAN6("sum(CAST(round(l_discount * 100, 0) AS BIGINT) * 10000)", "count(*)")} AS avg_disc,
+         |       CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_join" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT l_orderkey, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |              JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -490,7 +508,7 @@ object SparkEntry {
         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q6_filter" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
@@ -529,9 +547,7 @@ object SparkEntry {
          |        len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
          |      FROM b),
          |q AS (SELECT doc_id,
-         |        round(CAST(n_stop AS DOUBLE) / n_words * 0.4
-         |              + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
-         |              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |        ${Q6(QSCORE_SQL)} AS quality_score
          |      FROM c),
          |pii AS (SELECT doc_id,
          |          (len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
@@ -576,7 +592,7 @@ object SparkEntry {
     "emb_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |       ${Q6(s"${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm)")} AS cos_sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
@@ -607,7 +623,7 @@ object SparkEntry {
          |r AS (SELECT q_id, n_id, cos,
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |      FROM p)
-         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "text_tokens" ->
@@ -630,13 +646,11 @@ object SparkEntry {
          |             length(replace(norm, ' ', '')) AS n_alpha
          |      FROM b)
          |SELECT doc_id, n_words, n_chars,
-         |       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
-         |       round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-         |       round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
-         |       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS avg_word_len,
-         |       round(CAST(n_stop AS DOUBLE) / n_words * 0.4
-         |             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
-         |             + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |       ${Q6("CAST(n_stop AS DOUBLE) / n_words")} AS stop_ratio,
+         |       ${Q6("CAST(n_punct AS DOUBLE) / n_chars")} AS punct_ratio,
+         |       ${Q6("CAST(n_digit AS DOUBLE) / n_chars")} AS digit_ratio,
+         |       ${Q6("CAST(n_alpha AS DOUBLE) / n_words")} AS avg_word_len,
+         |       ${Q6(QSCORE_SQL)} AS quality_score
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
@@ -678,7 +692,7 @@ object SparkEntry {
          |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
          |       CAST(max(c) AS BIGINT) AS top_count,
-         |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+         |       ${Q6("CAST(max(c) AS DOUBLE) / sum(c)")} AS rep_ratio
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
@@ -696,14 +710,12 @@ object SparkEntry {
          |        len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
          |      FROM b),
          |q AS (SELECT doc_id, lang, source, n_words,
-         |        round(CAST(n_stop AS DOUBLE) / n_words * 0.4
-         |              + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
-         |              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality_score
+         |        ${Q6(QSCORE_SQL)} AS quality_score
          |      FROM c)
          |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_words) AS BIGINT) AS sum_words,
-         |       round(avg(n_words), 6) AS avg_words,
-         |       round(avg(quality_score), 6) AS avg_quality
+         |       ${MEAN6("sum(n_words * 1000000)", "count(*)")} AS avg_words,
+         |       ${MEAN6(s"sum(${US6("quality_score")})", "count(*)")} AS avg_quality
          |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     "text_fingerprint" ->
@@ -717,6 +729,25 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracle building blocks ----------------------------------
+
+  // SQL mirrors of graft.Quant — see its doc for why scale-0 rounding over
+  // integer micro-units is the only float contract both engines compute
+  // bit-identically. Any float column added to `queries` MUST use these.
+  private def Q6(x: String) = s"round(($x) * 1000000.0, 0) / 1000000.0 + 0"
+  private def US6(x: String) = s"CAST(round(($x) * 1000000.0, 0) AS BIGINT)"
+  private def MEAN6(sumUs: String, n: String) =
+    s"round(CAST($sumUs AS DOUBLE) / $n, 0) / 1000000.0 + 0"
+  private val V_MEAN_SQL = s"${MEAN6(s"sum(${US6("value")})", "count(*)")} AS v_mean"
+  private def CSV_MEAN_SQL(u: Int) =
+    MEAN6(s"sum(CASE WHEN user_id = $u THEN ${US6("value")} END)",
+      s"count(CASE WHEN user_id = $u THEN 1 END)")
+
+  // The raw (pre-quantization) quality score — mirrors TextFunctions.quality
+  // term-for-term so the input double to Q6 is bit-identical.
+  private val QSCORE_SQL =
+    """CAST(n_stop AS DOUBLE) / n_words * 0.4
+      |              + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+      |              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3""".stripMargin
 
   private val NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -741,7 +772,7 @@ object SparkEntry {
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+       |SELECT id_a, id_b, ${Q6("CAST(inter AS DOUBLE) / (la + lb - inter)")} AS jaccard
        |FROM p WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= $tau
        |ORDER BY id_a, id_b""".stripMargin
   }

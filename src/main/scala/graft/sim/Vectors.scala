@@ -44,7 +44,7 @@ object Vectors {
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", cosine)
       .filter(col("cos") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
@@ -62,7 +62,7 @@ object Vectors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
-        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+        col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
   /** Deterministic pseudo-random hyperplanes (xorshift-seeded LCG — no
@@ -155,7 +155,7 @@ object Vectors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
-        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+        col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
   /** Random-hyperplane LSH ANN: `nTables` hash tables of `bitsPerTable`
@@ -207,6 +207,6 @@ object Vectors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
-        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+        col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 }

@@ -44,8 +44,17 @@ object Ingest {
     * job commit and marker creation that a marker-only protocol leaves
     * open) but still re-runs the idempotent rollup append + marker.
     * The rollup writeId embeds the checkpoint id, so multiple ingest
-    * streams maintaining one rollup can never clobber each other's
+    * streams maintaining one ROLLUP can never clobber each other's
     * deltas (batchIds restart at 0 per checkpoint).
+    *
+    * Concurrency contract: a Store accepts exactly ONE ingest stream.
+    * Both Store.nextVersions (read-then-assign, no CAS) and the landed
+    * check above (compares current versions against this stream's intent)
+    * assume no other writer bumps versions in between — a second stream
+    * writing the same Store could race duplicate versions or make a
+    * replay wrongly conclude its batch landed. Fan-in belongs upstream
+    * (N sources → one stream via unioned/globbed file sources), or in
+    * N stores sharing one Rollup — never two streams on one Store.
     */
   def intoStore(spark: SparkSession, sourceDir: String, store: Store,
                 checkpoint: String, rollup: Option[graft.ts.Rollup] = None): StreamingQuery = {
@@ -61,19 +70,28 @@ object Ingest {
         val intent = new java.io.File(commitDir, s"batch-$batchId.intent")
         if (!marker.exists()) {
           import scala.jdk.CollectionConverters._
+          // A torn line (crash mid-write) parses to nothing and is skipped:
+          // the insert job only starts after the full intent is in place,
+          // so a torn intent always means the batch did NOT land.
           val landed = intent.exists() && {
             val intents = java.nio.file.Files.readAllLines(intent.toPath).asScala
-              .filter(_.nonEmpty).map { line =>
+              .filter(_.contains('\t')).flatMap { line =>
                 val i = line.lastIndexOf('\t')
-                (line.substring(0, i), line.substring(i + 1).toLong)
+                line.substring(i + 1).toLongOption.map((line.substring(0, i), _))
               }
             intents.nonEmpty && intents.forall { case (u, v) => store.version(u) >= v }
           }
           if (!landed) {
             val vers = store.nextVersions(batch)
             commitDir.mkdirs()
-            java.nio.file.Files.write(intent.toPath,
+            // write-then-rename so a crash can never leave a half-written
+            // intent at the final path (replay parses it, see above)
+            val tmp = new java.io.File(commitDir, s"batch-$batchId.intent.tmp")
+            java.nio.file.Files.write(tmp.toPath,
               vers.map { case (u, v) => s"$u\t$v" }.asJava)
+            java.nio.file.Files.move(tmp.toPath, intent.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             store.insertBatchAt(batch, vers)
           }
           rollup.foreach(_.appendBatch(
@@ -100,7 +118,8 @@ object Ingest {
       .groupBy(streamCols.map(col) :+ window(col(timeCol), width).as("w"): _*)
       .agg(
         min(col("value")).as("v_min"),
-        avg(col("value")).as("v_mean"),
+        // same deterministic-mean contract as the batch StatPoint ops
+        graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"),
         max(col("value")).as("v_max"),
         count(lit(1)).as("v_count"))
       .select(streamCols.map(col) :+ col("w.start").as("w_start")

@@ -73,7 +73,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.Quant.q6(col("jaccard")).as("jaccard"))
   }
 
   /** Exact Jaccard over (ha, hb) sorted hashed-shingle arrays — codegen'd
@@ -86,7 +86,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.Quant.q6(col("jaccard")).as("jaccard"))
 
   /** MinHash + LSH near-dup pairs, exact-verified.
     *

@@ -63,14 +63,14 @@ object TextFunctions {
       .select(
         col("doc_id"), col("n_words").cast("long").as("n_words"),
         col("n_chars").cast("long").as("n_chars"),
-        round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
-        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
-        round(col("n_digit").cast("double") / col("n_chars"), 6).as("digit_ratio"),
-        round(length(regexp_replace(col("norm"), lit(" "), lit(""))).cast("double")
-          / col("n_words"), 6).as("avg_word_len"),
-        round(col("n_stop").cast("double") / col("n_words") * 0.4
+        graft.Quant.q6(col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+        graft.Quant.q6(col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+        graft.Quant.q6(col("n_digit").cast("double") / col("n_chars")).as("digit_ratio"),
+        graft.Quant.q6(length(regexp_replace(col("norm"), lit(" "), lit(""))).cast("double")
+          / col("n_words")).as("avg_word_len"),
+        graft.Quant.q6(col("n_stop").cast("double") / col("n_words") * 0.4
           + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3
-          + least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.3, 6).as("quality_score"))
+          + least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.3).as("quality_score"))
 
   private val langMarkers = Seq(
     "en" -> Seq("the", "a", "is", "and"),
@@ -157,8 +157,11 @@ object TextFunctions {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("sum_words"),
-        round(avg(col("n_words")), 6).as("avg_words"),
-        round(avg(col("quality_score")), 6).as("avg_quality"))
+        // means over quantized inputs land exactly on half-microunit
+        // rounding boundaries — computed from exact integer micro-unit
+        // sums (graft.Quant) so both gate engines agree bit-for-bit
+        graft.Quant.mean6(sum(col("n_words") * lit(1000000L)), count(lit(1))).as("avg_words"),
+        graft.Quant.mean6(sum(graft.Quant.us6(col("quality_score"))), count(lit(1))).as("avg_quality"))
   }
 
   /** Repetition scoring (the Gopher-style quality signal): fraction of all
@@ -176,7 +179,7 @@ object TextFunctions {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_count"))
       .select(col("doc_id"), col("n_2grams"), col("top_count"),
-        round(col("top_count").cast("double") / col("n_2grams"), 6).as("rep_ratio"))
+        graft.Quant.q6(col("top_count").cast("double") / col("n_2grams")).as("rep_ratio"))
   }
 
   /** The composed keep/drop decision a training pipeline actually ships:

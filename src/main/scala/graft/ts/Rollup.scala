@@ -28,19 +28,22 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
 
   private def levelDir(pw: Int) = s"$base/rollup_pw$pw"
 
-  /** Bucket aggregate of raw points at pointwidth pw. */
+  /** Bucket aggregate of raw points at pointwidth pw. The value sum is
+    * kept as exact integer micro-units (graft.Quant.us6), so every level
+    * of the hierarchy re-aggregates without float drift and rollup-served
+    * means are bit-identical to direct aggregation.
+    */
   private def bucketize(points: DataFrame, streamCols: Seq[String], pw: Int): DataFrame =
     points.groupBy(streamCols.map(col)
         :+ shiftleft(shiftright(col("t_us"), pw), pw).as("w_start"): _*)
       .agg(
         min(col("value")).as("v_min"),
         max(col("value")).as("v_max"),
-        sum(col("value")).as("v_sum"),
+        sum(graft.Quant.us6(col("value"))).as("v_sum_us"),
         count(lit(1)).as("v_count"))
 
-  /** Merge a finer rollup level up to pointwidth pw (associative, exact
-    * for min/max/count; sum is float-associative — same caveat as any
-    * distributed aggregation).
+  /** Merge a finer rollup level up to pointwidth pw — associative and
+    * exact for all four aggregates (integer sums, not float).
     */
   private def merge(finer: DataFrame, streamCols: Seq[String], pw: Int): DataFrame =
     finer.groupBy(streamCols.map(col)
@@ -48,7 +51,7 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
       .agg(
         min(col("v_min")).as("v_min"),
         max(col("v_max")).as("v_max"),
-        sum(col("v_sum")).as("v_sum"),
+        sum(col("v_sum_us")).as("v_sum_us"),
         sum(col("v_count")).as("v_count"))
 
   /** Build (or rebuild) all levels, each from the previous — a single raw
@@ -130,7 +133,7 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
             level(l).filter(col("w_start") >= loAligned && col("w_start") < hiAligned),
             streamCols, pw)
           .select(streamCols.map(col) :+ col("w_start") :+ col("v_min")
-            :+ round(col("v_sum") / col("v_count"), 6).as("v_mean")
+            :+ graft.Quant.mean6(col("v_sum_us"), col("v_count")).as("v_mean")
             :+ col("v_max") :+ col("v_count"): _*)
         Seq((start, loAligned), (hiAligned, end))
           .filter { case (s, e) => s < e }

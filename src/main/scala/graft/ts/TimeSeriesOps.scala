@@ -76,16 +76,17 @@ object TimeSeriesOps {
     (lit(start) + d - pmod(d, lit(width))).as("w_start")
   }
 
-  /** min/max are order-insensitive (bit-exact vs any oracle); mean is a
-    * float accumulation whose partial-aggregation order varies → rounded to
-    * 6 dp on both sides of the correctness gate.
+  /** min/max are order-insensitive (bit-exact vs any oracle); the mean is
+    * computed from an exact integer micro-unit sum (graft.Quant), so it is
+    * deterministic regardless of partial-aggregation order and identical
+    * to the rollup-served read path (which re-aggregates the same sums).
     */
   private def statAgg(points: DataFrame, streamCols: Seq[String], bucket: Column): DataFrame =
     points
       .groupBy(streamKey(streamCols) :+ bucket: _*)
       .agg(
         min(col("value")).as("v_min"),
-        round(avg(col("value")), 6).as("v_mean"),
+        graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"),
         max(col("value")).as("v_max"),
         count(lit(1)).as("v_count"))
 
@@ -97,7 +98,7 @@ object TimeSeriesOps {
     atVersion(points, version).groupBy(streamKey(streamCols): _*)
       .agg(
         min(col("value")).as("v_min"),
-        round(avg(col("value")), 6).as("v_mean"),
+        graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"),
         max(col("value")).as("v_max"),
         count(lit(1)).as("v_count"),
         min(col("t_us")).as("t_first"),
@@ -180,12 +181,12 @@ object TimeSeriesOps {
       .withColumn("prev_v", lag(col("value"), 1).over(w))
       .filter(col("prev_t").isNotNull)
       .select(key ++ Seq(col("t_us"), col("value"),
-        round(col("value") - col("prev_v"), 6).as("dv"),
+        graft.Quant.q6(col("value") - col("prev_v")).as("dv"),
         (col("t_us") - col("prev_t")).as("dt_us"),
         // null rate on zero dt (equal-µs ties): engines disagree on x/0
         when(col("t_us") - col("prev_t") > 0,
-          round((col("value") - col("prev_v")) /
-            (col("t_us") - col("prev_t")).cast("double") * 1e6, 6))
+          graft.Quant.q6((col("value") - col("prev_v")) /
+            (col("t_us") - col("prev_t")).cast("double") * 1e6))
           .as("rate_per_s")): _*)
   }
 
@@ -202,7 +203,8 @@ object TimeSeriesOps {
     require(streams.nonEmpty, "csvExport needs at least one stream")
     val d = col("t_us") - start
     val aggs = streams.map { case (label, pred) =>
-      round(avg(when(pred, col("value"))), 6).as(s"${label}_mean")
+      graft.Quant.mean6(sum(when(pred, graft.Quant.us6(col("value")))),
+        count(when(pred, lit(1)))).as(s"${label}_mean")
     } :+ count(lit(1)).as("n_points")
     atVersion(points, version)
       .filter(streams.map(_._2).reduce(_ || _) &&

@@ -38,10 +38,12 @@ for name, sql in sorted(oracle.items()):
         gv, ev = g[c], e[c].astype(g[c].dtype, errors="ignore") if hasattr(e[c], 'astype') else e[c]
         try:
             if gv.dtype.kind == 'f':
-                # floats are rounded to 6dp on both sides; allow one ulp of
-                # that rounding contract so accumulation-order differences
-                # landing on a rounding boundary don't flake the gate
-                same = np.allclose(gv.fillna(-9e99), pd.to_numeric(ev).fillna(-9e99), rtol=0, atol=1.01e-6)
+                # STRICT bitwise compare (mirrors the driver's hash gate):
+                # the graft.Quant contract makes both engines agree exactly,
+                # including -0.0 vs 0.0 and NULL placement
+                a = np.asarray(gv, dtype=np.float64)
+                b = np.asarray(pd.to_numeric(ev), dtype=np.float64)
+                same = a.tobytes() == b.tobytes()
             else:
                 same = gv.equals(ev) or (gv.astype(str) == ev.astype(str)).all()
         except Exception:
