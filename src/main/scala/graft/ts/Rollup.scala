@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hierarchical statistical rollups — the Spark-native form of BTrDB's
@@ -108,9 +108,21 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
   /** Serve AlignedWindows(pointWidth=pw) from the coarsest usable level.
     * Falls back to `raw` when pw is finer than the finest level. Output
     * schema matches TimeSeriesOps.alignedWindows.
+    *
+    * `invalid`: per-stream [r_start, r_end) time ranges whose rollup
+    * buckets must not be trusted — rollups reflect raw INGEST only, so a
+    * Store.deleteRange/obliterate after the last build leaves the
+    * overlapped buckets stale (they still count the hidden points). Pass
+    * the store's tombstones with ver > the rollup's build watermark
+    * (Rollup.tombstoneRanges) and every window overlapping one is
+    * recomputed from `raw` (the visible view) instead; all other windows
+    * stay rollup-served. Tombstones are metadata-scale, so both the
+    * bucket filter and the dirty-point semi-join broadcast. A periodic
+    * build() over the post-delete visible view re-absorbs the ranges.
     */
   def alignedWindows(raw: => DataFrame, streamCols: Seq[String],
-                     start: Long, end: Long, pw: Int): DataFrame = {
+                     start: Long, end: Long, pw: Int,
+                     invalid: Option[DataFrame] = None): DataFrame = {
     val usable = pointwidths.filter(_ <= pw)
     if (usable.isEmpty)
       TimeSeriesOps.alignedWindows(raw, streamCols, start, end, pw)
@@ -129,16 +141,35 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
       if (loAligned >= hiAligned)
         TimeSeriesOps.alignedWindows(raw, streamCols, start, end, pw)
       else {
-        val interior = merge(
+        def invRanges = invalid.map(_.select(
+          streamCols.map(c => col(c).as(s"__inv_$c"))
+            :+ col("r_start") :+ col("r_end"): _*))
+        def keyEq = streamCols.map(c => col(c) === col(s"__inv_$c")).reduce(_ && _)
+        def overlaps(bucket: Column) =
+          bucket < col("r_end") && bucket + width > col("r_start")
+
+        val fromLevel = merge(
             level(l).filter(col("w_start") >= loAligned && col("w_start") < hiAligned),
             streamCols, pw)
+        val trusted = invRanges.fold(fromLevel)(inv =>
+            fromLevel.join(broadcast(inv), keyEq && overlaps(col("w_start")), "left_anti"))
           .select(streamCols.map(col) :+ col("w_start") :+ col("v_min")
             :+ graft.Quant.mean6(col("v_sum_us"), col("v_count")).as("v_mean")
             :+ col("v_max") :+ col("v_count"): _*)
-        Seq((start, loAligned), (hiAligned, end))
+        // dirty interior buckets: recomputed over ALL their visible raw
+        // points (a bucket is stale as a whole, not just inside the range)
+        val dirty = invRanges.toSeq.map { inv =>
+          val pts = raw.filter(col("t_us") >= loAligned && col("t_us") < hiAligned)
+            .withColumn("__b", shiftleft(shiftright(col("t_us"), pw), pw))
+          TimeSeriesOps.alignedWindows(
+            pts.join(broadcast(inv), keyEq && overlaps(col("__b")), "left_semi").drop("__b"),
+            streamCols, loAligned, hiAligned, pw)
+        }
+        (Seq((start, loAligned), (hiAligned, end))
           .filter { case (s, e) => s < e }
           .map { case (s, e) => TimeSeriesOps.alignedWindows(raw, streamCols, s, e, pw) }
-          .foldLeft(interior)(_ unionByName _)
+          ++ dirty)
+          .foldLeft(trusted)(_ unionByName _)
       }
     }
   }
@@ -147,4 +178,13 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
 object Rollup {
   def apply(spark: SparkSession, base: String, pointwidths: Seq[Int]): Rollup =
     new Rollup(spark, base, pointwidths)
+
+  /** Store tombstones as invalidation ranges for alignedWindows (stream
+    * key = uuid). Callers serving a rollup built at version V should pass
+    * `store.tombstones.filter(col("ver") > V)` — older tombstones were
+    * already absorbed by that build.
+    */
+  def tombstoneRanges(tombstones: DataFrame): DataFrame =
+    tombstones.select(col("uuid"),
+      col("t_start").as("r_start"), col("t_end").as("r_end"))
 }

@@ -42,8 +42,16 @@ class Store(val spark: SparkSession, val base: String) {
   import spark.implicits._
   import Store.{TimeBucketShift, UuidBuckets}
 
-  private def hasData(dir: String): Boolean =
-    new java.io.File(dir).exists()
+  // All filesystem control operations (existence probes, the compact swap
+  // renames) go through the Hadoop FileSystem API, like MetaStore — on
+  // HDFS/S3A a java.io.File probe would silently report an empty store and
+  // crashed-swap recovery would never trigger.
+  private val hfs = new org.apache.hadoop.fs.Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hpath(dir: String) = new org.apache.hadoop.fs.Path(dir)
+
+  private def hasData(dir: String): Boolean = hfs.exists(hpath(dir))
 
   /** Partition columns for a (uuid, time, value, ver) batch. */
   private def withLayout(df: DataFrame): DataFrame =
@@ -77,7 +85,7 @@ class Store(val spark: SparkSession, val base: String) {
   }
 
   def tombstones: DataFrame = {
-    if (!hasData(tombsDir) && new java.io.File(s"$base/tombstones_old").exists())
+    if (!hasData(tombsDir) && hasData(s"$base/tombstones_old"))
       recoverCrashedSwap()
     if (hasData(tombsDir)) spark.read.parquet(tombsDir)
     else spark.emptyDataset[(String, Long, Long, Long)]
@@ -214,10 +222,8 @@ class Store(val spark: SparkSession, val base: String) {
     TimeSeriesOps.mergeRanges(aligned, Seq("uuid")).drop("uuid")
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete()
-  }
+  private def rm(p: org.apache.hadoop.fs.Path): Unit =
+    if (hfs.exists(p)) { hfs.delete(p, true); () }
 
   /** Physically drop rows invisible at the latest version and rewrite —
     * the GC/defragmentation pass (run per uuid partition, so at scale each
@@ -247,16 +253,17 @@ class Store(val spark: SparkSession, val base: String) {
     * would delete the only surviving copy.
     */
   private def recoverCrashedSwap(): Unit = {
-    def restore(dst: java.io.File, candidates: Seq[java.io.File]): Unit =
-      if (!dst.exists()) candidates.find(_.exists()).foreach { c =>
-        if (!c.renameTo(dst)) sys.error(s"compact: could not restore $c to $dst")
+    def restore(dst: org.apache.hadoop.fs.Path,
+                candidates: Seq[org.apache.hadoop.fs.Path]): Unit =
+      if (!hfs.exists(dst)) candidates.find(hfs.exists).foreach { c =>
+        if (!hfs.rename(c, dst)) sys.error(s"compact: could not restore $c to $dst")
       }
-    restore(new java.io.File(pointsDir),
-      Seq(new java.io.File(s"$base/points_old"), new java.io.File(s"$base/points_compacted")))
+    restore(hpath(pointsDir),
+      Seq(hpath(s"$base/points_old"), hpath(s"$base/points_compacted")))
     // tombstones may legitimately be absent (all pruned); restoring a stale
     // *_old set is still correct — those tombstones hide nothing after a
     // completed points swap, they are merely unpruned
-    restore(new java.io.File(tombsDir), Seq(new java.io.File(s"$base/tombstones_old")))
+    restore(hpath(tombsDir), Seq(hpath(s"$base/tombstones_old")))
   }
 
   def compact(): Unit = {
@@ -270,27 +277,28 @@ class Store(val spark: SparkSession, val base: String) {
       .cache()
     val nKeep = keepTombs.count()
 
-    def swapIn(tmp: java.io.File, dst: java.io.File, old: java.io.File): Unit = {
-      if (dst.exists() && !dst.renameTo(old))
+    def swapIn(tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+               old: org.apache.hadoop.fs.Path): Unit = {
+      if (hfs.exists(dst) && !hfs.rename(dst, old))
         sys.error(s"compact: could not move $dst aside; store unchanged")
-      if (tmp.exists() && !tmp.renameTo(dst)) {
-        old.renameTo(dst) // restore
+      if (hfs.exists(tmp) && !hfs.rename(tmp, dst)) {
+        hfs.rename(old, dst) // restore
         sys.error(s"compact: could not swap in $tmp; original data restored")
       }
       rm(old)
     }
 
-    val pTmp = new java.io.File(s"$base/points_compacted")
-    val pOld = new java.io.File(s"$base/points_old")
-    val tTmp = new java.io.File(s"$base/tombstones_compacted")
-    val tOld = new java.io.File(s"$base/tombstones_old")
+    val pTmp = hpath(s"$base/points_compacted")
+    val pOld = hpath(s"$base/points_old")
+    val tTmp = hpath(s"$base/tombstones_compacted")
+    val tOld = hpath(s"$base/tombstones_old")
     Seq(pTmp, pOld, tTmp, tOld).foreach(rm) // leftovers of a crashed compact
-    live.write.mode(SaveMode.Overwrite).partitionBy("ub", "tb").parquet(pTmp.getPath)
+    live.write.mode(SaveMode.Overwrite).partitionBy("ub", "tb").parquet(pTmp.toString)
     if (nKeep > 0)
-      keepTombs.write.mode(SaveMode.Overwrite).parquet(tTmp.getPath)
+      keepTombs.write.mode(SaveMode.Overwrite).parquet(tTmp.toString)
     live.unpersist(); keepTombs.unpersist()
-    swapIn(pTmp, new java.io.File(pointsDir), pOld)
-    swapIn(tTmp, new java.io.File(tombsDir), tOld) // tTmp absent ⇒ old dropped
+    swapIn(pTmp, hpath(pointsDir), pOld)
+    swapIn(tTmp, hpath(tombsDir), tOld) // tTmp absent ⇒ old dropped
   }
 }
 

@@ -98,6 +98,44 @@ class RollupSpec extends SparkSuite {
     assert(ru.alignedWindows(pts, STREAM, T0, T31, 30).count() == direct.length)
   }
 
+  test("invalidated (deleted) ranges are recomputed from raw, rest stays rollup-served") {
+    import spark.implicits._
+    val pts = Tables.points(spark, sfDir).cache()
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(24, 30))
+    ru.build(pts, STREAM) // built BEFORE the delete
+    val day = 86400000000L
+    val (rs, re) = (T0 + 5 * day, T0 + 9 * day)
+    // a range delete lands on one stream after the build
+    val visible = pts.filter(!(col("user_id") === 1 && col("event_type") === "click" &&
+      col("t_us") >= rs && col("t_us") < re))
+    val invalid = Seq((1L, "click", rs, re)).toDF("user_id", "event_type", "r_start", "r_end")
+    for (pw <- Seq(30, 36)) {
+      val direct = TimeSeriesOps.alignedWindows(visible, STREAM, T0, T31, pw)
+        .orderBy("user_id", "event_type", "w_start").collect()
+      val rolled = ru.alignedWindows(visible, STREAM, T0, T31, pw, invalid = Some(invalid))
+        .orderBy("user_id", "event_type", "w_start").collect()
+      assert(direct.length == rolled.length, s"row count at pw=$pw")
+      direct.zip(rolled).foreach { case (d, r) =>
+        assert(d.getLong(0) == r.getLong(0) && d.getString(1) == r.getString(1)
+          && d.getLong(2) == r.getLong(2), s"keys at pw=$pw")
+        assert(d.getDouble(3) == r.getDouble(3) && d.getDouble(4) == r.getDouble(4)
+          && d.getDouble(5) == r.getDouble(5) && d.getLong(6) == r.getLong(6),
+          s"stats at pw=$pw")
+      }
+      // sanity: without invalidation the stale rollup DOES overcount there,
+      // i.e. this test actually exercises the dirty path
+      val stale = ru.alignedWindows(visible, STREAM, T0, T31, pw)
+        .filter(col("user_id") === 1 && col("event_type") === "click" &&
+          col("w_start") >= rs - (1L << pw) && col("w_start") < re)
+        .agg(coalesce(sum("v_count"), lit(0L))).first().getLong(0)
+      val trueCnt = TimeSeriesOps.alignedWindows(visible, STREAM, T0, T31, pw)
+        .filter(col("user_id") === 1 && col("event_type") === "click" &&
+          col("w_start") >= rs - (1L << pw) && col("w_start") < re)
+        .agg(coalesce(sum("v_count"), lit(0L))).first().getLong(0)
+      assert(stale > trueCnt, s"delete must actually hide points at pw=$pw")
+    }
+  }
+
   test("queries below the finest level fall back to raw") {
     val pts = Tables.points(spark, sfDir)
     val ru = Rollup(spark, tmpDir("rollup"), Seq(30))
