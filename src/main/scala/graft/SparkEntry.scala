@@ -525,6 +525,21 @@ object SparkEntry {
 
     "dedup_minhash" -> jaccardSql(0.8, None),
 
+    // SimHash recomputed verbatim: per-word 64-bit hash = md5_number_lower
+    // (the same value graft.plans.TextHashes.md5Lower64 computes), ±1 vote
+    // per bit, sig bit = sum > 0; pairs brute-forced here (the quadratic is
+    // oracle-only — the engine uses the pigeonhole chunk join).
+    "dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM d),
+         |h AS (SELECT doc_id, md5_number_lower(word) AS h FROM w),
+         |sig AS (SELECT doc_id, $SIMHASH_SIG_SQL AS sig FROM h GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_shared_ngram" ->
       s"""WITH docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -625,6 +640,34 @@ object SparkEntry {
          |      FROM p)
          |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors graft.sim.Vectors.annLsh exactly: hyperplane component
+    // (t, b, d) = md5_number_lower('lsh|t|b|d') mapped to [-0.5, 0.5), sign
+    // bits → per-table bucket, query probes its bucket plus all 1-bit flips,
+    // candidates exact-cosine reranked. The driver computes the same md5-
+    // derived planes, so buckets and cosines agree bit-for-bit.
+    "emb_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |bk AS (SELECT e.vec_id, t.t AS tbl,
+         |         CAST(list_sum(list_transform(generate_series(0, 3), bb ->
+         |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+         |                  CAST(e.embedding[dd] AS DOUBLE) * ${PLANE_SQL("t.t", "bb", "dd - 1")})) > 0
+         |                THEN (1 << bb) ELSE 0 END)) AS BIGINT) AS bucket
+         |       FROM e, (SELECT unnest(generate_series(0, 7)) AS t) t),
+         |qp AS (SELECT b.vec_id, b.tbl, xor(b.bucket, f.f) AS bucket
+         |       FROM bk b, (SELECT unnest([0, 1, 2, 4, 8]) AS f) f
+         |       WHERE b.vec_id < 5),
+         |cand AS (SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+         |         FROM qp q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |         WHERE c.vec_id >= 5),
+         |r AS (SELECT id_a, id_b,
+         |             ${DOT_SQL("qa.embedding", "cb.embedding")} / (qa.nrm * cb.nrm) AS cos
+         |      FROM cand JOIN e qa ON qa.vec_id = id_a JOIN e cb ON cb.vec_id = id_b),
+         |rk AS (SELECT id_a, id_b, cos,
+         |              row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank
+         |       FROM r)
+         |SELECT id_a AS q_id, id_b AS n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
+         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "text_tokens" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)
@@ -751,6 +794,16 @@ object SparkEntry {
 
   private val NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** 64-bit SimHash signature as a UBIGINT aggregate over per-word hashes
+    * `h` — one OR-term per bit, set iff the ±1 vote sum is positive.
+    */
+  private val SIMHASH_SIG_SQL = (0 until 64).map { b =>
+    // literal bit masks: DuckDB's << overflows at bit 63 even on UBIGINT
+    val mask = java.lang.Long.toUnsignedString(1L << b)
+    s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+      s"THEN $mask::UBIGINT ELSE 0::UBIGINT END)"
+  }.mkString("(", " | ", ")")
+
   /** Index-ordered double dot product — mirrors graft.sim.Vectors.dotExpr
     * term-for-term so cosines are bit-identical across engines.
     */
@@ -759,6 +812,12 @@ object SparkEntry {
 
   private val NORM_SQL =
     "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** LSH hyperplane component — mirrors Vectors.planes: md5_number_lower of
+    * "lsh|t|b|d" shifted to 53 bits, scaled to [-0.5, 0.5).
+    */
+  private def PLANE_SQL(t: String, b: String, d: String): String =
+    s"((md5_number_lower(concat('lsh|', $t, '|', $b, '|', $d)) >> 11) / 9007199254740992.0 - 0.5)"
 
   /** Exact word-3-gram Jaccard pairs ≥ tau — the oracle for both the scoped
     * exact query and the (exact-verified) MinHash-LSH query.

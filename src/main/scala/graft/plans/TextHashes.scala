@@ -96,11 +96,33 @@ object TextHashes {
     new GenericArrayData(mins)
   }
 
-  /** 64-bit SimHash over the words of `norm`: per word, xxhash64 of its
-    * bytes (same value as SQL xxhash64(word)); each hash bit votes ±1 on
-    * the corresponding signature bit; bit j of the result is 1 iff the sum
-    * is positive — bit-identical to the HOF formulation it replaces.
-    * Duplicates count (token frequency weights the vote).
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of MD5 of a byte slice, little-endian over digest bytes
+    * 8..15 — the exact value of DuckDB's `md5_number_lower`, which is what
+    * lets the SimHash signature be recomputed verbatim by the SQL oracle.
+    */
+  def md5Lower64(base: AnyRef, off: Long, len: Int): Long = {
+    val buf = new Array[Byte](len)
+    org.apache.spark.unsafe.Platform.copyMemory(base, off, buf,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(buf)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** 64-bit SimHash over the words of `norm`: per word, the lower 64 MD5
+    * bits (md5Lower64 — engine-portable, unlike xxhash64); each hash bit
+    * votes ±1 on the corresponding signature bit; bit j of the result is 1
+    * iff the sum is positive. Duplicates count (token frequency weights
+    * the vote).
     */
   def simhash(norm: UTF8String): Long = {
     if (norm == null) return 0L
@@ -110,8 +132,8 @@ object TextHashes {
     val counts = new Array[Int](64)
     var w = 0
     while (w < bounds.length / 2) {
-      val h = XXH64.hashUnsafeBytes(base, off + bounds(w * 2),
-        bounds(w * 2 + 1) - bounds(w * 2), SEED)
+      val h = md5Lower64(base, off + bounds(w * 2),
+        bounds(w * 2 + 1) - bounds(w * 2))
       var j = 0
       while (j < 64) {
         counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)

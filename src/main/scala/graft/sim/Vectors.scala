@@ -65,16 +65,24 @@ object Vectors {
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (xorshift-seeded LCG — no
-    * runtime RNG, reproducible across runs/executors).
+  /** Deterministic pseudo-random hyperplanes: component (t, b, d) is
+    * derived from md5 of "lsh|t|b|d" (lower 64 bits, little-endian — the
+    * exact value of DuckDB's md5_number_lower), mapped to [-0.5, 0.5).
+    * No runtime RNG — reproducible across runs/executors AND recomputable
+    * verbatim by the SQL oracle, which is what lets emb_ann_lsh be
+    * hash-gated instead of rows-only.
     */
   private def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] = {
-    var state = 0x9E3779B97F4A7C15L
-    def next(): Double = {
-      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
-      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def unit(t: Int, b: Int, d: Int): Double = {
+      val dig = md.digest(s"lsh|$t|$b|$d".getBytes("UTF-8"))
+      var h = 0L
+      var i = 15
+      while (i >= 8) { h = (h << 8) | (dig(i) & 0xffL); i -= 1 }
+      (h >>> 11).toDouble / 9007199254740992.0 - 0.5
     }
-    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(next())))
+    Seq.tabulate(nTables)(t =>
+      Seq.tabulate(bitsPerTable)(b => Array.tabulate(dim)(d => unit(t, b, d))))
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path besides LSH.

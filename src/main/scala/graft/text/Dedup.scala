@@ -258,7 +258,7 @@ object Dedup {
         Seq("ci", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(expr("sig_a ^ sig_b")).as("hamming"))
+        bit_count(expr("sig_a ^ sig_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
