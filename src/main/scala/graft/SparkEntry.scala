@@ -161,6 +161,22 @@ object SparkEntry {
       TS.resample(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("g_t"))),
 
+    "ts_ewma" -> ((s, dir) =>
+      TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    "ts_interpolate" -> ((s, dir) =>
+      TS.interpolate(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("g_t"))),
+
+    "ts_histogram" -> ((s, dir) =>
+      TS.histogram(Tables.points(s, dir), STREAM, T0, T29, DAY, 50.0)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"), col("bin"))),
+
+    "ts_counter_rate" -> ((s, dir) =>
+      TS.counterRate(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     // ---- General analytics -------------------------------------------
     // Money sums/means go through exact integer sub-unit sums (graft.Quant
     // doc): l_* values are 2-dp decimals, so their sums and means land
@@ -485,6 +501,85 @@ object SparkEntry {
          |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.event_type = b.event_type AND g.g_t = b.g_t
          |ORDER BY g.user_id, g.event_type, g.g_t""".stripMargin,
 
+    // same fold as the engine's aggregate(): s_1 = m_1, s_t = s_{t-1}·β + m_t·α,
+    // coefficients serialized via Double.toString so both engines parse the
+    // identical doubles and replay the identical float ops
+    "ts_ewma" ->
+      s"""WITH RECURSIVE pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        $V_MEAN_SQL
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |n AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                   ORDER BY w_start) AS rn FROM w),
+         |rec AS (
+         |  SELECT user_id, event_type, w_start, v_mean, rn, v_mean AS ew
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.event_type, n.w_start, n.v_mean, n.rn,
+         |         r.ew * $EWMA_B + n.v_mean * $EWMA_A
+         |  FROM n JOIN rec r ON n.user_id = r.user_id
+         |    AND n.event_type = r.event_type AND n.rn = r.rn + 1)
+         |SELECT user_id, event_type, w_start, v_mean, ${Q6("ew")} AS ewma
+         |FROM rec ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    "ts_interpolate" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |p0 AS (SELECT user_id, event_type, t_us AS t, max(value) AS value, 0 AS is_grid
+         |       FROM pts GROUP BY 1, 2, 3),
+         |s AS (SELECT DISTINCT user_id, event_type FROM pts),
+         |g AS (SELECT user_id, event_type,
+         |             unnest(generate_series($T0, ${T29 - 1}, $DAY)) AS t,
+         |             CAST(NULL AS DOUBLE) AS value, 1 AS is_grid FROM s),
+         |u AS (SELECT * FROM p0 UNION ALL SELECT * FROM g),
+         |m AS (SELECT *,
+         |        last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+         |          OVER wp AS pt,
+         |        last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+         |          OVER wp AS pv,
+         |        first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+         |          OVER wn AS nt,
+         |        first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+         |          OVER wn AS nv
+         |      FROM u
+         |      WINDOW wp AS (PARTITION BY user_id, event_type ORDER BY t, is_grid
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |             wn AS (PARTITION BY user_id, event_type ORDER BY t, is_grid
+         |                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, event_type, t AS g_t,
+         |       ${Q6("CASE WHEN pt = t THEN pv ELSE pv + (nv - pv) * " +
+                "(CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END")} AS v_interp
+         |FROM m WHERE is_grid = 1
+         |ORDER BY user_id, event_type, g_t""".stripMargin,
+
+    "ts_histogram" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT user_id, event_type,
+         |       $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2, 3, 4 ORDER BY user_id, event_type, w_start, bin""".stripMargin,
+
+    "ts_counter_rate" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |l AS (SELECT user_id, event_type, t_us, value,
+         |             lag(value) OVER (PARTITION BY user_id, event_type
+         |                              ORDER BY t_us, value) AS prev_v
+         |      FROM pts),
+         |i AS (SELECT user_id, event_type, t_us,
+         |             CASE WHEN prev_v IS NULL THEN NULL
+         |                  WHEN value >= prev_v THEN value - prev_v
+         |                  ELSE value END AS inc
+         |      FROM l WHERE t_us >= $T0 AND t_us < $T29)
+         |SELECT user_id, event_type,
+         |       $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       CAST(sum(${US6("inc")}) AS DOUBLE) / 1000000.0 + 0 AS increase,
+         |       ${Q6(s"CAST(sum(${US6("inc")}) AS DOUBLE) / 1000000.0 / 86400")} AS rate_per_s,
+         |       CAST(count(inc) AS BIGINT) AS n_samples
+         |FROM i GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       round(sum(l_quantity), 2) AS sum_qty,
@@ -781,6 +876,10 @@ object SparkEntry {
   private def MEAN6(sumUs: String, n: String) =
     s"round(CAST($sumUs AS DOUBLE) / $n, 0) / 1000000.0 + 0"
   private val V_MEAN_SQL = s"${MEAN6(s"sum(${US6("value")})", "count(*)")} AS v_mean"
+  // EWMA coefficients — MUST be the same strings the Scala op embeds
+  private val EWMA_A = java.lang.Double.toString(0.3)
+  private val EWMA_B = java.lang.Double.toString(1.0 - 0.3)
+
   private def CSV_MEAN_SQL(u: Int) =
     MEAN6(s"sum(CASE WHEN user_id = $u THEN ${US6("value")} END)",
       s"count(CASE WHEN user_id = $u THEN 1 END)")

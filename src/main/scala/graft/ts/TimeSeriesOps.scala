@@ -261,6 +261,121 @@ object TimeSeriesOps {
       .select(key :+ col(asOfCol) :+ col("l_value") :+ col("asof_value"): _*)
   }
 
+  /** Per-stream EWMA over the window-mean series: classic exponential
+    * smoothing (s_0 = m_0; s_t = (1-α)·s_{t-1} + α·m_t) applied to the
+    * windows() output, NOT to raw points — at 100 TB the smoothing input
+    * is the bounded per-stream window series (the rollup-sized data), so
+    * the sequential fold is per-group metadata-scale work. The fold is an
+    * aggregate() over the collected window series; both coefficients are
+    * serialized with Double.toString so the SQL oracle replays the exact
+    * same float ops (no pow(), whose last-ulp behavior differs per libm).
+    */
+  def ewma(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+           width: Long, alpha: Double, version: Option[Long] = None): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val key = streamKey(streamCols)
+    val a = java.lang.Double.toString(alpha)
+    val b = java.lang.Double.toString(1.0 - alpha)
+    windows(points, streamCols, start, end, width, version)
+      .groupBy(key: _*)
+      .agg(sort_array(collect_list(struct(col("w_start"), col("v_mean")))).as("ser"))
+      .withColumn("ew", expr(
+        s"""aggregate(ser, CAST(array() AS ARRAY<DOUBLE>),
+           |  (acc, x) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0 THEN x.v_mean
+           |         ELSE element_at(acc, -1) * $b + x.v_mean * $a END))""".stripMargin))
+      .select(key :+ posexplode(arrays_zip(col("ser"), col("ew"))): _*)
+      .select(key ++ Seq(col("col.ser.w_start").as("w_start"),
+        col("col.ser.v_mean").as("v_mean"),
+        graft.Quant.q6(col("col.ew")).as("ewma")): _*)
+  }
+
+  /** Linear interpolation onto a regular [start, end) grid: at each grid
+    * time g, the value is the point AT g if one exists, otherwise the
+    * linear blend of the last point before and first point after g (null
+    * when either side is missing). Same union-the-grid shape as asofJoin —
+    * one shuffle per stream key, no range join. Equal-timestamp ties take
+    * the max value (the deterministic last-write-wins used throughout).
+    */
+  def interpolate(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                  width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val pts = atVersion(points, version)
+      // one value per (stream, t): ties resolve to max BEFORE the window
+      // walk so prev/next agree with the oracle under duplicate timestamps
+      .groupBy(key :+ col("t_us"): _*).agg(max(col("value")).as("value"))
+      .select(key ++ Seq(col("t_us").as("t"), col("value"), lit(0).as("is_grid")): _*)
+    val grid = atVersion(points, version).select(key: _*).distinct()
+      .withColumn("t", explode(sequence(lit(start), lit(end - 1), lit(width))))
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("is_grid", lit(1))
+    // point rows sort before the grid row at equal t => a point exactly at
+    // g lands in the "previous" frame and pins the interpolation to it
+    val ord = Window.partitionBy(key: _*).orderBy(col("t"), col("is_grid"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val pv = when(col("is_grid") === 1, last(when(col("is_grid") === 0,
+      struct(col("t"), col("value"))), ignoreNulls = true).over(wPrev))
+    val nx = when(col("is_grid") === 1, first(when(col("is_grid") === 0,
+      struct(col("t"), col("value"))), ignoreNulls = true).over(wNext))
+    pts.unionByName(grid)
+      .withColumn("pv", pv).withColumn("nx", nx)
+      .filter(col("is_grid") === 1)
+      .select(key ++ Seq(col("t").as("g_t"),
+        graft.Quant.q6(
+          when(col("pv.t") === col("t"), col("pv.value"))
+            .otherwise(col("pv.value") + (col("nx.value") - col("pv.value")) *
+              ((col("t") - col("pv.t")).cast("double") /
+                (col("nx.t") - col("pv.t")).cast("double"))))
+          .as("v_interp")): _*)
+  }
+
+  /** Per-(stream, window, value-bin) histogram: bin = floor(value / binWidth)
+    * as an exact integer — the distribution query behind latency heatmaps.
+    * Pure integer counts over a computed column: map-side partial, nothing
+    * to round, scales like any windowed aggregation.
+    */
+  def histogram(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                width: Long, binWidth: Double, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width)
+        :+ floor(col("value") / binWidth).cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Counter-reset-aware per-window increase and rate (the PromQL
+    * increase()/rate() semantics): per point, the positive delta against
+    * the previous sample — a negative delta means the counter reset, and
+    * the new absolute value IS the increase since the reset. Increases are
+    * summed per window as exact micro-units (order-independent), rate is
+    * the window sum divided by the window span in seconds.
+    */
+  def counterRate(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                  width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val w = Window.partitionBy(key: _*).orderBy(col("t_us"), col("value"))
+    val completeEnd = start + ((end - start) / width) * width
+    val inc = atVersion(points, version)
+      .select(key :+ col("t_us") :+ col("value"): _*)
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .withColumn("inc",
+        when(col("prev_v").isNull, lit(null).cast("double"))
+          .when(col("value") >= col("prev_v"), col("value") - col("prev_v"))
+          .otherwise(col("value")))
+    inc.groupBy(key :+ widthBucket(start, width): _*)
+      .agg(sum(graft.Quant.us6(col("inc"))).as("inc_us"),
+        count(col("inc")).as("n_samples"))
+      .select(key ++ Seq(col("w_start"),
+        (col("inc_us").cast("double") / 1e6 + lit(0d)).as("increase"),
+        graft.Quant.q6(col("inc_us").cast("double") / 1e6 / (width.toDouble / 1e6))
+          .as("rate_per_s"),
+        col("n_samples")): _*)
+  }
+
   /** Resample onto a regular [start, end) grid with step `width`,
     * forward-filling the last observed value (gap fill). The grid is
     * generated distributed (per stream via sequence+explode), joined to the

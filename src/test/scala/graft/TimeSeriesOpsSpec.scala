@@ -57,6 +57,46 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(j(1).getDouble(3) == 8.0) // latest right <= 200
   }
 
+  test("ewma starts at the first window mean and smooths monotone steps") {
+    val p = pts((5L, 10.0), (15L, 20.0), (25L, 30.0))
+    val e = TimeSeriesOps.ewma(p, Seq("uuid"), 0L, 30L, 10L, 0.5)
+      .orderBy("w_start").collect()
+    assert(e.length == 3)
+    assert(e(0).getDouble(3) == 10.0)          // s_0 = m_0
+    assert(e(1).getDouble(3) == 15.0)          // 10*0.5 + 20*0.5
+    assert(e(2).getDouble(3) == 22.5)          // 15*0.5 + 30*0.5
+  }
+
+  test("interpolate blends linearly, pins exact hits, nulls outside the hull") {
+    val p = pts((10L, 1.0), (30L, 3.0))
+    val r = TimeSeriesOps.interpolate(p, Seq("uuid"), 0L, 50L, 10L)
+      .orderBy("g_t").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 10L, 20L, 30L, 40L))
+    assert(r(0).isNullAt(2))                   // before first point
+    assert(r(1).getDouble(2) == 1.0)           // exact hit
+    assert(r(2).getDouble(2) == 2.0)           // midpoint of 1..3
+    assert(r(3).getDouble(2) == 3.0)           // exact hit
+    assert(r(4).isNullAt(2))                   // after last point
+  }
+
+  test("histogram bins partition each window's count") {
+    val p = pts((1L, 5.0), (2L, 55.0), (3L, 57.0), (12L, 105.0))
+    val h = TimeSeriesOps.histogram(p, Seq("uuid"), 0L, 20L, 10L, 50.0)
+      .orderBy("w_start", "bin").collect()
+    assert(h.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 1L), (0L, 1L, 2L), (10L, 2L, 1L)))
+  }
+
+  test("counter rate treats a drop as a reset (increase = new value)") {
+    val p = pts((1L, 10.0), (3L, 14.0), (5L, 2.0), (7L, 5.0))
+    val c = TimeSeriesOps.counterRate(p, Seq("uuid"), 0L, 10L, 10L)
+      .orderBy("w_start").collect()
+    assert(c.length == 1)
+    // incs: first point null, +4, reset→2, +3 ⇒ increase 9
+    assert(c(0).getDouble(2) == 9.0)
+    assert(c(0).getLong(4) == 3L) // three non-null samples
+  }
+
   test("resample forward-fills gaps") {
     val p = Seq((1L, 5L, 1.0), (1L, 25L, 3.0)).toDF("user_id", "t_us", "value")
     val r = TimeSeriesOps.resample(p, Seq("user_id"), 0L, 40L, 10L)
