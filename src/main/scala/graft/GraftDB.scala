@@ -71,6 +71,21 @@ class GraftDB(val spark: SparkSession, val base: String) {
                        version: Option[Long] = None): DataFrame =
       TS.alignedWindows(points(version), K, start, end, pointWidth).drop("uuid")
 
+    /** AlignedWindows served from a rollup hierarchy maintained over this
+      * store (graft.streaming.Ingest keeps one per ingest stream), with
+      * delete consistency: every tombstone committed after the rollup's
+      * last build (`rollupBuiltAt`) invalidates the windows it overlaps,
+      * which are recomputed from the visible view — stat reads stay
+      * O(rollup rows) everywhere else.
+      */
+    def alignedWindows(rollup: graft.ts.Rollup, start: Long, end: Long,
+                       pointWidth: Int, rollupBuiltAt: Long): DataFrame = {
+      val inv = graft.ts.Rollup.tombstoneRanges(
+        store.tombstones.filter(col("uuid") === uuid && col("ver") > rollupBuiltAt))
+      rollup.alignedWindows(points(), K, start, end, pointWidth, invalid = Some(inv))
+        .filter(col("uuid") === uuid).drop("uuid")
+    }
+
     def windows(start: Long, end: Long, width: Long,
                 version: Option[Long] = None): DataFrame =
       TS.windows(points(version), K, start, end, width).drop("uuid")
@@ -84,6 +99,32 @@ class GraftDB(val spark: SparkSession, val base: String) {
 
     def statsGlobal(version: Option[Long] = None): DataFrame =
       TS.statsGlobal(points(version), K).drop("uuid")
+
+    def ewma(start: Long, end: Long, width: Long, alpha: Double,
+             version: Option[Long] = None): DataFrame =
+      TS.ewma(points(version), K, start, end, width, alpha).drop("uuid")
+
+    def interpolate(start: Long, end: Long, width: Long,
+                    version: Option[Long] = None): DataFrame =
+      TS.interpolate(points(version), K, start, end, width).drop("uuid")
+
+    def histogram(start: Long, end: Long, width: Long, binWidth: Double,
+                  version: Option[Long] = None): DataFrame =
+      TS.histogram(points(version), K, start, end, width, binWidth).drop("uuid")
+
+    def counterRate(start: Long, end: Long, width: Long,
+                    version: Option[Long] = None): DataFrame =
+      TS.counterRate(points(version), K, start, end, width).drop("uuid")
+
+    def delta(version: Option[Long] = None): DataFrame =
+      TS.delta(points(version), K).drop("uuid")
+
+    def gaps(start: Long, end: Long, width: Long,
+             version: Option[Long] = None): DataFrame =
+      TS.gaps(points(version), K, start, end, width).drop("uuid")
+
+    def resample(start: Long, end: Long, width: Long): DataFrame =
+      TS.resample(points(), K, start, end, width).drop("uuid")
 
     def annotations: Map[String, String] = {
       import spark.implicits._

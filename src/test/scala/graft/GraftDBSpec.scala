@@ -36,6 +36,24 @@ class GraftDBSpec extends SparkSuite {
     val ch = s.changes(v1, v2, 2).collect()
     assert(ch.length == 1 && ch.head.getLong(0) <= 16 && ch.head.getLong(1) >= 48)
 
+    // rollup-backed stat read with delete invalidation: hierarchy built at
+    // v1 (pre-delete) still answers the post-delete truth
+    val ru = graft.ts.Rollup(spark, tmpDir("graftdb_rollup"), Seq(2, 4))
+    ru.build(s.points(version = Some(v1)), Seq("uuid"))
+    val fromRollup = s.alignedWindows(ru, 0, 64, 4, rollupBuiltAt = v1)
+      .orderBy("w_start").collect()
+    val directNow = s.alignedWindows(0, 64, 4).orderBy("w_start").collect()
+    assert(fromRollup.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq ==
+      directNow.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq)
+
+    // new TSDB extension reads compose off the same handle
+    assert(s.histogram(0, 64, 16, 8.0).agg(sum("n")).head().getLong(0) == 32L)
+    assert(s.ewma(0, 64, 16, 0.5).count() == s.windows(0, 64, 16).count())
+    assert(s.interpolate(0, 64, 16).count() == 4)
+    assert(s.counterRate(0, 64, 16).count() > 0)
+
     // annotations CAS
     val av = s.setAnnotations(1L, Map("calib" -> Some("x")))
     assert(av == 2L && s.annotations == Map("calib" -> "x"))
