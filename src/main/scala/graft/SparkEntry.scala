@@ -75,12 +75,14 @@ object SparkEntry {
       val pts = Tables.points(s, dir)
       // keyed by data dir AND process: concurrent Verify/Bench runs must
       // not race on one build dir (build() deletes it recursively first).
-      // Levels 30+36 only — this query serves pw36; building a finer
-      // never-served level would just burn the benchmark's write budget
+      // ONE level (30) suffices: pw36 windows re-aggregate 64 level-30
+      // rows each (exact — integer micro-unit sums), and building a
+      // second materialized level would only burn the benchmark's write
+      // budget. Multi-level hierarchies are exercised in RollupSpec.
       val ru = graft.ts.Rollup(s,
         s"${System.getProperty("java.io.tmpdir")}/graft_rollup_" +
           s"${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}",
-        Seq(30, 36))
+        Seq(30))
       ru.build(pts, STREAM)
       ru.alignedWindows(pts, STREAM, T0 + 12345L, T31 - 98765L, 36)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))

@@ -106,6 +106,19 @@ class IngestSpec extends SparkSuite {
       .orderBy("uuid", "w_start").collect()
     assert(direct.length == rolled.length && direct.nonEmpty)
     direct.zip(rolled).foreach { case (d, r) => assert(d == r) }
+
+    // a range delete lands AFTER the streaming-maintained rollup: serving
+    // with tombstone invalidation answers the post-delete store truth
+    val dv = st.deleteRange("a", 288L, 512L)
+    val ptsNow = st.pointsAt(None).select(col("uuid"), col("time").as("t_us"), col("value"))
+    val directNow = graft.ts.TimeSeriesOps.alignedWindows(ptsNow, Seq("uuid"), 0L, 1024L, 8)
+      .orderBy("uuid", "w_start").collect()
+    val rolledNow = ru.alignedWindows(ptsNow, Seq("uuid"), 0L, 1024L, 8,
+        invalid = Some(Rollup.tombstoneRanges(st.tombstones.filter(col("ver") === dv))))
+      .orderBy("uuid", "w_start").collect()
+    assert(directNow.length < direct.length, "delete must remove a window's points")
+    assert(rolledNow.length == directNow.length)
+    directNow.zip(rolledNow).foreach { case (d, r) => assert(d == r) }
   }
 
   test("deadband state carries across micro-batches and matches batch result") {

@@ -100,4 +100,16 @@ class PlanShapeSpec extends SparkSuite {
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
   }
+
+  test("new ts extensions push time bounds to the scan and avoid cartesians") {
+    // histogram/counter_rate filter on the derived t_us axis — the
+    // DivComparisonBounds rule must reach the scan for them too
+    for (q <- Seq("ts_histogram", "ts_counter_rate", "ts_ewma", "ts_interpolate")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    val hist = physical(SparkEntry.queries("ts_histogram")(spark, sfDir))
+    assert(hist.contains("GreaterThanOrEqual(ts"),
+      s"histogram time bound not pushed:\n${hist.take(3000)}")
+  }
 }
