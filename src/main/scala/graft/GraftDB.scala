@@ -90,6 +90,11 @@ class GraftDB(val spark: SparkSession, val base: String) {
                 version: Option[Long] = None): DataFrame =
       TS.windows(points(version), K, start, end, width).drop("uuid")
 
+    /** WindowsParams.depth — stat windows at reduced precision. */
+    def windows(start: Long, end: Long, width: Long, depth: Int,
+                version: Option[Long]): DataFrame =
+      TS.windowsApprox(points(version), K, start, end, width, depth).drop("uuid")
+
     def nearest(time: Long, backward: Boolean,
                 version: Option[Long] = None): DataFrame =
       TS.nearest(points(version), K, time, backward).drop("uuid")

@@ -163,6 +163,12 @@ object SparkEntry {
       TS.resample(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("g_t"))),
 
+    // WindowsParams.depth — stat windows at reduced precision (2^30 µs ≈
+    // 18-minute buckets assigned wholly to the window of their start)
+    "ts_windows_depth" -> ((s, dir) =>
+      TS.windowsApprox(Tables.points(s, dir), STREAM, T0, T29, DAY, 30)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_ewma" -> ((s, dir) =>
       TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -502,6 +508,22 @@ object SparkEntry {
          |           ORDER BY g.g_t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.event_type = b.event_type AND g.g_t = b.g_t
          |ORDER BY g.user_id, g.event_type, g.g_t""".stripMargin,
+
+    "ts_windows_depth" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |b AS (SELECT user_id, event_type, (t_us >> 30) << 30 AS b,
+         |        min(value) AS v_min, max(value) AS v_max,
+         |        sum(${US6("value")}) AS v_sum_us, count(*) AS v_count
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type,
+         |       $T0 + (greatest(b, $T0) - $T0) - ((greatest(b, $T0) - $T0) % $DAY) AS w_start,
+         |       min(v_min) AS v_min,
+         |       ${MEAN6("sum(v_sum_us)", "sum(v_count)")} AS v_mean,
+         |       max(v_max) AS v_max,
+         |       CAST(sum(v_count) AS BIGINT) AS v_count
+         |FROM b GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
 
     // same fold as the engine's aggregate(): s_1 = m_1, s_t = s_{t-1}·β + m_t·α,
     // coefficients serialized via Double.toString so both engines parse the

@@ -105,6 +105,34 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     cached.foreach(_.unpersist())
   }
 
+  /** Serve depth-approximate Windows (TimeSeriesOps.windowsApprox — the
+    * WindowsParams.depth semantics) from the coarsest level ≤ depth: merge
+    * level buckets up to 2^depth, then assign each to the window containing
+    * its start. `start` and the complete-window end should be
+    * 2^depth-aligned for bit-equivalence with the raw path — an edge
+    * bucket straddling the range boundary carries points the raw path's
+    * [start, end) filter excludes (inherent to whole-node approximation).
+    */
+  def windowsApprox(streamCols: Seq[String], start: Long, end: Long,
+                    width: Long, depth: Int): DataFrame = {
+    val usable = pointwidths.filter(_ <= depth)
+    require(usable.nonEmpty, s"no rollup level at or below depth $depth")
+    val completeEnd = start + ((end - start) / width) * width
+    val buckets = merge(
+      level(usable.max).filter(col("w_start") >= start && col("w_start") < completeEnd),
+      streamCols, depth)
+    val d = col("w_start") - start
+    buckets
+      .groupBy(streamCols.map(col)
+        :+ (lit(start) + d - pmod(d, lit(width))).as("w_win"): _*)
+      .agg(
+        min(col("v_min")).as("v_min"),
+        graft.Quant.mean6(sum(col("v_sum_us")), sum(col("v_count"))).as("v_mean"),
+        max(col("v_max")).as("v_max"),
+        sum(col("v_count")).as("v_count"))
+      .withColumnRenamed("w_win", "w_start")
+  }
+
   /** Serve AlignedWindows(pointWidth=pw) from the coarsest usable level.
     * Falls back to `raw` when pw is finer than the finest level. Output
     * schema matches TimeSeriesOps.alignedWindows.

@@ -67,6 +67,41 @@ object TimeSeriesOps {
       streamCols, widthBucket(start, width))
   }
 
+  /** Windows at reduced precision — the WindowsParams.depth knob
+    * (btrdb.proto:50-57): the reference stops descending the tree at
+    * pointwidth `depth` and counts a straddling node wholly in the active
+    * window (qtree/qtree.go:1115-1150). Re-expressed as two exact
+    * aggregations: bucket the range at 2^depth, then assign each bucket to
+    * the window containing its START — whole buckets never split across
+    * windows, which is precisely the reference's approximation. depth=0 ≡
+    * windows(). Both stages are map-side-partial groupBys; the first is
+    * exactly a rollup level, so a materialized hierarchy can serve it
+    * (Rollup.windowsApprox).
+    */
+  def windowsApprox(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                    width: Long, depth: Int, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val buckets = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ shiftleft(shiftright(col("t_us"), depth), depth).as("b"): _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        sum(graft.Quant.us6(col("value"))).as("v_sum_us"),
+        count(lit(1)).as("v_count"))
+    // a bucket straddling `start` begins before it — clamp so it lands in
+    // the first window (the reference folds it into the active window)
+    val d = greatest(col("b"), lit(start)) - start
+    buckets
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+      .agg(
+        min(col("v_min")).as("v_min"),
+        graft.Quant.mean6(sum(col("v_sum_us")), sum(col("v_count"))).as("v_mean"),
+        max(col("v_max")).as("v_max"),
+        sum(col("v_count")).as("v_count"))
+  }
+
   /** Exact integer bucketing: start + (d - d % width); avoids double
     * division on epoch-scale longs (a floor(double) at 1.7e15 can be off
     * by one at bucket boundaries).

@@ -136,6 +136,32 @@ class RollupSpec extends SparkSuite {
     }
   }
 
+  test("windowsApprox at depth 0 equals exact windows; rollup serves the same answer") {
+    val pts = Tables.points(spark, sfDir).cache()
+    val DAY = 86400000000L
+    // depth=0 buckets are single microseconds — the approximation vanishes
+    val exact = TimeSeriesOps.windows(pts, STREAM, T0, T31, DAY)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val approx0 = TimeSeriesOps.windowsApprox(pts, STREAM, T0, T31, DAY, 0)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(exact.length == approx0.length)
+    exact.zip(approx0).foreach { case (d, r) => assert(d == r) }
+    // 2^depth-aligned bounds AND width (so no bucket straddles a range
+    // edge): the rollup-served path answers identically to the raw path
+    val depth = 30
+    val start = (T0 >> depth) << depth
+    val w34 = 1L << 34 // ≈ 4.77 h, a 2^30 multiple
+    val end = start + 16 * w34
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(24, 30))
+    ru.build(pts, STREAM)
+    val raw = TimeSeriesOps.windowsApprox(pts, STREAM, start, end, w34, depth)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val served = ru.windowsApprox(STREAM, start, end, w34, depth)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(raw.length == served.length && raw.nonEmpty)
+    raw.zip(served).foreach { case (d, r) => assert(d == r) }
+  }
+
   test("queries below the finest level fall back to raw") {
     val pts = Tables.points(spark, sfDir)
     val ru = Rollup(spark, tmpDir("rollup"), Seq(30))
