@@ -261,6 +261,17 @@ object SparkEntry {
       TextFunctions.corpusFilter(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
 
+    // decontamination: src0 plays the held-out benchmark, the rest the
+    // training corpus — training docs sharing a verbatim 8-word run with
+    // any benchmark doc are contamination hits
+    "corpus_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), 8)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.clusters(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
@@ -696,6 +707,19 @@ object SparkEntry {
          |       (q.quality_score >= 0.5 AND NOT pii.has_pii AND NOT k.is_dup) AS keep
          |FROM q JOIN pii ON q.doc_id = pii.doc_id JOIN k ON q.doc_id = k.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_contamination" ->
+      s"""WITH docs AS (SELECT doc_id, source, string_split($NORM_TEXT_SQL, ' ') AS w
+         |              FROM documents),
+         |sh AS (SELECT doc_id, source, list_distinct(list_transform(
+         |               generate_series(1, greatest(len(w) - 7, 0)),
+         |               i -> array_to_string(w[i:i+7], ' '))) AS s
+         |       FROM docs WHERE len(w) >= 8),
+         |p AS (SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         |             len(list_intersect(t.s, b.s)) AS n_shared
+         |      FROM sh t JOIN sh b ON t.source <> 'src0' AND b.source = 'src0')
+         |SELECT train_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= 1 ORDER BY train_id, bench_id""".stripMargin,
 
     // Connected components in SQL: reachability closure via recursive CTE
     // (UNION dedupes states, so the recursion terminates despite cycles),

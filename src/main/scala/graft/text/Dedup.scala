@@ -146,6 +146,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-corpus contamination: training documents sharing at least
+    * `minShared` exact `n`-word runs with any benchmark document — the
+    * decontamination primitive of a training pipeline (benchmark answers
+    * leaking into the corpus show up as verbatim n-gram runs). Same sparse
+    * inverted-index equality join as sharedNgramPairs, but across two
+    * corpora: cost is Σ df_train(g)·df_bench(g) over shared shingles, and
+    * the benchmark side is tiny by nature, so the join is one shuffle on
+    * the 8-byte shingle hash with a small build side — no quadratic pass
+    * over the training corpus, which is the property that matters when
+    * `train` is the 100 TB side.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, n: Int = 8,
+                    minShared: Long = 1L): DataFrame = {
+    val ti = hashedShingled(train, n)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("g"))
+    val bi = hashedShingled(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("hs")).as("g"))
+    ti.join(bi, Seq("g"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair graph: every document gets
     * `cluster_id` = the minimum doc_id reachable through pair edges (its
     * own id when it appears in no pair). This is the step that turns a
