@@ -150,6 +150,36 @@ class IngestSpec extends SparkSuite {
     assert(batch == got, s"batch $batch != streaming $got")
   }
 
+  test("streaming exact dedup flags later arrivals and matches the batch verdicts") {
+    import graft.streaming.{DocKey, StreamDedup}
+    val src = tmpDir("sd_src")
+    val ckpt = tmpDir("sd_ckpt")
+    // batch 1: two distinct texts
+    Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    val q = StreamDedup.dedup(StreamDedup.keyed(stream)).writeStream
+      .outputMode("append").format("memory").queryName("sd_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // batch 2: a duplicate of doc 1 (different whitespace — normalization
+    // must canonicalize) and a fresh doc
+    Seq((3L, "alpha   beta"), (4L, "epsilon"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, keep_id, is_dup FROM sd_out ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, true), (4L, 4L, false)),
+      s"got $got")
+    // the same function on the full batch Dataset agrees
+    val batch = StreamDedup.dedup(StreamDedup.keyed(
+        Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha   beta"), (4L, "epsilon"))
+          .toDF("doc_id", "text")))
+      .collect().map(v => (v.doc_id, v.keep_id, v.is_dup)).sortBy(_._1).toSeq
+    assert(batch == got, s"batch $batch != streaming $got")
+  }
+
   private def stageAsDir(df: org.apache.spark.sql.DataFrame): String = {
     val d = tmpDir("stage")
     df.write.mode("overwrite").parquet(d)
