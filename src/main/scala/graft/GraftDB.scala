@@ -71,17 +71,24 @@ class GraftDB(val spark: SparkSession, val base: String) {
                        version: Option[Long] = None): DataFrame =
       TS.alignedWindows(points(version), K, start, end, pointWidth).drop("uuid")
 
-    /** AlignedWindows served from a rollup hierarchy maintained over this
-      * store (graft.streaming.Ingest keeps one per ingest stream), with
-      * delete consistency: every tombstone committed after the rollup's
-      * last build (`rollupBuiltAt`) invalidates the windows it overlaps,
-      * which are recomputed from the visible view — stat reads stay
-      * O(rollup rows) everywhere else.
+    /** AlignedWindows served from a rollup hierarchy built over this
+      * store at version `rollupBuiltAt`, with write consistency in BOTH
+      * directions: every range touched after the build — tombstones AND
+      * inserted points (Store.changes covers both) — invalidates the
+      * windows it overlaps, which are recomputed from the visible view.
+      * Without the insert side, a rollup older than the latest insert
+      * would serve stale windows next to fresh dirty ones — a mixed-
+      * version answer. Changed ranges are metadata-scale (coalesced at
+      * the window resolution), so invalidation broadcasts; stat reads
+      * stay O(rollup rows) everywhere untouched. Rollups maintained
+      * incrementally by Ingest need only the tombstone side — pass
+      * `store.tombstones` through Rollup.tombstoneRanges directly.
       */
     def alignedWindows(rollup: graft.ts.Rollup, start: Long, end: Long,
                        pointWidth: Int, rollupBuiltAt: Long): DataFrame = {
-      val inv = graft.ts.Rollup.tombstoneRanges(
-        store.tombstones.filter(col("uuid") === uuid && col("ver") > rollupBuiltAt))
+      val inv = store.changes(uuid, rollupBuiltAt, Long.MaxValue, pointWidth)
+        .select(lit(uuid).as("uuid"), col("c_start").as("r_start"),
+          col("c_end").as("r_end"))
       rollup.alignedWindows(points(), K, start, end, pointWidth, invalid = Some(inv))
         .filter(col("uuid") === uuid).drop("uuid")
     }

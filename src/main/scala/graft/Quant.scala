@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   * (`us6`), sum as longs — exact and associative, so the result is
   * independent of partial-aggregation order AND exactly re-aggregable
   * across rollup levels (graft.ts.Rollup) — then round once at scale 0.
-  * Overflow bound: |value| * count must stay below 9.2e18 micro-units
-  * per group (values up to 1e6 with 9e9 points per bucket), far beyond
-  * any per-window population this engine targets.
+  *
+  * Overflow bound: a LONG micro-unit sum wraps silently past 9.2e18,
+  * i.e. max|value| × points-per-group must stay under 9.2e12 — ample
+  * for WINDOWED groups (a 2^32-µs window of ns-rate data holds ~4e3
+  * points even at 1 kHz × |value|≤1e6), but NOT for unbounded groups:
+  * whole-stream aggregates (TimeSeriesOps.statsGlobal) cast the
+  * micro-units to DECIMAL(38,0) before summing — exact to 10^38, and
+  * the decimal→double cast rounds to nearest exactly like DuckDB's
+  * HUGEINT→DOUBLE, so the contract is preserved. Any new operator
+  * summing an unbounded group must do the same.
   */
 object Quant {
 

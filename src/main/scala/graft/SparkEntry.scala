@@ -198,18 +198,21 @@ object SparkEntry {
         .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // group sums grow with SF (unbounded groups) → DECIMAL(38,0)
+          // accumulation per the graft.Quant overflow rule; DuckDB's
+          // sum(BIGINT) is already exact HUGEINT, so the mirror holds
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          (round(sum(round(discPrice * 1e4, 0).cast("long")).cast("double") / 100, 0) / 100
-            + lit(0d)).as("sum_disc_price"),
-          (round(sum(round(charge * 1e6, 0).cast("long")).cast("double") / 1e4, 0) / 100
-            + lit(0d)).as("sum_charge"),
-          Quant.mean6(sum(round(col("l_quantity"), 0).cast("long") * 1000000L),
-            count(lit(1))).as("avg_qty"),
-          Quant.mean6(sum(round(col("l_extendedprice") * 100, 0).cast("long") * 10000L),
-            count(lit(1))).as("avg_price"),
-          Quant.mean6(sum(round(col("l_discount") * 100, 0).cast("long") * 10000L),
-            count(lit(1))).as("avg_disc"),
+          (round(sum(round(discPrice * 1e4, 0).cast("long").cast("decimal(38,0)"))
+            .cast("double") / 100, 0) / 100 + lit(0d)).as("sum_disc_price"),
+          (round(sum(round(charge * 1e6, 0).cast("long").cast("decimal(38,0)"))
+            .cast("double") / 1e4, 0) / 100 + lit(0d)).as("sum_charge"),
+          Quant.mean6(sum((round(col("l_quantity"), 0).cast("long") * 1000000L)
+            .cast("decimal(38,0)")), count(lit(1))).as("avg_qty"),
+          Quant.mean6(sum((round(col("l_extendedprice") * 100, 0).cast("long") * 10000L)
+            .cast("decimal(38,0)")), count(lit(1))).as("avg_price"),
+          Quant.mean6(sum((round(col("l_discount") * 100, 0).cast("long") * 10000L)
+            .cast("decimal(38,0)")), count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -234,8 +237,10 @@ object SparkEntry {
         .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
           col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        // one global group → decimal accumulation (graft.Quant overflow rule)
         .agg((round(sum(round(col("l_extendedprice") * col("l_discount") * 1e4, 0)
-          .cast("long")).cast("double") / 100, 0) / 100 + lit(0d)).as("revenue"))),
+          .cast("long").cast("decimal(38,0)")).cast("double") / 100, 0) / 100
+          + lit(0d)).as("revenue"))),
 
     // ---- LLM-pipeline: dedup (SURVEY §2) ------------------------------
     "dedup_exact" -> ((s, dir) =>

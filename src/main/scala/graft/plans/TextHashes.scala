@@ -96,9 +96,15 @@ object TextHashes {
     new GenericArrayData(mins)
   }
 
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+  // reused per thread: digest instance AND input buffer (grown on demand)
+  // — this sits inside the per-word loop of simhash, where a fresh byte[]
+  // per word would be billions of allocations over a large corpus
+  private final class Md5Ctx {
+    val md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")
+    var buf: Array[Byte] = new Array[Byte](256)
+  }
+  private val md5Local = new ThreadLocal[Md5Ctx] {
+    override def initialValue(): Md5Ctx = new Md5Ctx
   }
 
   /** Lower 64 bits of MD5 of a byte slice, little-endian over digest bytes
@@ -106,12 +112,13 @@ object TextHashes {
     * lets the SimHash signature be recomputed verbatim by the SQL oracle.
     */
   def md5Lower64(base: AnyRef, off: Long, len: Int): Long = {
-    val buf = new Array[Byte](len)
-    org.apache.spark.unsafe.Platform.copyMemory(base, off, buf,
+    val ctx = md5Local.get()
+    if (ctx.buf.length < len) ctx.buf = new Array[Byte](Integer.highestOneBit(len) * 2)
+    org.apache.spark.unsafe.Platform.copyMemory(base, off, ctx.buf,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
-    val md = md5Local.get()
-    md.reset()
-    val d = md.digest(buf)
+    ctx.md.reset()
+    ctx.md.update(ctx.buf, 0, len)
+    val d = ctx.md.digest()
     var h = 0L
     var i = 15
     while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }

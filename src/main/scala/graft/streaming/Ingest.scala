@@ -60,46 +60,53 @@ object Ingest {
                 checkpoint: String, rollup: Option[graft.ts.Rollup] = None): StreamingQuery = {
     val schema = "uuid STRING, time LONG, value DOUBLE"
     val ckptId = java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
-    val commitDir = new java.io.File(s"${store.base}/_ingest_commits/$ckptId")
+    // markers/intents live WITH the store data (Hadoop FS, not
+    // java.io.File): on HDFS/S3A a local File would resolve to a
+    // driver-local path, and a replay on a fresh driver would find no
+    // marker and double-insert a committed batch
+    val commitDir = new org.apache.hadoop.fs.Path(s"${store.base}/_ingest_commits/$ckptId")
+    val fs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new java.io.File(commitDir, s"batch-$batchId")
-        val intent = new java.io.File(commitDir, s"batch-$batchId.intent")
-        if (!marker.exists()) {
-          import scala.jdk.CollectionConverters._
+        val marker = new org.apache.hadoop.fs.Path(commitDir, s"batch-$batchId")
+        val intent = new org.apache.hadoop.fs.Path(commitDir, s"batch-$batchId.intent")
+        if (!fs.exists(marker)) {
           // A torn line (crash mid-write) parses to nothing and is skipped:
           // the insert job only starts after the full intent is in place,
           // so a torn intent always means the batch did NOT land.
-          val landed = intent.exists() && {
-            val intents = java.nio.file.Files.readAllLines(intent.toPath).asScala
+          val landed = fs.exists(intent) && {
+            val in = fs.open(intent)
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                       finally in.close()
+            val intents = text.split("\n").toSeq
               .filter(_.contains('\t')).flatMap { line =>
                 val i = line.lastIndexOf('\t')
-                line.substring(i + 1).toLongOption.map((line.substring(0, i), _))
+                line.substring(i + 1).trim.toLongOption.map((line.substring(0, i), _))
               }
             intents.nonEmpty && intents.forall { case (u, v) => store.version(u) >= v }
           }
           if (!landed) {
             val vers = store.nextVersions(batch)
-            commitDir.mkdirs()
+            fs.mkdirs(commitDir)
             // write-then-rename so a crash can never leave a half-written
             // intent at the final path (replay parses it, see above)
-            val tmp = new java.io.File(commitDir, s"batch-$batchId.intent.tmp")
-            java.nio.file.Files.write(tmp.toPath,
-              vers.map { case (u, v) => s"$u\t$v" }.asJava)
-            java.nio.file.Files.move(tmp.toPath, intent.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            val tmp = new org.apache.hadoop.fs.Path(commitDir, s"batch-$batchId.intent.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(vers.map { case (u, v) => s"$u\t$v" }.mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+            if (fs.exists(intent)) fs.delete(intent, false)
+            if (!fs.rename(tmp, intent)) sys.error(s"ingest: could not publish intent $intent")
             store.insertBatchAt(batch, vers)
           }
           rollup.foreach(_.appendBatch(
             batch.select(col("uuid"), col("time").as("t_us"), col("value")),
             Seq("uuid"), s"${ckptId}_b$batchId"))
-          commitDir.mkdirs()
-          marker.createNewFile()
-          intent.delete()
+          fs.mkdirs(commitDir)
+          fs.create(marker, true).close()
+          if (fs.exists(intent)) fs.delete(intent, false)
           ()
         }
       }

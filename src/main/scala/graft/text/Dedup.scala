@@ -263,10 +263,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    // Codegen'd SimHashSig: one compiled pass per document (hash each word
-    // slice once, ±1 vote per bit) — bit-identical to the HOF formulation
-    // (aggregate over xxhash64'd tokens) it replaces, at a fraction of the
-    // cost.
+    // Codegen'd SimHashSig: one compiled pass per document — md5-lower-64
+    // word hashes (TextHashes.md5Lower64, the DuckDB md5_number_lower
+    // value), ±1 vote per bit, so the oracle recomputes the signature
+    // verbatim.
     val signed = TextFunctions.withBase(docs)
       .select(col("doc_id"), TextHashes.simhashSig(col("norm")).as("sig"))
       .cache()

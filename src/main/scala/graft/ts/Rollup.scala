@@ -60,16 +60,17 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     * `delta=base`; building clears any previous deltas (it subsumes them).
     */
   def build(points: DataFrame, streamCols: Seq[String]): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    // Hadoop FS, not java.io.File: on HDFS/S3A a local-File delete
+    // silently no-ops and stale delta= dirs would double-count every
+    // bucket on read (same consistency stance as graft.ts.Store)
     var prev: DataFrame = null
     pointwidths.zipWithIndex.foreach { case (pw, i) =>
       val level =
         if (i == 0) bucketize(points, streamCols, pw)
         else merge(prev, streamCols, pw)
-      rm(new java.io.File(levelDir(pw)))
+      val dir = new org.apache.hadoop.fs.Path(levelDir(pw))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
       level.write.mode(SaveMode.Overwrite).parquet(s"${levelDir(pw)}/delta=base")
       prev = spark.read.parquet(levelDir(pw))
     }
@@ -117,6 +118,11 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
                     width: Long, depth: Int): DataFrame = {
     val usable = pointwidths.filter(_ <= depth)
     require(usable.nonEmpty, s"no rollup level at or below depth $depth")
+    // unaligned start would merge a finer-level bucket to a 2^depth bucket
+    // starting BEFORE the range (emitting a window the raw path never
+    // produces) or drop a straddling bucket's in-range points
+    require((start & ((1L << depth) - 1)) == 0L,
+      s"windowsApprox start must be 2^$depth-aligned, got $start")
     val completeEnd = start + ((end - start) / width) * width
     val buckets = merge(
       level(usable.max).filter(col("w_start") >= start && col("w_start") < completeEnd),

@@ -126,14 +126,21 @@ object TimeSeriesOps {
         count(lit(1)).as("v_count"))
 
   /** Whole-stream StatPoint — the qtree root node (qtree.go QueryStatisticalValues
-    * at the root resolution).
+    * at the root resolution). Unlike per-window groups, a whole stream's
+    * point count is unbounded, so the micro-unit sum accumulates as
+    * DECIMAL(38,0) — exact to 10^38, where a long would silently wrap
+    * past ~9.2e18 µ-units (a year of ns-rate data at |value|≈300 already
+    * crosses it). The final decimal→double cast rounds to nearest exactly
+    * like DuckDB's HUGEINT→DOUBLE, so the gate stays bit-exact.
     */
   def statsGlobal(points: DataFrame, streamCols: Seq[String],
                   version: Option[Long] = None): DataFrame =
     atVersion(points, version).groupBy(streamKey(streamCols): _*)
       .agg(
         min(col("value")).as("v_min"),
-        graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"),
+        graft.Quant.mean6(
+          sum(graft.Quant.us6(col("value")).cast("decimal(38,0)")),
+          count(lit(1))).as("v_mean"),
         max(col("value")).as("v_max"),
         count(lit(1)).as("v_count"),
         min(col("t_us")).as("t_first"),

@@ -47,9 +47,22 @@ class GraftDBSpec extends SparkSuite {
         r.getDouble(3), r.getLong(4))).toSeq ==
       directNow.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getLong(4))).toSeq)
+    // inserts after the build are invalidated too (Store.changes covers
+    // both directions) — no stale-next-to-fresh mixed-version answer
+    s.insert(Seq((50L, 500.0), (51L, 501.0)).toDF("time", "value"))
+    val afterIns = s.alignedWindows(ru, 0, 64, 4, rollupBuiltAt = v1)
+      .orderBy("w_start").collect()
+    val directIns = s.alignedWindows(0, 64, 4).orderBy("w_start").collect()
+    assert(afterIns.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq ==
+      directIns.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq)
+    assert(directIns.exists(r => r.getDouble(3) == 501.0),
+      "insert must actually change a window")
 
-    // new TSDB extension reads compose off the same handle
-    assert(s.histogram(0, 64, 16, 8.0).agg(sum("n")).head().getLong(0) == 32L)
+    // new TSDB extension reads compose off the same handle (32 surviving
+    // originals + the 2 just-inserted points)
+    assert(s.histogram(0, 64, 16, 8.0).agg(sum("n")).head().getLong(0) == 34L)
     assert(s.ewma(0, 64, 16, 0.5).count() == s.windows(0, 64, 16).count())
     assert(s.interpolate(0, 64, 16).count() == 4)
     assert(s.counterRate(0, 64, 16).count() > 0)
