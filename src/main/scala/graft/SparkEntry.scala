@@ -169,6 +169,10 @@ object SparkEntry {
       TS.windowsApprox(Tables.points(s, dir), STREAM, T0, T29, DAY, 30)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    "ts_argminmax" -> ((s, dir) =>
+      TS.argMinMax(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_ewma" -> ((s, dir) =>
       TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -524,6 +528,26 @@ object SparkEntry {
          |           ORDER BY g.g_t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.event_type = b.event_type AND g.g_t = b.g_t
          |ORDER BY g.user_id, g.event_type, g.g_t""".stripMargin,
+
+    // tie determinism mirrors the struct-argmax: a tied min takes its
+    // earliest t_us, a tied max its latest
+    "ts_argminmax" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start, t_us, value
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |x AS (SELECT *,
+         |        min(value) OVER (PARTITION BY user_id, event_type, w_start) AS vmin,
+         |        max(value) OVER (PARTITION BY user_id, event_type, w_start) AS vmax
+         |      FROM w)
+         |SELECT user_id, event_type, w_start,
+         |       min(value) AS v_min,
+         |       min(CASE WHEN value = vmin THEN t_us END) AS t_min,
+         |       max(value) AS v_max,
+         |       max(CASE WHEN value = vmax THEN t_us END) AS t_max,
+         |       CAST(count(*) AS BIGINT) AS v_count
+         |FROM x GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_windows_depth" ->
       s"""WITH pts AS ($PTS_SQL),

@@ -67,6 +67,28 @@ object TimeSeriesOps {
       streamCols, widthBucket(start, width))
   }
 
+  /** Per-window extrema WITH the times they occurred — the "when did the
+    * spike happen" refinement of the StatPoint min/max (BTrDB users chase
+    * a Windows anomaly with RawValues; this answers it in the same scan).
+    * Deterministic under duplicate values/timestamps: the min takes its
+    * earliest timestamp, the max its latest — mirrored two-level argmax
+    * in the oracle.
+    */
+  def argMinMax(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        min(struct(col("value"), col("t_us"))).getField("t_us").as("t_min"),
+        max(col("value")).as("v_max"),
+        max(struct(col("value"), col("t_us"))).getField("t_us").as("t_max"),
+        count(lit(1)).as("v_count"))
+  }
+
   /** Windows at reduced precision — the WindowsParams.depth knob
     * (btrdb.proto:50-57): the reference stops descending the tree at
     * pointwidth `depth` and counts a straddling node wholly in the active
