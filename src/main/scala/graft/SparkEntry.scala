@@ -173,6 +173,10 @@ object SparkEntry {
       TS.argMinMax(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    "ts_lttb" -> ((s, dir) =>
+      graft.ts.Downsample.lttb(Tables.points(s, dir), STREAM, T0, T29, 7)
+        .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
+
     "ts_ewma" -> ((s, dir) =>
       TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -528,6 +532,8 @@ object SparkEntry {
          |           ORDER BY g.g_t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.event_type = b.event_type AND g.g_t = b.g_t
          |ORDER BY g.user_id, g.event_type, g.g_t""".stripMargin,
+
+    "ts_lttb" -> lttbSql(7),
 
     // tie determinism mirrors the struct-argmax: a tied min takes its
     // earliest t_us, a tied max its latest
@@ -994,6 +1000,64 @@ object SparkEntry {
     */
   private def PLANE_SQL(t: String, b: String, d: String): String =
     s"((md5_number_lower(concat('lsh|', $t, '|', $b, '|', $d)) >> 11) / 9007199254740992.0 - 0.5)"
+
+  /** LTTB mirror — graft.ts.Downsample.lttb unrolled: the sequential
+    * bucket-by-bucket selection becomes a chain of nOut-2 CTEs, each
+    * picking its bucket's max-triangle-area point (QUALIFY row_number)
+    * against the previous stage's selection and the precomputed
+    * next-bucket mean (exact integer sums, the same micro-unit rounding).
+    */
+  private def lttbSql(nOut: Int): String = {
+    val middle = nOut - 2
+    def area(cT: String, cV: String) =
+      s"abs((CAST(p.t_us AS DOUBLE) - r.tbar) * ($cV - p.value) - " +
+        s"(CAST(p.t_us AS DOUBLE) - CAST($cT AS DOUBLE)) * (r.vbar - p.value))"
+    val stages = (0 until middle).map { kb =>
+      val prev = if (kb == 0) "firstp" else s"sel${kb - 1}"
+      s"""sel$kb AS (
+         |  SELECT m.user_id AS user_id, m.event_type AS event_type,
+         |         m.t_us AS t_us, m.value AS value
+         |  FROM mid m
+         |  JOIN $prev p ON m.user_id = p.user_id AND m.event_type = p.event_type
+         |  JOIN nextref r ON r.user_id = m.user_id AND r.event_type = m.event_type
+         |    AND r.kb = $kb
+         |  WHERE m.kb = $kb
+         |  QUALIFY row_number() OVER (PARTITION BY m.user_id, m.event_type
+         |    ORDER BY ${area("m.t_us", "m.value")} DESC, m.t_us DESC, m.value DESC) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (0 until middle)
+      .map(kb => s"UNION ALL SELECT user_id, event_type, t_us, value FROM sel$kb")
+      .mkString("\n")
+    s"""WITH pts AS ($PTS_SQL),
+       |s AS (SELECT user_id, event_type, t_us, value,
+       |        row_number() OVER (PARTITION BY user_id, event_type
+       |                           ORDER BY t_us, value) AS rn,
+       |        count(*) OVER (PARTITION BY user_id, event_type) AS n
+       |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+       |small AS (SELECT user_id, event_type, t_us, value FROM s WHERE n <= $nOut),
+       |big AS (SELECT * FROM s WHERE n > $nOut),
+       |firstp AS (SELECT user_id, event_type, t_us, value FROM big WHERE rn = 1),
+       |lastp AS (SELECT user_id, event_type, t_us, value FROM big WHERE rn = n),
+       |mid AS (SELECT user_id, event_type, t_us, value,
+       |          ((rn - 2) * $middle) // (n - 2) AS kb
+       |        FROM big WHERE rn >= 2 AND rn <= n - 1),
+       |bm AS (SELECT user_id, event_type, kb,
+       |         CAST(sum(t_us) AS DOUBLE) / count(*) AS tbar,
+       |         round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) / 1000000.0 AS vbar
+       |       FROM mid GROUP BY 1, 2, 3),
+       |nextref AS (SELECT user_id, event_type, kb - 1 AS kb, tbar, vbar
+       |            FROM bm WHERE kb >= 1
+       |            UNION ALL
+       |            SELECT user_id, event_type, ${middle - 1} AS kb,
+       |                   CAST(t_us AS DOUBLE) AS tbar, value AS vbar FROM lastp),
+       |$stages
+       |SELECT user_id, event_type, t_us, value FROM small
+       |UNION ALL SELECT user_id, event_type, t_us, value FROM firstp
+       |$unions
+       |UNION ALL SELECT user_id, event_type, t_us, value FROM lastp
+       |ORDER BY user_id, event_type, t_us, value""".stripMargin
+  }
 
   /** Exact word-3-gram Jaccard pairs ≥ tau — the oracle for both the scoped
     * exact query and the (exact-verified) MinHash-LSH query.

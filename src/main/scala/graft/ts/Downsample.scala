@@ -1,0 +1,114 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Visual downsampling: Largest-Triangle-Three-Buckets (LTTB), the
+  * standard algorithm dashboards use to reduce a series to `nOut` points
+  * while preserving its visual shape (Steinarsson 2013; what Grafana-class
+  * front-ends run on every panel refresh — the query a BTrDB user scripts
+  * by pulling RawValues and downsampling client-side).
+  *
+  * Canonical count-based form: first and last points always kept; the
+  * remaining points split into nOut-2 equal-count buckets; from each
+  * bucket keep the point forming the largest triangle with the PREVIOUSLY
+  * KEPT point and the next bucket's mean point. The selection is
+  * sequential per stream, so it runs as one flatMapGroups pass per stream
+  * key — at 100 TB you run it over window aggregates or a rollup level
+  * (bounded per-stream series), exactly like EWMA; the per-group work is
+  * O(points-in-range), single pass, no shuffle beyond the stream key.
+  *
+  * Determinism contract (bit-identical to the SQL oracle's unrolled
+  * bucket chain): points ordered by (t, value); bucket of 0-based middle
+  * index j is j*(nOut-2)/m (integer division, m = N-2); next-bucket mean
+  * uses exact integer sums (t as longs, value in Quant micro-units with
+  * the same BigDecimal scale-0 rounding Spark's round() applies); argmax
+  * breaks area ties by (t, value) descending.
+  */
+object Downsample {
+
+  private val SEP = ""
+
+  private def us6L(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private def mean6L(sumUs: Long, n: Long): Double =
+    java.math.BigDecimal.valueOf(sumUs.toDouble / n)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue / 1e6
+
+  /** LTTB per stream over [start, end); streams with ≤ nOut points pass
+    * through unchanged. Output schema: streamCols ++ (t_us, value).
+    */
+  def lttb(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+           nOut: Int, version: Option[Long] = None): DataFrame = {
+    require(nOut >= 3, s"nOut must be at least 3, got $nOut")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val key = streamCols.map(col)
+    val versioned = version.fold(points)(v => points.filter(col("ver") <= v))
+    val inRange = versioned.filter(col("t_us") >= start && col("t_us") < end)
+    val keyed = inRange
+      .select(concat_ws(SEP, key: _*).as("k"), col("t_us"), col("value"))
+      .as[(String, Long, Double)]
+
+    val picked = keyed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val pts = it.map(r => (r._2, r._3)).toArray
+      java.util.Arrays.sort(pts, Ordering.Tuple2[Long, Double])
+      if (pts.length <= nOut) pts.iterator.map(p => (k, p._1, p._2))
+      else {
+        val middle = nOut - 2
+        val m = pts.length - 2
+        // bucket of middle point j (0-based within 1..N-2): j*middle/m
+        def bucketLo(kb: Int): Int = {
+          // first j with j*middle/m == kb: ceil(kb*m / middle)
+          1 + ((kb.toLong * m + middle - 1) / middle).toInt
+        }
+        val out = Array.newBuilder[(Long, Double)]
+        var prev = pts(0)
+        out += prev
+        var kb = 0
+        while (kb < middle) {
+          val lo = bucketLo(kb)
+          val hi = if (kb + 1 < middle) bucketLo(kb + 1) else m + 1
+          // next reference point: bucket kb+1's exact-sum mean, or the
+          // last raw point after the final middle bucket
+          val (tBar, vBar) =
+            if (kb + 1 < middle) {
+              val nLo = bucketLo(kb + 1)
+              val nHi = if (kb + 2 < middle) bucketLo(kb + 2) else m + 1
+              var st = 0L; var sv = 0L; var c = 0L
+              var i = nLo
+              while (i < nHi) { st += pts(i)._1; sv += us6L(pts(i)._2); c += 1; i += 1 }
+              (st.toDouble / c, mean6L(sv, c))
+            } else (pts(pts.length - 1)._1.toDouble, pts(pts.length - 1)._2)
+          val x0 = prev._1.toDouble
+          val y0 = prev._2
+          var bestA = -1.0; var bestT = 0L; var bestV = 0.0; var first = true
+          var i = lo
+          while (i < hi) {
+            val (t, v) = pts(i)
+            val a = math.abs((x0 - tBar) * (v - y0) - (x0 - t.toDouble) * (vBar - y0))
+            if (first || a > bestA ||
+                (a == bestA && (t > bestT || (t == bestT && v > bestV)))) {
+              bestA = a; bestT = t; bestV = v; first = false
+            }
+            i += 1
+          }
+          out += ((bestT, bestV))
+          prev = (bestT, bestV)
+          kb += 1
+        }
+        out += pts(pts.length - 1)
+        out.result().iterator.map(p => (k, p._1, p._2))
+      }
+    }
+
+    // restore the typed stream-key columns via the (metadata-scale)
+    // distinct-stream mapping — keeps the operator generic over key arity
+    val keyMap = inRange.select(key :+ concat_ws(SEP, key: _*).as("k"): _*).distinct()
+    picked.toDF("k", "t_us", "value")
+      .join(broadcast(keyMap), "k")
+      .select(key :+ col("t_us") :+ col("value"): _*)
+  }
+}

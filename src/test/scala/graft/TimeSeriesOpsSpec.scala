@@ -97,6 +97,22 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(c(0).getLong(4) == 3L) // three non-null samples
   }
 
+  test("lttb keeps endpoints, picks the spike, passes small series through") {
+    import graft.ts.Downsample
+    // a flat ramp with one spike at t=55: nOut=3 must keep first, spike, last
+    val p = pts((0L, 0.0), (10L, 1.0), (20L, 2.0), (55L, 90.0), (70L, 6.0), (99L, 9.0))
+    val r3 = Downsample.lttb(p, Seq("uuid"), 0L, 100L, 3)
+      .orderBy("t_us").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(r3.head == (0L, 0.0) && r3.last == (99L, 9.0), s"endpoints kept: $r3")
+    assert(r3.length == 3 && r3(1) == (55L, 90.0), s"spike kept: $r3")
+    // nOut >= series size → identity
+    val all = Downsample.lttb(p, Seq("uuid"), 0L, 100L, 10)
+      .orderBy("t_us").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(all == Seq((0L, 0.0), (10L, 1.0), (20L, 2.0), (55L, 90.0), (70L, 6.0), (99L, 9.0)))
+    // output size is exactly nOut when the series is larger
+    assert(Downsample.lttb(p, Seq("uuid"), 0L, 100L, 4).count() == 4)
+  }
+
   test("resample forward-fills gaps") {
     val p = Seq((1L, 5L, 1.0), (1L, 25L, 3.0)).toDF("user_id", "t_us", "value")
     val r = TimeSeriesOps.resample(p, Seq("user_id"), 0L, 40L, 10L)
