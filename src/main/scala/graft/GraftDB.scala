@@ -131,6 +131,14 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def delta(version: Option[Long] = None): DataFrame =
       TS.delta(points(version), K).drop("uuid")
 
+    def argMinMax(start: Long, end: Long, width: Long,
+                  version: Option[Long] = None): DataFrame =
+      TS.argMinMax(points(version), K, start, end, width).drop("uuid")
+
+    def lttb(start: Long, end: Long, nOut: Int,
+             version: Option[Long] = None): DataFrame =
+      graft.ts.Downsample.lttb(points(version), K, start, end, nOut).drop("uuid")
+
     def gaps(start: Long, end: Long, width: Long,
              version: Option[Long] = None): DataFrame =
       TS.gaps(points(version), K, start, end, width).drop("uuid")

@@ -66,6 +66,8 @@ class GraftDBSpec extends SparkSuite {
     assert(s.ewma(0, 64, 16, 0.5).count() == s.windows(0, 64, 16).count())
     assert(s.interpolate(0, 64, 16).count() == 4)
     assert(s.counterRate(0, 64, 16).count() > 0)
+    assert(s.lttb(0, 64, 5).count() == 5)
+    assert(s.argMinMax(0, 64, 16).count() == s.windows(0, 64, 16).count())
 
     // annotations CAS
     val av = s.setAnnotations(1L, Map("calib" -> Some("x")))
