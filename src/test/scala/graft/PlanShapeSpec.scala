@@ -95,10 +95,14 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("LLM-pipeline joins shuffle on keys, never cartesian") {
-    for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "emb_ann_lsh")) {
+    for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "emb_ann_lsh",
+        "corpus_contamination", "ts_lttb")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
+    // the LTTB key restore is a broadcast of the metadata-scale stream map
+    val lttb = physical(SparkEntry.queries("ts_lttb")(spark, sfDir))
+    assert(lttb.contains("BroadcastHashJoin"), lttb.take(3000))
   }
 
   test("new ts extensions push time bounds to the scan and avoid cartesians") {
