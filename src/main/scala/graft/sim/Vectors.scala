@@ -103,7 +103,8 @@ object Vectors {
     * 2·v·c − |c|², |v|² constant per row); re-rank uses exact cosine.
     */
   def annIvf(emb: DataFrame, nQueries: Int, k: Int,
-             nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3): DataFrame = {
+             nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3,
+             trainLimit: Long = 200000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val all = withNorm(emb)
@@ -126,20 +127,60 @@ object Vectors {
         .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"),
           first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
 
-    // deterministic seed: lowest-id corpus vectors
+    // Two training regimes, one quantizer contract (deterministic
+    // lowest-id seed, argmax(2·v·c − |c|², ties → max cell), mean update
+    // skipping empty cells):
+    //  - corpus ≤ trainLimit: Lloyd runs on the driver over ONE collect —
+    //    the coarse quantizer is tiny, and three distributed rounds are
+    //    pure job-scheduling overhead (this is also how production IVF
+    //    trains at 10^9 vectors: on a bounded SAMPLE, never the corpus).
+    //  - above the limit: distributed rounds — per-cell/per-dim means via
+    //    posexplode aggregation, only nCells×dim values ever collected.
     var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var iter = 0
-    while (iter < lloydIters) {
-      val means = assign(cents)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next
-      iter += 1
+    if (corpus.count() <= trainLimit) {
+      val vecs = corpus.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+      val dim = if (vecs.isEmpty) 0 else vecs(0).length
+      var iter = 0
+      while (iter < lloydIters) {
+        val cn2 = cents.map(c => c.map(x => x * x).sum)
+        val sums = Array.fill(nCells)(new Array[Double](dim))
+        val counts = new Array[Long](nCells)
+        vecs.foreach { v =>
+          var best = -1; var bestScore = 0.0
+          var c = 0
+          while (c < nCells) {
+            var s = 0.0
+            var d = 0
+            while (d < dim) { s += v(d).toDouble * cents(c)(d); d += 1 }
+            val score = s * 2 - cn2(c)
+            if (best < 0 || score >= bestScore) { best = c; bestScore = score }
+            c += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < dim) { sums(best)(d) += v(d).toDouble; d += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (c, i) =>
+          if (counts(i) == 0) c.clone()
+          else sums(i).map(_ / counts(i))
+        }
+        iter += 1
+      }
+    } else {
+      var iter = 0
+      while (iter < lloydIters) {
+        val means = assign(cents)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
+        iter += 1
+      }
     }
 
     val assigned = assign(cents)
