@@ -70,20 +70,12 @@ object Vectors {
     * exact value of DuckDB's md5_number_lower), mapped to [-0.5, 0.5).
     * No runtime RNG — reproducible across runs/executors AND recomputable
     * verbatim by the SQL oracle, which is what lets emb_ann_lsh be
-    * hash-gated instead of rows-only.
+    * hash-gated instead of rows-only. Generation + caching live in
+    * graft.plans.LshBuckets, shared with the codegen bucketing expression.
     */
-  private def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def unit(t: Int, b: Int, d: Int): Double = {
-      val dig = md.digest(s"lsh|$t|$b|$d".getBytes("UTF-8"))
-      var h = 0L
-      var i = 15
-      while (i >= 8) { h = (h << 8) | (dig(i) & 0xffL); i -= 1 }
-      (h >>> 11).toDouble / 9007199254740992.0 - 0.5
-    }
-    Seq.tabulate(nTables)(t =>
-      Seq.tabulate(bitsPerTable)(b => Array.tabulate(dim)(d => unit(t, b, d))))
-  }
+  private def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] =
+    graft.plans.LshBuckets.planes(nTables, bitsPerTable, dim)
+      .toSeq.map(_.toSeq)
 
   /** IVF (inverted-file) ANN — the other classic scale path besides LSH.
     *
@@ -222,21 +214,13 @@ object Vectors {
              nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // Hyperplanes enter the plan as a broadcast (nTables·bitsPerTable)-row
-    // DataFrame — not thousands of literal columns (analysis cost) — and
-    // each vector's bucket per table is one broadcast join + groupBy.
-    val planesDf = broadcast(planes(nTables, bitsPerTable, dim).zipWithIndex
-      .flatMap { case (table, t) =>
-        table.zipWithIndex.map { case (plane, b) => (t, b, plane.toSeq) }
-      }.toDF("tbl", "bit", "pvec"))
+    // Bucketing is ONE narrow codegen'd pass (LshBuckets): every vector's
+    // bucket in all tables computed in place — no hyperplane join, no
+    // groupBy shuffle; the only data movement is the candidate join below.
     val hashed = withNorm(emb)
-      .join(planesDf)
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(
-        sum(when(dot(col("embedding"), col("pvec")) > 0, expr("shiftleft(1, bit)"))
-          .otherwise(0)).as("bucket"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("tbl"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsPerTable, dim))
+          .as(Seq("tbl", "bucket")))
     val probeFlips = (-1 until bitsPerTable).map { j =>
       if (j < 0) col("bucket") else expr(s"bucket ^ ${1 << j}")
     }
