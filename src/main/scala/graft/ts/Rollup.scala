@@ -106,6 +106,39 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     cached.foreach(_.unpersist())
   }
 
+  /** Serve EXACT arbitrary-width Windows from the coarsest level whose
+    * buckets tile the windows — width divisible by 2^l and `start`
+    * 2^l-aligned, so every bucket lies wholly inside one window and the
+    * re-aggregation is exact (integer micro-unit sums). Anything else
+    * falls back to raw. This is the qtree's Windows read path: the
+    * reference answers WindowsParams from internal nodes whenever the
+    * window geometry permits (qtree.go QueryWindow descends only to the
+    * node size that fits).
+    */
+  def windows(raw: => DataFrame, streamCols: Seq[String],
+              start: Long, end: Long, width: Long): DataFrame = {
+    val usable = pointwidths.filter(l =>
+      width % (1L << l) == 0 && (start & ((1L << l) - 1)) == 0L)
+    if (usable.isEmpty) TimeSeriesOps.windows(raw, streamCols, start, end, width)
+    else {
+      val l = usable.max
+      val completeEnd = start + ((end - start) / width) * width
+      val d = col("w_start") - start
+      level(l)
+        .filter(col("w_start") >= start && col("w_start") < completeEnd)
+        .groupBy(streamCols.map(col)
+          :+ (lit(start) + d - pmod(d, lit(width))).as("w_win"): _*)
+        .agg(
+          min(col("v_min")).as("v_min"),
+          graft.Quant.mean6(sum(col("v_sum_us")), sum(col("v_count"))).as("v_mean"),
+          max(col("v_max")).as("v_max"),
+          sum(col("v_count")).as("v_count"))
+        .withColumnRenamed("w_win", "w_start")
+        .select(streamCols.map(col) :+ col("w_start") :+ col("v_min")
+          :+ col("v_mean") :+ col("v_max") :+ col("v_count"): _*)
+    }
+  }
+
   /** Serve depth-approximate Windows (TimeSeriesOps.windowsApprox — the
     * WindowsParams.depth semantics) from the coarsest level ≤ depth: merge
     * level buckets up to 2^depth, then assign each to the window containing

@@ -162,6 +162,29 @@ class RollupSpec extends SparkSuite {
     raw.zip(served).foreach { case (d, r) => assert(d == r) }
   }
 
+  test("exact windows served from a level equal direct aggregation") {
+    val pts = Tables.points(spark, sfDir).cache()
+    val depth = 30
+    val start = (T0 >> depth) << depth
+    val w = 4L << depth // width = 4 buckets at level 30 → exact tiling
+    val end = start + 12 * w
+    val ru = Rollup(spark, tmpDir("rollup"), Seq(24, 30))
+    ru.build(pts, STREAM)
+    val direct = TimeSeriesOps.windows(pts, STREAM, start, end, w)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val served = ru.windows(pts, STREAM, start, end, w)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(direct.length == served.length && direct.nonEmpty)
+    direct.zip(served).foreach { case (d, r) => assert(d == r) }
+    // unaligned start → raw fallback, still correct
+    val fb = ru.windows(pts, STREAM, start + 7, end, w)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val fbDirect = TimeSeriesOps.windows(pts, STREAM, start + 7, end, w)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(fb.length == fbDirect.length)
+    fb.zip(fbDirect).foreach { case (d, r) => assert(d == r) }
+  }
+
   test("queries below the finest level fall back to raw") {
     val pts = Tables.points(spark, sfDir)
     val ru = Rollup(spark, tmpDir("rollup"), Seq(30))
