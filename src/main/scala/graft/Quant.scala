@@ -52,4 +52,14 @@ object Quant {
     */
   def mean6(sumUs: Column, n: Column): Column =
     round(sumUs.cast("double") / n, 0) / 1e6 + lit(0d)
+
+  /** Exact micro-unit SUM aggregate for an UNBOUNDED group (whole-stream
+    * or SF-scaled aggregates): DECIMAL(38,0) accumulation — a long wraps
+    * silently past 9.2e18 while the DuckDB oracle's sum(BIGINT) promotes
+    * to HUGEINT. Feed the result to mean6 (the decimal→double cast rounds
+    * nearest on both engines). Windowed groups can keep the cheaper long
+    * sum — see the bound above.
+    */
+  def sumUs6Unbounded(c: Column): Column =
+    sum(us6(c).cast("decimal(38,0)"))
 }

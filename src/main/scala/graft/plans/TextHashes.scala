@@ -113,7 +113,10 @@ object TextHashes {
     */
   def md5Lower64(base: AnyRef, off: Long, len: Int): Long = {
     val ctx = md5Local.get()
-    if (ctx.buf.length < len) ctx.buf = new Array[Byte](Integer.highestOneBit(len) * 2)
+    if (ctx.buf.length < len)
+      // highestOneBit*2 would wrap negative past 2^30 — clamp to len
+      ctx.buf = new Array[Byte](
+        if (len > (1 << 30)) len else Integer.highestOneBit(len) * 2)
     org.apache.spark.unsafe.Platform.copyMemory(base, off, ctx.buf,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
     ctx.md.reset()

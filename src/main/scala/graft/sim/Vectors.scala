@@ -65,17 +65,8 @@ object Vectors {
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component (t, b, d) is
-    * derived from md5 of "lsh|t|b|d" (lower 64 bits, little-endian — the
-    * exact value of DuckDB's md5_number_lower), mapped to [-0.5, 0.5).
-    * No runtime RNG — reproducible across runs/executors AND recomputable
-    * verbatim by the SQL oracle, which is what lets emb_ann_lsh be
-    * hash-gated instead of rows-only. Generation + caching live in
-    * graft.plans.LshBuckets, shared with the codegen bucketing expression.
-    */
-  private def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] =
-    graft.plans.LshBuckets.planes(nTables, bitsPerTable, dim)
-      .toSeq.map(_.toSeq)
+  // Hyperplane generation + caching live in graft.plans.LshBuckets (md5-
+  // derived, reproducible across engines — the basis of the LSH oracle).
 
   /** IVF (inverted-file) ANN — the other classic scale path besides LSH.
     *

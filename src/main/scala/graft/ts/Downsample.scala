@@ -27,18 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Downsample {
 
-  private val SEP = ""
+  private val SEP = "\u0001"
 
   private def us6L(v: Double): Long =
     java.math.BigDecimal.valueOf(v * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue
 
-  private def mean6L(sumUs: Long, n: Long): Double =
-    java.math.BigDecimal.valueOf(sumUs.toDouble / n)
+  private def mean6B(sumUs: BigInt, n: Long): Double =
+    java.math.BigDecimal.valueOf(sumUs.doubleValue / n)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue / 1e6
 
+  // stands in for NULL inside the packed key: concat_ws SKIPS nulls, which
+  // would collapse (null, "a") and ("a", null) into one stream
+  private val NULL_SENTINEL = "\u0000"
+
   /** LTTB per stream over [start, end); streams with ≤ nOut points pass
-    * through unchanged. Output schema: streamCols ++ (t_us, value).
+    * through unchanged. Output schema: streamCols ++ (t_us, value). Key
+    * columns must be castable to/from string without loss (numeric or
+    * string stream identities) and must not contain the \u0001 separator.
     */
   def lttb(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
            nOut: Int, version: Option[Long] = None): DataFrame = {
@@ -48,8 +54,11 @@ object Downsample {
     val key = streamCols.map(col)
     val versioned = version.fold(points)(v => points.filter(col("ver") <= v))
     val inRange = versioned.filter(col("t_us") >= start && col("t_us") < end)
+    val keyTypes = inRange.select(key: _*).schema
     val keyed = inRange
-      .select(concat_ws(SEP, key: _*).as("k"), col("t_us"), col("value"))
+      .select(concat_ws(SEP,
+          key.map(c => coalesce(c.cast("string"), lit(NULL_SENTINEL))): _*).as("k"),
+        col("t_us"), col("value"))
       .as[(String, Long, Double)]
 
     val picked = keyed.groupByKey(_._1).flatMapGroups { (k, it) =>
@@ -77,10 +86,13 @@ object Downsample {
             if (kb + 1 < middle) {
               val nLo = bucketLo(kb + 1)
               val nHi = if (kb + 2 < middle) bucketLo(kb + 2) else m + 1
-              var st = 0L; var sv = 0L; var c = 0L
+              // BigInt sums: a Long wraps past 9.2e18 (epoch-µs timestamps
+              // over a few thousand points already cross it) while the SQL
+              // oracle sums in HUGEINT — both convert nearest-to-double
+              var st = BigInt(0); var sv = BigInt(0); var c = 0L
               var i = nLo
               while (i < nHi) { st += pts(i)._1; sv += us6L(pts(i)._2); c += 1; i += 1 }
-              (st.toDouble / c, mean6L(sv, c))
+              (st.doubleValue / c, mean6B(sv, c))
             } else (pts(pts.length - 1)._1.toDouble, pts(pts.length - 1)._2)
           val x0 = prev._1.toDouble
           val y0 = prev._2
@@ -104,11 +116,14 @@ object Downsample {
       }
     }
 
-    // restore the typed stream-key columns via the (metadata-scale)
-    // distinct-stream mapping — keeps the operator generic over key arity
-    val keyMap = inRange.select(key :+ concat_ws(SEP, key: _*).as("k"): _*).distinct()
+    // restore the typed stream-key columns by unpacking the key string —
+    // no second scan of the fact data, no join
+    val parts = split(col("k"), SEP, -1)
+    val restored = keyTypes.zipWithIndex.map { case (f, i) =>
+      when(parts(i) === NULL_SENTINEL, lit(null))
+        .otherwise(parts(i)).cast(f.dataType).as(f.name)
+    }
     picked.toDF("k", "t_us", "value")
-      .join(broadcast(keyMap), "k")
-      .select(key :+ col("t_us") :+ col("value"): _*)
+      .select(restored :+ col("t_us") :+ col("value"): _*)
   }
 }

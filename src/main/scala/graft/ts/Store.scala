@@ -213,10 +213,16 @@ class Store(val spark: SparkSession, val base: String) {
       .filter($"ver" > fromVer && $"ver" <= toVer)
       .select(shiftleft(shiftright($"time", res), res).as("r_start"))
       .withColumn("r_end", $"r_start" + (1L << res))
+    // align-up saturates: a full-range tombstone (obliterate, t_end =
+    // Long.MaxValue) must not wrap to MinValue and vanish as a degenerate
+    // range — it invalidates everything
+    val endCap = Long.MaxValue - (1L << res)
     val del = tombstones
       .filter($"uuid" === uuid && $"ver" > fromVer && $"ver" <= toVer)
       .select(shiftleft(shiftright($"t_start", res), res).as("r_start"),
-        (shiftleft(shiftright($"t_end" - 1, res), res) + (1L << res)).as("r_end"))
+        when($"t_end" > endCap, lit(Long.MaxValue))
+          .otherwise(shiftleft(shiftright($"t_end" - 1, res), res) + (1L << res))
+          .as("r_end"))
     val aligned = ins.unionByName(del).distinct()
       .withColumn("uuid", lit(uuid))
     TimeSeriesOps.mergeRanges(aligned, Seq("uuid")).drop("uuid")

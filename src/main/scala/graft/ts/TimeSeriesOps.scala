@@ -160,8 +160,7 @@ object TimeSeriesOps {
     atVersion(points, version).groupBy(streamKey(streamCols): _*)
       .agg(
         min(col("value")).as("v_min"),
-        graft.Quant.mean6(
-          sum(graft.Quant.us6(col("value")).cast("decimal(38,0)")),
+        graft.Quant.mean6(graft.Quant.sumUs6Unbounded(col("value")),
           count(lit(1))).as("v_mean"),
         max(col("value")).as("v_max"),
         count(lit(1)).as("v_count"),

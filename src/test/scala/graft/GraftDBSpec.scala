@@ -77,9 +77,13 @@ class GraftDBSpec extends SparkSuite {
     assert(db.listCollections("plant/").count() == 1)
     assert(db.lookupStreams("plant/", Map("unit" -> "V")).count() == 1)
 
-    // obliterate: gone from data and metadata
+    // obliterate: gone from data and metadata — AND from rollup-served
+    // reads (the full-range tombstone must invalidate every window, not
+    // vanish in align-up overflow)
     s.obliterate()
     assert(s.rawValues(0, 64).count() == 0)
     assert(db.lookupStreams("plant/").count() == 0)
+    assert(s.alignedWindows(ru, 0, 64, 4, rollupBuiltAt = v1).count() == 0,
+      "stale rollup must not serve an obliterated stream")
   }
 }

@@ -100,9 +100,10 @@ class PlanShapeSpec extends SparkSuite {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
-    // the LTTB key restore is a broadcast of the metadata-scale stream map
+    // LTTB is join-free: one pass to group by stream, key columns
+    // restored by unpacking the packed key — no second scan of the facts
     val lttb = physical(SparkEntry.queries("ts_lttb")(spark, sfDir))
-    assert(lttb.contains("BroadcastHashJoin"), lttb.take(3000))
+    assert(!lttb.contains("Join"), lttb.take(3000))
   }
 
   test("new ts extensions push time bounds to the scan and avoid cartesians") {
