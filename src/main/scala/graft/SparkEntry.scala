@@ -32,6 +32,8 @@ object SparkEntry {
   private val T29 = 1706486400000000L // 2024-01-29
   private val T31 = 1706659200000000L // 2024-01-31
   private val DAY = 86400000000L
+  private val WEEK = 7 * DAY // [T0, T29) is exactly 4 complete weeks
+  private val HOUR = 3600000000L
   private val STREAM = Seq("user_id", "event_type")
 
   // Single source of truth for the SQL mirror of Tables.points/streams —
@@ -193,6 +195,33 @@ object SparkEntry {
       TS.counterRate(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    "ts_sessionize" -> ((s, dir) =>
+      TS.sessionize(Tables.points(s, dir), STREAM, 2 * DAY)
+        .orderBy(col("user_id"), col("event_type"), col("s_start"))),
+
+    "ts_rolling" -> ((s, dir) =>
+      TS.rolling(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    "ts_percentile" -> ((s, dir) =>
+      TS.percentileWindows(Tables.points(s, dir), STREAM, T0, T29, WEEK, Seq(0.5, 0.95))
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    "ts_anomaly" -> ((s, dir) =>
+      TS.anomalies(Tables.points(s, dir), STREAM, 2.0)
+        .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
+
+    "ts_correlation" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      TS.correlation(p.filter(col("event_type") === "click"),
+          p.filter(col("event_type") === "view"), Seq("user_id"), T0, T29, DAY)
+        .orderBy(col("user_id"))
+    }),
+
+    "ts_seasonal" -> ((s, dir) =>
+      TS.seasonalProfile(Tables.points(s, dir), Seq("event_type"), HOUR, 24)
+        .orderBy(col("event_type"), col("pos"))),
+
     // ---- General analytics -------------------------------------------
     // Money sums/means go through exact integer sub-unit sums (graft.Quant
     // doc): l_* values are 2-dp decimals, so their sums and means land
@@ -346,6 +375,10 @@ object SparkEntry {
     "corpus_stats" -> ((s, dir) =>
       TextFunctions.corpusStats(Tables.load(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))),
+
+    "corpus_vocab" -> ((s, dir) =>
+      TextFunctions.vocab(Tables.load(s, dir, "documents"), 100)
+        .orderBy(col("doc_freq").desc, col("word"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -650,6 +683,117 @@ object SparkEntry {
          |       CAST(count(inc) AS BIGINT) AS n_samples
          |FROM i GROUP BY 1, 2, 3 ORDER BY user_id, event_type, w_start""".stripMargin,
 
+    "ts_sessionize" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |l AS (SELECT user_id, event_type, t_us, value, lag(t_us) OVER w AS prev_t
+         |      FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_us, value)),
+         |f AS (SELECT *, CASE WHEN prev_t IS NULL OR t_us - prev_t > ${2 * DAY}
+         |                     THEN 1 ELSE 0 END AS is_new FROM l),
+         |i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type
+         |                                  ORDER BY t_us, value
+         |                                  ROWS UNBOUNDED PRECEDING) AS session FROM f)
+         |SELECT user_id, event_type, min(t_us) AS s_start, max(t_us) AS s_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${MEAN6(s"sum(${US6("value")})", "count(*)")} AS v_mean,
+         |       max(t_us) - min(t_us) AS duration_us
+         |FROM i GROUP BY user_id, event_type, session
+         |ORDER BY user_id, event_type, s_start""".stripMargin,
+
+    "ts_rolling" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |b AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        min(value) AS v_min, max(value) AS v_max,
+         |        sum(${US6("value")}) AS v_sum_us, count(*) AS v_count
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, w_start,
+         |       ${MEAN6("v_sum_us", "v_count")} AS v_mean,
+         |       ${MEAN6("sum(v_sum_us) OVER w", "sum(v_count) OVER w")} AS roll_mean,
+         |       min(v_min) OVER w AS roll_min,
+         |       max(v_max) OVER w AS roll_max,
+         |       CAST(count(*) OVER w AS BIGINT) AS n_windows
+         |FROM b
+         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    "ts_percentile" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $WEEK) AS w_start, t_us, value
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY user_id, event_type, w_start
+         |                           ORDER BY value, t_us) AS rn,
+         |        count(*) OVER (PARTITION BY user_id, event_type, w_start) AS n
+         |      FROM w)
+         |SELECT user_id, event_type, w_start, CAST(count(*) AS BIGINT) AS n_points,
+         |       ${PCT_SQL(0.5)} AS p50,
+         |       ${PCT_SQL(0.95)} AS p95
+         |FROM r GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.anomalies term-for-term: integer micro-unit
+    // moment sums (HUGEINT ≡ Spark's DECIMAL(38,0)), then the identical
+    // cast → mean → variance → sqrt → z float pipeline (sqrt is IEEE-
+    // correctly-rounded on both engines)
+    "ts_anomaly" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |u AS (SELECT user_id, event_type, t_us, value, ${US6("value")} AS us FROM pts),
+         |st AS (SELECT user_id, event_type, sum(us) AS s1,
+         |              sum(CAST(us AS HUGEINT) * us) AS s2, count(*) AS n
+         |       FROM u GROUP BY 1, 2),
+         |j AS (SELECT u.user_id AS user_id, u.event_type AS event_type,
+         |             u.t_us AS t_us, u.value AS value, u.us AS us,
+         |             CAST(st.s1 AS DOUBLE) / st.n AS mean,
+         |             sqrt(CAST(st.s2 AS DOUBLE) / st.n
+         |                  - (CAST(st.s1 AS DOUBLE) / st.n) * (CAST(st.s1 AS DOUBLE) / st.n)) AS std
+         |      FROM u JOIN st ON u.user_id = st.user_id AND u.event_type = st.event_type)
+         |SELECT user_id, event_type, t_us, value,
+         |       ${Q6("(CAST(us AS DOUBLE) - mean) / std")} AS z_score
+         |FROM j WHERE std > 0 AND abs((CAST(us AS DOUBLE) - mean) / std) >= 2.0
+         |ORDER BY user_id, event_type, t_us, value""".stripMargin,
+
+    // mirrors TimeSeriesOps.correlation: exact integer µ-unit window means,
+    // exact HUGEINT moment sums, one deterministic float assembly of r
+    "ts_correlation" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |x AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS x
+         |      FROM pts WHERE event_type = 'click' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |y AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS y
+         |      FROM pts WHERE event_type = 'view' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |j AS (SELECT x.user_id AS user_id, x.x AS x, y.y AS y
+         |      FROM x JOIN y ON x.user_id = y.user_id AND x.w_start = y.w_start),
+         |m AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |             sum(CAST(y AS HUGEINT) * y) AS syy,
+         |             sum(CAST(x AS HUGEINT) * y) AS sxy
+         |      FROM j GROUP BY 1)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_windows,
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |             AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |            THEN ${Q6(
+             """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
+         |       END AS r
+         |FROM m ORDER BY user_id""".stripMargin,
+
+    "ts_seasonal" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT event_type, (t_us // $HOUR) % 24 AS pos,
+         |       min(value) AS v_min,
+         |       ${MEAN6(s"sum(${US6("value")})", "count(*)")} AS v_mean,
+         |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
+         |FROM pts GROUP BY 1, 2 ORDER BY event_type, pos""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       round(sum(l_quantity), 2) AS sum_qty,
@@ -939,6 +1083,12 @@ object SparkEntry {
          |       ${MEAN6(s"sum(${US6("quality_score")})", "count(*)")} AS avg_quality
          |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
+    "corpus_vocab" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |w AS (SELECT unnest(list_distinct(string_split(norm, ' '))) AS word FROM d)
+         |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq
+         |FROM w GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin,
+
     "text_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)
          |SELECT doc_id, md5(norm) AS fp_md5,
@@ -962,6 +1112,19 @@ object SparkEntry {
   // EWMA coefficients — MUST be the same strings the Scala op embeds
   private val EWMA_A = java.lang.Double.toString(0.3)
   private val EWMA_B = java.lang.Double.toString(1.0 - 0.3)
+
+  /** Interpolated-percentile aggregate over (rn, n, value) — mirrors
+    * TimeSeriesOps.percentileWindows: idx = p·(n-1), lookup of the two
+    * closest ranks by conditional aggregation, then the identical
+    * lo + (hi-lo)·frac float blend (p serialized via Double.toString).
+    */
+  private def PCT_SQL(p: Double): String = {
+    val ps = java.lang.Double.toString(p)
+    val idx = s"$ps * CAST(n - 1 AS DOUBLE)"
+    val lo = s"max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1 THEN value END)"
+    val hi = s"max(CASE WHEN rn = CAST(ceil($idx) AS BIGINT) + 1 THEN value END)"
+    Q6(s"$lo + ($hi - $lo) * max($idx - floor($idx))")
+  }
 
   private def CSV_MEAN_SQL(u: Int) =
     MEAN6(s"sum(CASE WHEN user_id = $u THEN ${US6("value")} END)",

@@ -204,6 +204,21 @@ object TextFunctions {
     * 8-char shingles (min-of-rolling-window, the degenerate single-window
     * form of the winnowing scheme).
     */
+  /** Corpus vocabulary by document frequency: the top `k` words by the
+    * number of distinct documents containing them (ties broken
+    * alphabetically). Distinct-words-per-doc via array_distinct (map-side,
+    * per row) then explode + count: one partial-aggregated shuffle on the
+    * word key; the global top-k is a TakeOrdered, never a full sort. The
+    * dataset-card / tokenizer-coverage query.
+    */
+  def vocab(docs: DataFrame, k: Int): DataFrame =
+    withBase(docs)
+      .select(explode(array_distinct(col("w"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("word"))
+      .limit(k)
+
   def fingerprint(docs: DataFrame): DataFrame =
     withBase(docs).select(
       col("doc_id"),

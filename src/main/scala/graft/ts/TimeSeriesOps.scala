@@ -439,6 +439,197 @@ object TimeSeriesOps {
         col("n_samples")): _*)
   }
 
+  /** Sessionize: split each stream into activity sessions separated by
+    * silence longer than `gapUs` — classic gaps-and-islands (lag + running
+    * sum), one shuffle on the stream key. Equal-timestamp ties share a dt
+    * of zero, so the session assignment is order-independent. Output one
+    * row per session with its time bounds, event count, and mean value
+    * (exact micro-unit sum; per-session counts are windowed-scale, so a
+    * long accumulator suffices per the graft.Quant bound).
+    */
+  def sessionize(points: DataFrame, streamCols: Seq[String], gapUs: Long,
+                 version: Option[Long] = None): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val key = streamKey(streamCols)
+    val w = Window.partitionBy(key: _*).orderBy(col("t_us"), col("value"))
+    atVersion(points, version)
+      .select(key :+ col("t_us") :+ col("value"): _*)
+      .withColumn("prev_t", lag(col("t_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_t").isNull || col("t_us") - col("prev_t") > gapUs, 1).otherwise(0))
+      .withColumn("session", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(key :+ col("session"): _*)
+      .agg(
+        min(col("t_us")).as("s_start"),
+        max(col("t_us")).as("s_end"),
+        count(lit(1)).as("n_events"),
+        graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"))
+      .withColumn("duration_us", col("s_end") - col("s_start"))
+      .drop("session")
+  }
+
+  /** Rolling statistics over the trailing `k` non-empty windows (current
+    * included) of the windows() series: rolling mean re-aggregated from the
+    * exact per-window micro-unit sums (so it is NOT a mean-of-means — each
+    * point weighs equally), plus rolling min/max and the number of windows
+    * actually present in the frame. The frame runs over the bounded
+    * per-stream window series — rollup-scale data, never raw points.
+    */
+  def rolling(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+              width: Long, k: Int, version: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val base = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        sum(graft.Quant.us6(col("value"))).as("v_sum_us"),
+        count(lit(1)).as("v_count"))
+    val frame = Window.partitionBy(key: _*).orderBy(col("w_start"))
+      .rowsBetween(-(k - 1).toLong, 0)
+    base.select(key ++ Seq(col("w_start"),
+      graft.Quant.mean6(col("v_sum_us"), col("v_count")).as("v_mean"),
+      graft.Quant.mean6(sum(col("v_sum_us")).over(frame), sum(col("v_count")).over(frame))
+        .as("roll_mean"),
+      min(col("v_min")).over(frame).as("roll_min"),
+      max(col("v_max")).over(frame).as("roll_max"),
+      count(lit(1)).over(frame).as("n_windows")): _*)
+  }
+
+  /** Exact interpolated per-window percentiles (linear interpolation
+    * between closest ranks, the numpy/Type-7 definition): for quantile p
+    * over n ordered values, idx = p·(n-1), result = v[floor(idx)] +
+    * (v[ceil(idx)] - v[floor(idx)])·frac. Rank assignment is deterministic
+    * (ORDER BY value, t_us) and the rank→value lookup is conditional
+    * aggregation over row_number — no per-group sort materialization, one
+    * shuffle. Unlike approx_percentile this is exact AND engine-portable
+    * (the oracle replays the identical float ops).
+    */
+  def percentileWindows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                        width: Long, ps: Seq[Double],
+                        version: Option[Long] = None): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"quantiles must be in [0,1]: $ps")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val grp = key :+ col("w_start")
+    val ord = Window.partitionBy(grp: _*).orderBy(col("value"), col("t_us"))
+    val ranked = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key :+ widthBucket(start, width) :+ col("t_us") :+ col("value"): _*)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+    // '.'-free temp column suffix: dots in column names break resolution
+    def tag(p: Double) = java.lang.Double.toString(p).replace('.', '_')
+    val aggs = ps.flatMap { p =>
+      val ps6 = tag(p)
+      val idx = lit(p) * (col("n") - 1).cast("double")
+      val lo = floor(idx).cast("long") + 1
+      val hi = ceil(idx).cast("long") + 1
+      Seq(
+        max(when(col("rn") === lo, col("value"))).as(s"lo_$ps6"),
+        max(when(col("rn") === hi, col("value"))).as(s"hi_$ps6"),
+        max(idx - floor(idx)).as(s"frac_$ps6"))
+    } :+ count(lit(1)).as("n_points")
+    val out = ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+    val cols = key ++ Seq(col("w_start"), col("n_points")) ++ ps.map { p =>
+      val ps6 = tag(p)
+      val label = "p" + (if (p * 100 == (p * 100).floor) (p * 100).toInt.toString
+                         else ps6.replace("0_", ""))
+      graft.Quant.q6(col(s"lo_$ps6") +
+        (col(s"hi_$ps6") - col(s"lo_$ps6")) * col(s"frac_$ps6")).as(label)
+    }
+    out.select(cols: _*)
+  }
+
+  /** Per-stream z-score anomalies: points whose value deviates from the
+    * stream's global mean by ≥ `zThresh` standard deviations. The
+    * per-stream moments come from ONE pass of exact integer micro-unit
+    * sums (DECIMAL(38,0) — unbounded groups, and the squared sums reach
+    * 10^21 at sf0.1 already); the metadata-scale stats table is broadcast
+    * back onto the raw scan, so the whole operator is scan + broadcast-join
+    * + filter: no window sort over raw points, survives any corpus size.
+    * The float pipeline (cast → mean → variance → sqrt → z) is replayed
+    * term-for-term by the oracle; sqrt is IEEE-correctly-rounded on both.
+    */
+  def anomalies(points: DataFrame, streamCols: Seq[String], zThresh: Double,
+                version: Option[Long] = None): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    val key = streamKey(streamCols)
+    val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
+    val pts = atVersion(points, version)
+    val stats = pts.groupBy(key: _*)
+      .agg(sum(us).as("s1"), sum(us * us).as("s2"), count(lit(1)).as("n"))
+      .select(key ++ Seq(col("s1"), col("s2"), col("n")): _*)
+    val mean = col("s1").cast("double") / col("n")
+    val ex2 = col("s2").cast("double") / col("n")
+    val std = sqrt(ex2 - mean * mean)
+    val z = (graft.Quant.us6(col("value")).cast("double") - mean) / std
+    pts.join(broadcast(stats), streamCols)
+      .withColumn("z", z)
+      .filter(std > 0 && abs(col("z")) >= zThresh)
+      .select(key ++ Seq(col("t_us"), col("value"),
+        graft.Quant.q6(col("z")).as("z_score")): _*)
+  }
+
+  /** Pearson correlation between two point sets (e.g. two sensor types)
+    * per `keyCols`, computed over their aligned window-mean series: both
+    * sides reduce to exact integer micro-unit window means, inner-join on
+    * (key, window), then one aggregation of exact integer moment sums
+    * (DECIMAL — products of µ-unit means overflow a long) with the final
+    * r assembled in one deterministic float expression. Two map-side
+    * partial aggs + one join on (key, window) + one agg on key: every
+    * stage keyed, nothing quadratic, no raw-data window sort.
+    */
+  def correlation(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  start: Long, end: Long, width: Long): DataFrame = {
+    val key = keyCols.map(col)
+    def meansOf(df: DataFrame, out: String): DataFrame = {
+      val d = col("t_us") - start
+      df.filter(col("t_us") >= start && col("t_us") < end)
+        .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+        .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+          .cast("long").as(out))
+    }
+    val joined = meansOf(left, "x").join(meansOf(right, "y"), keyCols :+ "w_start")
+    val xd = col("x").cast("decimal(38,0)")
+    val yd = col("y").cast("decimal(38,0)")
+    val mom = joined.groupBy(key: _*).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"), sum(xd * yd).as("sxy"))
+    val nD = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val den1 = sqrt(nD * col("sxx").cast("double") - sx * sx)
+    val den2 = sqrt(nD * col("syy").cast("double") - sy * sy)
+    mom.select(key ++ Seq(col("n").as("n_windows"),
+      when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
+  }
+
+  /** Seasonal profile: aggregate each stream's values by position within a
+    * repeating period — here hour-of-day (periodUs = 1 h buckets, modulo
+    * `periodBuckets` per cycle). The load-shape / diurnal-pattern query.
+    * Group count per (key, bucket) grows with data volume (unbounded), so
+    * the micro-unit sums accumulate as DECIMAL per the graft.Quant rule.
+    */
+  def seasonalProfile(points: DataFrame, keyCols: Seq[String], bucketUs: Long,
+                      periodBuckets: Int, version: Option[Long] = None): DataFrame = {
+    val key = keyCols.map(col)
+    val bucket = pmod(expr(s"t_us div $bucketUs"), lit(periodBuckets.toLong)).as("pos")
+    atVersion(points, version)
+      .groupBy(key :+ bucket: _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        graft.Quant.mean6(graft.Quant.sumUs6Unbounded(col("value")),
+          count(lit(1))).as("v_mean"),
+        max(col("value")).as("v_max"),
+        count(lit(1)).as("v_count"))
+  }
+
   /** Resample onto a regular [start, end) grid with step `width`,
     * forward-filling the last observed value (gap fill). The grid is
     * generated distributed (per stream via sequence+explode), joined to the

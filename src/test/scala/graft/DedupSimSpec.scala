@@ -95,4 +95,13 @@ class DedupSimSpec extends SparkSuite {
     assert(d.count() == docs.count())
     assert(d.filter(col("keep_id") > col("doc_id")).count() == 0)
   }
+
+  test("vocab counts document frequency, not term frequency") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val v = graft.text.TextFunctions.vocab(d, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 'a' appears twice in doc 1 but its doc_freq is 1; ties alphabetical
+    assert(v == Seq(("b", 2L), ("a", 1L), ("c", 1L)))
+  }
 }

@@ -113,6 +113,66 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(Downsample.lttb(p, Seq("uuid"), 0L, 100L, 4).count() == 4)
   }
 
+  test("sessionize splits on silence longer than the gap") {
+    val p = pts((0L, 1.0), (10L, 2.0), (100L, 3.0))
+    val s = TimeSeriesOps.sessionize(p, Seq("uuid"), 20L)
+      .orderBy("s_start").collect()
+    assert(s.length == 2)
+    assert((s(0).getLong(1), s(0).getLong(2), s(0).getLong(3)) == (0L, 10L, 2L))
+    assert(s(0).getDouble(4) == 1.5)      // mean of the first session
+    assert(s(0).getLong(5) == 10L)        // duration
+    assert((s(1).getLong(1), s(1).getLong(3)) == (100L, 1L))
+  }
+
+  test("rolling re-aggregates exact sums over the trailing k windows") {
+    val p = pts((5L, 10.0), (15L, 20.0), (25L, 30.0))
+    val r = TimeSeriesOps.rolling(p, Seq("uuid"), 0L, 30L, 10L, 2)
+      .orderBy("w_start").collect()
+    assert(r.map(_.getDouble(2)).toSeq == Seq(10.0, 20.0, 30.0))   // own mean
+    assert(r.map(_.getDouble(3)).toSeq == Seq(10.0, 15.0, 25.0))   // rolling mean
+    assert(r.map(_.getDouble(4)).toSeq == Seq(10.0, 10.0, 20.0))   // rolling min
+    assert(r.map(_.getLong(6)).toSeq == Seq(1L, 2L, 2L))           // frame size
+  }
+
+  test("percentiles interpolate between closest ranks (type-7)") {
+    val p = pts((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+    val r = TimeSeriesOps.percentileWindows(p, Seq("uuid"), 0L, 10L, 10L, Seq(0.5, 0.95))
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 5L)         // n_points
+    assert(r(0).getDouble(3) == 3.0)      // p50: rank 3 of 5
+    assert(r(0).getDouble(4) == 4.8)      // p95: idx 3.8 → 4 + 0.8·(5-4)
+  }
+
+  test("anomalies flags only deviations past the z threshold") {
+    val p = pts((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0), (5L, 100.0))
+    // µ-units: mean 2e7, std 4e7 ⇒ z(100) = 2.0, z(0) = -0.5
+    val a = TimeSeriesOps.anomalies(p, Seq("uuid"), 2.0).collect()
+    assert(a.length == 1)
+    assert(a(0).getLong(1) == 5L && a(0).getDouble(2) == 100.0)
+    assert(a(0).getDouble(3) == 2.0)
+  }
+
+  test("correlation is ±1 on exactly linear window-mean series") {
+    val left = Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (1L, 25L, 3.0),
+      (2L, 5L, 1.0), (2L, 15L, 2.0), (2L, 25L, 3.0)).toDF("user_id", "t_us", "value")
+    val right = Seq((1L, 7L, 2.0), (1L, 17L, 4.0), (1L, 27L, 6.0),
+      (2L, 7L, 6.0), (2L, 17L, 4.0), (2L, 27L, 2.0)).toDF("user_id", "t_us", "value")
+    val r = TimeSeriesOps.correlation(left, right, Seq("user_id"), 0L, 30L, 10L)
+      .orderBy("user_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 3L))
+    assert(r(0).getDouble(2) == 1.0 && r(1).getDouble(2) == -1.0)
+  }
+
+  test("seasonal profile folds time onto the repeating period") {
+    val p = pts((0L, 1.0), (10L, 3.0), (20L, 5.0), (30L, 7.0))
+    val s = TimeSeriesOps.seasonalProfile(p, Seq("uuid"), 10L, 2)
+      .orderBy("pos").collect()
+    assert(s.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(s(0).getDouble(3) == 3.0 && s(1).getDouble(3) == 5.0) // means
+    assert(s.map(_.getLong(5)).toSeq == Seq(2L, 2L))
+  }
+
   test("resample forward-fills gaps") {
     val p = Seq((1L, 5L, 1.0), (1L, 25L, 3.0)).toDF("user_id", "t_us", "value")
     val r = TimeSeriesOps.resample(p, Seq("user_id"), 0L, 40L, 10L)
