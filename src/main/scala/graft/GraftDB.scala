@@ -40,6 +40,15 @@ class GraftDB(val spark: SparkSession, val base: String) {
                     tags: Map[String, String] = Map.empty): DataFrame =
     meta.lookup(collectionPrefix, tags)
 
+  /** Pearson correlation between two streams' aligned window-mean series
+    * (TimeSeriesOps.correlation under a constant pair key).
+    */
+  def correlate(a: StreamHandle, b: StreamHandle, start: Long, end: Long,
+                width: Long): DataFrame =
+    TS.correlation(
+      a.points().withColumn("k", lit(1)),
+      b.points().withColumn("k", lit(1)), Seq("k"), start, end, width).drop("k")
+
   /** Per-stream query/write surface. All reads take an optional
     * `version` (None = latest) like the RPCs' versionMajor.
     */
@@ -145,6 +154,24 @@ class GraftDB(val spark: SparkSession, val base: String) {
 
     def resample(start: Long, end: Long, width: Long): DataFrame =
       TS.resample(points(), K, start, end, width).drop("uuid")
+
+    def sessionize(gapUs: Long, version: Option[Long] = None): DataFrame =
+      TS.sessionize(points(version), K, gapUs).drop("uuid")
+
+    def rolling(start: Long, end: Long, width: Long, k: Int,
+                version: Option[Long] = None): DataFrame =
+      TS.rolling(points(version), K, start, end, width, k).drop("uuid")
+
+    def percentiles(start: Long, end: Long, width: Long, ps: Seq[Double],
+                    version: Option[Long] = None): DataFrame =
+      TS.percentileWindows(points(version), K, start, end, width, ps).drop("uuid")
+
+    def anomalies(zThresh: Double, version: Option[Long] = None): DataFrame =
+      TS.anomalies(points(version), K, zThresh).drop("uuid")
+
+    def seasonalProfile(bucketUs: Long, periodBuckets: Int,
+                        version: Option[Long] = None): DataFrame =
+      TS.seasonalProfile(points(version), K, bucketUs, periodBuckets).drop("uuid")
 
     def annotations: Map[String, String] = {
       import spark.implicits._

@@ -180,6 +180,50 @@ class IngestSpec extends SparkSuite {
     assert(batch == got, s"batch $batch != streaming $got")
   }
 
+  test("streaming sessions close at the watermark and match the batch operator") {
+    import graft.streaming.{RawPoint, Sessionize}
+    val src = tmpDir("sw_src")
+    val ckpt = tmpDir("sw_ckpt")
+    // second-scale event times: the watermark tracks milliseconds, so
+    // µs-scale test times would never advance it past a session end.
+    val S = 1000000L
+    // two sessions on stream s (split by a 100s silence > 10s gap), one on t
+    Seq(RawPoint("s", 1 * S, 1.0), RawPoint("s", 5 * S, 3.0), RawPoint("t", 3 * S, 7.0))
+      .toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(src).as[RawPoint]
+    val q = Sessionize.sessions(stream, 10 * S).writeStream
+      .outputMode("append").format("memory").queryName("sw_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // batch 2 opens later sessions AND advances the watermark past batch 1's
+    Seq(RawPoint("s", 105 * S, 5.0), RawPoint("s", 109 * S, 7.0), RawPoint("t", 300 * S, 9.0))
+      .toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT uuid, s_start, s_end, n_events, v_mean, duration_us FROM sw_out " +
+          "ORDER BY uuid, s_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    // only sessions the final watermark (300s) has passed are emitted:
+    // t's session at 300 (window end 310) is still open and held back
+    assert(got == Seq(("s", 1 * S, 5 * S, 2L, 2.0, 4 * S),
+      ("s", 105 * S, 109 * S, 2L, 6.0, 4 * S),
+      ("t", 3 * S, 3 * S, 1L, 7.0, 0L)), s"got $got")
+    // the batch gaps-and-islands operator on ALL data agrees on the closed
+    // sessions and additionally sees the one still open in the stream
+    val batch = graft.ts.TimeSeriesOps.sessionize(
+        Seq(("s", 1 * S, 1.0), ("s", 5 * S, 3.0), ("t", 3 * S, 7.0),
+          ("s", 105 * S, 5.0), ("s", 109 * S, 7.0), ("t", 300 * S, 9.0))
+          .toDF("uuid", "t_us", "value"), Seq("uuid"), 10 * S)
+      .orderBy("uuid", "s_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(batch == got :+ (("t", 300 * S, 300 * S, 1L, 9.0, 0L)),
+      s"batch $batch != streaming $got + open session")
+  }
+
   private def stageAsDir(df: org.apache.spark.sql.DataFrame): String = {
     val d = tmpDir("stage")
     df.write.mode("overwrite").parquet(d)
