@@ -279,6 +279,38 @@ object SparkEntry {
           .cast("long").cast("decimal(38,0)")).cast("double") / 100, 0) / 100
           + lit(0d)).as("revenue"))),
 
+    // TPC-H Q18 shape: large-volume orders (HAVING over a fact aggregation)
+    // joined back to dims. The big-order filter reduces the orders side to
+    // near-nothing, which AQE then broadcasts into the customer join.
+    "q18_join" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q13 shape: per-customer order counts via left outer join
+    // (customers with no orders count 0), then the count distribution —
+    // two keyed aggregations, pure integers.
+    "q13_agg" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // ---- LLM-pipeline: dedup (SURVEY §2) ------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -822,6 +854,22 @@ object SparkEntry {
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q18_join" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |             FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+        |       o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |            JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q13_agg" ->
+      """WITH cnt AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |             GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cnt GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

@@ -555,22 +555,36 @@ object TimeSeriesOps {
     * The float pipeline (cast → mean → variance → sqrt → z) is replayed
     * term-for-term by the oracle; sqrt is IEEE-correctly-rounded on both.
     */
+  /** Per-stream value moments as scoring parameters (mean_us, std_us in
+    * exact-then-cast micro-units): one map-side-partial pass of integer
+    * moment sums. This is the "trained profile" — anomalies() consumes it
+    * batch-side, graft.streaming.AnomalyScore joins it onto a live stream.
+    */
+  def streamStats(points: DataFrame, streamCols: Seq[String],
+                  version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
+    val mean = col("s1").cast("double") / col("n")
+    atVersion(points, version).groupBy(key: _*)
+      .agg(sum(us).as("s1"), sum(us * us).as("s2"), count(lit(1)).as("n"))
+      .select(key ++ Seq(
+        mean.as("mean_us"),
+        sqrt(col("s2").cast("double") / col("n") - mean * mean).as("std_us"),
+        col("n")): _*)
+  }
+
+  /** The z of a row's value against (mean_us, std_us) columns. */
+  def zScore: Column =
+    (graft.Quant.us6(col("value")).cast("double") - col("mean_us")) / col("std_us")
+
   def anomalies(points: DataFrame, streamCols: Seq[String], zThresh: Double,
                 version: Option[Long] = None): DataFrame = {
     require(zThresh > 0, s"zThresh must be positive, got $zThresh")
     val key = streamKey(streamCols)
-    val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
-    val pts = atVersion(points, version)
-    val stats = pts.groupBy(key: _*)
-      .agg(sum(us).as("s1"), sum(us * us).as("s2"), count(lit(1)).as("n"))
-      .select(key ++ Seq(col("s1"), col("s2"), col("n")): _*)
-    val mean = col("s1").cast("double") / col("n")
-    val ex2 = col("s2").cast("double") / col("n")
-    val std = sqrt(ex2 - mean * mean)
-    val z = (graft.Quant.us6(col("value")).cast("double") - mean) / std
-    pts.join(broadcast(stats), streamCols)
-      .withColumn("z", z)
-      .filter(std > 0 && abs(col("z")) >= zThresh)
+    atVersion(points, version)
+      .join(broadcast(streamStats(points, streamCols, version)), streamCols)
+      .withColumn("z", zScore)
+      .filter(col("std_us") > 0 && abs(col("z")) >= zThresh)
       .select(key ++ Seq(col("t_us"), col("value"),
         graft.Quant.q6(col("z")).as("z_score")): _*)
   }

@@ -224,6 +224,32 @@ class IngestSpec extends SparkSuite {
       s"batch $batch != streaming $got + open session")
   }
 
+  test("stream-static anomaly scoring matches the batch operator flag-for-flag") {
+    import graft.streaming.{AnomalyScore, RawPoint}
+    val history = Seq(RawPoint("s", 1, 0.0), RawPoint("s", 2, 0.0), RawPoint("s", 3, 0.0),
+      RawPoint("s", 4, 0.0), RawPoint("s", 5, 100.0), RawPoint("t", 1, 7.0))
+    val src = tmpDir("as_src")
+    history.toDF().write.mode("append").parquet(src)
+    // profile trained offline on the full history
+    val stats = graft.ts.TimeSeriesOps.streamStats(history.toDF(), Seq("uuid"))
+    val stream = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(src).as[RawPoint]
+    val q = AnomalyScore.score(stream, stats, 2.0).writeStream
+      .outputMode("append").format("memory").queryName("as_out")
+      .option("checkpointLocation", tmpDir("as_ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT uuid, time, value, z_score FROM as_out ORDER BY uuid, time")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // µ-units: mean 2e7, std 4e7 ⇒ z(100) = 2.0; stream t has std 0 → never flagged
+    assert(got == Seq(("s", 5L, 100.0, 2.0)), s"got $got")
+    // the batch operator over the same history agrees flag-for-flag
+    val batch = graft.ts.TimeSeriesOps.anomalies(
+        history.toDF().withColumnRenamed("time", "t_us"), Seq("uuid"), 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(batch == got, s"batch $batch != streaming $got")
+  }
+
   private def stageAsDir(df: org.apache.spark.sql.DataFrame): String = {
     val d = tmpDir("stage")
     df.write.mode("overwrite").parquet(d)

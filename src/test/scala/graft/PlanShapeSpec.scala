@@ -106,6 +106,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(!lttb.contains("Join"), lttb.take(3000))
   }
 
+  test("round-5 ops: broadcast stats join, pushed bounds, no cartesians") {
+    for (q <- Seq("ts_sessionize", "ts_rolling", "ts_percentile", "ts_anomaly",
+        "ts_correlation", "ts_seasonal", "corpus_vocab")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // anomaly joins the metadata-scale per-stream stats back onto the raw
+    // scan — that join must broadcast, never shuffle the scan side
+    val anom = physical(SparkEntry.queries("ts_anomaly")(spark, sfDir))
+    assert(anom.contains("BroadcastHashJoin"), anom.take(3000))
+    // rolling/percentile filter the derived t_us axis — bounds must still
+    // reach the parquet scan through DivComparisonBounds
+    for (q <- Seq("ts_rolling", "ts_percentile")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+    }
+    // vocab's top-k is a TakeOrdered over the word counts, not a full sort
+    val vocab = physical(SparkEntry.queries("corpus_vocab")(spark, sfDir))
+    assert(vocab.contains("TakeOrderedAndProject"), vocab.take(3000))
+  }
+
   test("new ts extensions push time bounds to the scan and avoid cartesians") {
     // histogram/counter_rate filter on the derived t_us axis — the
     // DivComparisonBounds rule must reach the scan for them too
