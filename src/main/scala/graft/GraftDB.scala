@@ -158,6 +158,14 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def sessionize(gapUs: Long, version: Option[Long] = None): DataFrame =
       TS.sessionize(points(version), K, gapUs).drop("uuid")
 
+    def m4(start: Long, end: Long, width: Long,
+           version: Option[Long] = None): DataFrame =
+      TS.m4(points(version), K, start, end, width).drop("uuid")
+
+    def coverage(start: Long, end: Long, width: Long,
+                 version: Option[Long] = None): DataFrame =
+      TS.coverage(points(version), K, start, end, width).drop("uuid")
+
     def rolling(start: Long, end: Long, width: Long, k: Int,
                 version: Option[Long] = None): DataFrame =
       TS.rolling(points(version), K, start, end, width, k).drop("uuid")

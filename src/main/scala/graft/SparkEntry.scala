@@ -199,6 +199,14 @@ object SparkEntry {
       TS.sessionize(Tables.points(s, dir), STREAM, 2 * DAY)
         .orderBy(col("user_id"), col("event_type"), col("s_start"))),
 
+    "ts_m4" -> ((s, dir) =>
+      TS.m4(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    "ts_coverage" -> ((s, dir) =>
+      TS.coverage(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"))),
+
     "ts_rolling" -> ((s, dir) =>
       TS.rolling(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -368,6 +376,10 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy(col("vec_id"))
     }),
+
+    "emb_knn" -> ((s, dir) =>
+      Vectors.knnGraph(Tables.load(s, dir, "embeddings"), 0.4, 3)
+        .orderBy(col("vec_id"), col("rank"))),
 
     "emb_ann_topk" -> ((s, dir) =>
       Vectors.annTopK(Tables.load(s, dir, "embeddings"), 5, 10)
@@ -731,6 +743,37 @@ object SparkEntry {
          |FROM i GROUP BY user_id, event_type, session
          |ORDER BY user_id, event_type, s_start""".stripMargin,
 
+    // first/last tie rule mirrors the (t, value) struct order: first takes
+    // the smaller value at the earliest t, last the larger at the latest
+    "ts_m4" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start, t_us, value
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |x AS (SELECT *,
+         |        min(t_us) OVER (PARTITION BY user_id, event_type, w_start) AS tf,
+         |        max(t_us) OVER (PARTITION BY user_id, event_type, w_start) AS tl
+         |      FROM w)
+         |SELECT user_id, event_type, w_start,
+         |       min(CASE WHEN t_us = tf THEN value END) AS v_first,
+         |       min(value) AS v_min, max(value) AS v_max,
+         |       max(CASE WHEN t_us = tl THEN value END) AS v_last,
+         |       min(t_us) AS t_first, max(t_us) AS t_last,
+         |       CAST(count(*) AS BIGINT) AS v_count
+         |FROM x GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    "ts_coverage" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT user_id, event_type,
+         |       CAST(count(DISTINCT $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY)) AS BIGINT)
+         |         AS n_occupied,
+         |       CAST(28 AS BIGINT) AS n_windows,
+         |       ${Q6(s"CAST(count(DISTINCT $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY)) AS DOUBLE) / 28.0")}
+         |         AS coverage
+         |FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
     "ts_rolling" ->
       s"""WITH pts AS ($PTS_SQL),
          |b AS (SELECT user_id, event_type,
@@ -999,6 +1042,20 @@ object SparkEntry {
          |SELECT v.vec_id AS vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id
          |FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+
+    "emb_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |              ${Q6(s"${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm)")} AS cos_sim
+         |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |       WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+         |sym AS (SELECT id_a AS vec_id, id_b AS nbr_id, cos_sim FROM pr
+         |        UNION ALL SELECT id_b, id_a, cos_sim FROM pr),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                   ORDER BY cos_sim DESC, nbr_id) AS rank
+         |      FROM sym)
+         |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_sim
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),

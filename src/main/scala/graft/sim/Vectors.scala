@@ -47,6 +47,27 @@ object Vectors {
       .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
+  /** k-NN similarity graph over the corpus, restricted to the cosine ≥ tau
+    * candidate pairs: each vector's top-k neighbors by cosine (rank ties
+    * broken by neighbor id on the quantized similarity, so the cut is
+    * deterministic). The tau floor is what keeps this linear-ish — the
+    * graph consumes the near-dup pair set (here the quadratic oracle-scale
+    * generator; at corpus scale, feed pairs from the LSH path instead).
+    * This is the input artifact of graph-based semantic dedup and of
+    * NN-descent-style ANN index builds.
+    */
+  def knnGraph(emb: DataFrame, tau: Double, k: Int): DataFrame = {
+    val pairs = cosinePairs(emb, tau)
+    val sym = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_sim")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors (vec_id >= nQueries) with rank. The
     * query side is tiny → broadcast, so the "cross join" is a single

@@ -439,6 +439,52 @@ object TimeSeriesOps {
         col("n_samples")): _*)
   }
 
+  /** M4 downsampling: per window, the four value-extremes a pixel column
+    * needs — first, min, max, last — plus their time bounds (the other
+    * standard error-free visual downsampler next to LTTB; one map-side-
+    * partial aggregation, no sequential pass). Ties at the first/last
+    * timestamp resolve by (t, value) struct order: first takes the smaller
+    * value, last the larger — the deterministic two-level rule used by
+    * nearest().
+    */
+  def m4(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+         width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(
+        min_by(col("value"), struct(col("t_us"), col("value"))).as("v_first"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        max_by(col("value"), struct(col("t_us"), col("value"))).as("v_last"),
+        min(col("t_us")).as("t_first"),
+        max(col("t_us")).as("t_last"),
+        count(lit(1)).as("v_count"))
+  }
+
+  /** Coverage: per stream, how many of the [start, end) grid windows
+    * contain at least one point, and the occupied fraction — the uptime /
+    * telemetry-completeness metric (the aggregate complement of gaps()).
+    * One distinct-bucket aggregation; the denominator is the constant grid
+    * size.
+    */
+  def coverage(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+               width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val nTotal = (end - start) / width
+    require(nTotal > 0, s"empty grid: [$start, $end) at width $width")
+    val completeEnd = start + nTotal * width
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key: _*)
+      .agg(countDistinct(widthBucket(start, width)).as("n_occupied"))
+      .select(key ++ Seq(col("n_occupied"), lit(nTotal).as("n_windows"),
+        graft.Quant.q6(col("n_occupied").cast("double") / nTotal.toDouble)
+          .as("coverage")): _*)
+  }
+
   /** Sessionize: split each stream into activity sessions separated by
     * silence longer than `gapUs` — classic gaps-and-islands (lag + running
     * sum), one shuffle on the stream key. Equal-timestamp ties share a dt

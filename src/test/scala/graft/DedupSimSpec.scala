@@ -96,6 +96,27 @@ class DedupSimSpec extends SparkSuite {
     assert(d.filter(col("keep_id") > col("doc_id")).count() == 0)
   }
 
+  test("knn graph is symmetric in candidates and cut at k per vector") {
+    import graft.sim.Vectors
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val g = Vectors.knnGraph(emb, 0.4, 3)
+    val byV = g.collect().groupBy(_.getLong(0))
+    assert(byV.nonEmpty)
+    byV.foreach { case (v, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"vector $v ranks $ranks")
+      assert(ranks.length <= 3)
+    }
+    // every edge (v → n) has its mirror candidate: n must list v unless v
+    // fell below n's top-3 cut — so the UNDIRECTED pair count matches the
+    // thresholded pair set
+    val pairs = Vectors.cosinePairs(emb, 0.4).count()
+    val undirected = g.select("vec_id", "nbr_id").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct.length
+    assert(undirected <= pairs)
+  }
+
   test("vocab counts document frequency, not term frequency") {
     import spark.implicits._
     val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")

@@ -173,6 +173,27 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(s.map(_.getLong(5)).toSeq == Seq(2L, 2L))
   }
 
+  test("m4 emits first/min/max/last with deterministic tie order") {
+    // window [0,10): first at t=1 (tie → smaller value 2.0), last at t=9
+    val p = pts((1L, 5.0), (1L, 2.0), (4L, 9.0), (4L, -1.0), (9L, 3.0))
+    val m = TimeSeriesOps.m4(p, Seq("uuid"), 0L, 10L, 10L).collect()
+    assert(m.length == 1)
+    val r = m(0)
+    assert(r.getDouble(2) == 2.0)  // v_first: earliest t, smaller value on tie
+    assert(r.getDouble(3) == -1.0) // v_min
+    assert(r.getDouble(4) == 9.0)  // v_max
+    assert(r.getDouble(5) == 3.0)  // v_last
+    assert(r.getLong(6) == 1L && r.getLong(7) == 9L && r.getLong(8) == 5L)
+  }
+
+  test("coverage counts occupied grid windows per stream") {
+    val p = pts((1L, 1.0), (2L, 2.0), (25L, 3.0)) // buckets 0 and 2 of [0,40)/10
+    val c = TimeSeriesOps.coverage(p, Seq("uuid"), 0L, 40L, 10L).collect()
+    assert(c.length == 1)
+    assert(c(0).getLong(1) == 2L && c(0).getLong(2) == 4L)
+    assert(c(0).getDouble(3) == 0.5)
+  }
+
   test("resample forward-fills gaps") {
     val p = Seq((1L, 5L, 1.0), (1L, 25L, 3.0)).toDF("user_id", "t_us", "value")
     val r = TimeSeriesOps.resample(p, Seq("user_id"), 0L, 40L, 10L)
