@@ -58,10 +58,14 @@ object Vectors {
     */
   def knnGraph(emb: DataFrame, tau: Double, k: Int): DataFrame = {
     val pairs = cosinePairs(emb, tau)
-    val sym = pairs
-      .select(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_sim"))
-      .unionByName(pairs
-        .select(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_sim")))
+    // symmetrize by exploding each pair into both directions — a union of
+    // two selects over `pairs` would execute the quadratic candidate join
+    // TWICE (plan branches don't share subtrees, only exchanges)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_sim")),
+        struct(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_sim")))).as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
+        col("e.cos_sim").as("cos_sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id"))
     sym.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
