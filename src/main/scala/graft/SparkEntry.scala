@@ -203,6 +203,20 @@ object SparkEntry {
       TS.m4(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // cross-stream aggregation: the SAME windows() plan keyed by collection
+    // instead of stream — the composite stream key generalizes BTrDB's
+    // per-uuid queries to cross-sectional rollups in one pass
+    "ts_collection_windows" -> ((s, dir) =>
+      TS.windows(Tables.points(s, dir), Seq("event_type"), T0, T29, DAY)
+        .orderBy(col("event_type"), col("w_start"))),
+
+    // top series by volume — the cardinality/volume admin query; a
+    // TakeOrdered over the per-stream root StatPoints
+    "ts_top_streams" -> ((s, dir) =>
+      TS.statsGlobal(Tables.points(s, dir), STREAM)
+        .orderBy(col("v_count").desc, col("user_id"), col("event_type"))
+        .limit(20)),
+
     "ts_coverage" -> ((s, dir) =>
       TS.coverage(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"))),
@@ -415,6 +429,10 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       TextFunctions.sampleStratified(Tables.load(s, dir, "documents"), "source", 0.3)
         .orderBy(col("doc_id"))),
+
+    "sample_fixed" -> ((s, dir) =>
+      TextFunctions.sampleFixed(Tables.load(s, dir, "documents"), 100)
+        .orderBy(col("rank_key"), col("doc_id"))),
 
     "corpus_stats" -> ((s, dir) =>
       TextFunctions.corpusStats(Tables.load(s, dir, "documents"))
@@ -773,6 +791,23 @@ object SparkEntry {
          |         AS coverage
          |FROM pts WHERE t_us >= $T0 AND t_us < $T29
          |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    "ts_collection_windows" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT event_type,
+         |       $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       min(value) AS v_min, $V_MEAN_SQL,
+         |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
+         |FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin,
+
+    "ts_top_streams" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |s AS (SELECT user_id, event_type, min(value) AS v_min, $V_MEAN_SQL,
+         |             max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count,
+         |             min(t_us) AS t_first, max(t_us) AS t_last
+         |      FROM pts GROUP BY 1, 2)
+         |SELECT * FROM s ORDER BY v_count DESC, user_id, event_type LIMIT 20""".stripMargin,
 
     "ts_rolling" ->
       s"""WITH pts AS ($PTS_SQL),
@@ -1169,6 +1204,10 @@ object SparkEntry {
       """SELECT doc_id, source AS stratum FROM documents
         |WHERE substring(md5(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 2) < '4d'
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_fixed" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_key
+        |FROM documents ORDER BY rank_key, doc_id LIMIT 100""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $NORM_TEXT_SQL AS norm FROM documents),

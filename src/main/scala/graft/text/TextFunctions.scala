@@ -146,6 +146,21 @@ object TextFunctions {
     }
   }
 
+  /** Deterministic fixed-SIZE sample: exactly n documents, selected by
+    * md5(doc_id) order — the complement of the rate-based stratified
+    * sampler (eval sets and ablations want "exactly N docs, stable across
+    * runs and engines", not a rate). The hash order is uniform and
+    * reproducible anywhere md5 exists; the top-n is a TakeOrdered (heap
+    * per partition + merge of n-row heads), never a global sort of the
+    * corpus.
+    */
+  def sampleFixed(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("rank_key", md5(col("doc_id").cast("string")))
+      .orderBy(col("rank_key"), col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), col("rank_key"))
+
   /** Per-(lang, source) corpus rollup — the "dataset card" numbers: doc
     * count, token totals, mean quality. One map-side-partial groupBy.
     */

@@ -117,6 +117,15 @@ class DedupSimSpec extends SparkSuite {
     assert(undirected <= pairs)
   }
 
+  test("fixed-size sample is exactly n, stable, and disjoint from rate logic") {
+    import graft.text.TextFunctions
+    val a = TextFunctions.sampleFixed(docs, 50).collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextFunctions.sampleFixed(docs, 50).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.length == 50 && a == b)               // exact size, reproducible
+    val sup = TextFunctions.sampleFixed(docs, 100).collect().map(_.getLong(0)).toSet
+    assert(a.forall(sup.contains))                 // prefix property: n=50 ⊂ n=100
+  }
+
   test("vocab counts document frequency, not term frequency") {
     import spark.implicits._
     val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
