@@ -441,6 +441,21 @@ object SparkEntry {
     "corpus_vocab" -> ((s, dir) =>
       TextFunctions.vocab(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("doc_freq").desc, col("word"))),
+
+    // ---- LLM-pipeline: multimodal (binary columns) --------------------
+    // the payload is an opaque BINARY column (synthesized deterministically
+    // from the corpus — this container has no codecs); both queries
+    // exercise the real binary-column path: byte lengths, typed metadata,
+    // one-to-many frame explode
+    "mm_stats" -> ((s, dir) =>
+      graft.mm.Multimodal.assetStats(
+          graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")))
+        .orderBy(col("kind"))),
+
+    "mm_frames" -> ((s, dir) =>
+      graft.mm.Multimodal.sampleFrames(
+          graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 4)
+        .orderBy(col("asset_id"), col("frame_idx"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1232,6 +1247,30 @@ object SparkEntry {
          |w AS (SELECT unnest(list_distinct(string_split(norm, ' '))) AS word FROM d)
          |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM w GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin,
+
+    // mirrors Multimodal.syntheticAssets + assetStats: payload bytes =
+    // utf-8 of text (octet_length(BLOB) ≡ Spark length(binary))
+    "mm_stats" ->
+      s"""WITH a AS (SELECT concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind,
+         |                  n_chars % 640 + 32 AS width, n_chars % 480 + 32 AS height,
+         |                  octet_length(CAST(text AS BLOB)) AS nb
+         |           FROM documents)
+         |SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+         |       CAST(sum(nb) AS BIGINT) AS sum_bytes,
+         |       ${MEAN6("sum(width * 1000000)", "count(*)")} AS avg_width,
+         |       ${MEAN6("sum(height * 1000000)", "count(*)")} AS avg_height,
+         |       CAST(max(nb) AS BIGINT) AS max_bytes
+         |FROM a GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH a AS (SELECT doc_id AS asset_id,
+         |                  concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind,
+         |                  octet_length(CAST(text AS BLOB)) AS nb
+         |           FROM documents),
+         |f AS (SELECT asset_id, kind, unnest(generate_series(0, 3)) AS frame_idx, nb FROM a)
+         |SELECT asset_id, kind, CAST(frame_idx AS INT) AS frame_idx,
+         |       CAST(floor((frame_idx * greatest(nb, 1)) / 4.0) AS BIGINT) AS frame_offset
+         |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)

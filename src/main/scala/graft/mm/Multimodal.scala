@@ -74,6 +74,23 @@ object Multimodal {
     }
   }
 
+  /** Per-kind asset metadata rollup — the "dataset card" for a binary
+    * assets table: counts, byte volume, mean dimensions. Operates on the
+    * opaque payload column (byte length only — no decode), so it is one
+    * map-side-partial groupBy over the lakehouse table; byte sums are
+    * SF-scaled → DECIMAL accumulation per the graft.Quant overflow rule.
+    */
+  def assetStats(assets: Dataset[MediaRow]): DataFrame =
+    assets.toDF().groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length(col("payload")).cast("decimal(38,0)")).cast("long").as("sum_bytes"),
+        graft.Quant.mean6(sum(col("width").cast("long") * 1000000L), count(lit(1)))
+          .as("avg_width"),
+        graft.Quant.mean6(sum(col("height").cast("long") * 1000000L), count(lit(1)))
+          .as("avg_height"),
+        max(length(col("payload"))).cast("long").as("max_bytes"))
+
   /** Frame-sampling shape for video-like assets: explode n evenly-spaced
     * byte offsets per asset (stand-in for frame indices), keeping the
     * plumbing for a one-to-many decode stage honest.

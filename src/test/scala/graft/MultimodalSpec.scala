@@ -45,4 +45,17 @@ class MultimodalSpec extends SparkSuite {
     val offs = f.map(_.getLong(3))
     assert(offs.head == 0L && offs.sameElements(offs.sorted))
   }
+
+  test("decoded features feed the similarity stack unchanged") {
+    // decode → featurize → k-NN graph: the media features ARE an embedding
+    // column, so the whole graft.sim surface composes onto binary assets
+    val emb = Multimodal.decodeFeatures(assets)
+      .select($"asset_id".as("vec_id"), $"features".as("embedding"))
+    val g = graft.sim.Vectors.knnGraph(emb, 0.5, 2)
+    val byV = g.collect().groupBy(_.getLong(0))
+    assert(byV.nonEmpty)
+    byV.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length))
+    }
+  }
 }
