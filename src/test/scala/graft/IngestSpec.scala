@@ -224,6 +224,37 @@ class IngestSpec extends SparkSuite {
       s"batch $batch != streaming $got + open session")
   }
 
+  test("streaming counter increases carry state across batches, resets included") {
+    import graft.streaming.{CounterRate, RawPoint}
+    val src = tmpDir("cr_src")
+    val ckpt = tmpDir("cr_ckpt")
+    // batch 1: ramp 10 → 14, then a reset to 2
+    Seq(RawPoint("s", 1, 10.0), RawPoint("s", 3, 14.0), RawPoint("s", 5, 2.0))
+      .toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(src).as[RawPoint]
+    val q = CounterRate.increases(stream).writeStream
+      .outputMode("append").format("memory").queryName("cr_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // batch 2: continues from the state (last = 2.0 at t=5), not from scratch
+    Seq(RawPoint("s", 7, 5.0)).toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT time, inc FROM cr_out ORDER BY time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // first sample emits nothing; +4; reset→2; cross-batch +3
+    assert(got == Seq((3L, 4.0), (5L, 2.0), (7L, 3.0)), s"got $got")
+    // the batch operator's per-window sum of the same increases agrees:
+    // one [0,10) window, increase = 4 + 2 + 3 = 9 over 3 samples
+    val batch = graft.ts.TimeSeriesOps.counterRate(
+        Seq(("s", 1L, 10.0), ("s", 3L, 14.0), ("s", 5L, 2.0), ("s", 7L, 5.0))
+          .toDF("uuid", "t_us", "value"), Seq("uuid"), 0L, 10L, 10L)
+      .collect()
+    assert(batch.length == 1 && batch(0).getDouble(2) == 9.0 && batch(0).getLong(4) == 3L)
+    assert(got.map(_._2).sum == batch(0).getDouble(2), "streaming incs sum to batch window")
+  }
+
   test("stream-static anomaly scoring matches the batch operator flag-for-flag") {
     import graft.streaming.{AnomalyScore, RawPoint}
     val history = Seq(RawPoint("s", 1, 0.0), RawPoint("s", 2, 0.0), RawPoint("s", 3, 0.0),
