@@ -165,6 +165,17 @@ object SparkEntry {
       TS.resample(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("g_t"))),
 
+    // as-of with a staleness bound: matches older than 3 days are nulled
+    "ts_asof_tolerance" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      TS.asofJoin(
+          p.filter(col("event_type") === "click"),
+          p.filter(col("event_type") === "purchase")
+            .groupBy(col("user_id"), col("t_us")).agg(max(col("value")).as("value")),
+          Seq("user_id"), toleranceUs = Some(3 * DAY))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     // WindowsParams.depth — stat windows at reduced precision (2^30 µs ≈
     // 18-minute buckets assigned wholly to the window of their start)
     "ts_windows_depth" -> ((s, dir) =>
@@ -642,6 +653,16 @@ object SparkEntry {
          |           ORDER BY g.g_t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.event_type = b.event_type AND g.g_t = b.g_t
          |ORDER BY g.user_id, g.event_type, g.g_t""".stripMargin,
+
+    "ts_asof_tolerance" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |c AS (SELECT user_id, t_us, value FROM pts WHERE event_type = 'click'),
+         |p AS (SELECT user_id, t_us, max(value) AS value FROM pts
+         |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.user_id AS user_id, c.t_us AS t_us, c.value AS l_value,
+         |       CASE WHEN c.t_us - p.t_us <= ${3 * DAY} THEN p.value END AS asof_value
+         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.t_us
+         |ORDER BY user_id, t_us""".stripMargin,
 
     "ts_lttb" -> lttbSql(7),
 

@@ -306,7 +306,8 @@ object TimeSeriesOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftValue: String = "value", rightValue: String = "value",
-               asOfCol: String = "t_us"): DataFrame = {
+               asOfCol: String = "t_us",
+               toleranceUs: Option[Long] = None): DataFrame = {
     val key = keyCols.map(col)
     val l = left.select(key :+ col(asOfCol) :+ col(leftValue).as("l_value"): _*)
       .withColumn("r_value", lit(null).cast("double"))
@@ -318,10 +319,18 @@ object TimeSeriesOps {
     // at exactly t is visible to a left point at t (<= semantics).
     val w = Window.partitionBy(key: _*).orderBy(col(asOfCol), col("is_left"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // the matched right TIMESTAMP travels with the value so a staleness
+    // bound (toleranceUs) can null out matches older than the window —
+    // the standard "don't join a quote from last week" asof knob
+    val matched = last(when(col("is_left") === 0,
+      struct(col(asOfCol).as("t"), col("r_value").as("v"))), ignoreNulls = true).over(w)
+    val inTol = toleranceUs.fold(lit(true))(tol =>
+      col(asOfCol) - col("m.t") <= tol)
     l.select(r.columns.map(col): _*).unionByName(r.select(r.columns.map(col): _*))
-      .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .withColumn("m", matched)
       .filter(col("is_left") === 1)
-      .select(key :+ col(asOfCol) :+ col("l_value") :+ col("asof_value"): _*)
+      .select(key :+ col(asOfCol) :+ col("l_value")
+        :+ when(col("m").isNotNull && inTol, col("m.v")).as("asof_value"): _*)
   }
 
   /** Per-stream EWMA over the window-mean series: classic exponential

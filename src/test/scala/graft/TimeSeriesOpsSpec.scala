@@ -57,6 +57,15 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(j(1).getDouble(3) == 8.0) // latest right <= 200
   }
 
+  test("asof tolerance nulls stale matches but keeps fresh ones") {
+    val left = Seq((1L, 100L, 1.0), (1L, 200L, 2.0)).toDF("user_id", "t_us", "value")
+    val right = Seq((1L, 95L, 9.0)).toDF("user_id", "t_us", "value")
+    val j = TimeSeriesOps.asofJoin(left, right, Seq("user_id"), toleranceUs = Some(10L))
+      .orderBy("t_us").collect()
+    assert(j(0).getDouble(3) == 9.0) // 100-95=5 <= 10 → kept
+    assert(j(1).isNullAt(3))         // 200-95=105 > 10 → stale, nulled
+  }
+
   test("ewma starts at the first window mean and smooths monotone steps") {
     val p = pts((5L, 10.0), (15L, 20.0), (25L, 30.0))
     val e = TimeSeriesOps.ewma(p, Seq("uuid"), 0L, 30L, 10L, 0.5)
