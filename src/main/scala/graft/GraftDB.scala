@@ -40,6 +40,16 @@ class GraftDB(val spark: SparkSession, val base: String) {
                     tags: Map[String, String] = Map.empty): DataFrame =
     meta.lookup(collectionPrefix, tags)
 
+  /** As-of join of two stream handles: latest b-value at each a-point,
+    * optionally bounded by a staleness tolerance.
+    */
+  def asof(a: StreamHandle, b: StreamHandle,
+           toleranceUs: Option[Long] = None): DataFrame =
+    TS.asofJoin(
+      a.points().withColumn("k", lit(1)),
+      b.points().withColumn("k", lit(1)), Seq("k"),
+      toleranceUs = toleranceUs).drop("k")
+
   /** Pearson correlation between two streams' aligned window-mean series
     * (TimeSeriesOps.correlation under a constant pair key).
     */

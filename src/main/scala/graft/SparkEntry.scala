@@ -445,6 +445,10 @@ object SparkEntry {
       TextFunctions.sampleFixed(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("rank_key"), col("doc_id"))),
 
+    "corpus_budget" -> ((s, dir) =>
+      TextFunctions.tokenBudget(Tables.load(s, dir, "documents"), "source", 3000L)
+        .orderBy(col("doc_id"))),
+
     "corpus_stats" -> ((s, dir) =>
       TextFunctions.corpusStats(Tables.load(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))),
@@ -1244,6 +1248,20 @@ object SparkEntry {
     "sample_fixed" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_key
         |FROM documents ORDER BY rank_key, doc_id LIMIT 100""".stripMargin,
+
+    "corpus_budget" ->
+      s"""WITH d AS (SELECT doc_id, source AS stratum,
+         |                  len(string_split($NORM_TEXT_SQL, ' ')) AS n_tokens,
+         |                  md5(CAST(doc_id AS VARCHAR)) AS rank_key
+         |           FROM documents),
+         |c AS (SELECT doc_id, stratum, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY stratum
+         |                                      ORDER BY rank_key, doc_id
+         |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |               AS cum_tokens
+         |      FROM d)
+         |SELECT doc_id, stratum, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 3000 ORDER BY doc_id""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $NORM_TEXT_SQL AS norm FROM documents),

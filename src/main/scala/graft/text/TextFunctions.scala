@@ -161,6 +161,28 @@ object TextFunctions {
       .limit(n)
       .select(col("doc_id"), col("rank_key"))
 
+  /** Deterministic token-budget fill per stratum: take each stratum's
+    * documents in md5 order and keep the longest prefix whose running
+    * token total stays within `budgetPerStratum` — the dataset-mixing
+    * primitive ("fill 10B tokens per source, reproducibly"). The running
+    * sum is a window KEYED by stratum (parallel across strata; nothing
+    * global), and the order key is the same hash order sampleFixed uses,
+    * so the fill is stable across runs, engines, and cluster layouts.
+    */
+  def tokenBudget(docs: DataFrame, stratumCol: String, budgetPerStratum: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("rank_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    withBase(docs)
+      .select(col("doc_id"), col(stratumCol).as("stratum"),
+        size(col("w")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rank_key"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerStratum)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Per-(lang, source) corpus rollup — the "dataset card" numbers: doc
     * count, token totals, mean quality. One map-side-partial groupBy.
     */

@@ -126,6 +126,27 @@ class DedupSimSpec extends SparkSuite {
     assert(a.forall(sup.contains))                 // prefix property: n=50 ⊂ n=100
   }
 
+  test("token budget keeps the hash-order prefix per stratum") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f", "s2"))
+      .toDF("doc_id", "text", "source")
+    val all = TextFunctions.tokenBudget(d, "source", 100L).collect()
+    assert(all.length == 3) // generous budget keeps everything
+    assert(all.map(_.getLong(2)).sum == 6L)
+    val none = TextFunctions.tokenBudget(d, "source", 0L).count()
+    assert(none == 0L)
+    // monotone in the budget: a smaller budget keeps a subset
+    val small = TextFunctions.tokenBudget(d, "source", 2L).collect()
+      .map(_.getLong(0)).toSet
+    val big = TextFunctions.tokenBudget(d, "source", 3L).collect()
+      .map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    // cum_tokens within each stratum never exceeds the budget
+    assert(TextFunctions.tokenBudget(d, "source", 3L)
+      .filter(col("cum_tokens") > 3).count() == 0)
+  }
+
   test("vocab counts document frequency, not term frequency") {
     import spark.implicits._
     val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
