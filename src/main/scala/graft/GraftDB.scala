@@ -162,6 +162,13 @@ class GraftDB(val spark: SparkSession, val base: String) {
              version: Option[Long] = None): DataFrame =
       TS.gaps(points(version), K, start, end, width).drop("uuid")
 
+    def outages(start: Long, end: Long, width: Long,
+                version: Option[Long] = None): DataFrame =
+      TS.outages(points(version), K, start, end, width).drop("uuid")
+
+    def cusum(version: Option[Long] = None): DataFrame =
+      TS.cusum(points(version), K).drop("uuid")
+
     def resample(start: Long, end: Long, width: Long): DataFrame =
       TS.resample(points(), K, start, end, width).drop("uuid")
 

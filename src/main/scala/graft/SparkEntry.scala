@@ -148,6 +148,17 @@ object SparkEntry {
         STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // same synthetic outage as ts_gaps, coalesced into [start, end) runs
+    "ts_outages" -> ((s, dir) =>
+      TS.outages(Tables.points(s, dir)
+          .filter(!(col("t_us") >= T08 && col("t_us") < T15) || col("user_id") =!= 1),
+        STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("c_start"))),
+
+    "ts_cusum" -> ((s, dir) =>
+      TS.cusum(Tables.points(s, dir), STREAM)
+        .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
+
     "ts_asof_join" -> ((s, dir) => {
       val p = Tables.points(s, dir)
       // right side deduped to one value per (key, t): DuckDB's ASOF join
@@ -630,6 +641,49 @@ object SparkEntry {
          |FROM g ANTI JOIN o ON g.user_id = o.user_id
          |  AND g.event_type = o.event_type AND g.w_start = o.w_start
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    "ts_outages" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |f AS (SELECT * FROM pts WHERE NOT (t_us >= $T08 AND t_us < $T15) OR user_id <> 1),
+         |s AS (SELECT DISTINCT user_id, event_type FROM f),
+         |g AS (SELECT user_id, event_type,
+         |             unnest(generate_series($T0, ${T29 - 1}, $DAY)) AS w_start FROM s),
+         |o AS (SELECT DISTINCT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |      FROM f WHERE t_us >= $T0 AND t_us < $T29),
+         |miss AS (SELECT g.user_id AS user_id, g.event_type AS event_type,
+         |                g.w_start AS r_start, g.w_start + $DAY AS r_end
+         |         FROM g ANTI JOIN o ON g.user_id = o.user_id
+         |           AND g.event_type = o.event_type AND g.w_start = o.w_start),
+         |flagged AS (SELECT *, CASE WHEN lag(r_end) OVER w IS NULL OR r_start > lag(r_end) OVER w
+         |                           THEN 1 ELSE 0 END AS is_new
+         |            FROM miss WINDOW w AS (PARTITION BY user_id, event_type ORDER BY r_start)),
+         |islands AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type ORDER BY r_start
+         |                                        ROWS UNBOUNDED PRECEDING) AS island FROM flagged)
+         |SELECT user_id, event_type, min(r_start) AS c_start, max(r_end) AS c_end
+         |FROM islands GROUP BY user_id, event_type, island
+         |ORDER BY user_id, event_type, c_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.cusum: rounded integer µ-unit mean per stream,
+    // then an EXACT integer prefix sum (HUGEINT ≡ DECIMAL(38,0)) quantized
+    // once on emit
+    "ts_cusum" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |u AS (SELECT user_id, event_type, t_us, value, ${US6("value")} AS us FROM pts),
+         |st AS (SELECT user_id, event_type,
+         |              CAST(round(CAST(sum(us) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_i
+         |       FROM u GROUP BY 1, 2),
+         |j AS (SELECT u.user_id AS user_id, u.event_type AS event_type,
+         |             u.t_us AS t_us, u.value AS value, u.us - st.mean_i AS dev
+         |      FROM u JOIN st ON u.user_id = st.user_id AND u.event_type = st.event_type),
+         |c AS (SELECT user_id, event_type, t_us, value,
+         |             sum(dev) OVER (PARTITION BY user_id, event_type
+         |                            ORDER BY t_us, value
+         |                            ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM j)
+         |SELECT user_id, event_type, t_us, value,
+         |       ${Q6("CAST(cum AS DOUBLE) / 1000000.0")} AS cusum
+         |FROM c ORDER BY user_id, event_type, t_us, value""".stripMargin,
 
     "ts_asof_join" ->
       s"""WITH pts AS ($PTS_SQL),

@@ -298,6 +298,44 @@ object TimeSeriesOps {
     grid.join(occupied, streamCols :+ "w_start", "left_anti")
   }
 
+  /** Outage report: contiguous runs of empty grid windows per stream as
+    * [start, end) intervals — gaps() merged through the same
+    * gaps-and-islands coalescing Changes uses (mergeRanges). The
+    * human-consumable form of the outage query: one row per outage, not
+    * one per missing window.
+    */
+  def outages(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+              width: Long, version: Option[Long] = None): DataFrame =
+    mergeRanges(
+      gaps(points, streamCols, start, end, width, version)
+        .select(streamKey(streamCols) :+ col("w_start").as("r_start")
+          :+ (col("w_start") + width).as("r_end"): _*),
+      streamCols)
+
+  /** CUSUM change detection: per stream, the running sum of deviations
+    * from the stream's global mean — drifts show as sustained slopes, level
+    * shifts as kinks (the classic SPC chart). The mean is the rounded
+    * integer micro-unit mean (one broadcast stats pass, as anomalies), so
+    * the cumulative sum is EXACT integer arithmetic in the window — no
+    * float accumulation order to disagree on — accumulated as DECIMAL
+    * (an unbounded-length prefix sum, per the graft.Quant overflow rule)
+    * and quantized once on emit.
+    */
+  def cusum(points: DataFrame, streamCols: Seq[String],
+            version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val stats = streamStats(points, streamCols, version)
+      .select(key :+ round(col("mean_us"), 0).cast("long").as("mean_i"): _*)
+    val w = Window.partitionBy(key: _*).orderBy(col("t_us"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    atVersion(points, version)
+      .join(broadcast(stats), streamCols)
+      .withColumn("cum_us",
+        sum((graft.Quant.us6(col("value")) - col("mean_i")).cast("decimal(38,0)")).over(w))
+      .select(key ++ Seq(col("t_us"), col("value"),
+        graft.Quant.q6(col("cum_us").cast("double") / 1e6).as("cusum")): _*)
+  }
+
   /** As-of join: for each left point, the latest right value with
     * t_right <= t_left, per join key. Implemented as a union + partitioned
     * window (last_value ignoring nulls) rather than a range join: one

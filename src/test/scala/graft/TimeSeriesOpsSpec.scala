@@ -195,6 +195,22 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(r.getLong(6) == 1L && r.getLong(7) == 9L && r.getLong(8) == 5L)
   }
 
+  test("outages merge adjacent missing windows into intervals") {
+    // stream with points only in buckets 0 and 3 of [0,40)/10 → one
+    // two-window outage [10,30)
+    val p = pts((1L, 1.0), (35L, 2.0))
+    val o = TimeSeriesOps.outages(p, Seq("uuid"), 0L, 40L, 10L).collect()
+    assert(o.length == 1)
+    assert((o(0).getLong(1), o(0).getLong(2)) == (10L, 30L))
+  }
+
+  test("cusum is the exact integer prefix sum of deviations") {
+    // mean = 2 exactly; deviations -1, 0, +1 → cusum -1, -1, 0
+    val p = pts((1L, 1.0), (2L, 2.0), (3L, 3.0))
+    val c = TimeSeriesOps.cusum(p, Seq("uuid")).orderBy("t_us").collect()
+    assert(c.map(_.getDouble(3)).toSeq == Seq(-1.0, -1.0, 0.0))
+  }
+
   test("coverage counts occupied grid windows per stream") {
     val p = pts((1L, 1.0), (2L, 2.0), (25L, 3.0)) // buckets 0 and 2 of [0,40)/10
     val c = TimeSeriesOps.coverage(p, Seq("uuid"), 0L, 40L, 10L).collect()
