@@ -135,6 +135,10 @@ class GraftDB(val spark: SparkSession, val base: String) {
              version: Option[Long] = None): DataFrame =
       TS.ewma(points(version), K, start, end, width, alpha).drop("uuid")
 
+    def holt(start: Long, end: Long, width: Long, alpha: Double, beta: Double,
+             version: Option[Long] = None): DataFrame =
+      TS.holt(points(version), K, start, end, width, alpha, beta).drop("uuid")
+
     def interpolate(start: Long, end: Long, width: Long,
                     version: Option[Long] = None): DataFrame =
       TS.interpolate(points(version), K, start, end, width).drop("uuid")

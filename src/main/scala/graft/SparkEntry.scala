@@ -205,6 +205,10 @@ object SparkEntry {
       TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    "ts_holt" -> ((s, dir) =>
+      TS.holt(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.5, 0.3)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_interpolate" -> ((s, dir) =>
       TS.interpolate(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("g_t"))),
@@ -781,6 +785,31 @@ object SparkEntry {
          |  FROM n JOIN rec r ON n.user_id = r.user_id
          |    AND n.event_type = r.event_type AND n.rn = r.rn + 1)
          |SELECT user_id, event_type, w_start, v_mean, ${Q6("ew")} AS ewma
+         |FROM rec ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // same fold as the engine's aggregate(): (l_1, b_1) = (m_1, 0);
+    // l_t = α·m_t + (1−α)·(l+b); b_t = β·(l_t − l) + (1−β)·b
+    "ts_holt" ->
+      s"""WITH RECURSIVE pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        $V_MEAN_SQL
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |n AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                   ORDER BY w_start) AS rn FROM w),
+         |rec AS (
+         |  SELECT user_id, event_type, w_start, v_mean, rn,
+         |         v_mean AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.event_type, n.w_start, n.v_mean, n.rn,
+         |         $HOLT_LNEW AS l,
+         |         $HOLT_B * (($HOLT_LNEW) - r.l) + $HOLT_IB * r.b AS b
+         |  FROM n JOIN rec r ON n.user_id = r.user_id
+         |    AND n.event_type = r.event_type AND n.rn = r.rn + 1)
+         |SELECT user_id, event_type, w_start, v_mean,
+         |       ${Q6("l")} AS level, ${Q6("b")} AS trend
          |FROM rec ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_interpolate" ->
@@ -1388,6 +1417,13 @@ object SparkEntry {
   // EWMA coefficients — MUST be the same strings the Scala op embeds
   private val EWMA_A = java.lang.Double.toString(0.3)
   private val EWMA_B = java.lang.Double.toString(1.0 - 0.3)
+  // Holt coefficients — same contract
+  private val HOLT_A = java.lang.Double.toString(0.5)
+  private val HOLT_IA = java.lang.Double.toString(1.0 - 0.5)
+  private val HOLT_B = java.lang.Double.toString(0.3)
+  private val HOLT_IB = java.lang.Double.toString(1.0 - 0.3)
+  // l_t spelled identically everywhere it appears (engine + oracle)
+  private val HOLT_LNEW = s"$HOLT_A * n.v_mean + $HOLT_IA * (r.l + r.b)"
 
   /** Interpolated-percentile aggregate over (rn, n, value) — mirrors
     * TimeSeriesOps.percentileWindows: idx = p·(n-1), lookup of the two

@@ -400,6 +400,45 @@ object TimeSeriesOps {
         graft.Quant.q6(col("col.ew")).as("ewma")): _*)
   }
 
+  /** Holt's linear (double exponential) smoothing over the window-mean
+    * series: level l_t = α·m_t + (1−α)·(l_{t−1} + b_{t−1}), trend
+    * b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, initialized (l_1, b_1) =
+    * (m_1, 0). Same scale shape as ewma(): the sequential fold runs over
+    * the BOUNDED per-stream window series, never raw points; coefficients
+    * are serialized via Double.toString so the recursive-CTE oracle
+    * replays bit-identical float ops (l_t is spelled out twice inside b_t
+    * — the identical expression yields the identical double).
+    */
+  def holt(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+           width: Long, alpha: Double, beta: Double,
+           version: Option[Long] = None): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    val key = streamKey(streamCols)
+    val a = java.lang.Double.toString(alpha)
+    val ia = java.lang.Double.toString(1.0 - alpha)
+    val b = java.lang.Double.toString(beta)
+    val ib = java.lang.Double.toString(1.0 - beta)
+    val lNew = s"$a * x.v_mean + $ia * (element_at(acc, -1).l + element_at(acc, -1).b)"
+    windows(points, streamCols, start, end, width, version)
+      .groupBy(key: _*)
+      .agg(sort_array(collect_list(struct(col("w_start"), col("v_mean")))).as("ser"))
+      .withColumn("hw", expr(
+        s"""aggregate(ser, CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>),
+           |  (acc, x) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0
+           |         THEN named_struct('l', x.v_mean, 'b', CAST(0.0 AS DOUBLE))
+           |         ELSE named_struct(
+           |           'l', $lNew,
+           |           'b', $b * (($lNew) - element_at(acc, -1).l)
+           |                + $ib * element_at(acc, -1).b) END))""".stripMargin))
+      .select(key :+ posexplode(arrays_zip(col("ser"), col("hw"))): _*)
+      .select(key ++ Seq(col("col.ser.w_start").as("w_start"),
+        col("col.ser.v_mean").as("v_mean"),
+        graft.Quant.q6(col("col.hw.l")).as("level"),
+        graft.Quant.q6(col("col.hw.b")).as("trend")): _*)
+  }
+
   /** Linear interpolation onto a regular [start, end) grid: at each grid
     * time g, the value is the point AT g if one exists, otherwise the
     * linear blend of the last point before and first point after g (null

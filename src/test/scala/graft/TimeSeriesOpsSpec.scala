@@ -76,6 +76,18 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(e(2).getDouble(3) == 22.5)          // 15*0.5 + 30*0.5
   }
 
+  test("holt tracks a linear ramp: trend converges toward the slope") {
+    val p = pts((5L, 10.0), (15L, 20.0), (25L, 30.0), (35L, 40.0))
+    val h = TimeSeriesOps.holt(p, Seq("uuid"), 0L, 40L, 10L, 0.5, 0.3)
+      .orderBy("w_start").collect()
+    assert(h.length == 4)
+    assert(h(0).getDouble(3) == 10.0 && h(0).getDouble(4) == 0.0) // init (m_1, 0)
+    // l_2 = 0.5·20 + 0.5·(10+0) = 15; b_2 = 0.3·(15−10) + 0.7·0 = 1.5
+    assert(h(1).getDouble(3) == 15.0 && h(1).getDouble(4) == 1.5)
+    // trend keeps growing toward the true slope (10 per window)
+    assert(h(3).getDouble(4) > h(2).getDouble(4) && h(2).getDouble(4) > h(1).getDouble(4))
+  }
+
   test("interpolate blends linearly, pins exact hits, nulls outside the hull") {
     val p = pts((10L, 1.0), (30L, 3.0))
     val r = TimeSeriesOps.interpolate(p, Seq("uuid"), 0L, 50L, 10L)
