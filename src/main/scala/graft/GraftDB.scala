@@ -121,6 +121,20 @@ class GraftDB(val spark: SparkSession, val base: String) {
                 version: Option[Long]): DataFrame =
       TS.windowsApprox(points(version), K, start, end, width, depth).drop("uuid")
 
+    /** AlignedWindows at an automatically chosen pointwidth: the largest
+      * pw that still yields at least `targetPoints` buckets over the span
+      * — the reference client's "resolution for an N-pixel panel" idiom
+      * (pick pw from the time span, then one aligned query).
+      */
+    def autoWindows(start: Long, end: Long, targetPoints: Int,
+                    version: Option[Long] = None): DataFrame = {
+      require(end > start && targetPoints > 0, s"bad span [$start,$end) / $targetPoints")
+      val span = end - start
+      var pw = 0
+      while (pw < 62 && (span >> (pw + 1)) >= targetPoints.toLong) pw += 1
+      alignedWindows(start, end, pw, version)
+    }
+
     def nearest(time: Long, backward: Boolean,
                 version: Option[Long] = None): DataFrame =
       TS.nearest(points(version), K, time, backward).drop("uuid")

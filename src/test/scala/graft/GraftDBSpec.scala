@@ -25,6 +25,9 @@ class GraftDBSpec extends SparkSuite {
       && aw.head.getLong(4) == 16L)
     val w = s.windows(0, 60, 10).collect()
     assert(w.length == 6) // complete windows only
+    // auto resolution: span 64, target 4 → pw=4 (16-wide buckets, 4 windows)
+    val auto = s.autoWindows(0, 64, 4).collect()
+    assert(auto.length == 4)
     val nb = s.nearest(32, backward = true).head()
     assert(nb.getLong(0) == 31L && nb.getDouble(1) == 31.0)
 
