@@ -128,6 +128,23 @@ class PlanShapeSpec extends SparkSuite {
     assert(vocab.contains("TakeOrderedAndProject"), vocab.take(3000))
   }
 
+  test("late round-5 ops: no cartesians, cusum broadcasts, m4 pushes bounds") {
+    for (q <- Seq("ts_m4", "ts_coverage", "ts_outages", "ts_cusum", "ts_holt",
+        "ts_asof_tolerance", "ts_collection_windows", "ts_top_streams",
+        "q18_join", "q13_agg", "mm_stats", "mm_frames", "emb_knn",
+        "sample_fixed", "corpus_budget")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    val cs = physical(SparkEntry.queries("ts_cusum")(spark, sfDir))
+    assert(cs.contains("BroadcastHashJoin"), cs.take(3000))
+    val m4 = physical(SparkEntry.queries("ts_m4")(spark, sfDir))
+    assert(m4.contains("GreaterThanOrEqual(ts"),
+      s"m4 time bound not pushed:\n${m4.take(3000)}")
+    val sf = physical(SparkEntry.queries("sample_fixed")(spark, sfDir))
+    assert(sf.contains("TakeOrderedAndProject"), sf.take(3000))
+  }
+
   test("new ts extensions push time bounds to the scan and avoid cartesians") {
     // histogram/counter_rate filter on the derived t_us axis — the
     // DivComparisonBounds rule must reach the scan for them too
