@@ -50,6 +50,30 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- BTrDB API surface (SURVEY §2) -------------------------------
+    // Write-path throughput probe: bulk-insert 500k synthetic points for
+    // 64 streams through the MVCC store (one all-or-nothing partitioned
+    // parquet job — the reference's headline metric is ingest rate), then
+    // read back the per-store count at the assigned version. Deterministic
+    // output (rows-only driver check); the BENCH timing of this entry IS
+    // the ingest+readback rate. Store dir keyed by (sf, pid) like the
+    // rollup query so concurrent runs don't race.
+    "ts_ingest" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_" +
+        s"${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val st = graft.ts.Store(s, base)
+      val n = 500000L
+      st.insertBatch(s.range(n).select(
+        concat(lit("ing-"), (col("id") % 64).cast("string")).as("uuid"),
+        (lit(T0) + col("id") * 1000L).as("time"),
+        (col("id") % 1000).cast("double").as("value")))
+      st.rawPoints.groupBy(col("uuid"))
+        .agg(count(lit(1)).as("n_points"), max(col("ver")).as("ver"))
+        .orderBy(col("uuid"))
+    }),
+
     "ts_raw_values" -> ((s, dir) =>
       TS.rawValues(
           Tables.points(s, dir).filter(col("user_id") === 7 && col("event_type") === "click"),
