@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ts.TimeSeriesOps
+
+/** Randomized-but-seeded property checks of the round-5 numeric
+  * operators against independent in-memory reference implementations —
+  * the distributed plan must agree with the obvious sequential algorithm
+  * on arbitrary data, not just on the hand-picked spec cases.
+  */
+class OpsPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xBEEF)
+
+  private def randomSeries(n: Int): Seq[(Long, Double)] = {
+    // duplicate timestamps and values on purpose: tie handling is where
+    // distributed and sequential implementations drift apart
+    val ts = Seq.fill(n)(rnd.nextInt(40).toLong).sorted
+    ts.map(t => (t, (rnd.nextInt(21) - 10).toDouble / 2))
+  }
+
+  test("percentile matches the sorted-array type-7 reference on random data") {
+    for (_ <- 1 to 12) {
+      val data = randomSeries(1 + rnd.nextInt(25))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val ps = Seq(0.25, 0.5, 0.9)
+      val got = TimeSeriesOps
+        .percentileWindows(df, Seq("uuid"), 0L, 40L, 40L, ps)
+        .collect()
+      assert(got.length == 1)
+      // reference: numpy-style linear interpolation over the sorted values
+      val sorted = data.map(_._2).sorted
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val idx = p * (sorted.length - 1)
+        val lo = math.floor(idx).toInt
+        val hi = math.ceil(idx).toInt
+        val expect = sorted(lo) + (sorted(hi) - sorted(lo)) * (idx - math.floor(idx))
+        val gotV = got(0).getDouble(3 + i)
+        assert(math.abs(gotV - expect) < 1e-6, s"p=$p got=$gotV want=$expect data=$data")
+      }
+    }
+  }
+
+  test("cusum matches an exact BigInt prefix-sum reference on random data") {
+    for (_ <- 1 to 8) {
+      val data = randomSeries(2 + rnd.nextInt(30))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.cusum(df, Seq("uuid"))
+        .orderBy("t_us", "value").collect().map(_.getDouble(3)).toSeq
+      // reference: integer micro-units, rounded integer mean, exact prefix
+      val us = data.sortBy(r => (r._1, r._2)).map(r => math.round(r._2 * 1e6))
+      val mean = math.round(us.map(BigInt(_)).sum.toDouble / us.length)
+      val cums = us.scanLeft(BigInt(0))((acc, u) => acc + (u - mean)).tail
+      val expect = cums.map(c => c.toDouble / 1e6)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-6, s"got=$got want=$expect data=$data")
+      }
+    }
+  }
+
+  test("sessionize splits exactly where the sequential walk splits") {
+    for (_ <- 1 to 10) {
+      val data = randomSeries(1 + rnd.nextInt(30))
+      val gap = 1L + rnd.nextInt(10)
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.sessionize(df, Seq("uuid"), gap)
+        .orderBy("s_start").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // reference: sequential scan over sorted times
+      val ts = data.map(_._1).sorted
+      val sessions = ts.tail.foldLeft(List((ts.head, ts.head, 1L))) {
+        case ((s, e, n) :: rest, t) =>
+          if (t - e > gap) (t, t, 1L) :: (s, e, n) :: rest
+          else (s, t, n + 1) :: rest
+        case (Nil, _) => Nil
+      }.reverse
+      assert(got == sessions, s"gap=$gap data=$data")
+    }
+  }
+
+  test("rolling mean equals the flat re-aggregation of the trailing frame") {
+    for (_ <- 1 to 8) {
+      val data = randomSeries(2 + rnd.nextInt(30))
+      val k = 1 + rnd.nextInt(4)
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.rolling(df, Seq("uuid"), 0L, 40L, 10L, k)
+        .orderBy("w_start").collect()
+      // reference: per-window micro-unit sums, then re-aggregate the frame
+      val byW = data.groupBy(r => r._1 / 10 * 10).toSeq.sortBy(_._1)
+        .map { case (w, rows) =>
+          (w, rows.map(r => math.round(r._2 * 1e6)).sum, rows.length.toLong)
+        }
+      byW.zipWithIndex.foreach { case ((w, _, _), i) =>
+        val frame = byW.slice(math.max(0, i - k + 1), i + 1)
+        val expect = math.round(frame.map(_._2).sum.toDouble / frame.map(_._3).sum) / 1e6
+        val gotRow = got.find(_.getLong(1) == w).get
+        assert(math.abs(gotRow.getDouble(3) - expect) < 1e-9,
+          s"w=$w k=$k got=${gotRow.getDouble(3)} want=$expect data=$data")
+      }
+    }
+  }
+}
