@@ -53,10 +53,20 @@ class Store(val spark: SparkSession, val base: String) {
 
   private def hasData(dir: String): Boolean = hfs.exists(hpath(dir))
 
-  /** Partition columns for a (uuid, time, value, ver) batch. */
+  /** Partition columns for a (uuid, time, value, ver) batch, clustered
+    * for the write: without the repartition, a dynamic-partition write
+    * has EVERY task write EVERY (ub, tb) dir it sees — tasks × dirs tiny
+    * files (the classic ingest small-file explosion; measured 10× on the
+    * 500k-point bench probe). Shuffling on the partition columns first
+    * means each dir is written by exactly one task, and the within-task
+    * (uuid, time) sort gives parquet row groups that min/max-prune on
+    * both stream and time at read time.
+    */
   private def withLayout(df: DataFrame): DataFrame =
     df.withColumn("ub", pmod(xxhash64($"uuid"), lit(UuidBuckets)))
       .withColumn("tb", shiftright($"time", TimeBucketShift))
+      .repartition($"ub", $"tb")
+      .sortWithinPartitions($"ub", $"tb", $"uuid", $"time")
 
   /** Driver-side uuid bucket — same value as the Spark xxhash64 column
     * expression (XXH64 over the UTF-8 bytes, seed 42), so literal-uuid
