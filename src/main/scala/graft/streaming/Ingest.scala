@@ -57,7 +57,8 @@ object Ingest {
     * N stores sharing one Rollup — never two streams on one Store.
     */
   def intoStore(spark: SparkSession, sourceDir: String, store: Store,
-                checkpoint: String, rollup: Option[graft.ts.Rollup] = None): StreamingQuery = {
+                checkpoint: String, rollup: Option[graft.ts.Rollup] = None,
+                readerOptions: Map[String, String] = Map.empty): StreamingQuery = {
     val schema = "uuid STRING, time LONG, value DOUBLE"
     val ckptId = java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
     // markers/intents live WITH the store data (Hadoop FS, not
@@ -66,7 +67,16 @@ object Ingest {
     // marker and double-insert a committed batch
     val commitDir = new org.apache.hadoop.fs.Path(s"${store.base}/_ingest_commits/$ckptId")
     val fs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.readStream.schema(schema).parquet(sourceDir)
+    // Per-query version cache (sound under the single-writer contract
+    // below, which this extends to "no concurrent version-bumping op of
+    // ANY kind during an active ingest query"): the first batch pays one
+    // full version-discovery scan; every later batch assigns versions
+    // from the cache and probes ONLY never-seen uuids via the pruned
+    // Store.versionsFor — a per-micro-batch full-store groupBy does not
+    // survive a 100 TB store. A restarted query simply re-bootstraps.
+    val verCache = scala.collection.mutable.Map.empty[String, Long]
+    var bootstrapped = false
+    spark.readStream.schema(schema).options(readerOptions).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -89,7 +99,21 @@ object Ingest {
             intents.nonEmpty && intents.forall { case (u, v) => store.version(u) >= v }
           }
           if (!landed) {
-            val vers = store.nextVersions(batch)
+            val vers: Seq[(String, Long)] =
+              if (!bootstrapped) {
+                val v = store.nextVersions(batch)
+                bootstrapped = true
+                v
+              } else {
+                val batchUuids = batch.select("uuid").distinct()
+                  .collect().map(_.getString(0)).toSeq
+                val unseen = batchUuids.filterNot(verCache.contains)
+                if (unseen.nonEmpty) {
+                  val probed = store.versionsFor(unseen)
+                  unseen.foreach(u => verCache(u) = probed.getOrElse(u, 0L))
+                }
+                batchUuids.map(u => u -> (verCache(u) + 1))
+              }
             fs.mkdirs(commitDir)
             // write-then-rename so a crash can never leave a half-written
             // intent at the final path (replay parses it, see above)
@@ -100,6 +124,7 @@ object Ingest {
             if (fs.exists(intent)) fs.delete(intent, false)
             if (!fs.rename(tmp, intent)) sys.error(s"ingest: could not publish intent $intent")
             store.insertBatchAt(batch, vers)
+            vers.foreach { case (u, v) => verCache(u) = v }
           }
           rollup.foreach(_.appendBatch(
             batch.select(col("uuid"), col("time").as("t_us"), col("value")),

@@ -148,6 +148,33 @@ class Store(val spark: SparkSession, val base: String) {
       .as[(String, Long)].collect().toSeq
   }
 
+  /** Current committed version per uuid for a BOUNDED uuid set, with
+    * partition pruning: the scan is restricted to the uuids' ub buckets
+    * (driver-computed, literal partition filter) and the row-group
+    * (uuid, time)-sorted layout min/max-prunes inside them. This is the
+    * incremental complement of nextVersions' full-store discovery: an
+    * ingest stream bootstraps once, then probes only uuids it has not
+    * seen (graft.streaming.Ingest's version cache) — at 100 TB a
+    * per-micro-batch full groupBy over the store is the difference
+    * between an ingest that keeps up and one that falls behind its
+    * own history.
+    */
+  def versionsFor(uuids: Seq[String]): Map[String, Long] = {
+    if (uuids.isEmpty) return Map.empty
+    val ubs = uuids.map(ubOf).distinct
+    val uset = uuids.toSet
+    val pv = rawPoints
+      .filter($"ub".isin(ubs: _*)).filter($"uuid".isin(uuids: _*))
+      .groupBy("uuid").agg(max($"ver").as("v"))
+      .as[(String, Long)].collect()
+    val tv = tombstones
+      .filter($"uuid".isin(uuids: _*))
+      .groupBy("uuid").agg(max($"ver").as("v"))
+      .as[(String, Long)].collect()
+    (pv ++ tv).filter(kv => uset(kv._1))
+      .groupMapReduce(_._1)(_._2)(math.max)
+  }
+
   /** Write a batch at pre-assigned per-uuid versions (from nextVersions)
     * in ONE parquet job — all-or-nothing file commit.
     */

@@ -22,6 +22,27 @@ class IngestSpec extends SparkSuite {
     assert(st.version("a") == 1)
   }
 
+  test("version cache assigns correct versions across batches in one query") {
+    val src = tmpDir("vc_src")
+    val st = Store(spark, tmpDir("vc_store"))
+    // three files → three micro-batches (maxFilesPerTrigger=1): 'a' in all
+    // three (versions 1..3), 'b' only in the first, 'c' first seen in the
+    // second (probed through Store.versionsFor, not a full rescan)
+    Seq(("a", 10L, 1.0), ("b", 10L, 2.0)).toDF("uuid", "time", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq(("a", 20L, 3.0), ("c", 10L, 4.0)).toDF("uuid", "time", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq(("a", 30L, 5.0)).toDF("uuid", "time", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    Ingest.intoStore(spark, src, st, tmpDir("vc_ckpt"),
+      readerOptions = Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    assert(st.version("a") == 3, s"a at ${st.version("a")}")
+    assert(st.version("b") == 1 && st.version("c") == 1)
+    assert(st.rawValues("a", 0, 100).count() == 3)
+    // each insert of 'a' carries its own batch's version (MVCC intact)
+    assert(st.rawValues("a", 0, 100, asOf = Some(2)).count() == 2)
+  }
+
   test("replayed micro-batch is skipped, not re-appended (idempotent sink)") {
     val src = tmpDir("ingest_src")
     val ckpt = tmpDir("ingest_ckpt")
