@@ -102,9 +102,18 @@ object Dedup {
     // Signatures come from the codegen'd MinHashSig expression: one tight
     // loop per document over the normalized bytes (shingle slices hashed
     // once, k remixes each) — no shingle arrays, no interpreted lambdas.
-    val sigs = TextFunctions.withBase(docs)
-      .select(col("doc_id"), TextHashes.minhashSig(col("norm"), n, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+    // Signature AND shingle set are computed in the SAME compiled pass and
+    // materialized once (localCheckpoint): the verify stage joins the
+    // shingle side twice, so without this the corpus would be normalized
+    // and hashed three times. The materialized rows are doc_id + hashes —
+    // a few % of the raw text size — and spill to executor disk at scale
+    // (the standard persist-the-signatures shape of production dedup).
+    val base = TextFunctions.withBase(docs)
+      .select(col("doc_id"),
+        TextHashes.minhashSig(col("norm"), n, numHashes).as("sig"),
+        TextHashes.hashedShingles(col("norm"), n).as("hs"))
+      .localCheckpoint()
+    val sigs = base.select(col("doc_id"), col("sig")).filter(col("sig").isNotNull)
     val bands = (0 until numHashes / bandRows).map { b =>
       val rows = (0 until bandRows).map(r => col("sig")(b * bandRows + r))
       struct(lit(b).as("band"), hash(rows: _*).as("bv"))
@@ -119,9 +128,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     // Exact-Jaccard verification over hashed shingle sets (codegen'd merge
-    // walk per pair) — the verify side is recomputed per join but is a
-    // single cheap compiled pass over the corpus.
-    val hsh = hashedShingled(docs, n)
+    // walk per pair), served from the same materialized pass as the sigs.
+    val hsh = base.select(col("doc_id"), col("hs")).filter(col("hs").isNotNull)
     verifiedJaccard(
       cand
         .join(hsh.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
