@@ -216,6 +216,17 @@ class GraftDB(val spark: SparkSession, val base: String) {
                         version: Option[Long] = None): DataFrame =
       TS.seasonalProfile(points(version), K, bucketUs, periodBuckets).drop("uuid")
 
+    def timeWeighted(start: Long, end: Long,
+                     version: Option[Long] = None): DataFrame =
+      TS.timeWeighted(points(version), K, start, end).drop("uuid")
+
+    def multiResolution(start: Long, end: Long, widths: Seq[Long],
+                        version: Option[Long] = None): DataFrame =
+      TS.multiResolution(points(version), K, start, end, widths).drop("uuid")
+
+    def valueRuns(version: Option[Long] = None): DataFrame =
+      TS.valueRuns(points(version), K).drop("uuid")
+
     def annotations: Map[String, String] = {
       import spark.implicits._
       meta.descriptors.filter(col("uuid") === uuid)

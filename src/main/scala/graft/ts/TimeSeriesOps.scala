@@ -776,6 +776,153 @@ object TimeSeriesOps {
         count(lit(1)).as("v_count"))
   }
 
+  /** Time-weighted average per stream over [start, end): each point's
+    * value holds until the next sample (the step-function/last-observation
+    * integral — the correct mean for irregularly sampled holdings, gauges,
+    * and config values, where the plain mean over-weights bursts). Equal
+    * timestamps collapse to max(value) first (the last-write-wins rule
+    * used by interpolate/resample) so segments are well-defined; the final
+    * point spans no time and contributes no weight. The weighted sum is
+    * EXACT integer arithmetic — micro-unit value × µs duration — but a
+    * single segment already reaches ~1e24 (3e8 µ-units × 2.4e15 µs), so
+    * the products accumulate as DECIMAL(38,0) (mirroring DuckDB's HUGEINT)
+    * per the graft.Quant overflow rule. One keyed window sort over the
+    * deduplicated points — the same shape/cost class as delta().
+    */
+  def timeWeighted(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                   version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val dedup = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < end)
+      .groupBy(key :+ col("t_us"): _*).agg(max(col("value")).as("value"))
+    val w = Window.partitionBy(key: _*).orderBy(col("t_us"))
+    val seg = dedup.withColumn("next_t", lead(col("t_us"), 1).over(w))
+    val dur = col("next_t") - col("t_us")
+    val wsum = graft.Quant.us6(col("value")).cast("decimal(38,0)") * dur
+    seg.groupBy(key: _*)
+      .agg(
+        min(col("t_us")).as("t_first"),
+        max(col("t_us")).as("t_last"),
+        count(col("next_t")).as("n_segments"),
+        sum(when(col("next_t").isNotNull, wsum)).as("wsum"),
+        sum(when(col("next_t").isNotNull, dur)).as("wdur"))
+      .select(key ++ Seq(col("t_first"), col("t_last"), col("n_segments"),
+        when(col("wdur") > 0,
+          graft.Quant.q6(col("wsum").cast("double") / col("wdur").cast("double") / 1e6))
+          .as("twa")): _*)
+  }
+
+  /** Multi-resolution windows in ONE raw scan: StatPoints at every width in
+    * `widths` (each must divide the next, all anchored at `start` — e.g.
+    * day ⊂ week), where each coarser level re-aggregates the previous one
+    * instead of rescanning raw. This is the qtree's internal-node hierarchy
+    * computed on the fly — the dashboard zoom-ladder query. Exact by
+    * construction: min/max/count re-aggregate losslessly and the means come
+    * from the same integer micro-unit sums at every level (why Spark's own
+    * ROLLUP/Expand is NOT used here: it duplicates every raw row once per
+    * level BEFORE the shuffle — re-aggregating rollup-scale output costs
+    * nothing instead).
+    */
+  def multiResolution(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                      widths: Seq[Long], version: Option[Long] = None): DataFrame = {
+    require(widths.nonEmpty && widths.zip(widths.tail).forall { case (a, b) => b % a == 0 },
+      s"each width must divide the next: $widths")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / widths.max) * widths.max
+    val fine = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, widths.head): _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        sum(graft.Quant.us6(col("value"))).as("v_sum_us"),
+        count(lit(1)).as("v_count"))
+    val levels = widths.tail.scanLeft(widths.head -> fine) { case ((_, prev), wid) =>
+      val d = col("w_start") - start
+      wid -> prev
+        .groupBy(key :+ (lit(start) + d - pmod(d, lit(wid))).as("w_start"): _*)
+        .agg(
+          min(col("v_min")).as("v_min"),
+          max(col("v_max")).as("v_max"),
+          sum(col("v_sum_us")).as("v_sum_us"),
+          sum(col("v_count")).as("v_count"))
+    }
+    levels.map { case (wid, df) =>
+      df.select(key ++ Seq(lit(wid).as("w_width"), col("w_start"),
+        col("v_min"),
+        graft.Quant.mean6(col("v_sum_us"), col("v_count")).as("v_mean"),
+        col("v_max"), col("v_count")): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-window cardinality: how many distinct streams (`distinctCols`)
+    * reported into each (keyCols, window) bucket — the active-series /
+    * fleet-liveness query. Exact two-phase distinct (partial per-partition
+    * sets, then merge); at extreme cardinalities swap countDistinct for
+    * approx_count_distinct(HLL) — same plan shape, bounded state.
+    */
+  def cardinality(points: DataFrame, keyCols: Seq[String], distinctCols: Seq[String],
+                  start: Long, end: Long, width: Long,
+                  version: Option[Long] = None): DataFrame = {
+    require(distinctCols.nonEmpty, "cardinality needs at least one distinct column")
+    val key = keyCols.map(col)
+    val completeEnd = start + ((end - start) / width) * width
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(countDistinct(distinctCols.head, distinctCols.tail: _*).as("n_streams"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** Top-k streams per window by point count — the "who is loudest right
+    * now" feed behind rate-limiting and hot-shard dashboards. One windowed
+    * aggregation (map-side partial) then a rank over the WINDOW-scale
+    * output; ties break on the stream key so the cut is deterministic.
+    */
+  def topKPerWindow(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                    width: Long, k: Int, version: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val counts = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(count(lit(1)).as("n_points"))
+    val rank = row_number().over(
+      Window.partitionBy(col("w_start"))
+        .orderBy(col("n_points").desc +: key.map(_.asc): _*))
+    // long, not row_number's int — the gate compares against SQL BIGINT
+    counts.withColumn("rnk", rank.cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** Value runs: maximal runs of consecutive equal values per stream —
+    * the RLE/compressibility profile (how long does a sensor sit at a
+    * level; the batch complement of the streaming Deadband). Equal
+    * timestamps collapse to max(value) first so "consecutive" is
+    * well-defined, then classic gaps-and-islands on value change. One
+    * keyed window sort, same cost class as delta().
+    */
+  def valueRuns(points: DataFrame, streamCols: Seq[String],
+                version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val dedup = atVersion(points, version)
+      .groupBy(key :+ col("t_us"): _*).agg(max(col("value")).as("value"))
+    val w = Window.partitionBy(key: _*).orderBy(col("t_us"))
+    dedup
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_v").isNull || col("value") =!= col("prev_v"), 1).otherwise(0))
+      .withColumn("run", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(key :+ col("run"): _*)
+      .agg(
+        min(col("t_us")).as("r_start"),
+        max(col("t_us")).as("r_end"),
+        min(col("value")).as("value"),
+        count(lit(1)).as("n_points"))
+      .drop("run")
+  }
+
   /** Resample onto a regular [start, end) grid with step `width`,
     * forward-filling the last observed value (gap fill). The grid is
     * generated distributed (per stream via sequence+explode), joined to the

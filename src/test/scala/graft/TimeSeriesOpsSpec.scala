@@ -241,4 +241,58 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(r(2).getDouble(2) == 3.0)
     assert(r(3).getDouble(2) == 3.0) // gap → carried forward
   }
+
+  test("time-weighted average holds each value until the next sample") {
+    // v=10 holds [0,10) (weight 10), v=20 holds [10,40) (weight 30); the
+    // final point spans no time. twa = (10·10 + 20·30)/40 = 17.5 — the
+    // plain mean (20) would over-weight the short-lived first sample.
+    val p = pts((0L, 10.0), (10L, 20.0), (40L, 30.0))
+    val t = TimeSeriesOps.timeWeighted(p, Seq("uuid"), 0L, 100L).collect()
+    assert(t.length == 1)
+    assert((t(0).getLong(1), t(0).getLong(2), t(0).getLong(3)) == (0L, 40L, 2L))
+    assert(t(0).getDouble(4) == 17.5)
+  }
+
+  test("time-weighted average collapses equal timestamps to the max value") {
+    // duplicate t=10 → last-write-wins max(20, 5) = 20; same answer
+    val p = pts((0L, 10.0), (10L, 5.0), (10L, 20.0), (40L, 30.0))
+    val t = TimeSeriesOps.timeWeighted(p, Seq("uuid"), 0L, 100L).collect()
+    assert(t(0).getDouble(4) == 17.5)
+  }
+
+  test("multi-resolution coarse level equals the direct coarse windows") {
+    val p = pts((1L, 1.0), (11L, 3.0), (21L, 5.0), (31L, 7.0))
+    val mr = TimeSeriesOps.multiResolution(p, Seq("uuid"), 0L, 40L, Seq(10L, 20L))
+    val coarse = mr.filter(col("w_width") === 20L)
+      .select("uuid", "w_start", "v_min", "v_mean", "v_max", "v_count")
+    val direct = TimeSeriesOps.windows(p, Seq("uuid"), 0L, 40L, 20L)
+    assert(coarse.exceptAll(direct).isEmpty && direct.exceptAll(coarse).isEmpty)
+    assert(mr.filter(col("w_width") === 10L).count() == 4)
+  }
+
+  test("cardinality counts distinct streams per window") {
+    val p = Seq((1L, "a", 1L, 1.0), (2L, "a", 2L, 2.0), (1L, "a", 3L, 3.0),
+      (1L, "a", 11L, 4.0)).toDF("user_id", "event_type", "t_us", "value")
+    val c = TimeSeriesOps.cardinality(p, Seq("event_type"), Seq("user_id"), 0L, 20L, 10L)
+      .orderBy("w_start").collect()
+    assert(c.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 2L, 3L), (10L, 1L, 1L)))
+  }
+
+  test("top-k per window ranks by count with deterministic ties") {
+    val p = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0), ("b", 4L, 4.0),
+      ("c", 5L, 5.0)).toDF("uuid", "t_us", "value")
+    val t = TimeSeriesOps.topKPerWindow(p, Seq("uuid"), 0L, 10L, 10L, 2)
+      .orderBy("rnk").collect()
+    // a and b tie at 2 points → key order breaks the tie; c (1 point) cut
+    assert(t.map(r => (r.getString(0), r.getLong(3))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("value runs split exactly on value changes") {
+    val p = pts((0L, 1.0), (10L, 1.0), (20L, 2.0), (30L, 1.0))
+    val r = TimeSeriesOps.valueRuns(p, Seq("uuid")).orderBy("r_start").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4))).toSeq ==
+      Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
+  }
 }
