@@ -256,6 +256,58 @@ object TextFunctions {
       .orderBy(col("doc_freq").desc, col("word"))
       .limit(k)
 
+  /** Lexical-diversity statistics per document: type count (distinct
+    * words), type-token ratio, and hapax legomena (words used exactly once)
+    * — the vocabulary-richness signals next to the repetition score
+    * (word salad maximizes TTR, template text minimizes it). Pure per-row
+    * array HOFs (codegen, no shuffle); the hapax scan is O(types·words)
+    * per row, bounded by document length — never corpus-scale state.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    withBase(docs)
+      .withColumn("types", array_distinct(col("w")))
+      .withColumn("n_hapax",
+        expr("size(filter(types, x -> size(filter(w, y -> y = x)) = 1))"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("types")).cast("long").as("n_types"),
+        col("n_hapax").cast("long").as("n_hapax"),
+        graft.Quant.q6(size(col("types")).cast("double") / size(col("w"))).as("ttr"),
+        graft.Quant.q6(col("n_hapax").cast("double") / size(col("types"))).as("hapax_ratio"))
+
+  /** The most-duplicated word n-grams corpus-wide (by distinct-document
+    * frequency, ≥ 2 docs) — the memorization-risk / boilerplate report
+    * ("which exact passages does the corpus repeat?"). Distinct shingles
+    * per doc (map-side), one partial-aggregated shuffle on the gram, then
+    * a TakeOrdered top-k — the same shape as vocab(), so it survives any
+    * corpus size; the gram key space is bounded by total corpus tokens.
+    */
+  def dupNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    withBase(docs)
+      .select(col("doc_id"), explode(wordShingles(n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= 2)
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+
+  /** Cross-source contamination matrix: for every ordered source pair,
+    * how many exact-duplicate document pairs they share (same normalized
+    * md5) and how many distinct texts are involved — the "which datasets
+    * overlap" audit run before mixing corpora. Self-join keyed on the
+    * fingerprint: group sizes are duplicate-cluster sizes (AQE splits the
+    * rare boilerplate hot key), never corpus-scale.
+    */
+  def crossSourceOverlap(docs: DataFrame): DataFrame = {
+    val fps = withBase(docs).select(col("doc_id"), col("source"), md5(col("norm")).as("fp"))
+    val a = fps.select(col("fp"), col("source").as("src_a"), col("doc_id").as("id_a"))
+    val b = fps.select(col("fp"), col("source").as("src_b"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("fp")).as("n_texts"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     withBase(docs).select(
       col("doc_id"),

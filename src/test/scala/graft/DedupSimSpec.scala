@@ -155,4 +155,36 @@ class DedupSimSpec extends SparkSuite {
     // 'a' appears twice in doc 1 but its doc_freq is 1; ties alphabetical
     assert(v == Seq(("b", 2L), ("a", 1L), ("c", 1L)))
   }
+
+  test("lexical diversity: types, hapax, and ratios on a known doc") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r = graft.text.TextFunctions.lexicalDiversity(d).collect().head
+    // 4 tokens, 3 types, hapax = {b, c}
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (4L, 3L, 2L))
+    assert(r.getDouble(4) == 0.75)
+    assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("dup ngrams reports only cross-corpus repeated passages") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z w"), (2L, "a x y z w b"), // share the 4-gram "x y z w"
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val g = graft.text.TextFunctions.dupNgrams(d, 4, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(g == Seq(("x y z w", 2L)))
+  }
+
+  test("cross-source overlap counts exact-dup pairs per source pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text", "s1"), (2L, "same text", "s2"), (3L, "same text", "s2"),
+      (4L, "other", "s1"), (5L, "unique", "s3"))
+      .toDF("doc_id", "text", "source")
+    val o = graft.text.TextFunctions.crossSourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // s1 doc 1 matches both s2 copies → 2 pairs over 1 distinct text
+    assert(o == Seq(("s1", "s2", 2L, 1L)))
+  }
 }
