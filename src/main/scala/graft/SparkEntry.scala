@@ -294,6 +294,32 @@ object SparkEntry {
       TS.seasonalProfile(Tables.points(s, dir), Seq("event_type"), HOUR, 24)
         .orderBy(col("event_type"), col("pos"))),
 
+    // time-weighted average: the step-function integral mean — the correct
+    // aggregate for irregularly sampled gauges (plain mean over-weights
+    // bursts)
+    "ts_twa" -> ((s, dir) =>
+      TS.timeWeighted(Tables.points(s, dir), STREAM, T0, T29)
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // one raw scan serving the day AND week zoom levels at once (coarse
+    // re-aggregated from fine — the on-the-fly qtree hierarchy)
+    "ts_multires" -> ((s, dir) =>
+      TS.multiResolution(Tables.points(s, dir), STREAM, T0, T29, Seq(DAY, WEEK))
+        .orderBy(col("w_width"), col("user_id"), col("event_type"), col("w_start"))),
+
+    // distinct active streams per (collection, window) — fleet liveness
+    "ts_cardinality" -> ((s, dir) =>
+      TS.cardinality(Tables.points(s, dir), Seq("event_type"), Seq("user_id"), T0, T29, DAY)
+        .orderBy(col("event_type"), col("w_start"))),
+
+    "ts_topk_windows" -> ((s, dir) =>
+      TS.topKPerWindow(Tables.points(s, dir), STREAM, T0, T29, DAY, 3)
+        .orderBy(col("w_start"), col("rnk"))),
+
+    "ts_value_runs" -> ((s, dir) =>
+      TS.valueRuns(Tables.points(s, dir), STREAM)
+        .orderBy(col("user_id"), col("event_type"), col("r_start"))),
+
     // ---- General analytics -------------------------------------------
     // Money sums/means go through exact integer sub-unit sums (graft.Quant
     // doc): l_* values are 2-dp decimals, so their sums and means land
@@ -495,6 +521,21 @@ object SparkEntry {
     "corpus_vocab" -> ((s, dir) =>
       TextFunctions.vocab(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("doc_freq").desc, col("word"))),
+
+    "text_ttr" -> ((s, dir) =>
+      TextFunctions.lexicalDiversity(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // the memorization-risk report: which exact 8-word passages does the
+    // corpus repeat, and in how many documents
+    "corpus_dup_ngrams" -> ((s, dir) =>
+      TextFunctions.dupNgrams(Tables.load(s, dir, "documents"), 8, 50)
+        .orderBy(col("doc_freq").desc, col("gram"))),
+
+    // which sources share verbatim documents — the pre-mixing overlap audit
+    "corpus_overlap" -> ((s, dir) =>
+      TextFunctions.crossSourceOverlap(Tables.load(s, dir, "documents"))
+        .orderBy(col("src_a"), col("src_b"))),
 
     // ---- LLM-pipeline: multimodal (binary columns) --------------------
     // the payload is an opaque BINARY column (synthesized deterministically
@@ -1051,6 +1092,85 @@ object SparkEntry {
          |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
          |FROM pts GROUP BY 1, 2 ORDER BY event_type, pos""".stripMargin,
 
+    // mirrors TimeSeriesOps.timeWeighted: dedupe equal timestamps to
+    // max(value), HUGEINT ≡ DECIMAL(38,0) products of µ-unit values × µs
+    // durations, one identical float assembly at the end
+    "ts_twa" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |d AS (SELECT user_id, event_type, t_us, max(value) AS value
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29 GROUP BY 1, 2, 3),
+         |l AS (SELECT *, lead(t_us) OVER (PARTITION BY user_id, event_type
+         |                                 ORDER BY t_us) AS next_t FROM d)
+         |SELECT user_id, event_type, min(t_us) AS t_first, max(t_us) AS t_last,
+         |       CAST(count(next_t) AS BIGINT) AS n_segments,
+         |       CASE WHEN sum(CASE WHEN next_t IS NOT NULL THEN next_t - t_us END) > 0
+         |            THEN ${Q6("CAST(sum(CASE WHEN next_t IS NOT NULL THEN CAST(" +
+                US6("value") + " AS HUGEINT) * (next_t - t_us) END) AS DOUBLE)" +
+                " / CAST(sum(CASE WHEN next_t IS NOT NULL THEN next_t - t_us END) AS DOUBLE)" +
+                " / 1000000.0")}
+         |       END AS twa
+         |FROM l GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // mirrors TimeSeriesOps.multiResolution: the week level re-aggregates
+    // the day level's exact integer sums — the oracle proves fine ≡ coarse
+    "ts_multires" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |b AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        min(value) AS v_min, max(value) AS v_max,
+         |        sum(${US6("value")}) AS v_sum_us, count(*) AS v_count
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, CAST($DAY AS BIGINT) AS w_width, w_start,
+         |       v_min, ${MEAN6("v_sum_us", "v_count")} AS v_mean, v_max,
+         |       CAST(v_count AS BIGINT) AS v_count
+         |FROM b
+         |UNION ALL
+         |SELECT user_id, event_type, CAST($WEEK AS BIGINT) AS w_width,
+         |       $T0 + (w_start - $T0) - ((w_start - $T0) % $WEEK) AS w_start,
+         |       min(v_min), ${MEAN6("sum(v_sum_us)", "sum(v_count)")}, max(v_max),
+         |       CAST(sum(v_count) AS BIGINT)
+         |FROM b GROUP BY 1, 2, 3, 4
+         |ORDER BY w_width, user_id, event_type, w_start""".stripMargin,
+
+    "ts_cardinality" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT event_type, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_streams,
+         |       CAST(count(*) AS BIGINT) AS n_points
+         |FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin,
+
+    "ts_topk_windows" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |c AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        count(*) AS n
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29 GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY w_start
+         |             ORDER BY n DESC, user_id, event_type) AS rnk FROM c)
+         |SELECT user_id, event_type, w_start, CAST(n AS BIGINT) AS n_points,
+         |       CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY w_start, rnk""".stripMargin,
+
+    // mirrors TimeSeriesOps.valueRuns: same max(value) timestamp collapse,
+    // same gaps-and-islands on value change
+    "ts_value_runs" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |d AS (SELECT user_id, event_type, t_us, max(value) AS value
+         |      FROM pts GROUP BY 1, 2, 3),
+         |l AS (SELECT *, lag(value) OVER (PARTITION BY user_id, event_type
+         |                                 ORDER BY t_us) AS prev_v FROM d),
+         |f AS (SELECT *, CASE WHEN prev_v IS NULL OR value <> prev_v
+         |                     THEN 1 ELSE 0 END AS is_new FROM l),
+         |i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type
+         |                                  ORDER BY t_us
+         |                                  ROWS UNBOUNDED PRECEDING) AS run FROM f)
+         |SELECT user_id, event_type, min(t_us) AS r_start, max(t_us) AS r_end,
+         |       min(value) AS value, CAST(count(*) AS BIGINT) AS n_points
+         |FROM i GROUP BY user_id, event_type, run
+         |ORDER BY user_id, event_type, r_start""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       round(sum(l_quantity), 2) AS sum_qty,
@@ -1393,6 +1513,38 @@ object SparkEntry {
          |w AS (SELECT unnest(list_distinct(string_split(norm, ' '))) AS word FROM d)
          |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM w GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin,
+
+    "text_ttr" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id, w, list_distinct(w) AS types FROM b),
+         |h AS (SELECT doc_id, w, types,
+         |        len(list_filter(types, x -> len(list_filter(w, y -> y = x)) = 1)) AS n_hapax
+         |      FROM c)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |       CAST(len(types) AS BIGINT) AS n_types,
+         |       CAST(n_hapax AS BIGINT) AS n_hapax,
+         |       ${Q6("CAST(len(types) AS DOUBLE) / len(w)")} AS ttr,
+         |       ${Q6("CAST(n_hapax AS DOUBLE) / len(types)")} AS hapax_ratio
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "corpus_dup_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |               generate_series(1, greatest(len(w) - 7, 0)),
+         |               i -> array_to_string(w[i:i+7], ' ')))) AS gram
+         |      FROM d WHERE len(w) >= 8)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+         |FROM g GROUP BY gram HAVING count(*) >= 2
+         |ORDER BY doc_freq DESC, gram LIMIT 50""".stripMargin,
+
+    "corpus_overlap" ->
+      s"""WITH d AS (SELECT doc_id, source, md5($NORM_TEXT_SQL) AS fp FROM documents)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_texts
+         |FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // mirrors Multimodal.syntheticAssets + assetStats: payload bytes =
     // utf-8 of text (octet_length(BLOB) ≡ Spark length(binary))
