@@ -302,6 +302,38 @@ class IngestSpec extends SparkSuite {
     assert(batch == got, s"batch $batch != streaming $got")
   }
 
+  test("gap monitor alerts silent streams by timer and closes gaps on resume") {
+    import graft.streaming.{GapMonitor, RawPoint}
+    val src = tmpDir("gm_src")
+    val S = 1000000L // 1 s in µs
+    // batch 1: both streams alive at t=1s
+    Seq(RawPoint("a", S, 1.0), RawPoint("b", S, 1.0))
+      .toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(src).as[RawPoint]
+    val q = GapMonitor.monitor(stream, gapUs = 2 * S).writeStream
+      .outputMode("append").format("memory").queryName("gm_out")
+      .option("checkpointLocation", tmpDir("gm_ckpt")).start()
+    q.processAllAvailable()
+    // batch 2: only a resumes, at t=10s — closes a's gap AND pushes the
+    // watermark past b's silence timer (1s + 2s), firing b's open alert
+    // in the no-data timeout pass
+    Seq(RawPoint("a", 10 * S, 2.0)).toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    // batch 3: a again — a's second gap (10s→20s) closes; b stays silent
+    // but alerted=true suppresses a duplicate open alert
+    Seq(RawPoint("a", 20 * S, 3.0)).toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT uuid, silenceStart, resumedAt, open FROM gm_out ORDER BY uuid, silenceStart")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == Set(
+      ("a", S, 10 * S, false),
+      ("a", 10 * S, 20 * S, false),
+      ("b", S, -1L, true)), s"got $got")
+  }
+
   private def stageAsDir(df: org.apache.spark.sql.DataFrame): String = {
     val d = tmpDir("stage")
     df.write.mode("overwrite").parquet(d)
