@@ -145,6 +145,34 @@ class PlanShapeSpec extends SparkSuite {
     assert(sf.contains("TakeOrderedAndProject"), sf.take(3000))
   }
 
+  test("round-5b ops: one scan for multires, top-k heaps, pushed bounds") {
+    for (q <- Seq("ts_twa", "ts_multires", "ts_cardinality", "ts_topk_windows",
+        "ts_value_runs", "text_ttr", "corpus_dup_ngrams", "corpus_overlap")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // multires serves BOTH zoom levels from ONE raw scan: the fine-level
+    // aggregation exchange is built once and reused by the coarse branch —
+    // a second FileScan would double the raw I/O for every added level
+    val mr = SparkEntry.queries("ts_multires")(spark, sfDir)
+    mr.collect()
+    // audit the FINAL adaptive plan only — AQE's toString appends the
+    // pre-reuse "Initial Plan" section, which double-counts scans
+    val mrPlan = mr.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nScans = "Scan parquet".r.findAllIn(mrPlan).length
+    assert(nScans == 1 && mrPlan.contains("ReusedExchange"),
+      s"multires should reuse one scan, found $nScans:\n${mrPlan.take(3000)}")
+    // the duplicated-passage report cuts with a TakeOrdered heap, not a sort
+    val dg = physical(SparkEntry.queries("corpus_dup_ngrams")(spark, sfDir))
+    assert(dg.contains("TakeOrderedAndProject"), dg.take(3000))
+    // twa/cardinality filter the derived t_us axis — bounds must reach raw ts
+    for (q <- Seq("ts_twa", "ts_cardinality")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+    }
+  }
+
   test("new ts extensions push time bounds to the scan and avoid cartesians") {
     // histogram/counter_rate filter on the derived t_us axis — the
     // DivComparisonBounds rule must reach the scan for them too
