@@ -120,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DivComparisonBounds)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectFunction(fn("fvec_dot",
       "fvec_dot(a, b) - double dot product of two float/double arrays") {
       case Seq(a, b) => FloatVectorDot(a, b)

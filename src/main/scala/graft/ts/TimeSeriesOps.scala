@@ -337,15 +337,53 @@ object TimeSeriesOps {
   }
 
   /** As-of join: for each left point, the latest right value with
-    * t_right <= t_left, per join key. Implemented as a union + partitioned
-    * window (last_value ignoring nulls) rather than a range join: one
-    * shuffle on the stream key, no quadratic range-condition fallback —
-    * this is the shape that survives 100 TB.
+    * t_right <= t_left, per join key; `toleranceUs` nulls stale matches.
+    *
+    * Planned as graft's custom Catalyst operator (graft.plans.AsofJoin →
+    * AsofMergeJoinExec): both sides hash-clustered on the key and sorted by
+    * (key, time), then a streaming two-pointer merge in O(1) memory per
+    * partition — no union materialization, no window state. Falls back to
+    * the declarative union + last-ignoring-nulls window plan when the
+    * session was built without GraftExtensions (same results, one extra
+    * column of window state per row).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftValue: String = "value", rightValue: String = "value",
                asOfCol: String = "t_us",
                toleranceUs: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    val merged = spark.sessionState.planner.strategies.contains(graft.plans.GraftStrategies)
+    if (!merged)
+      return asofJoinWindowed(left, right, keyCols, leftValue, rightValue, asOfCol, toleranceUs)
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.DoubleType
+    val l = left.select(keyCols.map(col) ++
+      Seq(col(asOfCol), col(leftValue).as("l_value")): _*)
+    // fresh aliases on the right give it disjoint expression ids — the
+    // usual self-join case (two filters of one table) would otherwise put
+    // duplicate attributes under one binary node
+    val r = right.select(keyCols.map(c => col(c).as(s"__rk_$c")) ++
+      Seq(col(asOfCol).as("__rt"), col(rightValue).cast("double").as("__rv")): _*)
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def att(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"missing column $n"))
+    val node = graft.plans.AsofJoin(lp, rp,
+      keyCols.map(att(lp, _)), keyCols.map(c => att(rp, s"__rk_$c")),
+      att(lp, asOfCol), att(rp, "__rt"), att(rp, "__rv"), toleranceUs,
+      AttributeReference("asof_value", DoubleType)())
+    org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, node)
+  }
+
+  /** The declarative as-of plan (union + partitioned last-ignoring-nulls
+    * window): one shuffle on the stream key, no quadratic range-condition
+    * fallback. Kept as the extension-free fallback and as the independent
+    * reference implementation the merge operator is spec-checked against.
+    */
+  def asofJoinWindowed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftValue: String = "value", rightValue: String = "value",
+                       asOfCol: String = "t_us",
+                       toleranceUs: Option[Long] = None): DataFrame = {
     val key = keyCols.map(col)
     val l = left.select(key :+ col(asOfCol) :+ col(leftValue).as("l_value"): _*)
       .withColumn("r_value", lit(null).cast("double"))

@@ -289,6 +289,24 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq(("a", 1L), ("b", 2L)))
   }
 
+  test("asof merge operator: custom exec planned, equal to the windowed plan") {
+    // the session has GraftExtensions → asofJoin plans the custom operator
+    val p = Tables.points(spark, sfDir)
+    val l = p.filter(col("event_type") === "click")
+    val r = p.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("t_us")).agg(max(col("value")).as("value"))
+    val custom = TimeSeriesOps.asofJoin(l, r, Seq("user_id"))
+    assert(custom.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      custom.queryExecution.executedPlan.toString.take(2000))
+    val reference = TimeSeriesOps.asofJoinWindowed(l, r, Seq("user_id"))
+    assert(custom.exceptAll(reference).isEmpty && reference.exceptAll(custom).isEmpty)
+    // with a staleness bound too
+    val tol = Some(3L * 86400000000L)
+    val customT = TimeSeriesOps.asofJoin(l, r, Seq("user_id"), toleranceUs = tol)
+    val referenceT = TimeSeriesOps.asofJoinWindowed(l, r, Seq("user_id"), toleranceUs = tol)
+    assert(customT.exceptAll(referenceT).isEmpty && referenceT.exceptAll(customT).isEmpty)
+  }
+
   test("value runs split exactly on value changes") {
     val p = pts((0L, 1.0), (10L, 1.0), (20L, 2.0), (30L, 1.0))
     val r = TimeSeriesOps.valueRuns(p, Seq("uuid")).orderBy("r_start").collect()
