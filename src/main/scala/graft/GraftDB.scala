@@ -59,6 +59,16 @@ class GraftDB(val spark: SparkSession, val base: String) {
       a.points().withColumn("k", lit(1)),
       b.points().withColumn("k", lit(1)), Seq("k"), start, end, width).drop("k")
 
+  /** Conversion funnel between two stream handles: per window of a-events,
+    * how many saw a b-event within `horizonUs` (TimeSeriesOps.funnel —
+    * the as-of join run forward).
+    */
+  def funnel(a: StreamHandle, b: StreamHandle, start: Long, end: Long,
+             width: Long, horizonUs: Long): DataFrame =
+    TS.funnel(
+      a.points().withColumn("k", lit(1)),
+      b.points().withColumn("k", lit(1)), Seq("k"), start, end, width, horizonUs).drop("k")
+
   /** Per-stream query/write surface. All reads take an optional
     * `version` (None = latest) like the RPCs' versionMajor.
     */
@@ -226,6 +236,18 @@ class GraftDB(val spark: SparkSession, val base: String) {
 
     def valueRuns(version: Option[Long] = None): DataFrame =
       TS.valueRuns(points(version), K).drop("uuid")
+
+    def stddevWindows(start: Long, end: Long, width: Long,
+                      version: Option[Long] = None): DataFrame =
+      TS.stddevWindows(points(version), K, start, end, width).drop("uuid")
+
+    def deriv(start: Long, end: Long, width: Long,
+              version: Option[Long] = None): DataFrame =
+      TS.deriv(points(version), K, start, end, width).drop("uuid")
+
+    def offsetCompare(start: Long, end: Long, width: Long, offsetUs: Long,
+                      version: Option[Long] = None): DataFrame =
+      TS.offsetCompare(points(version), K, start, end, width, offsetUs).drop("uuid")
 
     def annotations: Map[String, String] = {
       import spark.implicits._

@@ -320,6 +320,32 @@ object SparkEntry {
       TS.valueRuns(Tables.points(s, dir), STREAM)
         .orderBy(col("user_id"), col("event_type"), col("r_start"))),
 
+    // per-window stddev — PromQL stddev_over_time (exact integer moments)
+    "ts_stddev" -> ((s, dir) =>
+      TS.stddevWindows(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // per-window least-squares slope — PromQL deriv()
+    "ts_deriv" -> ((s, dir) =>
+      TS.deriv(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // week-over-week window-mean comparison — the PromQL `offset` modifier
+    "ts_wow" -> ((s, dir) =>
+      TS.offsetCompare(Tables.points(s, dir), STREAM, T0, T29, DAY, WEEK)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // click→purchase conversion within a day — the as-of join run FORWARD
+    // (negated time axes), aggregated into a daily funnel
+    "ts_funnel" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      TS.funnel(
+          p.filter(col("event_type") === "click"),
+          p.filter(col("event_type") === "purchase"),
+          Seq("user_id"), T0, T29, DAY, DAY)
+        .orderBy(col("user_id"), col("w_start"))
+    }),
+
     // ---- General analytics -------------------------------------------
     // Money sums/means go through exact integer sub-unit sums (graft.Quant
     // doc): l_* values are 2-dp decimals, so their sums and means land
@@ -471,6 +497,16 @@ object SparkEntry {
       Vectors.knnGraph(Tables.load(s, dir, "embeddings"), 0.4, 3)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // embedding hygiene: per-vector L2 norms (degenerate-vector audit)
+    "emb_norms" -> ((s, dir) =>
+      Vectors.norms(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
+
+    // embedding hygiene: per-dimension distribution (dead-dim audit)
+    "emb_dim_stats" -> ((s, dir) =>
+      Vectors.dimStats(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("dim"))),
+
     "emb_ann_topk" -> ((s, dir) =>
       Vectors.annTopK(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
@@ -524,6 +560,16 @@ object SparkEntry {
 
     "text_ttr" -> ((s, dir) =>
       TextFunctions.lexicalDiversity(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // word-length stats — the tokenizer-health / gibberish signal
+    "text_wordlen" -> ((s, dir) =>
+      TextFunctions.wordLengthStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // shared-10-word-prefix groups — template/boilerplate detection
+    "dedup_prefix" -> ((s, dir) =>
+      Dedup.prefixGroups(Tables.load(s, dir, "documents"), 10)
         .orderBy(col("doc_id"))),
 
     // the memorization-risk report: which exact 8-word passages does the
@@ -1171,6 +1217,84 @@ object SparkEntry {
          |FROM i GROUP BY user_id, event_type, run
          |ORDER BY user_id, event_type, r_start""".stripMargin,
 
+    // population stddev via the EXACT integer variance numerator
+    // D = n·Σx² − (Σx)² (only the final exact integer is cast to double —
+    // see the HUGEINT→DOUBLE one-ulp note on TimeSeriesOps.stddevWindows)
+    "ts_stddev" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |u AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        ${US6("value")} AS us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |m AS (SELECT user_id, event_type, w_start,
+         |        sum(us) AS s1, sum(CAST(us AS HUGEINT) * us) AS s2, count(*) AS n
+         |      FROM u GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, w_start,
+         |       ${MEAN6("s1", "n")} AS v_mean,
+         |       ${Q6("sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) / n / 1000000.0")} AS v_stddev,
+         |       CAST(n AS BIGINT) AS v_count
+         |FROM m ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // least-squares slope from exact integer moments; tr = offset within
+    // the window keeps magnitudes bounded (products still need HUGEINT)
+    "ts_deriv" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |u AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        (t_us - $T0) % $DAY AS tr, ${US6("value")} AS vu
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |m AS (SELECT user_id, event_type, w_start, count(*) AS n,
+         |        sum(tr) AS st, sum(vu) AS sv,
+         |        sum(CAST(tr AS HUGEINT) * tr) AS stt,
+         |        sum(CAST(tr AS HUGEINT) * vu) AS stv
+         |      FROM u GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, w_start, CAST(n AS BIGINT) AS n_points,
+         |       CASE WHEN n * stt - CAST(st AS HUGEINT) * st > 0
+         |            THEN ${Q6("CAST(n * stv - CAST(st AS HUGEINT) * sv AS DOUBLE) / CAST(n * stt - CAST(st AS HUGEINT) * st AS DOUBLE)")}
+         |       END AS slope_per_s
+         |FROM m ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // rounded-integer window means, exact integer difference, one scale-0
+    // round for the percent ratio (the graft.Quant-portable form)
+    "ts_wow" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29 GROUP BY 1, 2, 3)
+         |SELECT c.user_id AS user_id, c.event_type AS event_type, c.w_start AS w_start,
+         |       CAST(c.m_us AS DOUBLE) / 1000000.0 + 0 AS v_mean,
+         |       CAST(p.m_us AS DOUBLE) / 1000000.0 + 0 AS prev_mean,
+         |       CAST(c.m_us - p.m_us AS DOUBLE) / 1000000.0 + 0 AS diff,
+         |       CASE WHEN p.m_us <> 0
+         |            THEN round(CAST(c.m_us - p.m_us AS DOUBLE) * 100000000.0 / p.m_us, 0) / 1000000.0 + 0
+         |       END AS pct_change
+         |FROM m c JOIN m p ON c.user_id = p.user_id AND c.event_type = p.event_type
+         |  AND c.w_start = p.w_start + $WEEK
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // conversion = earliest purchase at/after the click, within the
+    // horizon; duplicate click rows keep their multiplicity (the verdict
+    // computes per distinct (user, t), then joins back onto the rows)
+    "ts_funnel" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |c AS (SELECT user_id, t_us FROM pts
+         |      WHERE event_type = 'click' AND t_us >= $T0 AND t_us < $T29),
+         |p AS (SELECT user_id, t_us FROM pts WHERE event_type = 'purchase'),
+         |cd AS (SELECT DISTINCT user_id, t_us FROM c),
+         |n AS (SELECT cd.user_id AS user_id, cd.t_us AS t_us,
+         |        CASE WHEN min(p.t_us) IS NOT NULL AND min(p.t_us) - cd.t_us <= $DAY
+         |             THEN 1 ELSE 0 END AS conv
+         |      FROM cd LEFT JOIN p ON cd.user_id = p.user_id AND p.t_us >= cd.t_us
+         |      GROUP BY cd.user_id, cd.t_us),
+         |j AS (SELECT c.user_id AS user_id, c.t_us AS t_us, n.conv AS conv
+         |      FROM c JOIN n ON c.user_id = n.user_id AND c.t_us = n.t_us)
+         |SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       count(*) AS n_base,
+         |       CAST(sum(conv) AS BIGINT) AS n_converted,
+         |       ${MEAN6("sum(conv) * 1000000", "count(*)")} AS cvr
+         |FROM j GROUP BY 1, 2 ORDER BY user_id, w_start""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       round(sum(l_quantity), 2) AS sum_qty,
@@ -1359,6 +1483,21 @@ object SparkEntry {
          |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_sim
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    "emb_norms" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+         |       ${Q6(NORM_SQL)} AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // per-dimension stats: index-exploded coordinates; means via exact
+    // integer micro-unit sums (HUGEINT ≡ the engine's DECIMAL accumulation)
+    "emb_dim_stats" ->
+      s"""WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g)
+         |SELECT dim, min(x) AS d_min,
+         |       ${MEAN6(s"sum(${US6("x")})", "count(*)")} AS d_mean,
+         |       max(x) AS d_max, CAST(count(*) AS BIGINT) AS n
+         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -1527,6 +1666,26 @@ object SparkEntry {
          |       ${Q6("CAST(len(types) AS DOUBLE) / len(w)")} AS ttr,
          |       ${Q6("CAST(n_hapax AS DOUBLE) / len(types)")} AS hapax_ratio
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Σ len(word) = len(norm) − (n_words − 1): norm is single-space-joined
+    "text_wordlen" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm,
+         |                  string_split($NORM_TEXT_SQL, ' ') AS w FROM documents)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |       CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_word_len,
+         |       ${MEAN6("(length(norm) - len(w) + 1) * 1000000", "len(w)")} AS mean_word_len
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "dedup_prefix" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, md5(array_to_string(list_slice(w, 1, 10), ' ')) AS pfp
+         |      FROM d WHERE len(w) >= 10),
+         |g AS (SELECT doc_id, pfp,
+         |        min(doc_id) OVER (PARTITION BY pfp) AS group_id,
+         |        count(*) OVER (PARTITION BY pfp) AS n_shared
+         |      FROM p)
+         |SELECT doc_id, pfp, group_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM g WHERE n_shared > 1 ORDER BY doc_id""".stripMargin,
 
     "corpus_dup_ngrams" ->
       s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),

@@ -47,6 +47,37 @@ object Vectors {
       .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
+  /** Embedding hygiene: per-vector L2 norm (degenerate/zero/denormal
+    * vectors poison cosine math and betray upstream encoder bugs) — one
+    * narrow codegen'd pass, no shuffle. The norm is the same index-ordered
+    * double reduction the cosine path uses, so the audit measures exactly
+    * what similarity search will see.
+    */
+  def norms(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    withNorm(emb, vecCol).select(
+      col("vec_id"),
+      size(col(vecCol)).cast("long").as("n_dims"),
+      graft.Quant.q6(col("nrm")).as("l2_norm"))
+
+  /** Embedding hygiene: per-dimension distribution across the corpus
+    * (min/mean/max per coordinate) — dead dimensions (constant or ~0) and
+    * scale outliers mean the encoder or a normalization step is broken.
+    * posexplode → groupBy(dim): the shuffle carries exactly corpus×dim
+    * scalar rows with map-side partial aggregation; per-dim groups are
+    * corpus-sized (unbounded), so means accumulate DECIMAL micro-units per
+    * the graft.Quant rule.
+    */
+  def dimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    graft.Tables.rebalance(emb)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        min(col("x")).cast("double").as("d_min"),
+        graft.Quant.mean6(graft.Quant.sumUs6Unbounded(col("x").cast("double")),
+          count(lit(1))).as("d_mean"),
+        max(col("x")).cast("double").as("d_max"),
+        count(lit(1)).as("n"))
+
   /** k-NN similarity graph over the corpus, restricted to the cosine ≥ tau
     * candidate pairs: each vector's top-k neighbors by cosine (rank ties
     * broken by neighbor id on the quantized similarity, so the cut is

@@ -33,6 +33,27 @@ object Dedup {
         (col("doc_id") =!= col("keep_id")).as("is_dup"))
   }
 
+  /** Shared-prefix groups: documents opening with the same first `k`
+    * words (k-word prefix, normalized) — the boilerplate/template signal
+    * exact-dedup misses when tails differ (mirrors, footers, generated
+    * fill). Same plan shape as exact(): hash the prefix, one keyed window
+    * over the fingerprint, emit only docs in a group of ≥ 2. Groups are
+    * boilerplate-cluster-sized, never corpus-scale (AQE splits a rare hot
+    * template key).
+    */
+  def prefixGroups(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"prefix length must be positive, got $k")
+    val base = TextFunctions.withBase(docs)
+      .filter(size(col("w")) >= k)
+      .withColumn("pfp", md5(concat_ws(" ", slice(col("w"), 1, k))))
+    val grp = Window.partitionBy(col("pfp"))
+    base
+      .withColumn("group_id", min(col("doc_id")).over(grp))
+      .withColumn("n_shared", count(lit(1)).over(grp))
+      .filter(col("n_shared") > 1)
+      .select(col("doc_id"), col("pfp"), col("group_id"), col("n_shared"))
+  }
+
   private def shingled(docs: DataFrame, n: Int): DataFrame =
     TextFunctions.withBase(docs)
       .withColumn("s", TextFunctions.wordShingles(n))

@@ -276,6 +276,23 @@ object TextFunctions {
         graft.Quant.q6(size(col("types")).cast("double") / size(col("w"))).as("ttr"),
         graft.Quant.q6(col("n_hapax").cast("double") / size(col("types"))).as("hapax_ratio"))
 
+  /** Word-length statistics per document — the cheap tokenizer-health /
+    * gibberish signal next to quality(): run-on "words" mean stripped
+    * whitespace or binary junk, a tiny mean means character soup. The
+    * total word length needs NO explode: `norm` is single-space-joined, so
+    * Σ len(word) = len(norm) − (n_words − 1) exactly; the max is a per-row
+    * array HOF. Codegen, no shuffle; the mean is the quantized integer
+    * ratio (graft.Quant MEAN6 form).
+    */
+  def wordLengthStats(docs: DataFrame): DataFrame =
+    withBase(docs).select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      expr("CAST(array_max(transform(w, x -> length(x))) AS BIGINT)").as("max_word_len"),
+      graft.Quant.mean6(
+        (length(col("norm")) - size(col("w")) + 1).cast("long") * 1000000L,
+        size(col("w"))).as("mean_word_len"))
+
   /** The most-duplicated word n-grams corpus-wide (by distinct-document
     * frequency, ≥ 2 docs) — the memorization-risk / boilerplate report
     * ("which exact passages does the corpus repeat?"). Distinct shingles

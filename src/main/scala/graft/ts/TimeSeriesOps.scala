@@ -983,4 +983,144 @@ object TimeSeriesOps {
       .withColumn("v_fill", last(col("last_v"), ignoreNulls = true).over(w))
       .select(key :+ col("g_t") :+ col("v_fill"): _*)
   }
+
+  /** Per-window standard deviation (PromQL stddev_over_time): population
+    * stddev from ONE pass of exact integer micro-unit moment sums — the
+    * windowed sibling of streamStats. Squared µ-unit sums reach ~1e21 per
+    * window (1e9 µ-units squared × 1e3 points), so both moments accumulate
+    * as DECIMAL(38,0) even for windowed groups.
+    *
+    * The variance numerator D = n·Σx² − (Σx)² is assembled in EXACT
+    * integer arithmetic (≥ 0 by Cauchy-Schwarz, and identical across
+    * engines by construction) — NOT as double E[x²]−E[x]², whose
+    * catastrophic cancellation on near-constant windows amplifies the
+    * one-ulp slop of DuckDB's HUGEINT→DOUBLE cast (measured: NOT
+    * correctly rounded at ≥2^53) into 6-dp-visible noise. Only the final
+    * exact D is cast; std = sqrt(D)/n in µ-units. Bound: n·Σx² ≤ n²·1e18
+    * < 10^38 ⇒ fine to ~10^10 points per window. One map-side-partial
+    * groupBy, nothing else.
+    */
+  def stddevWindows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                    width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
+    val bigD = col("n") * col("s2") - col("s1") * col("s1")
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(sum(us).as("s1"), sum(us * us).as("s2"), count(lit(1)).as("n"))
+      .select(key ++ Seq(col("w_start"),
+        graft.Quant.mean6(col("s1"), col("n")).as("v_mean"),
+        graft.Quant.q6(sqrt(bigD.cast("double")) / col("n") / 1e6).as("v_stddev"),
+        col("n").as("v_count")): _*)
+  }
+
+  /** Per-window least-squares slope (PromQL deriv()): the trend of each
+    * window's points in value-units per second, from exact integer moment
+    * sums. Times enter as offsets from the window start (t − w_start < the
+    * window width) so the moment magnitudes stay bounded; offsets × µ-unit
+    * values and squared offsets overflow a long, so all four moments
+    * accumulate as DECIMAL(38,0) (HUGEINT in the oracle). Numerator
+    * n·Σtv − Σt·Σv and denominator n·Σt² − (Σt)² are assembled in EXACT
+    * integer arithmetic — a float-assembled den>0 degeneracy test flips
+    * across engines, because DuckDB's HUGEINT→DOUBLE cast is NOT
+    * correctly rounded past 2^53 (measured: a single-point window gets
+    * den=8192, one ulp of tr², instead of 0). Only the final exact
+    * integers are cast for the one division; µ-value per µs ≡ value per
+    * second, no rescale needed. Windows with one distinct timestamp have
+    * an exactly-zero denominator → null slope. Bound: n·Σt² ≤ n²·width²
+    * < 10^38 ⇒ ~3·10^7 points per day-window. One map-side-partial
+    * groupBy.
+    */
+  def deriv(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+            width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val d = col("t_us") - start
+    val mom = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key ++ Seq(
+        (lit(start) + d - pmod(d, lit(width))).as("w_start"),
+        pmod(d, lit(width)).cast("decimal(38,0)").as("tr"),
+        graft.Quant.us6(col("value")).cast("decimal(38,0)").as("vu")): _*)
+      .groupBy(key :+ col("w_start"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("tr")).as("st"), sum(col("vu")).as("sv"),
+        sum(col("tr") * col("tr")).as("stt"), sum(col("tr") * col("vu")).as("stv"))
+    val num = col("n") * col("stv") - col("st") * col("sv")
+    val den = col("n") * col("stt") - col("st") * col("st")
+    mom.select(key ++ Seq(col("w_start"), col("n").as("n_points"),
+      when(den > 0, graft.Quant.q6(num.cast("double") / den.cast("double")))
+        .as("slope_per_s")): _*)
+  }
+
+  /** Offset comparison (PromQL `offset` / week-over-week): each window's
+    * mean against the same stream's mean `offsetUs` earlier, with absolute
+    * and percent change. Window means are rounded integer micro-units (the
+    * correlation contract), so the difference is exact integer arithmetic
+    * and the percent change is a single scale-0 round of an integer ratio
+    * (the graft.Quant-portable form). The prior window comes from a
+    * range-frame window function ([w_start−offset, w_start−offset]), NOT a
+    * self-join — one scan, one shuffle on the stream key; rows_between
+    * lag(k) would miscount across empty windows. Windows without a
+    * comparator are dropped.
+    */
+  def offsetCompare(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                    width: Long, offsetUs: Long, version: Option[Long] = None): DataFrame = {
+    require(offsetUs > 0 && offsetUs % width == 0,
+      s"offset must be a positive multiple of the window width, got $offsetUs / $width")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val means = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("m_us"))
+    val w = Window.partitionBy(key: _*).orderBy(col("w_start"))
+      .rangeBetween(-offsetUs, -offsetUs)
+    means
+      .withColumn("prev_us", max(col("m_us")).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(key ++ Seq(col("w_start"),
+        (col("m_us").cast("double") / 1e6 + lit(0d)).as("v_mean"),
+        (col("prev_us").cast("double") / 1e6 + lit(0d)).as("prev_mean"),
+        ((col("m_us") - col("prev_us")).cast("double") / 1e6 + lit(0d)).as("diff"),
+        when(col("prev_us") =!= 0,
+          round((col("m_us") - col("prev_us")).cast("double") * 1e8 / col("prev_us"), 0) / 1e6
+            + lit(0d)).as("pct_change")): _*)
+  }
+
+  /** Conversion funnel: for each base event (e.g. click), did a conversion
+    * event (e.g. purchase) follow within `horizonUs`? Aggregated per
+    * (key, window of the base event): base count, converted count, and the
+    * conversion rate. The "earliest conversion at/after t" lookup is the
+    * as-of join run FORWARD — both time axes negated, so the backward
+    * merge's "latest right ≤ t" becomes "earliest right ≥ t" and the
+    * staleness tolerance becomes the conversion horizon; the custom
+    * AsofMergeJoinExec (or its windowed fallback) does the heavy lifting,
+    * no interval/range join materializes. Conversions collapse to
+    * max(value) per (key, t) first (the asof determinism rule). cvr is the
+    * quantized integer ratio (graft.Quant MEAN6 form).
+    */
+  def funnel(base: DataFrame, conv: DataFrame, keyCols: Seq[String], start: Long, end: Long,
+             width: Long, horizonUs: Long, version: Option[Long] = None): DataFrame = {
+    require(horizonUs > 0, s"horizon must be positive, got $horizonUs")
+    val key = keyCols.map(col)
+    val completeEnd = start + ((end - start) / width) * width
+    val l = atVersion(base, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key ++ Seq((-col("t_us")).as("t_neg"), col("value")): _*)
+    val r = atVersion(conv, version)
+      .groupBy(key :+ col("t_us"): _*).agg(max(col("value")).as("value"))
+      .select(key ++ Seq((-col("t_us")).as("t_neg"), col("value")): _*)
+    val joined = asofJoin(l, r, keyCols, asOfCol = "t_neg", toleranceUs = Some(horizonUs))
+    val d = -col("t_neg") - start
+    joined
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+      .agg(count(lit(1)).as("n_base"),
+        count(col("asof_value")).as("n_converted"))
+      .withColumn("cvr",
+        graft.Quant.mean6(col("n_converted") * 1000000L, col("n_base")))
+  }
 }

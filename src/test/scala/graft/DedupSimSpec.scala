@@ -187,4 +187,62 @@ class DedupSimSpec extends SparkSuite {
     // s1 doc 1 matches both s2 copies → 2 pairs over 1 distinct text
     assert(o == Seq(("s1", "s2", 2L, 1L)))
   }
+
+  test("vector norms match the sequential index-order reduction") {
+    val got = Vectors.norms(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ref = emb.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var s = 0.0
+        v.foreach(x => s += x.toDouble * x.toDouble)
+        r.getLong(0) -> (v.length.toLong, math.sqrt(s))
+      }.toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, (n, norm)) =>
+      assert(n == ref(id)._1)
+      assert(math.abs(norm - ref(id)._2) < 1e-6, s"vec $id")
+    }
+  }
+
+  test("dim stats: exact micro-unit means and float-exact extrema per dim") {
+    val got = Vectors.dimStats(emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val vecs = emb.select(col("embedding")).collect().map(_.getSeq[Float](0))
+    val dims = vecs.head.length
+    (0 until dims).foreach { d =>
+      val xs = vecs.map(_(d).toDouble)
+      val us = xs.map(x => BigInt(math.round(x * 1e6)))
+      // HALF_UP = half away from zero (math.round is half toward +inf,
+      // which differs on negative half-boundary means)
+      val q = us.sum.toDouble / xs.length
+      val mean = math.signum(q) * math.round(math.abs(q)) / 1e6
+      val (gMin, gMean, gMax, gN) = got(d.toLong)
+      assert(gN == xs.length && gMin == xs.min && gMax == xs.max)
+      assert(math.abs(gMean - mean) < 1e-12, s"dim=$d")
+    }
+  }
+
+  test("word-length stats: the no-explode sum identity holds") {
+    import spark.implicits._
+    val d = Seq((1L, "  alpha  bb    c "), (2L, "xyz")).toDF("doc_id", "text")
+    val r = graft.text.TextFunctions.wordLengthStats(d).orderBy("doc_id").collect()
+    // doc 1: words alpha/bb/c → 3 words, max 5, mean (5+2+1)/3
+    assert((r(0).getLong(1), r(0).getLong(2)) == (3L, 5L))
+    assert(math.abs(r(0).getDouble(3) - math.round(8e6 / 3.0) / 1e6) < 1e-12)
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getDouble(3)) == (1L, 3L, 3.0))
+  }
+
+  test("prefix groups flag exactly the docs sharing a k-word opening") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d suffix one"), (2L, "a b c d other tail"), // shared 4-prefix
+      (3L, "a b c x y z"), // diverges at word 4
+      (4L, "short")) // under k words → exempt
+      .toDF("doc_id", "text")
+    val g = Dedup.prefixGroups(d, 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(g == Seq((1L, 1L, 2L), (2L, 1L, 2L)))
+  }
 }

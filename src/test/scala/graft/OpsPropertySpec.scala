@@ -100,4 +100,93 @@ class OpsPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("stddev matches the exact BigInt variance numerator on random data") {
+    for (_ <- 1 to 8) {
+      val data = randomSeries(1 + rnd.nextInt(30))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.stddevWindows(df, Seq("uuid"), 0L, 40L, 10L)
+        .orderBy("w_start").collect()
+      data.groupBy(r => r._1 / 10 * 10).toSeq.sortBy(_._1).foreach { case (w, rows) =>
+        val us = rows.map(r => BigInt(math.round(r._2 * 1e6)))
+        val n = us.length
+        val bigD = BigInt(n) * us.map(u => u * u).sum - us.sum * us.sum
+        val expect = math.sqrt(bigD.toDouble) / n / 1e6
+        val gotRow = got.find(_.getLong(1) == w).get
+        assert(math.abs(gotRow.getDouble(3) - expect) < 1e-6,
+          s"w=$w got=${gotRow.getDouble(3)} want=$expect data=$data")
+        // constant windows MUST report exactly 0 (the cancellation trap)
+        if (rows.map(_._2).distinct.length == 1)
+          assert(gotRow.getDouble(3) == 0.0, s"constant window w=$w data=$data")
+      }
+    }
+  }
+
+  test("deriv matches the exact BigInt least-squares slope on random data") {
+    for (_ <- 1 to 8) {
+      val data = randomSeries(1 + rnd.nextInt(30))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.deriv(df, Seq("uuid"), 0L, 40L, 10L)
+        .orderBy("w_start").collect()
+      data.groupBy(r => r._1 / 10 * 10).toSeq.sortBy(_._1).foreach { case (w, rows) =>
+        val n = BigInt(rows.length)
+        val tr = rows.map(r => BigInt(r._1 - w))
+        val vu = rows.map(r => BigInt(math.round(r._2 * 1e6)))
+        val den = n * tr.map(t => t * t).sum - tr.sum * tr.sum
+        val num = n * tr.zip(vu).map { case (t, v) => t * v }.sum - tr.sum * vu.sum
+        val gotRow = got.find(_.getLong(1) == w).get
+        if (den == 0) assert(gotRow.isNullAt(3), s"w=$w expected null slope data=$data")
+        else assert(math.abs(gotRow.getDouble(3) - num.toDouble / den.toDouble) < 1e-6,
+          s"w=$w got=${gotRow.getDouble(3)} data=$data")
+      }
+    }
+  }
+
+  test("offset compare diffs each window against the one offset earlier") {
+    for (_ <- 1 to 8) {
+      val data = randomSeries(2 + rnd.nextInt(30))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.offsetCompare(df, Seq("uuid"), 0L, 40L, 10L, 20L)
+        .orderBy("w_start").collect()
+      val means = data.groupBy(r => r._1 / 10 * 10).map { case (w, rows) =>
+        w -> math.round(rows.map(r => math.round(r._2 * 1e6)).sum.toDouble / rows.length)
+      }
+      // exactly the windows with a populated comparator appear
+      val expectW = means.keys.filter(w => means.contains(w - 20)).toSeq.sorted
+      assert(got.map(_.getLong(1)).toSeq == expectW, s"data=$data")
+      got.foreach { r =>
+        val (w, cur) = (r.getLong(1), means(r.getLong(1)))
+        val prev = means(w - 20)
+        assert(r.getDouble(2) == cur / 1e6 && r.getDouble(3) == prev / 1e6)
+        assert(math.abs(r.getDouble(4) - (cur - prev) / 1e6) < 1e-12)
+        if (prev != 0)
+          assert(math.abs(r.getDouble(5) -
+            math.round((cur - prev).toDouble * 1e8 / prev) / 1e6) < 1e-12, s"w=$w data=$data")
+        else assert(r.isNullAt(5))
+      }
+    }
+  }
+
+  test("funnel counts conversions exactly like the sequential scan") {
+    for (_ <- 1 to 8) {
+      val clicks = randomSeries(1 + rnd.nextInt(20))
+      val convs = randomSeries(1 + rnd.nextInt(20))
+      val horizon = 1L + rnd.nextInt(15)
+      val l = clicks.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val r = convs.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.funnel(l, r, Seq("uuid"), 0L, 40L, 10L, horizon)
+        .orderBy("w_start").collect()
+      val expect = clicks.groupBy(c => c._1 / 10 * 10).toSeq.sortBy(_._1)
+        .map { case (w, rows) =>
+          val conv = rows.count(c => convs.exists(p => p._1 >= c._1 && p._1 - c._1 <= horizon))
+          (w, rows.length.toLong, conv.toLong)
+        }
+      assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == expect,
+        s"clicks=$clicks convs=$convs horizon=$horizon")
+      got.foreach { row =>
+        val cvr = math.round(row.getLong(3) * 1e6.toDouble / row.getLong(2)) / 1e6
+        assert(math.abs(row.getDouble(4) - cvr) < 1e-12)
+      }
+    }
+  }
 }
