@@ -184,4 +184,30 @@ class PlanShapeSpec extends SparkSuite {
     assert(hist.contains("GreaterThanOrEqual(ts"),
       s"histogram time bound not pushed:\n${hist.take(3000)}")
   }
+
+  test("round-5c ops: pushed bounds, no cartesians, funnel merges as-of") {
+    for (q <- Seq("ts_stddev", "ts_deriv", "ts_wow", "ts_funnel",
+        "emb_norms", "emb_dim_stats", "text_wordlen", "dedup_prefix")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // the moment aggregations filter the derived t_us axis — raw ts bounds
+    // must reach the parquet scan (DivComparisonBounds)
+    for (q <- Seq("ts_stddev", "ts_deriv", "ts_wow")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+    }
+    // the forward as-of inside the funnel must plan the streaming merge
+    // operator, not a range join or window-union fallback
+    val fn = physical(SparkEntry.queries("ts_funnel")(spark, sfDir))
+    assert(fn.contains("AsofMergeJoin"),
+      s"funnel should use the as-of merge exec:\n${fn.take(3000)}")
+    // wow's prior-window lookup is ONE scan + window frame, not a self-join
+    val wow = SparkEntry.queries("ts_wow")(spark, sfDir)
+    wow.collect()
+    val wowPlan = wow.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nScans = "Scan parquet".r.findAllIn(wowPlan).length
+    assert(nScans == 1, s"wow should read one scan, found $nScans:\n${wowPlan.take(3000)}")
+  }
 }
