@@ -276,6 +276,61 @@ class IngestSpec extends SparkSuite {
     assert(got.map(_._2).sum == batch(0).getDouble(2), "streaming incs sum to batch window")
   }
 
+  test("streaming as-of join matches the batch operator across batches") {
+    import graft.streaming.{AsofStream, RawPoint}
+    val srcL = tmpDir("asof_l")
+    val srcR = tmpDir("asof_r")
+    // batch 1: duplicate right timestamps at t=2 (last-write-wins → 3.0),
+    // a left probe BEFORE any right (t=1 → no match), equal-time
+    // visibility (left t=2 sees right t=2), and a key with no probes
+    Seq(RawPoint("s", 1, 10.0), RawPoint("s", 2, 20.0), RawPoint("s", 5, 50.0))
+      .toDF().write.mode("append").parquet(srcL)
+    Seq(RawPoint("s", 2, 1.0), RawPoint("s", 2, 3.0), RawPoint("s", 4, 9.0),
+        RawPoint("t", 1, 5.0))
+      .toDF().write.mode("append").parquet(srcR)
+    val l = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(srcL).as[RawPoint]
+    val r = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(srcR).as[RawPoint]
+    val q = AsofStream.joined(l, r, toleranceUs = Some(3L)).writeStream
+      .outputMode("append").format("memory").queryName("asof_out")
+      .option("checkpointLocation", tmpDir("asof_ckpt")).start()
+    q.processAllAvailable()
+    // later batches, delivered in event-time order across the two file
+    // sources (the operator's cross-batch contract): the t=6 probe must
+    // see the STATE-carried right (t=4, 9.0); then a new right at t=7;
+    // then t=8 matches it and t=12 finds it 5 old → nulled by tolerance
+    Seq(RawPoint("s", 6, 60.0)).toDF().write.mode("append").parquet(srcL)
+    q.processAllAvailable()
+    Seq(RawPoint("s", 7, 7.0)).toDF().write.mode("append").parquet(srcR)
+    q.processAllAvailable()
+    Seq(RawPoint("s", 8, 80.0), RawPoint("s", 12, 90.0))
+      .toDF().write.mode("append").parquet(srcL)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT uuid, time, l_value, asof_value FROM asof_out ORDER BY uuid, time")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(
+      ("s", 1L, 10.0, None), ("s", 2L, 20.0, Some(3.0)), ("s", 5L, 50.0, Some(9.0)),
+      ("s", 6L, 60.0, Some(9.0)), ("s", 8L, 80.0, Some(7.0)), ("s", 12L, 90.0, None)),
+      s"got $got")
+    // the batch as-of over ALL the data agrees row-for-row (right side
+    // pre-deduped max-per-timestamp, the same determinism rule)
+    val leftAll = Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 5L, 50.0),
+      ("s", 6L, 60.0), ("s", 8L, 80.0), ("s", 12L, 90.0)).toDF("uuid", "t_us", "value")
+    val rightAll = Seq(("s", 2L, 1.0), ("s", 2L, 3.0), ("s", 4L, 9.0),
+        ("t", 1L, 5.0), ("s", 7L, 7.0)).toDF("uuid", "t_us", "value")
+      .groupBy(col("uuid"), col("t_us")).agg(max(col("value")).as("value"))
+    val batch = graft.ts.TimeSeriesOps
+      .asofJoin(leftAll, rightAll, Seq("uuid"), toleranceUs = Some(3L))
+      .orderBy("uuid", "t_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(batch == got, s"batch $batch != streaming $got")
+  }
+
   test("stream-static anomaly scoring matches the batch operator flag-for-flag") {
     import graft.streaming.{AnomalyScore, RawPoint}
     val history = Seq(RawPoint("s", 1, 0.0), RawPoint("s", 2, 0.0), RawPoint("s", 3, 0.0),
