@@ -13,7 +13,12 @@ Test / fork := true
 run / fork := true
 // Emit the forked program's stdout RAW (no [info] prefix) so the one-line
 // JSON contract printed by Bench/Verify is machine-parseable by the driver.
+// Project-scoped (not `run /`-scoped): `runMain`'s runner delegates to
+// `runMain / outputStrategy` -> project scope and never consults
+// `run / outputStrategy`, so a task-scoped setting misses it.
+outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

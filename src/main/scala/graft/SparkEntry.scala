@@ -567,6 +567,12 @@ object SparkEntry {
       TextFunctions.wordLengthStats(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // char-level Shannon entropy — compressibility signal; log2 is
+    // libm-dependent, so rows-only at the driver (spec-gated locally)
+    "text_entropy" -> ((s, dir) =>
+      TextFunctions.charEntropy(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // shared-10-word-prefix groups — template/boilerplate detection
     "dedup_prefix" -> ((s, dir) =>
       Dedup.prefixGroups(Tables.load(s, dir, "documents"), 10)

@@ -293,6 +293,31 @@ object TextFunctions {
         (length(col("norm")) - size(col("w")) + 1).cast("long") * 1000000L,
         size(col("w"))).as("mean_word_len"))
 
+  /** Character-level Shannon entropy per document — the
+    * compressibility/gibberish signal (binary junk and key-mash score
+    * high, template fill scores low; complements quality() and
+    * repetition()). Char counts via explode → one keyed groupBy; the
+    * entropy fold runs over the SORTED per-doc count list (distinct chars
+    * per doc are bounded, and a sorted sequential fold makes the float
+    * sum independent of partition order — a plain double sum aggregate
+    * would be run-to-run nondeterministic). log2 is libm-dependent across
+    * engines, so this operator is spec-gated (rows-only at the driver),
+    * not oracle-hashed.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    withBase(docs)
+      .select(col("doc_id"), length(col("norm")).as("n"),
+        explode(split(col("norm"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("n"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        size(col("cs")).cast("long").as("n_distinct_chars"),
+        when(col("n") > 0, graft.Quant.q6(expr(
+          "aggregate(cs, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc - (CAST(x.c AS DOUBLE) / n) * log2(CAST(x.c AS DOUBLE) / n))")))
+          .otherwise(0d).as("entropy_bits"))
+
   /** The most-duplicated word n-grams corpus-wide (by distinct-document
     * frequency, ≥ 2 docs) — the memorization-risk / boilerplate report
     * ("which exact passages does the corpus repeat?"). Distinct shingles

@@ -912,6 +912,29 @@ object TimeSeriesOps {
         count(lit(1)).as("n_points"))
   }
 
+  /** The HLL swap-in for cardinality() at extreme stream counts: exact
+    * two-phase distinct keeps per-group state proportional to the distinct
+    * count (10^8 streams per window = 10^8 rows through the first
+    * exchange); HyperLogLog++ holds a CONSTANT-size sketch per group (the
+    * relativeSD=0.01 default ≈ a few KB) and one partial-aggregated pass —
+    * the fleet-liveness dashboard query at planet scale. Approximate by
+    * nature, so spec-gated on relative error against the exact operator
+    * rather than oracle-hashed.
+    */
+  def cardinalityApprox(points: DataFrame, keyCols: Seq[String], distinctCols: Seq[String],
+                        start: Long, end: Long, width: Long, relativeSD: Double = 0.01,
+                        version: Option[Long] = None): DataFrame = {
+    require(distinctCols.nonEmpty, "cardinality needs at least one distinct column")
+    val key = keyCols.map(col)
+    val completeEnd = start + ((end - start) / width) * width
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(approx_count_distinct(struct(distinctCols.map(col): _*), relativeSD)
+          .as("n_streams_approx"),
+        count(lit(1)).as("n_points"))
+  }
+
   /** Top-k streams per window by point count — the "who is loudest right
     * now" feed behind rate-limiting and hot-shard dashboards. One windowed
     * aggregation (map-side partial) then a rank over the WINDOW-scale

@@ -234,6 +234,30 @@ class DedupSimSpec extends SparkSuite {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getDouble(3)) == (1L, 3L, 3.0))
   }
 
+  test("char entropy matches the sequential frequency fold") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
+    val got = graft.text.TextFunctions.charEntropy(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // constant → 0 bits; two symbols 50/50 → 1 bit; four uniform → 2 bits
+    assert(got == Seq((1L, 4L, 1L, 0.0), (2L, 4L, 2L, 1.0), (3L, 4L, 4L, 2.0)), s"$got")
+    // and on the real corpus: agrees with a driver-side reference fold
+    val sample = docs.filter(col("doc_id") < 20)
+    val ref = sample.select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+      .collect().map { r =>
+        val cs = r.getString(1).groupBy(identity).toSeq
+          .map { case (ch, g) => (ch.toString, g.length) }.sortBy(_._1)
+        val n = r.getString(1).length.toDouble
+        val ent = cs.foldLeft(0.0) { case (acc, (_, c)) =>
+          acc - (c / n) * (math.log(c / n) / math.log(2.0)) }
+        r.getLong(0) -> ent
+      }.toMap
+    graft.text.TextFunctions.charEntropy(sample).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - ref(r.getLong(0))) < 1e-6, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("prefix groups flag exactly the docs sharing a k-word opening") {
     import spark.implicits._
     val d = Seq(

@@ -279,6 +279,26 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 2L, 3L), (10L, 1L, 1L)))
   }
 
+  test("approx cardinality tracks the exact operator within HLL error") {
+    val p = Tables.points(spark, sfDir)
+    val T0 = 1704067200000000L
+    val T29 = 1706486400000000L
+    val DAY = 86400000000L
+    val exact = TimeSeriesOps.cardinality(p, Seq("event_type"), Seq("user_id"), T0, T29, DAY)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = TimeSeriesOps
+      .cardinalityApprox(p, Seq("event_type"), Seq("user_id"), T0, T29, DAY)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      // HLL++ at relativeSD=0.01 on small true counts is near-exact; allow
+      // a generous 5% band so the assertion tests the CONTRACT, not luck
+      assert(math.abs(a - n).toDouble <= math.max(1.0, 0.05 * n),
+        s"window $k: approx $a vs exact $n")
+    }
+  }
+
   test("top-k per window ranks by count with deterministic ties") {
     val p = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0), ("b", 4L, 4.0),
       ("c", 5L, 5.0)).toDF("uuid", "t_us", "value")
