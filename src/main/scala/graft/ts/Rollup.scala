@@ -76,7 +76,61 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     }
   }
 
-  def level(pw: Int): DataFrame = spark.read.parquet(levelDir(pw))
+  def level(pw: Int): DataFrame = { recoverCrashedSwap(pw); spark.read.parquet(levelDir(pw)) }
+
+  private val hfs = new org.apache.hadoop.fs.Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hpath(d: String) = new org.apache.hadoop.fs.Path(d)
+
+  /** A compactDeltas swap that died between moving the live level aside
+    * and publishing the compacted one leaves `_old`/`_compacted` but no
+    * live dir — restore whichever exists (same stance as Store: both
+    * states are complete and correct; `_old` is pre-compaction deltas,
+    * `_compacted` their exact merge).
+    */
+  private def recoverCrashedSwap(pw: Int): Unit =
+    if (!hfs.exists(hpath(levelDir(pw))))
+      Seq(s"${levelDir(pw)}_compacted", s"${levelDir(pw)}_old")
+        .map(hpath).find(hfs.exists).foreach { c =>
+          if (!hfs.rename(c, hpath(levelDir(pw))))
+            sys.error(s"rollup: could not restore $c")
+        }
+
+  /** Collapse accumulated ingest deltas into one `delta=base` per level —
+    * the read-efficiency complement of appendBatch. Reads only the LEVEL
+    * files (never raw points), so the job is O(rollup size): at 100 TB of
+    * raw data the finest level is ~2^pw smaller, and a nightly compaction
+    * touches megabytes per stream, not the fact table. Each level swaps
+    * independently and crash-safely (write `_compacted` → move live to
+    * `_old` → publish → drop `_old`; a crash at any point leaves either
+    * the old deltas or their exact merge, and level() restores it).
+    *
+    * Concurrency contract: call from the (single) ingest writer while no
+    * batch is in flight — a delta landing between the read and the swap
+    * would be dropped. Replayed micro-batches after a compaction are safe:
+    * the ingest commit markers outlive it, so an absorbed delta is never
+    * re-appended.
+    */
+  def compactDeltas(streamCols: Seq[String]): Unit =
+    pointwidths.foreach { pw =>
+      recoverCrashedSwap(pw)
+      val dir = hpath(levelDir(pw))
+      if (hfs.exists(dir) &&
+          hfs.listStatus(dir).count(_.getPath.getName.startsWith("delta=")) > 1) {
+        val tmp = hpath(s"${levelDir(pw)}_compacted")
+        val old = hpath(s"${levelDir(pw)}_old")
+        if (hfs.exists(tmp)) hfs.delete(tmp, true)
+        if (hfs.exists(old)) hfs.delete(old, true)
+        // same-pw merge: re-aggregates duplicate w_start buckets across
+        // deltas (associative min/max + exact integer sums — identical to
+        // what every read path does on the fly)
+        merge(spark.read.parquet(levelDir(pw)), streamCols, pw)
+          .write.parquet(s"${tmp.toString}/delta=base")
+        if (!hfs.rename(dir, old)) sys.error(s"rollup: could not move $dir aside")
+        if (!hfs.rename(tmp, dir)) sys.error(s"rollup: could not publish $tmp")
+        hfs.delete(old, true)
+      }
+    }
 
   /** Incrementally append one ingest batch's contribution to EVERY level —
     * the streaming-maintenance path (the reference updates its tree's

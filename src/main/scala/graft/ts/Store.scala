@@ -139,6 +139,15 @@ class Store(val spark: SparkSession, val base: String) {
     * version or none did).
     */
   def nextVersions(batch: DataFrame): Seq[(String, Long)] = {
+    // Bootstrap fast path: with no committed points and no tombstones
+    // every uuid starts at version 1 — one distinct over the batch
+    // instead of two full-store aggregations plus two joins. (An empty
+    // store still pays the crashed-swap probe via hasData; a dir that
+    // exists takes the general path even if all its rows are dead.)
+    if (!hasData(pointsDir) && !hasData(s"$base/points_old") &&
+        !hasData(tombsDir) && !hasData(s"$base/tombstones_old"))
+      return batch.select("uuid").distinct()
+        .as[String].collect().toSeq.map(_ -> 1L)
     val pv = rawPoints.groupBy("uuid").agg(max($"ver").as("pv"))
     val tv = tombstones.groupBy("uuid").agg(max($"ver").as("tv"))
     batch.select("uuid").distinct()

@@ -715,6 +715,37 @@ object TimeSeriesOps {
     out.select(cols: _*)
   }
 
+  /** The sketch swap-in for percentileWindows at extreme window sizes:
+    * the exact operator rank-sorts every (stream, window) partition — a
+    * per-group sort whose cost is n·log n in the window's point count.
+    * Greenwald-Khanna summaries (Spark's percentile_approx) keep a
+    * bounded sketch per group with guaranteed rank error ≤ n/accuracy,
+    * aggregate map-side-partially, and never materialize a sort — the
+    * billion-points-per-window regime. Returns nearest-rank values (an
+    * actual data point, not Type-7 interpolation), so it is spec-gated on
+    * the G-K rank-error contract against the exact operator rather than
+    * oracle-hashed.
+    */
+  def percentileWindowsApprox(points: DataFrame, streamCols: Seq[String],
+                              start: Long, end: Long, width: Long, ps: Seq[Double],
+                              accuracy: Int = 10000,
+                              version: Option[Long] = None): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"quantiles must be in [0,1]: $ps")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    def label(p: Double) =
+      "p" + (if (p * 100 == (p * 100).floor) (p * 100).toInt.toString
+             else java.lang.Double.toString(p).replace('.', '_').replace("0_", ""))
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(count(lit(1)).as("n_points"),
+        percentile_approx(col("value"),
+          array(ps.map(lit): _*), lit(accuracy)).as("qs"))
+      .select(key ++ Seq(col("w_start"), col("n_points")) ++
+        ps.zipWithIndex.map { case (p, i) => col("qs").getItem(i).as(label(p)) }: _*)
+  }
+
   /** Per-stream z-score anomalies: points whose value deviates from the
     * stream's global mean by ≥ `zThresh` standard deviations. The
     * per-stream moments come from ONE pass of exact integer micro-unit

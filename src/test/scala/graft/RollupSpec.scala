@@ -192,4 +192,34 @@ class RollupSpec extends SparkSuite {
     val direct = TimeSeriesOps.alignedWindows(pts, STREAM, T0, T31, 24).count()
     assert(ru.alignedWindows(pts, STREAM, T0, T31, 24).count() == direct)
   }
+
+  test("compactDeltas collapses deltas into one base without changing answers") {
+    val pts = Tables.points(spark, sfDir).cache()
+    val dir = tmpDir("rollup_compact")
+    val ru = Rollup(spark, dir, Seq(24, 30))
+    Seq(0, 1, 2).foreach(i =>
+      ru.appendBatch(pts.filter(col("user_id") % 3 === i), STREAM, s"b$i"))
+    val before = ru.alignedWindows(pts, STREAM, T0, T31, 30)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    ru.compactDeltas(STREAM)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(24, 30).foreach { pw =>
+      val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/rollup_pw$pw"))
+        .map(_.getPath.getName).filter(_.startsWith("delta=")).toSeq
+      assert(deltas == Seq("delta=base"), s"pw$pw: $deltas")
+    }
+    // exact integer sums: the merge is associative, so every served value
+    // is bit-identical before and after compaction
+    val after = ru.alignedWindows(pts, STREAM, T0, T31, 30)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(before.length == after.length && before.nonEmpty)
+    before.zip(after).foreach { case (b, a) => assert(b == a) }
+    // crashed swap (live dir moved aside, compacted not yet published):
+    // the read path restores it
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/rollup_pw24"),
+      new org.apache.hadoop.fs.Path(s"$dir/rollup_pw24_old")))
+    assert(ru.level(24).count() > 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rollup_pw24")))
+  }
 }

@@ -165,6 +165,38 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(r(0).getDouble(4) == 4.8)      // p95: idx 3.8 → 4 + 0.8·(5-4)
   }
 
+  test("approx percentiles honor the G-K rank-error contract against exact") {
+    // n far below accuracy: the sketch keeps every sample, so each
+    // reported quantile is an actual element at the nearest rank
+    val p = pts((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+    val r = TimeSeriesOps.percentileWindowsApprox(p, Seq("uuid"), 0L, 10L, 10L, Seq(0.5))
+      .collect()
+    assert(r.length == 1 && r(0).getLong(2) == 5L && r(0).getDouble(3) == 3.0)
+    // larger window at LOW accuracy (exercises sketch compression): the
+    // contract is rank error ≤ n/accuracy, tested, not assumed
+    import spark.implicits._
+    val n = 500
+    val acc = 25
+    val vals = (0 until n).map(i => (i * 2654435761L % 997L).toDouble)
+    val big = vals.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+      .toDF("uuid", "t_us", "value")
+    val sorted = vals.sorted
+    val got = TimeSeriesOps
+      .percentileWindowsApprox(big, Seq("uuid"), 0L, n.toLong, n.toLong,
+        Seq(0.1, 0.5, 0.9, 0.99), accuracy = acc)
+      .collect()(0)
+    Seq(0.1, 0.5, 0.9, 0.99).zipWithIndex.foreach { case (q, i) =>
+      val v = got.getDouble(3 + i)
+      val lo = sorted.indexOf(v)
+      val hi = sorted.lastIndexOf(v)
+      assert(lo >= 0, s"p$q: $v is not a data element")
+      val target = q * n
+      val tol = n.toDouble / acc + 1
+      assert(target >= lo - tol && target <= hi + tol,
+        s"p$q: value $v spans ranks [$lo,$hi], target $target ± $tol")
+    }
+  }
+
   test("anomalies flags only deviations past the z threshold") {
     val p = pts((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0), (5L, 100.0))
     // µ-units: mean 2e7, std 4e7 ⇒ z(100) = 2.0, z(0) = -0.5
