@@ -219,6 +219,15 @@ class GraftDB(val spark: SparkSession, val base: String) {
                     version: Option[Long] = None): DataFrame =
       TS.percentileWindows(points(version), K, start, end, width, ps).drop("uuid")
 
+    /** Sketch percentiles for windows too large to rank-sort — see
+      * TimeSeriesOps.percentileWindowsApprox for the G-K error contract.
+      */
+    def percentilesApprox(start: Long, end: Long, width: Long, ps: Seq[Double],
+                          accuracy: Int = 10000,
+                          version: Option[Long] = None): DataFrame =
+      TS.percentileWindowsApprox(points(version), K, start, end, width, ps,
+        accuracy).drop("uuid")
+
     def anomalies(zThresh: Double, version: Option[Long] = None): DataFrame =
       TS.anomalies(points(version), K, zThresh).drop("uuid")
 

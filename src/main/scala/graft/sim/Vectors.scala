@@ -175,12 +175,16 @@ object Vectors {
     //    trains at 10^9 vectors: on a bounded SAMPLE, never the corpus).
     //  - above the limit: distributed rounds — per-cell/per-dim means via
     //    posexplode aggregation, only nCells×dim values ever collected.
-    var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    if (corpus.count() <= trainLimit) {
+    // One COUNT decides the regime; the small regime then needs exactly one
+    // more job (the training collect), which also yields the deterministic
+    // lowest-id seeds — three separate driver jobs (seed limit+collect,
+    // count, train collect) measurably dominate the sub-second IVF build.
+    val corpusN = corpus.count()
+    var cents: Array[Array[Double]] = null
+    if (corpusN <= trainLimit) {
       val vecs = corpus.select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+      cents = vecs.take(nCells).map(_.map(_.toDouble))
       val dim = if (vecs.isEmpty) 0 else vecs(0).length
       var iter = 0
       while (iter < lloydIters) {
@@ -209,6 +213,9 @@ object Vectors {
         iter += 1
       }
     } else {
+      cents = corpus.orderBy(col("vec_id")).limit(nCells)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       var iter = 0
       while (iter < lloydIters) {
         val means = assign(cents)

@@ -71,6 +71,10 @@ class GraftDBSpec extends SparkSuite {
     assert(s.counterRate(0, 64, 16).count() > 0)
     assert(s.lttb(0, 64, 5).count() == 5)
     assert(s.argMinMax(0, 64, 16).count() == s.windows(0, 64, 16).count())
+    // sketch percentiles: n << accuracy, so p50 is the exact nearest-rank
+    // element of the 34 visible values {0..15, 48..63, 500, 501}
+    val pap = s.percentilesApprox(0, 64, 64, Seq(0.5)).head()
+    assert(pap.getLong(1) == 34L && pap.getDouble(2) == 48.0)
 
     // annotations CAS
     val av = s.setAnnotations(1L, Map("calib" -> Some("x")))
