@@ -236,6 +236,26 @@ object TextFunctions {
           .as("keep"))
   }
 
+  /** The end-to-end training-shard builder — the composition a pipeline
+    * actually ships: language gate (en), quality gate, PII gate, exact
+    * dedup (first occurrence survives), then per-source token-budget fill
+    * over the SURVIVORS. Output is the shard manifest (doc_id, stratum,
+    * n_tokens, cum_tokens). Every stage is one of the individually
+    * oracle-gated operators; composing them keeps each stage's plan shape
+    * (keyed joins on doc_id — no shuffle wider than the corpus, budget
+    * window partitioned by stratum) so the whole shard build is a linear
+    * chain of scans, hash joins, and one windowed sort per stratum.
+    */
+  def corpusShard(docs: DataFrame, minQuality: Double = 0.5,
+                  budgetPerStratum: Long = 3000L): DataFrame = {
+    val lang = langId(docs).select(col("doc_id"), col("lang_pred"))
+    val keep = corpusFilter(docs, minQuality).select(col("doc_id"), col("keep"))
+    tokenBudget(
+      docs.join(lang, "doc_id").join(keep, "doc_id")
+        .filter(col("lang_pred") === "en" && col("keep")),
+      "source", budgetPerStratum)
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dedup key)
     * plus a winnowing-style rolling fingerprint — the minimum hash over all
     * 8-char shingles (min-of-rolling-window, the degenerate single-window
