@@ -106,6 +106,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!lttb.contains("Join"), lttb.take(3000))
   }
 
+  test("corpus_shard chains keyed joins only; budget sort stays per-stratum") {
+    val plan = physical(SparkEntry.queries("corpus_shard")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the budget window must be partitioned (per-stratum sort), never a
+    // global single-partition sort over the corpus
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
   test("round-5 ops: broadcast stats join, pushed bounds, no cartesians") {
     for (q <- Seq("ts_sessionize", "ts_rolling", "ts_percentile", "ts_anomaly",
         "ts_correlation", "ts_seasonal", "corpus_vocab")) {
