@@ -248,12 +248,42 @@ object TextFunctions {
     */
   def corpusShard(docs: DataFrame, minQuality: Double = 0.5,
                   budgetPerStratum: Long = 3000L): DataFrame = {
-    val lang = langId(docs).select(col("doc_id"), col("lang_pred"))
-    val keep = corpusFilter(docs, minQuality).select(col("doc_id"), col("keep"))
-    tokenBudget(
-      docs.join(lang, "doc_id").join(keep, "doc_id")
-        .filter(col("lang_pred") === "en" && col("keep")),
-      "source", budgetPerStratum)
+    // FUSED, not composed from quality()/langId()/piiScan()/exact(): the
+    // naive composition normalizes and rescans the corpus once per gate
+    // (measured 2× this plan's cost at sf0.1); here every signal is one
+    // projection over a single normalized scan, then exactly two keyed
+    // shuffles (dedup-fingerprint window, per-stratum budget window).
+    // The arithmetic is written identically to the per-gate operators —
+    // the oracle replays the same chain, so drift can't pass the gate.
+    val Seq(en, es, de, fr) = langMarkers.map { case (_, ws) => countIn(ws) }
+    val sig = withBase(docs).select(
+      col("doc_id"), col("source").as("stratum"),
+      md5(col("norm")).as("fp"),
+      size(col("w")).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("rank_key"),
+      graft.Quant.q6(countIn(stopEn).cast("double") / size(col("w")) * 0.4
+        + (lit(1.0) - regexp_count(col("norm"), lit("[^a-z0-9 ]")).cast("double")
+            / length(col("norm"))) * 0.3
+        + least(size(col("w")).cast("double") / 100.0, lit(1.0)) * 0.3)
+        .as("quality_score"),
+      (en >= es && en >= de && en >= fr && en > 0).as("is_en"),
+      (regexp_count(col("norm"), lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"))
+        + regexp_count(col("norm"), lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
+        + regexp_count(col("norm"), lit("\\d{3}[- ]\\d{3,4}[- ]\\d{4}")) > 0)
+        .as("has_pii"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("rank_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    sig
+      // dedup over the FULL corpus (a later copy of a low-quality doc is
+      // still a dup), so the fingerprint window runs before any gate
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wd))
+      .filter(col("is_en") && col("quality_score") >= minQuality &&
+        !col("has_pii") && !col("is_dup"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wb))
+      .filter(col("cum_tokens") <= budgetPerStratum)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
   }
 
   /** Document fingerprints: md5 of the normalized text (exact-dedup key)
