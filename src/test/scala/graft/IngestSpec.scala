@@ -201,6 +201,62 @@ class IngestSpec extends SparkSuite {
     assert(batch == got, s"batch $batch != streaming $got")
   }
 
+  test("streaming near-dedup matches batch and a sequential LSH reference") {
+    import graft.streaming.{BandDoc, BandHit, StreamNearDedup}
+    val src = tmpDir("nd_src")
+    val ckpt = tmpDir("nd_ckpt")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    // two micro-batches: the bucket index must persist across them
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    val q = StreamNearDedup.bandHits(StreamNearDedup.keyed(stream)).writeStream
+      .outputMode("append").format("memory").queryName("nd_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    // CAVEAT: streaming arrival order (evens before odds) is part of the
+    // rule — the reference below replays that exact order, and the batch
+    // one-shot comparison uses hit doc_ids (order-insensitive per batch
+    // since within one call arrivals sort by doc_id)
+    val got = spark.sql("SELECT doc_id, band, match_id, agree FROM nd_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // sequential reference: same fold, driver-side, same arrival order
+    val fanned = StreamNearDedup.keyed(docs).collect()
+      .groupBy(_.doc_id).toSeq
+      .sortBy { case (id, _) => (id % 2, id) } // evens (batch 1) then odds
+    val index = scala.collection.mutable.Map.empty[(Int, Int), Vector[BandDoc]]
+    val ref = scala.collection.mutable.Set.empty[(Long, Int, Long, Double)]
+    fanned.foreach { case (id, bds) =>
+      bds.sortBy(_.band).foreach { d =>
+        val bucket = index.getOrElse((d.band, d.bv), Vector.empty)
+        val scored = bucket.map { s =>
+          val a = s.sig.zip(d.sig).count { case (x, y) => x == y }.toDouble / d.sig.length
+          (a, s.doc_id)
+        }
+        if (scored.nonEmpty) {
+          val (bestA, bestId) = scored.maxBy { case (a, sid) => (a, -sid) }
+          if (bestA >= 0.5) { ref += ((id, d.band, bestId, bestA)); }
+          else index((d.band, d.bv)) = bucket :+ d
+        } else index((d.band, d.bv)) = bucket :+ d
+      }
+    }
+    assert(got == ref.toSet, s"streaming ${got.size} hits, reference ${ref.size}")
+    assert(got.nonEmpty, "corpus should contain at least one near-dup band hit")
+    // handcrafted: a doc_id-ordered single batch where 2 is a near-copy of
+    // 1 and 3 is unrelated — batch run (empty state) flags exactly doc 2
+    val tiny = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "entirely different words compose this third document body text"))
+      .toDF("doc_id", "text")
+    val tinyHits = StreamNearDedup.bandHits(StreamNearDedup.keyed(tiny))
+      .collect().map(_.doc_id).toSet
+    assert(tinyHits == Set(2L), s"$tinyHits")
+  }
+
   test("streaming sessions close at the watermark and match the batch operator") {
     import graft.streaming.{RawPoint, Sessionize}
     val src = tmpDir("sw_src")
