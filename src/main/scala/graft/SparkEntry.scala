@@ -290,6 +290,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // TS similarity search: rank the fleet by correlation to one query
+    // stream's window-mean series (one scan + broadcast of the query row)
+    "ts_similar" -> ((s, dir) =>
+      TS.similarStreams(Tables.points(s, dir), STREAM,
+          col("user_id") === 7 && col("event_type") === "click",
+          T0, T29, DAY, 10)
+        .orderBy(col("rank"))),
+
     "ts_seasonal" -> ((s, dir) =>
       TS.seasonalProfile(Tables.points(s, dir), Seq("event_type"), HOUR, 24)
         .orderBy(col("event_type"), col("pos"))),
@@ -1141,6 +1149,42 @@ object SparkEntry {
                |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
          |       END AS r
          |FROM m ORDER BY user_id""".stripMargin,
+
+    "ts_similar" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS v
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |q AS (SELECT w_start, v AS q FROM m
+         |      WHERE user_id = 7 AND event_type = 'click'),
+         |j AS (SELECT m.user_id AS user_id, m.event_type AS event_type,
+         |             m.v AS x, q.q AS y
+         |      FROM m JOIN q ON m.w_start = q.w_start
+         |      WHERE NOT (m.user_id = 7 AND m.event_type = 'click')),
+         |mm AS (SELECT user_id, event_type, count(*) AS n,
+         |              sum(x) AS sx, sum(y) AS sy,
+         |              sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |              sum(CAST(y AS HUGEINT) * y) AS syy,
+         |              sum(CAST(x AS HUGEINT) * y) AS sxy
+         |       FROM j GROUP BY 1, 2),
+         |s AS (SELECT user_id, event_type, CAST(n AS BIGINT) AS n_windows,
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |             AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |            THEN ${Q6(
+             """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
+         |       END AS r
+         |       FROM mm)
+         |SELECT user_id, event_type, n_windows, r,
+         |       CAST(row_number() OVER (ORDER BY r DESC, user_id, event_type)
+         |            AS BIGINT) AS rank
+         |FROM s WHERE r IS NOT NULL
+         |ORDER BY rank LIMIT 10""".stripMargin,
 
     "ts_seasonal" ->
       s"""WITH pts AS ($PTS_SQL)

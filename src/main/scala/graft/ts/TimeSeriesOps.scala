@@ -825,6 +825,52 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Time-series similarity search (the "which sensors behave like this
+    * one" query, cf. distributed TS similarity search à la EDBT'19): rank
+    * every stream by Pearson correlation of its aligned window-mean
+    * series against ONE query stream. The fleet reduces to exact integer
+    * micro-unit window means in a single map-side-partial pass; the query
+    * stream's series (≤ #windows rows, metadata-scale) broadcasts onto
+    * it; one keyed moment aggregation per candidate and a TakeOrdered
+    * top-k — no pairwise stream join, no raw-data sort, so the search is
+    * one scan + one broadcast join regardless of fleet size. Same exact
+    * DECIMAL moment arithmetic as correlation(), so the oracle replays it
+    * bit-for-bit.
+    */
+  def similarStreams(points: DataFrame, streamCols: Seq[String], queryPred: Column,
+                     start: Long, end: Long, width: Long, k: Int,
+                     version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val d = col("t_us") - start
+    val means = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < end)
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("v"))
+    val qMeans = broadcast(means.filter(queryPred)
+      .select(col("w_start"), col("v").as("q")))
+    val xd = col("v").cast("decimal(38,0)")
+    val yd = col("q").cast("decimal(38,0)")
+    val mom = means.filter(!queryPred).join(qMeans, "w_start")
+      .groupBy(key: _*).agg(
+        count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"), sum(xd * yd).as("sxy"))
+    val nD = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val den1 = sqrt(nD * col("sxx").cast("double") - sx * sx)
+    val den2 = sqrt(nD * col("syy").cast("double") - sy * sy)
+    val scored = mom
+      .select(key ++ Seq(col("n").as("n_windows"),
+        when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
+      .filter(col("r").isNotNull)
+    val ord = col("r").desc +: key.map(_.asc)
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(ord: _*)).cast("long"))
+  }
+
   /** Seasonal profile: aggregate each stream's values by position within a
     * repeating period — here hour-of-day (periodUs = 1 h buckets, modulo
     * `periodBuckets` per cycle). The load-shape / diurnal-pattern query.

@@ -165,6 +165,22 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(r(0).getDouble(4) == 4.8)      // p95: idx 3.8 → 4 + 0.8·(5-4)
   }
 
+  test("similarStreams ranks a copy first and an inverse last") {
+    import spark.implicits._
+    // query q: 1,2,3,4 per window; c = q (r=1); i = inverted (r=-1);
+    // f = flat (zero variance, dropped)
+    val rows = for {
+      (u, f) <- Seq(("q", (v: Long) => v), ("c", (v: Long) => v + 10),
+        ("i", (v: Long) => 5 - v), ("f", (_: Long) => 7L))
+      t <- 0L until 4L
+    } yield (u, t * 10L, f(t + 1).toDouble)
+    val p = rows.toDF("uuid", "t_us", "value")
+    val got = TimeSeriesOps.similarStreams(p, Seq("uuid"), col("uuid") === "q",
+        0L, 40L, 10L, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("c", 4L, 1.0, 1L), ("i", 4L, -1.0, 2L)), s"${got.toSeq}")
+  }
+
   test("approx percentiles honor the G-K rank-error contract against exact") {
     // n far below accuracy: the sketch keeps every sample, so each
     // reported quantile is an actual element at the nearest rank
