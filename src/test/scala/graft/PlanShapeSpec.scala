@@ -115,6 +115,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("ts_similar broadcasts the query series; top-k is TakeOrdered") {
+    val plan = physical(SparkEntry.queries("ts_similar")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrdered"), plan.take(3000))
+  }
+
   test("round-5 ops: broadcast stats join, pushed bounds, no cartesians") {
     for (q <- Seq("ts_sessionize", "ts_rolling", "ts_percentile", "ts_anomaly",
         "ts_correlation", "ts_seasonal", "corpus_vocab")) {
