@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.text.{Dedup, TextFunctions => TF}
+import graft.sim.Vectors
+
+/** Corpus — the LLM-training-data facade over a documents frame
+  * (doc_id, text [, lang, source]), playing the role GraftDB plays for
+  * streams: every operator of the text-analysis / dedup / sampling stack
+  * one call away, each a lazy DataFrame that composes into larger jobs.
+  * Thin by design — all semantics (and their scale notes) live on the
+  * underlying operators.
+  *
+  * {{{
+  * val c = Corpus(docsDf)
+  * c.quality()                      // Gopher-style quality signals
+  * c.dedupExact()                   // fingerprint dedup verdicts
+  * c.clusters(c.minhashPairs())     // near-dup connected components
+  * c.shard()                        // the end-to-end training shard
+  * }}}
+  */
+class Corpus(val docs: DataFrame) {
+  // ---- per-document signals ----
+  def tokenStats(): DataFrame = TF.tokenStats(docs)
+  def quality(): DataFrame = TF.quality(docs)
+  def langId(): DataFrame = TF.langId(docs)
+  def pii(): DataFrame = TF.piiScan(docs)
+  def repetition(): DataFrame = TF.repetition(docs)
+  def lexicalDiversity(): DataFrame = TF.lexicalDiversity(docs)
+  def wordLengthStats(): DataFrame = TF.wordLengthStats(docs)
+  def charEntropy(): DataFrame = TF.charEntropy(docs)
+  def fingerprint(): DataFrame = TF.fingerprint(docs)
+
+  // ---- corpus-level reports ----
+  def stats(): DataFrame = TF.corpusStats(docs)
+  def vocab(k: Int = 100): DataFrame = TF.vocab(docs, k)
+  def dupNgrams(n: Int = 8, k: Int = 50): DataFrame = TF.dupNgrams(docs, n, k)
+  def crossSourceOverlap(): DataFrame = TF.crossSourceOverlap(docs)
+
+  // ---- dedup ----
+  def dedupExact(): DataFrame = Dedup.exact(docs)
+  def prefixGroups(k: Int = 10): DataFrame = Dedup.prefixGroups(docs, k)
+  def minhashPairs(n: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
+                   tau: Double = 0.8): DataFrame =
+    Dedup.minhashPairs(docs, n, numHashes, bandRows, tau)
+  def simhashPairs(maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(docs, maxHamming)
+  def ngramJaccardPairs(n: Int, tau: Double): DataFrame =
+    Dedup.ngramJaccardPairs(docs, n, tau)
+  def sharedNgramPairs(n: Int = 20): DataFrame = Dedup.sharedNgramPairs(docs, n)
+  def clusters(pairs: DataFrame): DataFrame = Dedup.clusters(docs, pairs)
+  def contamination(bench: DataFrame, n: Int = 8): DataFrame =
+    Dedup.contamination(docs, bench, n)
+
+  // ---- selection / shipping ----
+  def filter(minQuality: Double = 0.5): DataFrame = TF.corpusFilter(docs, minQuality)
+  def sampleStratified(stratumCol: String, rate: Double): DataFrame =
+    TF.sampleStratified(docs, stratumCol, rate)
+  def sampleFixed(n: Int): DataFrame = TF.sampleFixed(docs, n)
+  def tokenBudget(stratumCol: String, budgetPerStratum: Long): DataFrame =
+    TF.tokenBudget(docs, stratumCol, budgetPerStratum)
+  def shard(minQuality: Double = 0.5, budgetPerStratum: Long = 3000L): DataFrame =
+    TF.corpusShard(docs, minQuality, budgetPerStratum)
+}
+
+object Corpus {
+  def apply(docs: DataFrame): Corpus = new Corpus(docs)
+}
+
+/** Embeddings — the similarity-search facade over an embeddings frame
+  * (vec_id, embedding: array<float>), same role as Corpus.
+  */
+class Embeddings(val emb: DataFrame) {
+  def norms(): DataFrame = Vectors.norms(emb)
+  def dimStats(): DataFrame = Vectors.dimStats(emb)
+  def cosinePairs(tau: Double): DataFrame = Vectors.cosinePairs(emb, tau)
+  def knn(tau: Double, k: Int): DataFrame = Vectors.knnGraph(emb, tau, k)
+  def annTopK(nQueries: Int, k: Int): DataFrame = Vectors.annTopK(emb, nQueries, k)
+  def annLsh(nQueries: Int, k: Int): DataFrame = Vectors.annLsh(emb, nQueries, k)
+  def annIvf(nQueries: Int, k: Int): DataFrame = Vectors.annIvf(emb, nQueries, k)
+  /** Semantic-dedup clusters over the cosine >= tau pair graph. */
+  def clusters(tau: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Dedup.clusters(
+        emb.select(col("vec_id").as("doc_id")),
+        Vectors.cosinePairs(emb, tau).select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+}
+
+object Embeddings {
+  def apply(emb: DataFrame): Embeddings = new Embeddings(emb)
+}

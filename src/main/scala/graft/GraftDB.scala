@@ -59,6 +59,16 @@ class GraftDB(val spark: SparkSession, val base: String) {
       a.points().withColumn("k", lit(1)),
       b.points().withColumn("k", lit(1)), Seq("k"), start, end, width).drop("k")
 
+  /** Time-series similarity search across the whole store: rank every
+    * stream by Pearson r of its window-mean series against the query
+    * handle's (TimeSeriesOps.similarStreams — one scan of the visible
+    * store + a broadcast of the query series, TakeOrdered top-k).
+    */
+  def similar(query: StreamHandle, start: Long, end: Long, width: Long,
+              k: Int): DataFrame =
+    TS.similarStreams(store.pointsAt(None).withColumnRenamed("time", "t_us"),
+      Seq("uuid"), col("uuid") === query.uuid, start, end, width, k)
+
   /** Conversion funnel between two stream handles: per window of a-events,
     * how many saw a b-event within `horizonUs` (TimeSeriesOps.funnel —
     * the as-of join run forward).

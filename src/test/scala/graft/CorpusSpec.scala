@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{TextFunctions => TF}
+
+/** The Corpus/Embeddings facades and the fused-shard drift guard. */
+class CorpusSpec extends SparkSuite {
+
+  test("fused corpus_shard equals the composed gate pipeline") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // the composition corpusShard fuses: per-gate operators chained by
+    // doc_id joins, budget over the survivors — any arithmetic drift in
+    // the fused plan shows up as a row diff here
+    val lang = TF.langId(docs).select(col("doc_id"), col("lang_pred"))
+    val keep = TF.corpusFilter(docs, 0.5).select(col("doc_id"), col("keep"))
+    val composed = TF.tokenBudget(
+        docs.join(lang, "doc_id").join(keep, "doc_id")
+          .filter(col("lang_pred") === "en" && col("keep")),
+        "source", 3000L)
+      .orderBy("doc_id").collect()
+    val fused = Corpus(docs).shard(0.5, 3000L).orderBy("doc_id").collect()
+    assert(composed.length == fused.length && composed.nonEmpty)
+    composed.zip(fused).foreach { case (c, f) => assert(c == f) }
+  }
+
+  test("facades expose the stacks over the real tables") {
+    val c = Corpus(Tables.load(spark, sfDir, "documents"))
+    assert(c.quality().count() == c.docs.count())
+    assert(c.dedupExact().count() == c.docs.count())
+    val pairs = c.minhashPairs()
+    assert(c.clusters(pairs).count() == c.docs.count())
+    assert(c.shard().count() > 0)
+    val e = Embeddings(Tables.load(spark, sfDir, "embeddings"))
+    assert(e.norms().count() == e.emb.count())
+    assert(e.clusters(0.4).count() == e.emb.count())
+    assert(e.annTopK(5, 10).count() == 50)
+  }
+}
