@@ -93,4 +93,17 @@ class GraftDBSpec extends SparkSuite {
     assert(s.alignedWindows(ru, 0, 64, 4, rollupBuiltAt = v1).count() == 0,
       "stale rollup must not serve an obliterated stream")
   }
+
+  test("db.similar ranks the matching stream above the inverted one") {
+    val db = GraftDB(spark, tmpDir("graftdb_sim"))
+    // q: ascending window means; c tracks q, i inverts it
+    Seq("q" -> ((v: Long) => v), "c" -> ((v: Long) => v + 3),
+        "i" -> ((v: Long) => 9 - v)).foreach { case (u, f) =>
+      val h = db.create(u, "sim/fleet")
+      h.insert((0L until 8L).map(t => (t * 8L, f(t).toDouble)).toDF("time", "value"))
+    }
+    val got = db.similar(db.stream("q"), 0L, 64L, 16L, 5)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq(("c", 1.0, 1L), ("i", -1.0, 2L)), s"$got")
+  }
 }
