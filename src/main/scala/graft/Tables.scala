@@ -43,7 +43,9 @@ object Tables {
       case l: LocalLimit => l
       case d: Deduplicate => d
     }.isDefined
-    if (wide) df
+    // streaming frames: no .rdd probe possible (and micro-batch
+    // parallelism belongs to the source) — pass through untouched
+    if (df.isStreaming || wide) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df

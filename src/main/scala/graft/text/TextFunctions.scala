@@ -246,17 +246,15 @@ object TextFunctions {
     * window partitioned by stratum) so the whole shard build is a linear
     * chain of scans, hash joins, and one windowed sort per stratum.
     */
-  def corpusShard(docs: DataFrame, minQuality: Double = 0.5,
-                  budgetPerStratum: Long = 3000L): DataFrame = {
-    // FUSED, not composed from quality()/langId()/piiScan()/exact(): the
-    // naive composition normalizes and rescans the corpus once per gate
-    // (measured 2× this plan's cost at sf0.1); here every signal is one
-    // projection over a single normalized scan, then exactly two keyed
-    // shuffles (dedup-fingerprint window, per-stratum budget window).
-    // The arithmetic is written identically to the per-gate operators —
-    // the oracle replays the same chain, so drift can't pass the gate.
+  /** All shard-gate signals in ONE projection over one normalized scan:
+    * fingerprint, token count, deterministic sampling key, quality score,
+    * language flag, PII flag — the single place the fused gate arithmetic
+    * lives (corpusShard batch path and graft.streaming.StreamShard both
+    * build on it). Stateless per row, so it streams unchanged.
+    */
+  private[graft] def shardSignals(docs: DataFrame): DataFrame = {
     val Seq(en, es, de, fr) = langMarkers.map { case (_, ws) => countIn(ws) }
-    val sig = withBase(docs).select(
+    withBase(docs).select(
       col("doc_id"), col("source").as("stratum"),
       md5(col("norm")).as("fp"),
       size(col("w")).cast("long").as("n_tokens"),
@@ -271,6 +269,19 @@ object TextFunctions {
         + regexp_count(col("norm"), lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
         + regexp_count(col("norm"), lit("\\d{3}[- ]\\d{3,4}[- ]\\d{4}")) > 0)
         .as("has_pii"))
+  }
+
+  def corpusShard(docs: DataFrame, minQuality: Double = 0.5,
+                  budgetPerStratum: Long = 3000L): DataFrame = {
+    // FUSED, not composed from quality()/langId()/piiScan()/exact(): the
+    // naive composition normalizes and rescans the corpus once per gate
+    // (measured 2× this plan's cost at sf0.1); here every signal is one
+    // projection over a single normalized scan (shardSignals — shared
+    // with the streaming gate), then exactly two keyed shuffles
+    // (dedup-fingerprint window, per-stratum budget window).
+    // The arithmetic is written identically to the per-gate operators —
+    // the oracle replays the same chain, so drift can't pass the gate.
+    val sig = shardSignals(docs)
     val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stratum")).orderBy(col("rank_key"), col("doc_id"))

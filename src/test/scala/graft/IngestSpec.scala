@@ -257,6 +257,44 @@ class IngestSpec extends SparkSuite {
     assert(tinyHits == Set(2L), s"$tinyHits")
   }
 
+  test("streaming shard verdicts match the batch gate composition") {
+    import graft.streaming.StreamShard
+    val src = tmpDir("ss_src")
+    val ckpt = tmpDir("ss_ckpt")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    val mid = docs.agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)"))
+      .head().getDouble(0)
+    // id-ordered chunks: batch exact dedup keeps the min doc_id, which is
+    // then also the first ARRIVAL — so streaming == batch verdict-for-verdict
+    docs.filter(col("doc_id") <= mid).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING").parquet(src)
+    val q = StreamShard.verdicts(StreamShard.keyed(stream)).writeStream
+      .outputMode("append").format("memory").queryName("ss_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    docs.filter(col("doc_id") > mid).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, keep FROM ss_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch truth: composed per-gate operators
+    val lang = graft.text.TextFunctions.langId(docs)
+      .select(col("doc_id"), (col("lang_pred") === "en").as("is_en"))
+    val ref = graft.text.TextFunctions.corpusFilter(docs, 0.5)
+      .join(lang, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(4) && r.getBoolean(5))) // corpusFilter keep ∧ is_en
+      .toMap
+    assert(got.size == ref.size)
+    assert(got == ref, {
+      val diff = ref.keySet.filter(k => got(k) != ref(k)).take(5)
+      s"mismatched docs: $diff"
+    })
+    assert(got.valuesIterator.count(identity) > 0, "some docs must pass the gate")
+  }
+
   test("streaming sessions close at the watermark and match the batch operator") {
     import graft.streaming.{RawPoint, Sessionize}
     val src = tmpDir("sw_src")
