@@ -283,6 +283,11 @@ object SparkEntry {
       TS.anomalies(Tables.points(s, dir), STREAM, 2.0)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
+    // robust dispersion: median + MAD per window (outlier-proof bands)
+    "ts_mad" -> ((s, dir) =>
+      TS.madWindows(Tables.points(s, dir), STREAM, T0, T29, WEEK)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_correlation" -> ((s, dir) => {
       val p = Tables.points(s, dir)
       TS.correlation(p.filter(col("event_type") === "click"),
@@ -1097,6 +1102,46 @@ object SparkEntry {
          |       ${PCT_SQL(0.95)} AS p95
          |FROM r GROUP BY 1, 2, 3
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // two rank-lookup median passes (raw doubles between them; Q6 only on
+    // emit) — mirrors TimeSeriesOps.madWindows term-for-term
+    "ts_mad" -> {
+      val idx = "0.5 * CAST(n - 1 AS DOUBLE)"
+      def pctRaw(v: String) =
+        s"""max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1 THEN $v END)
+           | + (max(CASE WHEN rn = CAST(ceil($idx) AS BIGINT) + 1 THEN $v END)
+           |    - max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1 THEN $v END))
+           |   * max($idx - floor($idx))""".stripMargin
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $WEEK) AS w_start, t_us, value
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY user_id, event_type, w_start
+         |                           ORDER BY value, t_us) AS rn,
+         |        count(*) OVER (PARTITION BY user_id, event_type, w_start) AS n
+         |      FROM w),
+         |m AS (SELECT user_id, event_type, w_start, count(*) AS n_points,
+         |             ${pctRaw("value")} AS med
+         |      FROM r GROUP BY 1, 2, 3),
+         |d AS (SELECT w.user_id AS user_id, w.event_type AS event_type,
+         |             w.w_start AS w_start, w.t_us AS t_us,
+         |             abs(w.value - m.med) AS dev, m.med AS med,
+         |             m.n_points AS n_points
+         |      FROM w JOIN m ON w.user_id = m.user_id
+         |             AND w.event_type = m.event_type AND w.w_start = m.w_start),
+         |r2 AS (SELECT *,
+         |         row_number() OVER (PARTITION BY user_id, event_type, w_start
+         |                            ORDER BY dev, t_us) AS rn,
+         |         count(*) OVER (PARTITION BY user_id, event_type, w_start) AS n
+         |       FROM d)
+         |SELECT user_id, event_type, w_start,
+         |       CAST(max(n_points) AS BIGINT) AS n_points,
+         |       ${Q6("max(med)")} AS median,
+         |       ${Q6(pctRaw("dev"))} AS mad
+         |FROM r2 GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, w_start""".stripMargin
+    },
 
     // mirrors TimeSeriesOps.anomalies term-for-term: integer micro-unit
     // moment sums (HUGEINT ≡ Spark's DECIMAL(38,0)), then the identical

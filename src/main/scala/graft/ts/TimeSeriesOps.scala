@@ -715,6 +715,48 @@ object TimeSeriesOps {
     out.select(cols: _*)
   }
 
+  /** Per-window robust dispersion: median + MAD (median absolute
+    * deviation) — the outlier-resistant alternative to mean/stddev bands
+    * (one wild point moves the mean arbitrarily; it moves the median not
+    * at all). Two rank-lookup passes of the exact type-7 machinery: the
+    * window median, then the median of |value − median|. Both passes are
+    * one shuffle each on the same (stream, window) key — the deviation
+    * join is co-partitioned, nothing re-sorts raw data twice on different
+    * keys. Quantization (Q6) happens only on emit; the intermediate
+    * median stays raw double so the oracle replays the exact float chain.
+    */
+  def madWindows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                 width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val grp = key :+ col("w_start")
+    val joinCols = streamCols :+ "w_start"
+    // type-7 p50 of `v` (ordered deterministically by (v, tie)) per group
+    def median(df: DataFrame, v: Column, tie: Column, out: String): DataFrame = {
+      val ord = Window.partitionBy(grp: _*).orderBy(v, tie)
+      val idx = lit(0.5) * (count(lit(1)).over(
+        Window.partitionBy(grp: _*)) - 1).cast("double")
+      val lo = max(when(col("rn") === floor(col("idx")).cast("long") + 1, v))
+      val hi = max(when(col("rn") === ceil(col("idx")).cast("long") + 1, v))
+      df.withColumn("rn", row_number().over(ord)).withColumn("idx", idx)
+        .groupBy(grp: _*)
+        .agg(count(lit(1)).as("n_points"),
+          (lo + (hi - lo) * max(col("idx") - floor(col("idx")))).as(out))
+    }
+    val base = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key :+ widthBucket(start, width) :+ col("t_us") :+ col("value"): _*)
+    val med = median(base, col("value"), col("t_us"), "med")
+    val mad = median(
+      base.join(med.select(grp :+ col("med"): _*), joinCols)
+        .select(grp ++ Seq(col("t_us"), abs(col("value") - col("med")).as("dev")): _*),
+      col("dev"), col("t_us"), "mad")
+    med.join(mad.withColumnRenamed("n_points", "n2"), joinCols)
+      .select(key ++ Seq(col("w_start"), col("n_points"),
+        graft.Quant.q6(col("med")).as("median"),
+        graft.Quant.q6(col("mad")).as("mad")): _*)
+  }
+
   /** The sketch swap-in for percentileWindows at extreme window sizes:
     * the exact operator rank-sorts every (stream, window) partition — a
     * per-group sort whose cost is n·log n in the window's point count.

@@ -165,6 +165,18 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(r(0).getDouble(4) == 4.8)      // p95: idx 3.8 → 4 + 0.8·(5-4)
   }
 
+  test("MAD ignores the outlier that wrecks the mean") {
+    val p = pts((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 100.0))
+    val r = TimeSeriesOps.madWindows(p, Seq("uuid"), 0L, 10L, 10L).collect()
+    assert(r.length == 1)
+    // median 3; devs {2,1,0,1,97} → sorted {0,1,1,2,97} → mad 1
+    assert(r(0).getLong(2) == 5L && r(0).getDouble(3) == 3.0 && r(0).getDouble(4) == 1.0)
+    // even n interpolates: {1,2,3,4} → med 2.5, devs {1.5,0.5,0.5,1.5} → mad 1.0
+    val e = TimeSeriesOps.madWindows(pts((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)),
+      Seq("uuid"), 0L, 10L, 10L).collect()
+    assert(e(0).getDouble(3) == 2.5 && e(0).getDouble(4) == 1.0)
+  }
+
   test("similarStreams ranks a copy first and an inverse last") {
     import spark.implicits._
     // query q: 1,2,3,4 per window; c = q (r=1); i = inverted (r=-1);
