@@ -241,6 +241,11 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def anomalies(zThresh: Double, version: Option[Long] = None): DataFrame =
       TS.anomalies(points(version), K, zThresh).drop("uuid")
 
+    /** Robust per-window dispersion: median + MAD (outlier-proof bands). */
+    def mad(start: Long, end: Long, width: Long,
+            version: Option[Long] = None): DataFrame =
+      TS.madWindows(points(version), K, start, end, width).drop("uuid")
+
     def seasonalProfile(bucketUs: Long, periodBuckets: Int,
                         version: Option[Long] = None): DataFrame =
       TS.seasonalProfile(points(version), K, bucketUs, periodBuckets).drop("uuid")

@@ -75,6 +75,9 @@ class GraftDBSpec extends SparkSuite {
     // element of the 34 visible values {0..15, 48..63, 500, 501}
     val pap = s.percentilesApprox(0, 64, 64, Seq(0.5)).head()
     assert(pap.getLong(1) == 34L && pap.getDouble(2) == 48.0)
+    // median of the 34 visible values (type-7 over {0..15, 48..63, 500, 501})
+    val mad = s.mad(0, 64, 64).head()
+    assert(mad.getLong(1) == 34L && mad.getDouble(2) == 48.5)
 
     // annotations CAS
     val av = s.setAnnotations(1L, Map("calib" -> Some("x")))
