@@ -42,6 +42,26 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("MAD matches the two-pass sorted-array reference on random data") {
+    for (_ <- 1 to 12) {
+      val data = randomSeries(1 + rnd.nextInt(25))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.madWindows(df, Seq("uuid"), 0L, 40L, 40L).collect()
+      assert(got.length == 1)
+      def p50(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        val idx = 0.5 * (s.length - 1)
+        val lo = math.floor(idx).toInt
+        s(lo) + (s(math.ceil(idx).toInt) - s(lo)) * (idx - math.floor(idx))
+      }
+      val med = p50(data.map(_._2))
+      val mad = p50(data.map(d => math.abs(d._2 - med)))
+      assert(got(0).getLong(2) == data.length)
+      assert(math.abs(got(0).getDouble(3) - med) < 1e-6, s"median, data=$data")
+      assert(math.abs(got(0).getDouble(4) - mad) < 1e-6, s"mad, data=$data")
+    }
+  }
+
   test("cusum matches an exact BigInt prefix-sum reference on random data") {
     for (_ <- 1 to 8) {
       val data = randomSeries(2 + rnd.nextInt(30))

@@ -115,6 +115,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("ts_mad joins its two median passes on the group key, no cartesian") {
+    val plan = physical(SparkEntry.queries("ts_mad")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("ts_similar broadcasts the query series; top-k is TakeOrdered") {
     val plan = physical(SparkEntry.queries("ts_similar")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
