@@ -209,18 +209,28 @@ class IngestSpec extends SparkSuite {
     // two micro-batches: the bucket index must persist across them
     docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
     val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
-    val q = StreamNearDedup.bandHits(StreamNearDedup.keyed(stream)).writeStream
-      .outputMode("append").format("memory").queryName("nd_out")
-      .option("checkpointLocation", ckpt).start()
-    q.processAllAvailable()
+    val outDir = tmpDir("nd_hits")
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      StreamNearDedup.bandHits(StreamNearDedup.keyed(stream)).writeStream
+        .outputMode("append").format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+    // RESTART between the chunks (not just two micro-batches of one
+    // query): the bucket index must survive through the checkpointed
+    // state store, not the driver — parquet sink, the fault-tolerant
+    // (and production) path; the memory sink can't recover a checkpoint.
+    val q1 = run()
+    q1.processAllAvailable()
+    q1.stop()
     docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    val q = run()
     q.processAllAvailable()
     q.stop()
     // CAVEAT: streaming arrival order (evens before odds) is part of the
     // rule — the reference below replays that exact order, and the batch
     // one-shot comparison uses hit doc_ids (order-insensitive per batch
     // since within one call arrivals sort by doc_id)
-    val got = spark.sql("SELECT doc_id, band, match_id, agree FROM nd_out")
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "band", "match_id", "agree")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .toSet
     // sequential reference: same fold, driver-side, same arrival order
