@@ -119,6 +119,10 @@ class PlanShapeSpec extends SparkSuite {
     val plan = physical(SparkEntry.queries("ts_mad")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // both median passes sit on one time-bounded scan — the derived-axis
+    // bounds must reach parquet as raw ts predicates
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(3000))
+    assert(plan.contains("LessThan"), plan.take(3000))
   }
 
   test("ts_similar broadcasts the query series; top-k is TakeOrdered") {
