@@ -241,6 +241,12 @@ object SparkEntry {
       TS.histogram(Tables.points(s, dir), STREAM, T0, T29, DAY, 50.0)
         .orderBy(col("user_id"), col("event_type"), col("w_start"), col("bin"))),
 
+    // fleet-wide (time, value-bin) density — the Grafana-heatmap query;
+    // histogram with an EMPTY stream key (same operator, fleet scope)
+    "ts_heatmap" -> ((s, dir) =>
+      TS.histogram(Tables.points(s, dir), Seq.empty, T0, T29, DAY, 50.0)
+        .orderBy(col("w_start"), col("bin"))),
+
     "ts_counter_rate" -> ((s, dir) =>
       TS.counterRate(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -985,6 +991,14 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n
          |FROM pts WHERE t_us >= $T0 AND t_us < $T29
          |GROUP BY 1, 2, 3, 4 ORDER BY user_id, event_type, w_start, bin""".stripMargin,
+
+    "ts_heatmap" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2 ORDER BY w_start, bin""".stripMargin,
 
     "ts_counter_rate" ->
       s"""WITH pts AS ($PTS_SQL),
