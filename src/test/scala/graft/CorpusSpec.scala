@@ -6,6 +6,14 @@ import graft.text.{TextFunctions => TF}
 /** The Corpus/Embeddings facades and the fused-shard drift guard. */
 class CorpusSpec extends SparkSuite {
 
+  test("every oracle entry names a real query (driver-contract guard)") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
+    // and the flagship must be one of the declared queries' plans
+    assert(SparkEntry.entry(spark).columns.nonEmpty)
+  }
+
   test("fused corpus_shard equals the composed gate pipeline") {
     val docs = Tables.load(spark, sfDir, "documents")
     // the composition corpusShard fuses: per-gate operators chained by
