@@ -79,6 +79,10 @@ class Embeddings(val emb: DataFrame) {
   def annTopK(nQueries: Int, k: Int): DataFrame = Vectors.annTopK(emb, nQueries, k)
   def annLsh(nQueries: Int, k: Int): DataFrame = Vectors.annLsh(emb, nQueries, k)
   def annIvf(nQueries: Int, k: Int): DataFrame = Vectors.annIvf(emb, nQueries, k)
+  /** Persist an IVF index of this corpus (build once, query many). */
+  def buildIvf(dir: String, nCells: Int = 16): graft.sim.IvfIndex =
+    graft.sim.IvfIndex.build(emb, dir, nCells)
+
   /** Semantic-dedup clusters over the cosine >= tau pair graph. */
   def clusters(tau: Double): DataFrame = {
     import org.apache.spark.sql.functions.col

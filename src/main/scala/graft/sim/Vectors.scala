@@ -141,30 +141,78 @@ object Vectors {
     * collected. Assignment minimizes Euclidean distance (argmax of
     * 2·v·c − |c|², |v|² constant per row); re-rank uses exact cosine.
     */
+  /** Centroids enter every plan as a BROADCAST nCells-row DataFrame, not
+    * as nCells×dim literal columns — a 1000-literal expression tree costs
+    * more in per-query analysis than the broadcast join it replaces.
+    */
+  private[sim] def centDf(spark: org.apache.spark.sql.SparkSession,
+                          cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
+      .toDF("cell", "cvec", "cn2"))
+  }
+
+  /** Nearest centroid by Euclidean distance = argmax(2·v·c − |c|²);
+    * max(struct(score, cell)) is a deterministic argmax (ties → max cell).
+    */
+  private[sim] def assignTo(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(cents)
+      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+
+  /** The nProbe-cells + exact-cosine-rerank query tail shared by annIvf
+    * and the persisted IvfIndex. `queries` carries (vec_id, embedding,
+    * nrm); output (q_id, n_id, rank, cos_sim).
+    */
+  private[sim] def ivfQuery(cents: DataFrame, assigned: DataFrame,
+                            queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    val probes = broadcast(queries
+      .join(cents)
+      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("cell")))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    probes
+      .join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("cell")), Seq("cell"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
+
   def annIvf(emb: DataFrame, nQueries: Int, k: Int,
              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3,
              trainLimit: Long = 200000L): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
     val all = withNorm(emb)
     val corpus = all.filter(col("vec_id") >= nQueries).cache()
+    val cents = trainCentroids(corpus, nCells, lloydIters, trainLimit)
+    val assigned = assignTo(corpus, centDf(spark, cents))
+    // Lloyd's driver-side collects are done — release the cached corpus
+    // (the final returned plan rescans it once; holding the cache for a
+    // lazily-consumed result would leak executor storage per call)
+    corpus.unpersist()
+    ivfQuery(centDf(spark, cents), assigned,
+      all.filter(col("vec_id") < nQueries), k, nProbe)
+  }
 
-    // Centroids enter every plan as a BROADCAST 16-row DataFrame, not as
-    // 16×dim literal columns — a 1000-literal expression tree costs more
-    // in per-query analysis than the broadcast join it replaces.
-    def centDf(cents: Array[Array[Double]]): DataFrame =
-      broadcast(cents.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
-        .toDF("cell", "cvec", "cn2"))
-
-    // nearest centroid by Euclidean distance = argmax(2·v·c − |c|²);
-    // max(struct(score, cell)) is a deterministic argmax (ties → max cell)
+  /** Train the coarse quantizer over an already-normed (and ideally
+    * cached) corpus — shared by annIvf and IvfIndex.build.
+    */
+  private[sim] def trainCentroids(corpus: DataFrame, nCells: Int, lloydIters: Int,
+                                  trainLimit: Long): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     def assign(cents: Array[Array[Double]]): DataFrame =
-      corpus.join(centDf(cents))
-        .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"),
-          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      assignTo(corpus, centDf(spark, cents))
 
     // Two training regimes, one quantizer contract (deterministic
     // lowest-id seed, argmax(2·v·c − |c|², ties → max cell), mean update
@@ -228,29 +276,7 @@ object Vectors {
         iter += 1
       }
     }
-
-    val assigned = assign(cents)
-    // Lloyd's driver-side collects are done — release the cached corpus
-    // (the final returned plan rescans it once; holding the cache for a
-    // lazily-consumed result would leak executor storage per call)
-    corpus.unpersist()
-    val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
-    val probes = broadcast(all.filter(col("vec_id") < nQueries)
-      .join(centDf(cents))
-      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe)
-      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na"), col("cell")))
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    probes
-      .join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb"), col("cell")), Seq("cell"))
-      .withColumn("cos", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
-        col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
+    cents
   }
 
   /** Random-hyperplane LSH ANN: `nTables` hash tables of `bitsPerTable`

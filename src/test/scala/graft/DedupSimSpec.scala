@@ -234,6 +234,21 @@ class DedupSimSpec extends SparkSuite {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getDouble(3)) == (1L, 3L, 3.0))
   }
 
+  test("persisted IVF index answers identically to the fused annIvf") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val fused = rows(graft.sim.Vectors.annIvf(emb, 5, 10))
+    val idx = graft.sim.IvfIndex.build(
+      emb.filter(col("vec_id") >= 5), tmpDir("ivf_idx"))
+    val got = rows(idx.query(emb.filter(col("vec_id") < 5), 10))
+    assert(got.nonEmpty && got == fused)
+    // reopening from disk serves the same answers (nothing driver-resident)
+    val reopened = graft.sim.IvfIndex(spark, idx.dir)
+    assert(rows(reopened.query(emb.filter(col("vec_id") < 5), 10)) == fused)
+  }
+
   test("char entropy matches the sequential frequency fold") {
     import spark.implicits._
     val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
