@@ -82,10 +82,23 @@ object Dedup {
     * `idLimit` only scopes the oracle comparison set.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
-                        idLimit: Option[Long] = None): DataFrame = {
+                        idLimit: Option[Long] = None,
+                        maxDf: Option[Long] = None): DataFrame = {
     val scoped = idLimit.fold(docs)(l => docs.filter(col("doc_id") < l))
-    val inv = hashedShingled(scoped, n)
+    val invAll = hashedShingled(scoped, n)
       .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("g"))
+    // The standard lossy knob for corpus scale: drop shingles with
+    // document frequency > maxDf before the self-join. Stop-shingles are
+    // the skew term (cost is Σ df(g)²; one million-df shingle is 10^12
+    // candidate pairs on its own) and they carry no dedup signal — but
+    // dropping them UNDERCOUNTS `inter`, so Jaccard is a lower bound and
+    // borderline pairs can be missed (spec-pinned: output ⊆ exact pairs).
+    // None (the default, and the oracle-gated configuration) stays exact.
+    val inv = maxDf.fold(invAll) { cap =>
+      val df = invAll.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("g"))
+      invAll.join(df, "g")
+    }
     inv.select(col("doc_id").as("id_a"), col("sz").as("sza"), col("g"))
       .join(inv.select(col("doc_id").as("id_b"), col("sz").as("szb"), col("g")), Seq("g"))
       .filter(col("id_a") < col("id_b"))

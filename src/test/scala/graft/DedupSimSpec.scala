@@ -234,6 +234,19 @@ class DedupSimSpec extends SparkSuite {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getDouble(3)) == (1L, 3L, 3.0))
   }
 
+  test("df-capped jaccard pairs are a subset of exact with bounded scores") {
+    val exact = graft.text.Dedup.ngramJaccardPairs(docs, 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = graft.text.Dedup.ngramJaccardPairs(docs, 3, 0.2, maxDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    // lossy knob: never a new pair, never a higher score
+    capped.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"capped invented pair $pair")
+      assert(j <= exact(pair) + 1e-9, s"capped raised jaccard for $pair")
+    }
+  }
+
   test("persisted IVF index answers identically to the fused annIvf") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
