@@ -179,6 +179,13 @@ object SparkEntry {
         STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("c_start"))),
 
+    // the SRE availability report over the same synthetic-outage input
+    "ts_reliability" -> ((s, dir) =>
+      TS.reliability(Tables.points(s, dir)
+          .filter(!(col("t_us") >= T08 && col("t_us") < T15) || col("user_id") =!= 1),
+        STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"))),
+
     "ts_cusum" -> ((s, dir) =>
       TS.cusum(Tables.points(s, dir), STREAM)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
@@ -809,6 +816,41 @@ object SparkEntry {
          |SELECT user_id, event_type, min(r_start) AS c_start, max(r_end) AS c_end
          |FROM islands GROUP BY user_id, event_type, island
          |ORDER BY user_id, event_type, c_start""".stripMargin,
+
+    // the outages CTE chain plus one aggregate; zero-outage streams come
+    // back via the distinct-stream left join with availability 1.0
+    "ts_reliability" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |f AS (SELECT * FROM pts WHERE NOT (t_us >= $T08 AND t_us < $T15) OR user_id <> 1),
+         |s AS (SELECT DISTINCT user_id, event_type FROM f),
+         |g AS (SELECT user_id, event_type,
+         |             unnest(generate_series($T0, ${T29 - 1}, $DAY)) AS w_start FROM s),
+         |o AS (SELECT DISTINCT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |      FROM f WHERE t_us >= $T0 AND t_us < $T29),
+         |miss AS (SELECT g.user_id AS user_id, g.event_type AS event_type,
+         |                g.w_start AS r_start, g.w_start + $DAY AS r_end
+         |         FROM g ANTI JOIN o ON g.user_id = o.user_id
+         |           AND g.event_type = o.event_type AND g.w_start = o.w_start),
+         |flagged AS (SELECT *, CASE WHEN lag(r_end) OVER w IS NULL OR r_start > lag(r_end) OVER w
+         |                           THEN 1 ELSE 0 END AS is_new
+         |            FROM miss WINDOW w AS (PARTITION BY user_id, event_type ORDER BY r_start)),
+         |islands AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type ORDER BY r_start
+         |                                        ROWS UNBOUNDED PRECEDING) AS island FROM flagged),
+         |co AS (SELECT user_id, event_type, min(r_start) AS c_start, max(r_end) AS c_end
+         |       FROM islands GROUP BY user_id, event_type, island),
+         |agg AS (SELECT user_id, event_type, count(*) AS n_o, sum(c_end - c_start) AS d_us
+         |        FROM co GROUP BY 1, 2)
+         |SELECT s.user_id AS user_id, s.event_type AS event_type,
+         |       CAST(coalesce(agg.n_o, 0) AS BIGINT) AS n_outages,
+         |       CAST(coalesce(agg.d_us, 0) AS BIGINT) AS downtime_us,
+         |       CASE WHEN coalesce(agg.n_o, 0) > 0
+         |            THEN ${Q6("CAST(agg.d_us AS DOUBLE) / agg.n_o")}
+         |            ELSE 0.0 END AS mttr_us,
+         |       ${Q6(s"1.0 - CAST(coalesce(agg.d_us, 0) AS DOUBLE) / ${(T29 - T0).toDouble}")}
+         |         AS availability
+         |FROM s LEFT JOIN agg ON s.user_id = agg.user_id AND s.event_type = agg.event_type
+         |ORDER BY user_id, event_type""".stripMargin,
 
     // mirrors TimeSeriesOps.cusum: rounded integer µ-unit mean per stream,
     // then an EXACT integer prefix sum (HUGEINT ≡ DECIMAL(38,0)) quantized

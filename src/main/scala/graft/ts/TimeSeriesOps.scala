@@ -312,6 +312,35 @@ object TimeSeriesOps {
           :+ (col("w_start") + width).as("r_end"): _*),
       streamCols)
 
+  /** The SRE reliability report built on outages(): per stream over
+    * [start, completeEnd) — outage count, total downtime, MTTR (mean
+    * outage duration) and availability. One extra keyed aggregate over
+    * the coalesced outage intervals plus a left join against the distinct
+    * stream set (zero-outage streams must report availability 1.0, and
+    * they never appear in the outage list). Downtime granularity is whole
+    * silent windows — the outages() contract.
+    */
+  def reliability(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                  width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val spanUs = (completeEnd - start).toDouble
+    val agg = outages(points, streamCols, start, end, width, version)
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n_o"), sum(col("c_end") - col("c_start")).as("d_us"))
+    atVersion(points, version).select(key: _*).distinct()
+      .join(agg, streamCols, "left")
+      .select(key ++ Seq(
+        coalesce(col("n_o"), lit(0L)).as("n_outages"),
+        coalesce(col("d_us"), lit(0L)).as("downtime_us")): _*)
+      .select(key ++ Seq(col("n_outages"), col("downtime_us"),
+        when(col("n_outages") > 0,
+          graft.Quant.q6(col("downtime_us").cast("double") / col("n_outages")))
+          .otherwise(0d).as("mttr_us"),
+        graft.Quant.q6(lit(1.0) - col("downtime_us").cast("double") / spanUs)
+          .as("availability")): _*)
+  }
+
   /** CUSUM change detection: per stream, the running sum of deviations
     * from the stream's global mean — drifts show as sustained slopes, level
     * shifts as kinks (the classic SPC chart). The mean is the rounded
