@@ -241,6 +241,11 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def anomalies(zThresh: Double, version: Option[Long] = None): DataFrame =
       TS.anomalies(points(version), K, zThresh).drop("uuid")
 
+    /** SRE availability report for this stream (TimeSeriesOps.reliability). */
+    def reliability(start: Long, end: Long, width: Long,
+                    version: Option[Long] = None): DataFrame =
+      TS.reliability(points(version), K, start, end, width).drop("uuid")
+
     /** Robust per-window dispersion: median + MAD (outlier-proof bands). */
     def mad(start: Long, end: Long, width: Long,
             version: Option[Long] = None): DataFrame =

@@ -230,6 +230,19 @@ class Store(val spark: SparkSession, val base: String) {
         "left_anti")
   }
 
+  /** Consistent point-in-time export: the visible (uuid, time, value)
+    * rows at `asOf`, written as plain parquet clustered by the store's
+    * own (ub, tb) layout — the backup / downstream-handoff path. The
+    * export is a snapshot BY VALUE (tombstones applied, versions
+    * resolved), so the consumer needs no knowledge of the MVCC log; time
+    * travel of the export itself is pinned by `asOf`. One all-or-nothing
+    * partitioned job, same small-file stance as insertBatch.
+    */
+  def snapshot(outDir: String, asOf: Option[Long] = None): Unit =
+    withLayout(pointsAt(asOf).select($"uuid", $"time", $"value", lit(0L).as("ver")))
+      .select($"uuid", $"time", $"value", $"ub", $"tb")
+      .write.mode(SaveMode.Overwrite).partitionBy("ub", "tb").parquet(outDir)
+
   /** One stream's visible points at `asOf`, with ub partition pruning —
     * the canonical per-stream read the query facade builds on.
     */

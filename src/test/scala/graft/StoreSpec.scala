@@ -119,4 +119,19 @@ class StoreSpec extends SparkSuite {
     assert(st.rawValues("a", 0, 100).count() == 2)
     assert(st.rawValues("b", 0, 100).count() == 2)
   }
+
+  test("snapshot exports the pinned visible view; later deletes don't reach it") {
+    val st = mkStore
+    st.insert("a", (0L until 10L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    val v1 = st.deleteRange("a", 0L, 3L) // visible now: t in [3, 10)
+    val out = tmpDir("store_snap")
+    st.snapshot(out, Some(v1))
+    st.deleteRange("a", 5L, 10L) // after the snapshot — must not appear in it
+    val snap = spark.read.parquet(out)
+    assert(snap.columns.sorted.toSeq == Seq("tb", "time", "ub", "uuid", "value"))
+    val times = snap.select("time").collect().map(_.getLong(0)).sorted.toSeq
+    assert(times == (3L until 10L).toSeq, s"$times")
+    // and the live store DID move on
+    assert(st.rawValues("a", 0, 100).count() == 2)
+  }
 }
