@@ -287,6 +287,44 @@ class Store(val spark: SparkSession, val base: String) {
     TimeSeriesOps.mergeRanges(aligned, Seq("uuid")).drop("uuid")
   }
 
+  /** Incremental export between two versions — the O(changed data)
+    * complement of snapshot(): writes the per-stream time ranges touched
+    * by inserts/deletes with vFrom < ver <= vTo (aligned to the 2^res
+    * grid, gap-merged — the Changes() semantics, all streams at once) as
+    * a manifest at `outDir/ranges`, and the rows VISIBLE at vTo inside
+    * those ranges at `outDir/points`. A consumer holding a vFrom
+    * snapshot applies it by deleting its copy of every manifest range
+    * and inserting the exported rows — a pure delete arrives as a
+    * manifest range with no rows. The manifest is metadata-scale
+    * (changed ranges), so the row-selection join broadcasts; nothing
+    * scans more than the changed versions plus the visible rows they
+    * touch.
+    */
+  def exportChanges(outDir: String, vFrom: Long, vTo: Long, res: Int): Unit = {
+    val ins = rawPoints.filter($"ver" > vFrom && $"ver" <= vTo)
+      .select($"uuid", shiftleft(shiftright($"time", res), res).as("r_start"))
+      .withColumn("r_end", $"r_start" + (1L << res))
+    val endCap = Long.MaxValue - (1L << res)
+    val del = tombstones.filter($"ver" > vFrom && $"ver" <= vTo)
+      .select($"uuid", shiftleft(shiftright($"t_start", res), res).as("r_start"),
+        when($"t_end" > endCap, lit(Long.MaxValue))
+          .otherwise(shiftleft(shiftright($"t_end" - 1, res), res) + (1L << res))
+          .as("r_end"))
+    val ranges = TimeSeriesOps
+      .mergeRanges(ins.unionByName(del).distinct(), Seq("uuid"))
+      .localCheckpoint() // consumed twice (manifest write + semi join)
+    ranges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/ranges")
+    val pts = pointsAt(Some(vTo))
+    val rg = broadcast(ranges
+      .select($"uuid".as("r_uuid"), $"c_start", $"c_end"))
+    withLayout(pts
+        .join(rg, pts("uuid") === rg("r_uuid") &&
+          pts("time") >= rg("c_start") && pts("time") < rg("c_end"), "left_semi")
+        .select($"uuid", $"time", $"value", lit(0L).as("ver")))
+      .select($"uuid", $"time", $"value", $"ub", $"tb")
+      .write.mode(SaveMode.Overwrite).partitionBy("ub", "tb").parquet(s"$outDir/points")
+  }
+
   private def rm(p: org.apache.hadoop.fs.Path): Unit =
     if (hfs.exists(p)) { hfs.delete(p, true); () }
 

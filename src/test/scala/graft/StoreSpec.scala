@@ -120,6 +120,35 @@ class StoreSpec extends SparkSuite {
     assert(st.rawValues("b", 0, 100).count() == 2)
   }
 
+  test("incremental export applied to a snapshot reproduces the target version") {
+    val st = mkStore
+    st.insert("a", (0L until 10L).map(t => (t, t.toDouble)).toDF("time", "value")) // v1
+    st.insert("b", Seq((0L, 7.0)).toDF("time", "value")) // b@v1
+    val snapDir = tmpDir("inc_base")
+    st.snapshot(snapDir, Some(1L))
+    st.deleteRange("a", 0L, 3L)                                   // a@v2: pure delete
+    st.insert("a", Seq((20L, 20.0), (21L, 21.0)).toDF("time", "value")) // a@v3
+    st.insert("b", Seq((5L, 5.0)).toDF("time", "value"))          // b@v2
+    val expDir = tmpDir("inc_delta")
+    st.exportChanges(expDir, 1L, 3L, res = 1)
+    // apply: base rows outside every manifest range + exported rows
+    val base = spark.read.parquet(snapDir).select("uuid", "time", "value")
+    val ranges = spark.read.parquet(s"$expDir/ranges")
+    val delta = spark.read.parquet(s"$expDir/points").select("uuid", "time", "value")
+    val applied = base.join(ranges,
+        base("uuid") === ranges("uuid") &&
+          base("time") >= ranges("c_start") && base("time") < ranges("c_end"),
+        "left_anti")
+      .unionByName(delta)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val want = st.pointsAt(Some(3L)).select("uuid", "time", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(applied == want, s"applied=$applied want=$want")
+    // the pure delete arrived as a manifest range with no rows under it
+    assert(ranges.filter(col("uuid") === "a" && col("c_start") === 0L).count() > 0)
+    assert(delta.filter(col("uuid") === "a" && col("time") < 3L).count() == 0)
+  }
+
   test("snapshot exports the pinned visible view; later deletes don't reach it") {
     val st = mkStore
     st.insert("a", (0L until 10L).map(t => (t, t.toDouble)).toDF("time", "value"))
