@@ -308,6 +308,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // rolling correlation: per-week Pearson r of click-vs-view day-means
+    "ts_windowed_corr" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      TS.windowedCorrelation(p.filter(col("event_type") === "click"),
+          p.filter(col("event_type") === "view"), Seq("user_id"), T0, T29, DAY, WEEK)
+        .orderBy(col("user_id"), col("c_start"))
+    }),
+
     // TS similarity search: rank the fleet by correlation to one query
     // stream's window-mean series (one scan + broadcast of the query row)
     "ts_similar" -> ((s, dir) =>
@@ -1250,6 +1258,37 @@ object SparkEntry {
                |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
          |       END AS r
          |FROM m ORDER BY user_id""".stripMargin,
+
+    "ts_windowed_corr" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |x AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS x
+         |      FROM pts WHERE event_type = 'click' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |y AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS y
+         |      FROM pts WHERE event_type = 'view' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |j AS (SELECT x.user_id AS user_id, x.w_start AS w_start, x.x AS x, y.y AS y
+         |      FROM x JOIN y ON x.user_id = y.user_id AND x.w_start = y.w_start),
+         |m AS (SELECT user_id,
+         |             $T0 + (w_start - $T0) - ((w_start - $T0) % $WEEK) AS c_start,
+         |             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |             sum(CAST(y AS HUGEINT) * y) AS syy,
+         |             sum(CAST(x AS HUGEINT) * y) AS sxy
+         |      FROM j GROUP BY 1, 2)
+         |SELECT user_id, c_start, CAST(n AS BIGINT) AS n_windows,
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |             AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |            THEN ${Q6(
+             """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
+         |       END AS r
+         |FROM m ORDER BY user_id, c_start""".stripMargin,
 
     "ts_similar" ->
       s"""WITH pts AS ($PTS_SQL),

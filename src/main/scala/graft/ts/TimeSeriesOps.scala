@@ -896,6 +896,45 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Windowed Pearson correlation — correlation() resolved per COARSE
+    * window instead of one global r: both sides reduce to fine
+    * (width-wide) exact integer window means, join on (key, fine window),
+    * then the moment aggregation groups by the containing coarse window —
+    * the rolling-correlation panel ("when did these two decouple?"). Same
+    * exact-DECIMAL moment arithmetic as correlation(); n per coarse
+    * window = fine windows where BOTH sides have data.
+    */
+  def windowedCorrelation(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                          start: Long, end: Long, width: Long,
+                          coarse: Long): DataFrame = {
+    require(coarse % width == 0, s"coarse $coarse must be a multiple of width $width")
+    val key = keyCols.map(col)
+    def meansOf(df: DataFrame, out: String): DataFrame = {
+      val d = col("t_us") - start
+      df.filter(col("t_us") >= start && col("t_us") < end)
+        .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+        .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+          .cast("long").as(out))
+    }
+    val joined = meansOf(left, "x").join(meansOf(right, "y"), keyCols :+ "w_start")
+    val dc = col("w_start") - start
+    val xd = col("x").cast("decimal(38,0)")
+    val yd = col("y").cast("decimal(38,0)")
+    val mom = joined
+      .groupBy(key :+ (lit(start) + dc - pmod(dc, lit(coarse))).as("c_start"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"), sum(xd * yd).as("sxy"))
+    val nD = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val den1 = sqrt(nD * col("sxx").cast("double") - sx * sx)
+    val den2 = sqrt(nD * col("syy").cast("double") - sy * sy)
+    mom.select(key ++ Seq(col("c_start"), col("n").as("n_windows"),
+      when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
+  }
+
   /** Time-series similarity search (the "which sensors behave like this
     * one" query, cf. distributed TS similarity search à la EDBT'19): rank
     * every stream by Pearson correlation of its aligned window-mean
