@@ -935,6 +935,47 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Lag cross-correlation — which time shift aligns two streams best
+    * ("do clicks LEAD views?"): Pearson r of x(w) against y(w − lag) for
+    * every candidate lag (multiples of the window width). The lag set
+    * enters the plan as an exploded dimension on the x side, so the whole
+    * sweep is ONE equi-join on (key, shifted window) and one moment
+    * aggregation per (key, lag) — not |lags| separate scans. Positive r
+    * at positive lag ⇒ x's past predicts y's present (x leads).
+    */
+  def lagCorrelation(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     start: Long, end: Long, width: Long,
+                     lags: Seq[Long]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ % width == 0),
+      s"lags must be multiples of width $width: $lags")
+    val key = keyCols.map(col)
+    def meansOf(df: DataFrame, out: String): DataFrame = {
+      val d = col("t_us") - start
+      df.filter(col("t_us") >= start && col("t_us") < end)
+        .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+        .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+          .cast("long").as(out))
+    }
+    val xl = meansOf(left, "x")
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .withColumn("y_w", col("w_start") - col("lag"))
+    val y = meansOf(right, "y").withColumnRenamed("w_start", "y_w")
+    val joined = xl.join(y, keyCols :+ "y_w")
+    val xd = col("x").cast("decimal(38,0)")
+    val yd = col("y").cast("decimal(38,0)")
+    val mom = joined.groupBy(key :+ col("lag"): _*).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"), sum(xd * yd).as("sxy"))
+    val nD = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val den1 = sqrt(nD * col("sxx").cast("double") - sx * sx)
+    val den2 = sqrt(nD * col("syy").cast("double") - sy * sy)
+    mom.select(key ++ Seq(col("lag"), col("n").as("n_windows"),
+      when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
+  }
+
   /** Time-series similarity search (the "which sensors behave like this
     * one" query, cf. distributed TS similarity search à la EDBT'19): rank
     * every stream by Pearson correlation of its aligned window-mean

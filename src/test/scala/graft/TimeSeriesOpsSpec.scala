@@ -177,6 +177,23 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(e(0).getDouble(3) == 2.5 && e(0).getDouble(4) == 1.0)
   }
 
+  test("lag correlation peaks exactly at the true shift") {
+    import spark.implicits._
+    // y repeats x one window later; the non-linear sequence makes r = 1
+    // only at perfect alignment (a ramp would correlate at every lag)
+    val seqv = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0)
+    val x = seqv.zipWithIndex.map { case (v, i) => ("s", i * 10L, v) }
+      .toDF("uuid", "t_us", "value")
+    val y = seqv.zipWithIndex.map { case (v, i) => ("s", (i + 1) * 10L, v) }
+      .toDF("uuid", "t_us", "value")
+    val r = TimeSeriesOps.lagCorrelation(x, y, Seq("uuid"), 0L, 100L, 10L,
+        Seq(-10L, 0L, 10L))
+      .collect().map(row => row.getLong(1) -> row.getDouble(3)).toMap
+    // pairs are (x(w), y(w - lag)); y(w) = x(w - 10) ⇒ exact at lag = -10
+    assert(r(-10L) == 1.0, s"$r")
+    assert(r(0L) < 1.0 && r(10L) < 1.0, s"$r")
+  }
+
   test("similarStreams ranks a copy first and an inverse last") {
     import spark.implicits._
     // query q: 1,2,3,4 per window; c = q (r=1); i = inverted (r=-1);
