@@ -30,6 +30,7 @@ class Corpus(val docs: DataFrame) {
   def lexicalDiversity(): DataFrame = TF.lexicalDiversity(docs)
   def wordLengthStats(): DataFrame = TF.wordLengthStats(docs)
   def charEntropy(): DataFrame = TF.charEntropy(docs)
+  def readability(): DataFrame = TF.readability(docs)
   def fingerprint(): DataFrame = TF.fingerprint(docs)
 
   // ---- corpus-level reports ----

@@ -69,6 +69,20 @@ class GraftDB(val spark: SparkSession, val base: String) {
     TS.similarStreams(store.pointsAt(None).withColumnRenamed("time", "t_us"),
       Seq("uuid"), col("uuid") === query.uuid, start, end, width, k)
 
+  /** Rolling correlation of two handles: one r per coarse window. */
+  def correlateWindowed(a: StreamHandle, b: StreamHandle, start: Long, end: Long,
+                        width: Long, coarse: Long): DataFrame =
+    TS.windowedCorrelation(
+      a.points().withColumn("k", lit(1)),
+      b.points().withColumn("k", lit(1)), Seq("k"), start, end, width, coarse).drop("k")
+
+  /** Lag cross-correlation sweep of two handles (which shift aligns best). */
+  def lagCorrelate(a: StreamHandle, b: StreamHandle, start: Long, end: Long,
+                   width: Long, lags: Seq[Long]): DataFrame =
+    TS.lagCorrelation(
+      a.points().withColumn("k", lit(1)),
+      b.points().withColumn("k", lit(1)), Seq("k"), start, end, width, lags).drop("k")
+
   /** Conversion funnel between two stream handles: per window of a-events,
     * how many saw a b-event within `horizonUs` (TimeSeriesOps.funnel —
     * the as-of join run forward).

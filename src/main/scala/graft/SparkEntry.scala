@@ -617,6 +617,11 @@ object SparkEntry {
       TextFunctions.wordLengthStats(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // sentence-level readability proxies (Flesch-style, syllable-free)
+    "text_readability" -> ((s, dir) =>
+      TextFunctions.readability(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // char-level Shannon entropy — compressibility signal; log2 is
     // libm-dependent, so rows-only at the driver (spec-gated locally)
     "text_entropy" -> ((s, dir) =>
@@ -1953,6 +1958,20 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     // Σ len(word) = len(norm) − (n_words − 1): norm is single-space-joined
+    "text_readability" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(len(regexp_extract_all(norm, '[.!?]+')) AS BIGINT) AS n_sentences,
+         |        length(replace(norm, ' ', '')) AS n_nospace
+         |      FROM b)
+         |SELECT doc_id, n_words, n_sentences,
+         |       ${Q6("CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE)")}
+         |         AS words_per_sentence,
+         |       ${Q6("CAST(n_nospace AS DOUBLE) / n_words")} AS chars_per_word
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_wordlen" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm,
          |                  string_split($NORM_TEXT_SQL, ' ') AS w FROM documents)

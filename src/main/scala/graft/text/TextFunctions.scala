@@ -379,6 +379,26 @@ object TextFunctions {
             "(acc, x) -> acc - (CAST(x.c AS DOUBLE) / n) * log2(CAST(x.c AS DOUBLE) / n))")))
           .otherwise(0d).as("entropy_bits"))
 
+  /** Sentence-level readability proxies: sentence count (runs of
+    * terminal punctuation — norm keeps punctuation, only case and
+    * whitespace are canonicalized), words per sentence, and chars per
+    * word — the Flesch-style complexity signals without a syllable
+    * model. One projection, regexp_count only (codegen'd; patterns
+    * evaluate identically under Java regex and RE2).
+    */
+  def readability(docs: DataFrame): DataFrame =
+    withBase(docs)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_sent", regexp_count(col("norm"), lit("[.!?]+")))
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_sent").cast("long").as("n_sentences"),
+        graft.Quant.q6(col("n_words").cast("double")
+          / greatest(col("n_sent"), lit(1)).cast("double")).as("words_per_sentence"),
+        graft.Quant.q6(length(regexp_replace(col("norm"), lit(" "), lit("")))
+          .cast("double") / col("n_words")).as("chars_per_word"))
+
   /** The most-duplicated word n-grams corpus-wide (by distinct-document
     * frequency, ≥ 2 docs) — the memorization-risk / boilerplate report
     * ("which exact passages does the corpus repeat?"). Distinct shingles
