@@ -308,6 +308,11 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // classical decomposition: day-mean = trend + weekly seasonal + residual
+    "ts_decompose" -> ((s, dir) =>
+      TS.decompose(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     // lag cross-correlation: click day-means vs view day-means at lags
     // -2d..2d — one join sweep, lag as an exploded dimension
     "ts_lag_corr" -> ((s, dir) => {
@@ -1273,6 +1278,33 @@ object SparkEntry {
                |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
          |       END AS r
          |FROM m ORDER BY user_id""".stripMargin,
+
+    // mirrors TimeSeriesOps.decompose: exact integer frame sums, the
+    // seasonal mean expanded over integer sums, Q6 on emit only
+    "ts_decompose" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |fr AS (SELECT *, sum(m_us) OVER wfr AS s_f, count(*) OVER wfr AS n_f
+         |       FROM w WINDOW wfr AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |ff AS (SELECT *, ((w_start - $T0) // $DAY) % 7 AS pos FROM fr WHERE n_f = 7),
+         |se AS (SELECT user_id, event_type, pos,
+         |              CAST(sum(m_us) AS DOUBLE) / count(*)
+         |                - CAST(sum(s_f) AS DOUBLE) / (count(*) * 7) AS seasonal_raw
+         |       FROM ff GROUP BY 1, 2, 3)
+         |SELECT ff.user_id AS user_id, ff.event_type AS event_type, ff.w_start AS w_start,
+         |       ${Q6("CAST(ff.m_us AS DOUBLE) / 1e6")} AS v_mean,
+         |       ${Q6("CAST(ff.s_f AS DOUBLE) / 7 / 1e6")} AS trend,
+         |       ${Q6("se.seasonal_raw / 1e6")} AS seasonal,
+         |       ${Q6("(CAST(ff.m_us AS DOUBLE) - CAST(ff.s_f AS DOUBLE) / 7 - se.seasonal_raw) / 1e6")}
+         |         AS residual
+         |FROM ff JOIN se ON ff.user_id = se.user_id AND ff.event_type = se.event_type
+         |                AND ff.pos = se.pos
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_lag_corr" ->
       s"""WITH pts AS ($PTS_SQL),

@@ -896,6 +896,57 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Classical seasonal decomposition (STL-lite): per stream, each fine
+    * window's mean splits into trend + seasonal + residual. Trend is the
+    * centered moving average over `period` windows (full frames only —
+    * the classical edge rule); seasonal is the per-position mean of the
+    * detrended series; residual is what's left. All means are assembled
+    * from EXACT integer micro-unit sums (the frame sum is a long-sum
+    * window aggregate; the seasonal mean expands to Σm/n − ΣS/(n·f) over
+    * integer sums), so no float accumulates in partition order and the
+    * oracle replays the identical expression. One shuffle for the window
+    * means, one per-stream sort for the frame sums, one keyed aggregate
+    * for the seasonal profile (broadcast back) — no pass over raw data
+    * beyond the first.
+    */
+  def decompose(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                width: Long, period: Int,
+                version: Option[Long] = None): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val h = period / 2
+    val f = 2 * h + 1
+    val d = col("t_us") - start
+    val means = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("m_us"))
+    val wf = Window.partitionBy(key: _*).orderBy(col("w_start"))
+      .rowsBetween(-h, h)
+    val framed = means
+      .withColumn("s_f", sum(col("m_us")).over(wf))
+      .withColumn("n_f", count(lit(1)).over(wf))
+      .filter(col("n_f") === f) // full frames only — classical edge rule
+      .withColumn("pos",
+        pmod(expr(s"(w_start - $start) div $width"), lit(period.toLong)))
+    val seas = framed.groupBy(key :+ col("pos"): _*)
+      .agg(sum(col("m_us")).as("sm"), sum(col("s_f")).as("sf"),
+        count(lit(1)).as("n"))
+      .select(key ++ Seq(col("pos"),
+        (col("sm").cast("double") / col("n")
+          - col("sf").cast("double") / (col("n") * f)).as("seasonal_raw")): _*)
+    val trend = col("s_f").cast("double") / f
+    framed.join(broadcast(seas), streamCols :+ "pos")
+      .select(key ++ Seq(col("w_start"),
+        graft.Quant.q6(col("m_us").cast("double") / 1e6).as("v_mean"),
+        graft.Quant.q6(trend / 1e6).as("trend"),
+        graft.Quant.q6(col("seasonal_raw") / 1e6).as("seasonal"),
+        graft.Quant.q6((col("m_us").cast("double") - trend - col("seasonal_raw")) / 1e6)
+          .as("residual")): _*)
+  }
+
   /** Windowed Pearson correlation — correlation() resolved per COARSE
     * window instead of one global r: both sides reduce to fine
     * (width-wide) exact integer window means, join on (key, fine window),

@@ -177,6 +177,25 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(e(0).getDouble(3) == 2.5 && e(0).getDouble(4) == 1.0)
   }
 
+  test("decompose splits linear trend + pure 7-periodic signal exactly") {
+    import spark.implicits._
+    val season = Seq(0.0, 5.0, -3.0, 2.0, -1.0, 4.0, -7.0) // sums to 0
+    val p = (0 until 28).map(i => ("s", i * 10L, 10.0 * i + season(i % 7)))
+      .toDF("uuid", "t_us", "value")
+    val rows = TimeSeriesOps.decompose(p, Seq("uuid"), 0L, 280L, 10L, 7)
+      .orderBy("w_start").collect()
+    assert(rows.length == 22) // 28 windows minus 3 edge rows each side
+    rows.foreach { r =>
+      val i = r.getLong(1) / 10
+      // a full centered 7-frame covers one whole period, so the moving
+      // average recovers the linear part exactly; seasonal gets the rest
+      assert(r.getDouble(3) == 10.0 * i, s"trend at $i")
+      assert(r.getDouble(4) == season((i % 7).toInt), s"seasonal at $i")
+      assert(r.getDouble(5) == 0.0, s"residual at $i")
+      assert(r.getDouble(2) == 10.0 * i + season((i % 7).toInt), s"v_mean at $i")
+    }
+  }
+
   test("lag correlation peaks exactly at the true shift") {
     import spark.implicits._
     // y repeats x one window later; the non-linear sequence makes r = 1
