@@ -255,6 +255,11 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def anomalies(zThresh: Double, version: Option[Long] = None): DataFrame =
       TS.anomalies(points(version), K, zThresh).drop("uuid")
 
+    /** Classical seasonal decomposition (TimeSeriesOps.decompose). */
+    def decompose(start: Long, end: Long, width: Long, period: Int,
+                  version: Option[Long] = None): DataFrame =
+      TS.decompose(points(version), K, start, end, width, period).drop("uuid")
+
     /** SRE availability report for this stream (TimeSeriesOps.reliability). */
     def reliability(start: Long, end: Long, width: Long,
                     version: Option[Long] = None): DataFrame =
