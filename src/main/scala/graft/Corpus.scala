@@ -59,6 +59,7 @@ class Corpus(val docs: DataFrame) {
   def sampleStratified(stratumCol: String, rate: Double): DataFrame =
     TF.sampleStratified(docs, stratumCol, rate)
   def sampleFixed(n: Int): DataFrame = TF.sampleFixed(docs, n)
+  def sampleWeighted(rate: Double): DataFrame = TF.sampleWeighted(docs, rate)
   def tokenBudget(stratumCol: String, budgetPerStratum: Long): DataFrame =
     TF.tokenBudget(docs, stratumCol, budgetPerStratum)
   def shard(minQuality: Double = 0.5, budgetPerStratum: Long = 3000L): DataFrame =

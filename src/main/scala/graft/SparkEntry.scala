@@ -595,6 +595,11 @@ object SparkEntry {
       TextFunctions.sampleFixed(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("rank_key"), col("doc_id"))),
 
+    // importance sampling: keep-probability = rate × quality_score
+    "sample_weighted" -> ((s, dir) =>
+      TextFunctions.sampleWeighted(Tables.load(s, dir, "documents"), 0.5)
+        .orderBy(col("doc_id"))),
+
     "corpus_budget" -> ((s, dir) =>
       TextFunctions.tokenBudget(Tables.load(s, dir, "documents"), "source", 3000L)
         .orderBy(col("doc_id"))),
@@ -1888,6 +1893,22 @@ object SparkEntry {
     "sample_fixed" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_key
         |FROM documents ORDER BY rank_key, doc_id LIMIT 100""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(length(norm) AS BIGINT) AS n_chars,
+         |        len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |        len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
+         |      FROM b),
+         |q AS (SELECT doc_id, ${Q6(QSCORE_SQL)} AS quality_score FROM c)
+         |SELECT doc_id, quality_score
+         |FROM q
+         |WHERE substring(md5('w|' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |      < printf('%04x', CAST(least(floor(0.5 * quality_score * 65536), 65535.0) AS INT))
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_budget" ->
       s"""WITH d AS (SELECT doc_id, source AS stratum,

@@ -146,6 +146,27 @@ object TextFunctions {
     }
   }
 
+  /** Deterministic QUALITY-WEIGHTED sampling — importance sampling for
+    * training mixes: each doc keeps with probability rate × its
+    * quality_score, decided by comparing a 16-bit md5 hash fraction
+    * against a per-row threshold. Both sides are 4-char lowercase hex
+    * strings, so the lexicographic compare IS the numeric compare and
+    * every engine with md5 reproduces the exact same sample (the same
+    * portability contract as sampleStratified). One projection + the
+    * quality join — no shuffle beyond quality()'s own.
+    */
+  def sampleWeighted(docs: DataFrame, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    quality(docs).select(col("doc_id"), col("quality_score"))
+      .withColumn("h",
+        substring(md5(concat(lit("w|"), col("doc_id").cast("string"))), 1, 4))
+      .withColumn("thr", format_string("%04x",
+        least(floor(lit(rate) * col("quality_score") * 65536), lit(65535.0))
+          .cast("int")))
+      .filter(col("h") < col("thr"))
+      .select(col("doc_id"), col("quality_score"))
+  }
+
   /** Deterministic fixed-SIZE sample: exactly n documents, selected by
     * md5(doc_id) order — the complement of the rate-based stratified
     * sampler (eval sets and ablations want "exactly N docs, stable across
