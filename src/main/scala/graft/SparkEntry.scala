@@ -519,6 +519,16 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // scored near-contamination: trigram Jaccard train×bench (catches
+    // paraphrase-level leakage the verbatim 8-gram detector understates)
+    "corpus_contamination_near" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), 3, 0.3)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.clusters(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
@@ -1629,6 +1639,22 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardSql(0.5, Some(1000L)),
 
     "dedup_minhash" -> jaccardSql(0.8, None),
+
+    "corpus_contamination_near" ->
+      s"""WITH docs AS (SELECT doc_id, source, string_split($NORM_TEXT_SQL, ' ') AS w
+         |              FROM documents),
+         |sh AS (SELECT doc_id, source, list_distinct(list_transform(
+         |               generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM docs WHERE len(w) >= 3),
+         |p AS (SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         |             len(list_intersect(t.s, b.s)) AS inter,
+         |             len(t.s) AS la, len(b.s) AS lb
+         |      FROM sh t JOIN sh b ON t.source <> 'src0' AND b.source = 'src0')
+         |SELECT train_id, bench_id,
+         |       ${Q6("CAST(inter AS DOUBLE) / (la + lb - inter)")} AS jaccard
+         |FROM p WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.3
+         |ORDER BY train_id, bench_id""".stripMargin,
 
     // SimHash recomputed verbatim: per-word 64-bit hash = md5_number_lower
     // (the same value graft.plans.TextHashes.md5Lower64 computes), ±1 vote

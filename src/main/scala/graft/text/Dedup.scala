@@ -171,6 +171,32 @@ object Dedup {
       tau)
   }
 
+  /** Near-duplicate decontamination: exact n-gram Jaccard between a TRAIN
+    * corpus and a (small) BENCHMARK corpus — the scored complement of
+    * contamination()'s verbatim-run detector (light paraphrase / heavy
+    * partial overlap scores high here even when no single long run is
+    * shared). Same inverted-index shape as ngramJaccardPairs, but the
+    * join is strictly train×bench, so cost is Σ df_train(g)·df_bench(g)
+    * — bounded by the tiny benchmark side, never train².
+    */
+  def crossJaccardPairs(train: DataFrame, bench: DataFrame, n: Int,
+                        tau: Double): DataFrame = {
+    val ti = hashedShingled(train, n)
+      .select(col("doc_id").as("train_id"), size(col("hs")).as("szt"),
+        explode(col("hs")).as("g"))
+    val bi = hashedShingled(bench, n)
+      .select(col("doc_id").as("bench_id"), size(col("hs")).as("szb"),
+        explode(col("hs")).as("g"))
+    ti.join(bi, Seq("g"))
+      .groupBy(col("train_id"), col("bench_id"), col("szt"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("szt") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("train_id"), col("bench_id"),
+        graft.Quant.q6(col("jaccard")).as("jaccard"))
+  }
+
   /** Exact shared-long-n-gram pairs: documents sharing at least one exact
     * run of `n` consecutive words (the "substring duplication" signal of
     * exact-substring dedup — long verbatim overlaps catch boilerplate and
