@@ -53,6 +53,8 @@ class Corpus(val docs: DataFrame) {
   def clusters(pairs: DataFrame): DataFrame = Dedup.clusters(docs, pairs)
   def contamination(bench: DataFrame, n: Int = 8): DataFrame =
     Dedup.contamination(docs, bench, n)
+  def contaminationNear(bench: DataFrame, n: Int = 3, tau: Double = 0.3): DataFrame =
+    Dedup.crossJaccardPairs(docs, bench, n, tau)
 
   // ---- selection / shipping ----
   def filter(minQuality: Double = 0.5): DataFrame = TF.corpusFilter(docs, minQuality)
