@@ -38,6 +38,7 @@ class Corpus(val docs: DataFrame) {
   def vocab(k: Int = 100): DataFrame = TF.vocab(docs, k)
   def dupNgrams(n: Int = 8, k: Int = 50): DataFrame = TF.dupNgrams(docs, n, k)
   def crossSourceOverlap(): DataFrame = TF.crossSourceOverlap(docs)
+  def dupStats(): DataFrame = TF.dupStats(docs)
 
   // ---- dedup ----
   def dedupExact(): DataFrame = Dedup.exact(docs)

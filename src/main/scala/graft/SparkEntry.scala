@@ -624,6 +624,11 @@ object SparkEntry {
       TextFunctions.corpusStats(Tables.load(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))),
 
+    // dataset-card redundancy: per-source duplicate fraction
+    "corpus_dup_stats" -> ((s, dir) =>
+      TextFunctions.dupStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     "corpus_vocab" -> ((s, dir) =>
       TextFunctions.vocab(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("doc_freq").desc, col("word"))),
@@ -1997,6 +2002,13 @@ object SparkEntry {
          |        FROM kept)
          |SELECT doc_id, stratum, n_tokens, cum_tokens
          |FROM cum WHERE cum_tokens <= 3000 ORDER BY doc_id""".stripMargin,
+
+    "corpus_dup_stats" ->
+      s"""WITH d AS (SELECT source, md5($NORM_TEXT_SQL) AS fp FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |       ${Q6("1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*)")} AS dup_rate
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $NORM_TEXT_SQL AS norm FROM documents),

@@ -400,6 +400,22 @@ object TextFunctions {
             "(acc, x) -> acc - (CAST(x.c AS DOUBLE) / n) * log2(CAST(x.c AS DOUBLE) / n))")))
           .otherwise(0d).as("entropy_bits"))
 
+  /** Per-source duplication-rate report — the dataset-card number behind
+    * "how redundant is this source": doc count, distinct fingerprints,
+    * and the duplicate fraction. One fingerprint projection and one
+    * groupBy with an exact distinct (HLL swap-in at extreme cardinality
+    * would mirror cardinalityApprox).
+    */
+  def dupStats(docs: DataFrame): DataFrame =
+    withBase(docs)
+      .select(col("source"), md5(col("norm")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        graft.Quant.q6(lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+          .as("dup_rate"))
+
   /** Sentence-level readability proxies: sentence count (runs of
     * terminal punctuation — norm keeps punctuation, only case and
     * whitespace are canonicalized), words per sentence, and chars per
