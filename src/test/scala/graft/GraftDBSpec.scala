@@ -108,5 +108,14 @@ class GraftDBSpec extends SparkSuite {
     val got = db.similar(db.stream("q"), 0L, 64L, 16L, 5)
       .collect().map(r => (r.getString(0), r.getDouble(2), r.getLong(3))).toSeq
     assert(got == Seq(("c", 1.0, 1L), ("i", -1.0, 2L)), s"$got")
+    // the pairwise family shares the same moment arithmetic: a shifted
+    // copy correlates perfectly at lag 0 per coarse window and in the
+    // lag sweep's aligned slot
+    val wc = db.correlateWindowed(db.stream("q"), db.stream("c"), 0L, 64L, 8L, 32L)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(wc.nonEmpty && wc.forall(_ == 1.0), s"$wc")
+    val lc = db.lagCorrelate(db.stream("q"), db.stream("c"), 0L, 64L, 8L, Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lc == Map(0L -> 1.0), s"$lc")
   }
 }
