@@ -190,16 +190,57 @@ object TextFunctions {
     * global), and the order key is the same hash order sampleFixed uses,
     * so the fill is stable across runs, engines, and cluster layouts.
     */
-  def tokenBudget(docs: DataFrame, stratumCol: String, budgetPerStratum: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum"))
+  def tokenBudget(docs: DataFrame, stratumCol: String, budgetPerStratum: Long): DataFrame =
+    budgetFill(
+      withBase(docs)
+        .select(col("doc_id"), col(stratumCol).as("stratum"),
+          size(col("w")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("rank_key")),
+      budgetPerStratum)
+
+  /** Distributed per-stratum prefix sum + budget cut over (doc_id, stratum,
+    * n_tokens, rank_key). A window `PARTITION BY stratum` would funnel every
+    * document of a stratum through ONE task's sort — with a handful of
+    * sources at 100 TB that is a few tasks each sorting billions of rows.
+    * Instead, the classic two-phase scan:
+    *
+    *   1. range-partition on the GLOBAL order key (stratum, rank_key,
+    *      doc_id) so each task holds a contiguous slice of a stratum's
+    *      ordered sequence (slices are partition-sized, never
+    *      stratum-sized);
+    *   2. aggregate one row per (stratum, slice) — the slice token totals,
+    *      metadata-scale (≤ #partitions rows) — and prefix-sum THOSE with a
+    *      window (tiny: sorts slice counts, not documents);
+    *   3. broadcast the slice offsets back and add each row's LOCAL running
+    *      sum, a window keyed by (stratum, slice) whose groups are bounded
+    *      by the range-partition size regardless of stratum skew.
+    *
+    * Exact same cum_tokens as the single-window form (the oracle replays
+    * that form), full parallelism at any stratum count. Determinism: the
+    * order key (rank_key, doc_id) is total and unique, range-partition
+    * sampling is seeded per-partition over a deterministic parquet layout,
+    * and cum_tokens is offset+local-sum — independent of WHERE the range
+    * boundaries fall.
+    */
+  private[graft] def budgetFill(sized: DataFrame, budgetPerStratum: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = sized.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = sized
+      .repartitionByRange(parts, col("stratum"), col("rank_key"), col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    val offsets = ranged
+      .groupBy(col("stratum"), col("slice"))
+      .agg(sum(col("n_tokens")).as("slice_tokens"))
+      .withColumn("offset", coalesce(
+        sum(col("slice_tokens")).over(Window.partitionBy(col("stratum"))
+          .orderBy(col("slice")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("stratum"), col("slice"), col("offset"))
+    val wLocal = Window.partitionBy(col("stratum"), col("slice"))
       .orderBy(col("rank_key"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    withBase(docs)
-      .select(col("doc_id"), col(stratumCol).as("stratum"),
-        size(col("w")).cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string")).as("rank_key"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsets), Seq("stratum", "slice"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wLocal))
       .filter(col("cum_tokens") <= budgetPerStratum)
       .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
   }
@@ -298,24 +339,21 @@ object TextFunctions {
     // naive composition normalizes and rescans the corpus once per gate
     // (measured 2× this plan's cost at sf0.1); here every signal is one
     // projection over a single normalized scan (shardSignals — shared
-    // with the streaming gate), then exactly two keyed shuffles
-    // (dedup-fingerprint window, per-stratum budget window).
+    // with the streaming gate), then the dedup-fingerprint window (keyed
+    // by fp, dup-cluster-sized groups) and the distributed budget fill
+    // (budgetFill — range-partitioned prefix sum, no stratum-wide task).
     // The arithmetic is written identically to the per-gate operators —
     // the oracle replays the same chain, so drift can't pass the gate.
     val sig = shardSignals(docs)
     val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("rank_key"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    sig
+    val survivors = sig
       // dedup over the FULL corpus (a later copy of a low-quality doc is
       // still a dup), so the fingerprint window runs before any gate
       .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wd))
       .filter(col("is_en") && col("quality_score") >= minQuality &&
         !col("has_pii") && !col("is_dup"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(wb))
-      .filter(col("cum_tokens") <= budgetPerStratum)
-      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("rank_key"))
+    budgetFill(survivors, budgetPerStratum)
   }
 
   /** Document fingerprints: md5 of the normalized text (exact-dedup key)

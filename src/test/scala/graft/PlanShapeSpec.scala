@@ -115,6 +115,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("budget fill is a two-phase prefix sum: no stratum-wide doc sort") {
+    // a window PARTITION BY stratum over the documents would funnel each
+    // stratum through one task; the fill must instead range-partition on
+    // the order key and run its doc-level window keyed by (stratum, slice)
+    for (q <- Seq("corpus_budget", "corpus_shard")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("rangepartitioning(stratum"),
+        s"$q missing range-partitioned slice phase:\n${plan.take(3000)}")
+      // the doc-level running sum is keyed by (stratum, slice): its window
+      // spec lists both; the only stratum-only window sits above the
+      // metadata-scale slice aggregate (offsets), never above documents
+      assert(plan.contains("windowspecdefinition(stratum#") &&
+        plan.contains(", slice#"),
+        s"$q doc window not slice-keyed:\n${plan.take(3000)}")
+      // offsets join back by broadcast — the doc side never reshuffles wide
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q offsets join should broadcast:\n${plan.take(3000)}")
+    }
+  }
+
   test("ts_mad joins its two median passes on the group key, no cartesian") {
     val plan = physical(SparkEntry.queries("ts_mad")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
