@@ -99,6 +99,14 @@ class GraftDB(val spark: SparkSession, val base: String) {
   class StreamHandle(val uuid: String) {
     private val K = Seq("uuid")
 
+    /** The handle's one-stream roster — the metadata universe the gaps
+      * chain grids over. A literal, so those reads never re-scan raw
+      * history just to learn which streams exist (and a stream with zero
+      * visible points still reports: every window is a gap — the
+      * dead-sensor answer a roster-aware fleet query must give).
+      */
+    private def roster: DataFrame = spark.range(1).select(lit(uuid).as("uuid"))
+
     /** The stream's visible points as the canonical (uuid, t_us, value,
       * ver) frame every TimeSeriesOps transform consumes.
       */
@@ -212,11 +220,13 @@ class GraftDB(val spark: SparkSession, val base: String) {
 
     def gaps(start: Long, end: Long, width: Long,
              version: Option[Long] = None): DataFrame =
-      TS.gaps(points(version), K, start, end, width).drop("uuid")
+      TS.gaps(points(version), K, start, end, width, version = None,
+        streams = Some(roster)).drop("uuid")
 
     def outages(start: Long, end: Long, width: Long,
                 version: Option[Long] = None): DataFrame =
-      TS.outages(points(version), K, start, end, width).drop("uuid")
+      TS.outages(points(version), K, start, end, width, version = None,
+        streams = Some(roster)).drop("uuid")
 
     def cusum(version: Option[Long] = None): DataFrame =
       TS.cusum(points(version), K).drop("uuid")
@@ -233,7 +243,8 @@ class GraftDB(val spark: SparkSession, val base: String) {
 
     def coverage(start: Long, end: Long, width: Long,
                  version: Option[Long] = None): DataFrame =
-      TS.coverage(points(version), K, start, end, width).drop("uuid")
+      TS.coverage(points(version), K, start, end, width, version = None,
+        streams = Some(roster)).drop("uuid")
 
     def rolling(start: Long, end: Long, width: Long, k: Int,
                 version: Option[Long] = None): DataFrame =
@@ -263,7 +274,8 @@ class GraftDB(val spark: SparkSession, val base: String) {
     /** SRE availability report for this stream (TimeSeriesOps.reliability). */
     def reliability(start: Long, end: Long, width: Long,
                     version: Option[Long] = None): DataFrame =
-      TS.reliability(points(version), K, start, end, width).drop("uuid")
+      TS.reliability(points(version), K, start, end, width, version = None,
+        streams = Some(roster)).drop("uuid")
 
     /** Robust per-window dispersion: median + MAD (outlier-proof bands). */
     def mad(start: Long, end: Long, width: Long,

@@ -283,9 +283,19 @@ object TimeSeriesOps {
     * Distributed grid generation (sequence+explode per stream) anti-joined
     * against the occupied buckets: both sides shuffle on (stream, bucket),
     * nothing quadratic.
+    *
+    * `streams` is the stream universe to grid over. At 100 TB the fleet
+    * roster is METADATA (MetaStore's streams table), not something to
+    * re-derive by a second full-history distinct over the raw points —
+    * pass it and the plan reads raw data exactly once (the time-pruned
+    * occupied scan). Default (None) falls back to distinct-on-raw so the
+    * operator stays self-contained on a bare point set; the fallback scan
+    * cannot be time-pruned (a stream silent in [start, end) must still
+    * grid), which is exactly why the metadata path exists.
     */
   def gaps(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-           width: Long, version: Option[Long] = None): DataFrame = {
+           width: Long, version: Option[Long] = None,
+           streams: Option[DataFrame] = None): DataFrame = {
     val key = streamKey(streamCols)
     val completeEnd = start + ((end - start) / width) * width
     val pts = atVersion(points, version)
@@ -293,7 +303,9 @@ object TimeSeriesOps {
       .filter(col("t_us") >= start && col("t_us") < completeEnd)
       .select(key :+ widthBucket(start, width): _*)
       .distinct()
-    val grid = pts.select(key: _*).distinct()
+    val universe = streams.map(_.select(key: _*))
+      .getOrElse(pts.select(key: _*).distinct())
+    val grid = universe
       .withColumn("w_start", explode(sequence(lit(start), lit(completeEnd - 1), lit(width))))
     grid.join(occupied, streamCols :+ "w_start", "left_anti")
   }
@@ -305,9 +317,10 @@ object TimeSeriesOps {
     * one per missing window.
     */
   def outages(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-              width: Long, version: Option[Long] = None): DataFrame =
+              width: Long, version: Option[Long] = None,
+              streams: Option[DataFrame] = None): DataFrame =
     mergeRanges(
-      gaps(points, streamCols, start, end, width, version)
+      gaps(points, streamCols, start, end, width, version, streams)
         .select(streamKey(streamCols) :+ col("w_start").as("r_start")
           :+ (col("w_start") + width).as("r_end"): _*),
       streamCols)
@@ -321,14 +334,16 @@ object TimeSeriesOps {
     * silent windows — the outages() contract.
     */
   def reliability(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-                  width: Long, version: Option[Long] = None): DataFrame = {
+                  width: Long, version: Option[Long] = None,
+                  streams: Option[DataFrame] = None): DataFrame = {
     val key = streamKey(streamCols)
     val completeEnd = start + ((end - start) / width) * width
     val spanUs = (completeEnd - start).toDouble
-    val agg = outages(points, streamCols, start, end, width, version)
+    val agg = outages(points, streamCols, start, end, width, version, streams)
       .groupBy(key: _*)
       .agg(count(lit(1)).as("n_o"), sum(col("c_end") - col("c_start")).as("d_us"))
-    atVersion(points, version).select(key: _*).distinct()
+    streams.map(_.select(key: _*))
+      .getOrElse(atVersion(points, version).select(key: _*).distinct())
       .join(agg, streamCols, "left")
       .select(key ++ Seq(
         coalesce(col("n_o"), lit(0L)).as("n_outages"),
@@ -621,18 +636,27 @@ object TimeSeriesOps {
     * contain at least one point, and the occupied fraction — the uptime /
     * telemetry-completeness metric (the aggregate complement of gaps()).
     * One distinct-bucket aggregation; the denominator is the constant grid
-    * size.
+    * size. With a `streams` roster (metadata, as gaps()), streams silent
+    * over the whole range are included at coverage 0 — without one they
+    * cannot appear (the aggregate only sees streams with points).
     */
   def coverage(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-               width: Long, version: Option[Long] = None): DataFrame = {
+               width: Long, version: Option[Long] = None,
+               streams: Option[DataFrame] = None): DataFrame = {
     val key = streamKey(streamCols)
     val nTotal = (end - start) / width
     require(nTotal > 0, s"empty grid: [$start, $end) at width $width")
     val completeEnd = start + nTotal * width
-    atVersion(points, version)
+    val occ = atVersion(points, version)
       .filter(col("t_us") >= start && col("t_us") < completeEnd)
       .groupBy(key: _*)
-      .agg(countDistinct(widthBucket(start, width)).as("n_occupied"))
+      .agg(countDistinct(widthBucket(start, width)).as("n_occ"))
+    val withUniverse = streams match {
+      case Some(s) => s.select(key: _*).join(occ, streamCols, "left")
+        .select(key :+ coalesce(col("n_occ"), lit(0L)).as("n_occupied"): _*)
+      case None => occ.select(key :+ col("n_occ").as("n_occupied"): _*)
+    }
+    withUniverse
       .select(key ++ Seq(col("n_occupied"), lit(nTotal).as("n_windows"),
         graft.Quant.q6(col("n_occupied").cast("double") / nTotal.toDouble)
           .as("coverage")): _*)
@@ -1216,8 +1240,15 @@ object TimeSeriesOps {
 
   /** Top-k streams per window by point count — the "who is loudest right
     * now" feed behind rate-limiting and hot-shard dashboards. One windowed
-    * aggregation (map-side partial) then a rank over the WINDOW-scale
-    * output; ties break on the stream key so the cut is deterministic.
+    * aggregation (map-side partial), then a BOUNDED two-phase rank: a
+    * single `row_number PARTITION BY w_start` would put every active
+    * stream of a window through one task's sort (at millions of streams,
+    * #windows tasks each sorting the fleet). Instead the local phase ranks
+    * within (w_start, aggregation slice) — groups are partition-sized —
+    * and only each slice's top k survive to the final rank, whose groups
+    * are ≤ k × #slices rows regardless of fleet size. Any row in the
+    * global top k is in its slice's top k, so the cut is exact; ties
+    * break on the stream key in both phases, so it is deterministic.
     */
   def topKPerWindow(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
                     width: Long, k: Int, version: Option[Long] = None): DataFrame = {
@@ -1228,11 +1259,17 @@ object TimeSeriesOps {
       .filter(col("t_us") >= start && col("t_us") < completeEnd)
       .groupBy(key :+ widthBucket(start, width): _*)
       .agg(count(lit(1)).as("n_points"))
+    val ord = col("n_points").desc +: key.map(_.asc)
+    val localRank = row_number().over(
+      Window.partitionBy(col("w_start"), col("slice")).orderBy(ord: _*))
+    val candidates = counts
+      .withColumn("slice", spark_partition_id())
+      .withColumn("lrnk", localRank).filter(col("lrnk") <= k)
     val rank = row_number().over(
-      Window.partitionBy(col("w_start"))
-        .orderBy(col("n_points").desc +: key.map(_.asc): _*))
+      Window.partitionBy(col("w_start")).orderBy(ord: _*))
     // long, not row_number's int — the gate compares against SQL BIGINT
-    counts.withColumn("rnk", rank.cast("long")).filter(col("rnk") <= k)
+    candidates.withColumn("rnk", rank.cast("long")).filter(col("rnk") <= k)
+      .drop("slice", "lrnk")
   }
 
   /** Value runs: maximal runs of consecutive equal values per stream —

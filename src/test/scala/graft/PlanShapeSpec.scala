@@ -135,6 +135,26 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("gaps with a metadata roster reads raw points exactly once") {
+    // without a roster, gaps() must re-scan full history just to learn the
+    // stream universe (that scan can't even be time-pruned); with the
+    // roster the plan's only raw read is the time-bounded occupied scan
+    val roster = Tables.points(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().toSeq // materialize: the roster must NOT come from a scan
+    import spark.implicits._
+    val rosterDf = roster.map(r => (r.getLong(0), r.getString(1)))
+      .toDF("user_id", "event_type")
+    val g = TS.gaps(Tables.points(spark, sfDir), STREAM, T08, T22,
+      86400000000L, streams = Some(rosterDf))
+    g.collect()
+    val plan = g.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"roster gaps should read one raw scan, found $nScans:\n${plan.take(3000)}")
+    // and the time bounds reach that one scan
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(3000))
+  }
+
   test("ts_mad joins its two median passes on the group key, no cartesian") {
     val plan = physical(SparkEntry.queries("ts_mad")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

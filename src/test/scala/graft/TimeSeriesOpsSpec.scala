@@ -327,6 +327,30 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(c(0).getDouble(3) == 0.5)
   }
 
+  test("gaps chain with a metadata roster matches distinct-on-raw and adds silent streams") {
+    val p = pts((1L, 1.0), (25L, 3.0)) // stream s: buckets 0, 2 of [0,40)/10
+    val noRoster = TimeSeriesOps.gaps(p, Seq("uuid"), 0L, 40L, 10L)
+      .orderBy("uuid", "w_start").collect()
+    // roster equal to the point-derived universe → identical result
+    val sameRoster = Seq("s").toDF("uuid")
+    val withRoster = TimeSeriesOps.gaps(p, Seq("uuid"), 0L, 40L, 10L,
+      streams = Some(sameRoster)).orderBy("uuid", "w_start").collect()
+    assert(noRoster.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      withRoster.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // a registered-but-silent stream grids entirely as gaps (dead sensor),
+    // which the point-derived universe can never report
+    val wider = Seq("s", "dead").toDF("uuid")
+    val g = TimeSeriesOps.gaps(p, Seq("uuid"), 0L, 40L, 10L, streams = Some(wider))
+    assert(g.filter(col("uuid") === "dead").count() == 4)
+    val cov = TimeSeriesOps.coverage(p, Seq("uuid"), 0L, 40L, 10L,
+      streams = Some(wider)).filter(col("uuid") === "dead").collect()
+    assert(cov.length == 1 && cov(0).getLong(1) == 0L && cov(0).getDouble(3) == 0.0)
+    val rel = TimeSeriesOps.reliability(p, Seq("uuid"), 0L, 40L, 10L,
+      streams = Some(wider)).filter(col("uuid") === "dead").collect()
+    assert(rel.length == 1 && rel(0).getLong(1) == 1L &&
+      rel(0).getLong(2) == 40L && rel(0).getDouble(4) == 0.0)
+  }
+
   test("resample forward-fills gaps") {
     val p = Seq((1L, 5L, 1.0), (1L, 25L, 3.0)).toDF("user_id", "t_us", "value")
     val r = TimeSeriesOps.resample(p, Seq("user_id"), 0L, 40L, 10L)
