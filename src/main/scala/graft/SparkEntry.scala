@@ -155,10 +155,29 @@ object SparkEntry {
       Metadata.metadataUsage(Tables.streams(s, dir), "")
         .orderBy(col("collection"))),
 
+    // the full GenerateCSV stat contract: 4 columns per stream
     "ts_csv_export" -> ((s, dir) =>
       TS.csvExport(
           Tables.points(s, dir).filter(col("event_type") === "click"),
           Seq(1, 2, 3).map(u => (s"u$u", col("user_id") === u)),
+          T0, T29, DAY)
+        .orderBy(col("w_start"))),
+
+    // GenerateCSV raw mode: one row per timestamp, one value column per stream
+    "ts_csv_export_raw" -> ((s, dir) =>
+      TS.csvExportRaw(
+          Tables.points(s, dir).filter(col("event_type") === "click"),
+          Seq(1, 2, 3).map(u => (s"u$u", col("user_id") === u, None: Option[Long])),
+          T0, T29)
+        .orderBy(col("t_us"))),
+
+    // GenerateCSV with per-stream version pinning (csv.go:30-43 `ver`)
+    "ts_csv_export_ver" -> ((s, dir) =>
+      TS.csvExportStat(
+          Tables.points(s, dir).filter(col("event_type") === "click"),
+          Seq(("u1", col("user_id") === 1, None: Option[Long]),
+              ("u2", col("user_id") === 2, Some(500L): Option[Long]),
+              ("u3", col("user_id") === 3, Some(800L): Option[Long])),
           T0, T29, DAY)
         .orderBy(col("w_start"))),
 
@@ -807,12 +826,33 @@ object SparkEntry {
     "ts_csv_export" ->
       s"""WITH pts AS ($PTS_SQL)
          |SELECT $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
-         |       ${CSV_MEAN_SQL(1)} AS u1_mean,
-         |       ${CSV_MEAN_SQL(2)} AS u2_mean,
-         |       ${CSV_MEAN_SQL(3)} AS u3_mean,
-         |       CAST(count(*) AS BIGINT) AS n_points
+         |       ${CSV_STAT_SQL("u1", "user_id = 1")},
+         |       ${CSV_STAT_SQL("u2", "user_id = 2")},
+         |       ${CSV_STAT_SQL("u3", "user_id = 3")}
          |FROM pts
          |WHERE event_type = 'click' AND user_id IN (1, 2, 3) AND t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1 ORDER BY w_start""".stripMargin,
+
+    "ts_csv_export_raw" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT t_us,
+         |       max(CASE WHEN user_id = 1 THEN value END) AS u1,
+         |       max(CASE WHEN user_id = 2 THEN value END) AS u2,
+         |       max(CASE WHEN user_id = 3 THEN value END) AS u3
+         |FROM pts
+         |WHERE event_type = 'click' AND user_id IN (1, 2, 3) AND t_us >= $T0 AND t_us < $T29
+         |GROUP BY t_us ORDER BY t_us""".stripMargin,
+
+    "ts_csv_export_ver" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |       ${CSV_STAT_SQL("u1", "user_id = 1")},
+         |       ${CSV_STAT_SQL("u2", "user_id = 2 AND ver <= 500")},
+         |       ${CSV_STAT_SQL("u3", "user_id = 3 AND ver <= 800")}
+         |FROM pts
+         |WHERE event_type = 'click'
+         |  AND (user_id = 1 OR (user_id = 2 AND ver <= 500) OR (user_id = 3 AND ver <= 800))
+         |  AND t_us >= $T0 AND t_us < $T29
          |GROUP BY 1 ORDER BY w_start""".stripMargin,
 
     "ts_delta" ->
@@ -2171,6 +2211,18 @@ object SparkEntry {
   private def CSV_MEAN_SQL(u: Int) =
     MEAN6(s"sum(CASE WHEN user_id = $u THEN ${US6("value")} END)",
       s"count(CASE WHEN user_id = $u THEN 1 END)")
+
+  /** The four GenerateCSV stat columns for one stream (csv.go:75-104):
+    * min/mean/max/count under `cond`, count null (not 0) when the stream
+    * is silent in the window — mirrors TimeSeriesOps.csvExportStat.
+    */
+  private def CSV_STAT_SQL(label: String, cond: String): String = {
+    val cnt = s"count(CASE WHEN $cond THEN 1 END)"
+    s"""min(CASE WHEN $cond THEN value END) AS ${label}_min,
+       |       ${MEAN6(s"sum(CASE WHEN $cond THEN ${US6("value")} END)", cnt)} AS ${label}_mean,
+       |       max(CASE WHEN $cond THEN value END) AS ${label}_max,
+       |       CASE WHEN $cnt > 0 THEN CAST($cnt AS BIGINT) END AS ${label}_count""".stripMargin
+  }
 
   // The raw (pre-quantization) quality score — mirrors TextFunctions.quality
   // term-for-term so the input double to Q6 is bit-identical.

@@ -262,17 +262,67 @@ object TimeSeriesOps {
     */
   def csvExport(points: DataFrame, streams: Seq[(String, Column)],
                 start: Long, end: Long, width: Long,
-                version: Option[Long] = None): DataFrame = {
+                version: Option[Long] = None): DataFrame =
+    csvExportStat(points, streams.map { case (l, p) => (l, p, version) },
+      start, end, width)
+
+  /** The full GenerateCSV stat contract (grpcinterface/csv.go:50-107):
+    * per output window one row, and per stream FOUR columns —
+    * `{label}_min, {label}_mean, {label}_max, {label}_count` (csv.go's
+    * calculateColumnOffset "2 + i*4" layout, with w_start standing in for
+    * the two time columns). A stream silent in a window exports nulls
+    * (writeEmptyPoint's empty cells), including the count — a 0-count cell
+    * and an absent cell are different answers in the reference. Each
+    * stream carries its OWN pinned version (csv.go:30-43's per-config
+    * `ver`; None = latest), applied as a per-stream visibility predicate.
+    * Still one pass + one groupBy: the per-stream pivot is conditional
+    * aggregation, not N scans or N joins; rows exist only for windows
+    * where at least one stream has a point (the merge loop's earliest-
+    * time driver, serve.go:969-999).
+    */
+  def csvExportStat(points: DataFrame, streams: Seq[(String, Column, Option[Long])],
+                    start: Long, end: Long, width: Long): DataFrame = {
     require(streams.nonEmpty, "csvExport needs at least one stream")
     val d = col("t_us") - start
-    val aggs = streams.map { case (label, pred) =>
-      graft.Quant.mean6(sum(when(pred, graft.Quant.us6(col("value")))),
-        count(when(pred, lit(1)))).as(s"${label}_mean")
-    } :+ count(lit(1)).as("n_points")
-    atVersion(points, version)
-      .filter(streams.map(_._2).reduce(_ || _) &&
-        col("t_us") >= start && col("t_us") < end)
+    val preds = streams.map { case (_, p, ver) =>
+      ver.fold(p)(v => p && col("ver") <= v)
+    }
+    val aggs = streams.zip(preds).flatMap { case ((label, _, _), pred) =>
+      val cnt = count(when(pred, lit(1)))
+      Seq(
+        min(when(pred, col("value"))).as(s"${label}_min"),
+        graft.Quant.mean6(sum(when(pred, graft.Quant.us6(col("value")))), cnt)
+          .as(s"${label}_mean"),
+        max(when(pred, col("value"))).as(s"${label}_max"),
+        when(cnt > 0, cnt).as(s"${label}_count"))
+    }
+    points
+      .filter(preds.reduce(_ || _) && col("t_us") >= start && col("t_us") < end)
       .groupBy((lit(start) + d - pmod(d, lit(width))).as("w_start"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** GenerateCSV raw mode (csv.go:109-143 rawBuffer): one row per distinct
+    * timestamp in [start, end), one VALUE column per stream (offset
+    * "2 + i"), null where a stream has no point at that instant. Same
+    * single-pass conditional-aggregation shape as the stat export, grouped
+    * on the raw timestamp instead of a window. Deviation from the
+    * reference's row-per-point merge: duplicate timestamps WITHIN one
+    * stream collapse to max(value) — a relational frame keys rows by
+    * (t_us), the streamed CSV can repeat it.
+    */
+  def csvExportRaw(points: DataFrame, streams: Seq[(String, Column, Option[Long])],
+                   start: Long, end: Long): DataFrame = {
+    require(streams.nonEmpty, "csvExport needs at least one stream")
+    val preds = streams.map { case (_, p, ver) =>
+      ver.fold(p)(v => p && col("ver") <= v)
+    }
+    val aggs = streams.zip(preds).map { case ((label, _, _), pred) =>
+      max(when(pred, col("value"))).as(label)
+    }
+    points
+      .filter(preds.reduce(_ || _) && col("t_us") >= start && col("t_us") < end)
+      .groupBy(col("t_us"))
       .agg(aggs.head, aggs.tail: _*)
   }
 

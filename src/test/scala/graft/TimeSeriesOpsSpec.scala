@@ -327,6 +327,49 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(c(0).getDouble(3) == 0.5)
   }
 
+  test("csv export emits the 4-column stat contract with empty cells as nulls") {
+    // two streams over [0,20)/10: a has points in both windows, b only in
+    // the first — b's second-window cells must be NULL (csv.go
+    // writeEmptyPoint), including the count (0 and absent differ)
+    val p = Seq(
+      ("a", 1L, 1.0, 1L), ("a", 3L, 3.0, 2L), ("a", 15L, 5.0, 3L),
+      ("b", 2L, 8.0, 1L))
+      .toDF("sid", "t_us", "value", "ver")
+    val out = TimeSeriesOps.csvExportStat(p,
+      Seq(("a", col("sid") === "a", None: Option[Long]),
+          ("b", col("sid") === "b", None: Option[Long])),
+      0L, 20L, 10L).orderBy("w_start").collect()
+    assert(out.length == 2)
+    val r0 = out(0)
+    assert(r0.getDouble(1) == 1.0 && r0.getDouble(2) == 2.0 &&
+      r0.getDouble(3) == 3.0 && r0.getLong(4) == 2L) // a: min/mean/max/count
+    assert(r0.getDouble(5) == 8.0 && r0.getLong(8) == 1L) // b present
+    val r1 = out(1)
+    assert(r1.getDouble(1) == 5.0 && r1.getLong(4) == 1L)
+    assert(r1.isNullAt(5) && r1.isNullAt(6) && r1.isNullAt(7) && r1.isNullAt(8))
+  }
+
+  test("csv export pins versions per stream and raw mode pivots by timestamp") {
+    val p = Seq(
+      ("a", 1L, 1.0, 1L), ("a", 1L, 9.0, 5L), // ver 5 invisible at pin 2
+      ("b", 1L, 4.0, 1L), ("b", 3L, 6.0, 1L))
+      .toDF("sid", "t_us", "value", "ver")
+    val stat = TimeSeriesOps.csvExportStat(p,
+      Seq(("a", col("sid") === "a", Some(2L): Option[Long]),
+          ("b", col("sid") === "b", None: Option[Long])),
+      0L, 10L, 10L).collect()
+    assert(stat.length == 1 && stat(0).getDouble(3) == 1.0, // a_max excludes ver 5
+      stat.mkString(","))
+    val raw = TimeSeriesOps.csvExportRaw(p,
+      Seq(("a", col("sid") === "a", None: Option[Long]),
+          ("b", col("sid") === "b", None: Option[Long])),
+      0L, 10L).orderBy("t_us").collect()
+    assert(raw.length == 2)
+    assert(raw(0).getLong(0) == 1L && raw(0).getDouble(1) == 9.0 && // dup ts → max
+      raw(0).getDouble(2) == 4.0)
+    assert(raw(1).getLong(0) == 3L && raw(1).isNullAt(1) && raw(1).getDouble(2) == 6.0)
+  }
+
   test("gaps chain with a metadata roster matches distinct-on-raw and adds silent streams") {
     val p = pts((1L, 1.0), (25L, 3.0)) // stream s: buckets 0, 2 of [0,40)/10
     val noRoster = TimeSeriesOps.gaps(p, Seq("uuid"), 0L, 40L, 10L)
