@@ -28,7 +28,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Stdout tails get truncated once the suite is 100+ queries (round 5
+    // lost the first ~35 timings plus the total line); the file is the
+    // complete record regardless of console capture.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }
