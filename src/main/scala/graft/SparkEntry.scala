@@ -332,6 +332,11 @@ object SparkEntry {
       TS.decompose(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // even period → classical 2xMA trend (half-weight frame edges)
+    "ts_decompose_even" -> ((s, dir) =>
+      TS.decompose(Tables.points(s, dir), STREAM, T0, T29, DAY, 4)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     // lag cross-correlation: click day-means vs view day-means at lags
     // -2d..2d — one join sweep, lag as an exploded dimension
     "ts_lag_corr" -> ((s, dir) => {
@@ -1366,6 +1371,35 @@ object SparkEntry {
          |                AND ff.pos = se.pos
          |ORDER BY user_id, event_type, w_start""".stripMargin,
 
+    // even period: 2xMA — frame of period+1 windows, half weights at the
+    // edges, folded into the exact integer s2 = 2*sum - first - last
+    "ts_decompose_even" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |fr AS (SELECT *, sum(m_us) OVER wfr AS s_f, count(*) OVER wfr AS n_f,
+         |              first_value(m_us) OVER wfr AS m_lo, last_value(m_us) OVER wfr AS m_hi
+         |       FROM w WINDOW wfr AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         |ff AS (SELECT *, 2 * s_f - m_lo - m_hi AS s2,
+         |              ((w_start - $T0) // $DAY) % 4 AS pos FROM fr WHERE n_f = 5),
+         |se AS (SELECT user_id, event_type, pos,
+         |              CAST(sum(m_us) AS DOUBLE) / count(*)
+         |                - CAST(sum(s2) AS DOUBLE) / (count(*) * 8) AS seasonal_raw
+         |       FROM ff GROUP BY 1, 2, 3)
+         |SELECT ff.user_id AS user_id, ff.event_type AS event_type, ff.w_start AS w_start,
+         |       ${Q6("CAST(ff.m_us AS DOUBLE) / 1e6")} AS v_mean,
+         |       ${Q6("CAST(ff.s2 AS DOUBLE) / 8 / 1e6")} AS trend,
+         |       ${Q6("se.seasonal_raw / 1e6")} AS seasonal,
+         |       ${Q6("(CAST(ff.m_us AS DOUBLE) - CAST(ff.s2 AS DOUBLE) / 8 - se.seasonal_raw) / 1e6")}
+         |         AS residual
+         |FROM ff JOIN se ON ff.user_id = se.user_id AND ff.event_type = se.event_type
+         |                AND ff.pos = se.pos
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
+
     "ts_lag_corr" ->
       s"""WITH pts AS ($PTS_SQL),
          |x AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
@@ -1977,7 +2011,8 @@ object SparkEntry {
          |q AS (SELECT doc_id, ${Q6(QSCORE_SQL)} AS quality_score FROM c)
          |SELECT doc_id, quality_score
          |FROM q
-         |WHERE substring(md5('w|' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |WHERE floor(0.5 * quality_score * 65536) >= 65536
+         |   OR substring(md5('w|' || CAST(doc_id AS VARCHAR)), 1, 4)
          |      < printf('%04x', CAST(least(floor(0.5 * quality_score * 65536), 65535.0) AS INT))
          |ORDER BY doc_id""".stripMargin,
 

@@ -39,8 +39,15 @@ case class BandHit(doc_id: Long, band: Int, match_id: Long, agree: Double)
   * the corpus verdict is a downstream per-doc aggregation of hits.
   *
   * State is O(first-seen docs × bands), each entry one 64-long signature
-  * — the standard persistent LSH index, checkpoint-durable. The same
-  * function runs unchanged on a batch Dataset (empty initial state); the
+  * — the standard persistent LSH index, checkpoint-durable. On a
+  * long-running stream that is unbounded, so two retention knobs cap it
+  * (both default off, preserving exact semantics): `maxPerBucket` stops
+  * indexing NEW residents once a bucket holds that many (arrivals beyond
+  * the cap still match against residents, but can no longer catch their
+  * OWN later near-dups — the recall trade), and `stateTtlMs` expires idle
+  * buckets wholesale via a processing-time timeout (dups arriving after
+  * the window re-index as first-seen). The same function runs unchanged
+  * on a batch Dataset (empty initial state, timeouts never fire); the
   * spec pins streaming-over-chunks == one-shot batch == a sequential
   * reference fold.
   */
@@ -70,34 +77,45 @@ object StreamNearDedup {
   }
 
   def bandHits(bandDocs: Dataset[BandDoc],
-               minAgree: Double = 0.5): Dataset[BandHit] = {
+               minAgree: Double = 0.5,
+               maxPerBucket: Int = Int.MaxValue,
+               stateTtlMs: Option[Long] = None): Dataset[BandHit] = {
+    require(maxPerBucket > 0, s"maxPerBucket must be positive, got $maxPerBucket")
     implicit val ke = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     bandDocs
       .groupByKey(d => (d.band, d.bv))
       .flatMapGroupsWithState[BucketIndex, BandHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (key: (Int, Int), it: Iterator[BandDoc], state: GroupState[BucketIndex]) =>
-          val arrivals = it.toIndexedSeq.sortBy(_.doc_id)
-          var idx = state.getOption.map(_.docs.toVector).getOrElse(Vector.empty)
-          val out = Vector.newBuilder[BandHit]
-          arrivals.foreach { d =>
-            var bestAgree = -1.0
-            var bestId = Long.MaxValue
-            idx.foreach { s =>
-              var m = 0
-              var i = 0
-              val k = d.sig.length
-              while (i < k) { if (d.sig(i) == s.sig(i)) m += 1; i += 1 }
-              val a = m.toDouble / k
-              if (a > bestAgree || (a == bestAgree && s.doc_id < bestId)) {
-                bestAgree = a; bestId = s.doc_id
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = it.toIndexedSeq.sortBy(_.doc_id)
+            var idx = state.getOption.map(_.docs.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[BandHit]
+            arrivals.foreach { d =>
+              var bestAgree = -1.0
+              var bestId = Long.MaxValue
+              idx.foreach { s =>
+                var m = 0
+                var i = 0
+                val k = d.sig.length
+                while (i < k) { if (d.sig(i) == s.sig(i)) m += 1; i += 1 }
+                val a = m.toDouble / k
+                if (a > bestAgree || (a == bestAgree && s.doc_id < bestId)) {
+                  bestAgree = a; bestId = s.doc_id
+                }
               }
+              if (bestAgree >= minAgree) out += BandHit(d.doc_id, key._1, bestId, bestAgree)
+              else if (idx.size < maxPerBucket) idx :+= IndexedSig(d.doc_id, d.sig)
             }
-            if (bestAgree >= minAgree) out += BandHit(d.doc_id, key._1, bestId, bestAgree)
-            else idx :+= IndexedSig(d.doc_id, d.sig)
+            state.update(BucketIndex(idx))
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BucketIndex(idx))
-          out.result().iterator
       }(Encoders.product[BucketIndex], Encoders.product[BandHit])
   }
 }

@@ -160,10 +160,12 @@ object TextFunctions {
     quality(docs).select(col("doc_id"), col("quality_score"))
       .withColumn("h",
         substring(md5(concat(lit("w|"), col("doc_id").cast("string"))), 1, 4))
-      .withColumn("thr", format_string("%04x",
-        least(floor(lit(rate) * col("quality_score") * 65536), lit(65535.0))
-          .cast("int")))
-      .filter(col("h") < col("thr"))
+      .withColumn("scaled", floor(lit(rate) * col("quality_score") * 65536))
+      // rate × quality = 1.0 means keep ALWAYS: 65536 isn't representable
+      // in 4 hex chars, so without the short-circuit a max-quality doc at
+      // rate 1.0 would still lose the h = "ffff" case (~1/65536 of them)
+      .filter(col("scaled") >= 65536 ||
+        col("h") < format_string("%04x", least(col("scaled"), lit(65535.0)).cast("int")))
       .select(col("doc_id"), col("quality_score"))
   }
 

@@ -86,15 +86,23 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     * and publishing the compacted one leaves `_old`/`_compacted` but no
     * live dir — restore whichever exists (same stance as Store: both
     * states are complete and correct; `_old` is pre-compaction deltas,
-    * `_compacted` their exact merge).
+    * `_compacted` their exact merge). Racing recoverers are tolerated: a
+    * failed restore rename is fine if SOMEONE published a live dir, and
+    * the un-restored twin is dropped so a later recovery can't resurrect
+    * a stale copy (compactDeltas tolerates losing its publish rename to
+    * a recoverer the same way).
     */
   private def recoverCrashedSwap(pw: Int): Unit =
-    if (!hfs.exists(hpath(levelDir(pw))))
-      Seq(s"${levelDir(pw)}_compacted", s"${levelDir(pw)}_old")
-        .map(hpath).find(hfs.exists).foreach { c =>
-          if (!hfs.rename(c, hpath(levelDir(pw))))
-            sys.error(s"rollup: could not restore $c")
-        }
+    if (!hfs.exists(hpath(levelDir(pw)))) {
+      val live = hpath(levelDir(pw))
+      val comp = hpath(s"${levelDir(pw)}_compacted")
+      val old = hpath(s"${levelDir(pw)}_old")
+      Seq(comp, old).find(hfs.exists).foreach { c =>
+        if (!hfs.rename(c, live) && !hfs.exists(live))
+          sys.error(s"rollup: could not restore $c")
+        if (hfs.exists(live)) hfs.delete(if (c == comp) old else comp, true)
+      }
+    }
 
   /** Collapse accumulated ingest deltas into one `delta=base` per level —
     * the read-efficiency complement of appendBatch. Reads only the LEVEL
@@ -107,9 +115,13 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     *
     * Concurrency contract: call from the (single) ingest writer while no
     * batch is in flight — a delta landing between the read and the swap
-    * would be dropped. Replayed micro-batches after a compaction are safe:
-    * the ingest commit markers outlive it, so an absorbed delta is never
-    * re-appended.
+    * would be dropped. READERS need no quiescing: one that observes the
+    * mid-swap window (live moved aside, compacted not yet published) will
+    * publish `_compacted` itself via recoverCrashedSwap; losing the
+    * publish rename to such a reader is success here, not a fault — the
+    * published bytes are this compaction's own merge either way. Replayed
+    * micro-batches after a compaction are safe: the ingest commit markers
+    * outlive it, so an absorbed delta is never re-appended.
     */
   def compactDeltas(streamCols: Seq[String]): Unit =
     pointwidths.foreach { pw =>
@@ -127,7 +139,8 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
         merge(spark.read.parquet(levelDir(pw)), streamCols, pw)
           .write.parquet(s"${tmp.toString}/delta=base")
         if (!hfs.rename(dir, old)) sys.error(s"rollup: could not move $dir aside")
-        if (!hfs.rename(tmp, dir)) sys.error(s"rollup: could not publish $tmp")
+        if (!hfs.rename(tmp, dir) && !(hfs.exists(dir) && !hfs.exists(tmp)))
+          sys.error(s"rollup: could not publish $tmp")
         hfs.delete(old, true)
       }
     }

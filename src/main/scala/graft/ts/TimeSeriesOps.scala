@@ -973,15 +973,21 @@ object TimeSeriesOps {
   /** Classical seasonal decomposition (STL-lite): per stream, each fine
     * window's mean splits into trend + seasonal + residual. Trend is the
     * centered moving average over `period` windows (full frames only —
-    * the classical edge rule); seasonal is the per-position mean of the
-    * detrended series; residual is what's left. All means are assembled
-    * from EXACT integer micro-unit sums (the frame sum is a long-sum
-    * window aggregate; the seasonal mean expands to Σm/n − ΣS/(n·f) over
-    * integer sums), so no float accumulates in partition order and the
-    * oracle replays the identical expression. One shuffle for the window
-    * means, one per-stream sort for the frame sums, one keyed aggregate
-    * for the seasonal profile (broadcast back) — no pass over raw data
-    * beyond the first.
+    * the classical edge rule); for EVEN periods that is the classical
+    * 2×MA — the frame spans period+1 windows with half weights on the two
+    * edges, so a pure periodic component still cancels out of the trend.
+    * Seasonal is the per-position mean of the detrended series; residual
+    * is what's left. All means are assembled from EXACT integer micro-unit
+    * sums — both parities reduce to the doubled frame sum
+    * s2 = 2·Σframe − [period even](m_lo + m_hi), a long, and
+    * trend = s2 / (2·period); the seasonal mean expands to
+    * Σm/n − Σs2/(n·2·period) over integer sums — so no float accumulates
+    * in partition order and the oracle replays the identical expression
+    * (for odd periods s2/(2p) is the same rational, hence the same
+    * double, as the plain Σframe/p). One shuffle for the window means,
+    * one per-stream sort for the frame sums, one keyed aggregate for the
+    * seasonal profile (broadcast back) — no pass over raw data beyond the
+    * first.
     */
   def decompose(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
                 width: Long, period: Int,
@@ -990,7 +996,7 @@ object TimeSeriesOps {
     val key = streamKey(streamCols)
     val completeEnd = start + ((end - start) / width) * width
     val h = period / 2
-    val f = 2 * h + 1
+    val f = 2 * h + 1 // frame length: period for odd, period+1 for even (2×MA)
     val d = col("t_us") - start
     val means = atVersion(points, version)
       .filter(col("t_us") >= start && col("t_us") < completeEnd)
@@ -999,19 +1005,25 @@ object TimeSeriesOps {
         .cast("long").as("m_us"))
     val wf = Window.partitionBy(key: _*).orderBy(col("w_start"))
       .rowsBetween(-h, h)
+    val doubled =
+      if (period % 2 == 0)
+        lit(2L) * col("s_f") - first(col("m_us")).over(wf) - last(col("m_us")).over(wf)
+      else lit(2L) * col("s_f")
     val framed = means
       .withColumn("s_f", sum(col("m_us")).over(wf))
       .withColumn("n_f", count(lit(1)).over(wf))
+      .withColumn("s2", doubled)
       .filter(col("n_f") === f) // full frames only — classical edge rule
       .withColumn("pos",
         pmod(expr(s"(w_start - $start) div $width"), lit(period.toLong)))
+    val p2 = 2 * period
     val seas = framed.groupBy(key :+ col("pos"): _*)
-      .agg(sum(col("m_us")).as("sm"), sum(col("s_f")).as("sf"),
+      .agg(sum(col("m_us")).as("sm"), sum(col("s2")).as("s2s"),
         count(lit(1)).as("n"))
       .select(key ++ Seq(col("pos"),
         (col("sm").cast("double") / col("n")
-          - col("sf").cast("double") / (col("n") * f)).as("seasonal_raw")): _*)
-    val trend = col("s_f").cast("double") / f
+          - col("s2s").cast("double") / (col("n") * p2)).as("seasonal_raw")): _*)
+    val trend = col("s2").cast("double") / p2
     framed.join(broadcast(seas), streamCols :+ "pos")
       .select(key ++ Seq(col("w_start"),
         graft.Quant.q6(col("m_us").cast("double") / 1e6).as("v_mean"),

@@ -31,6 +31,19 @@ class CorpusSpec extends SparkSuite {
     composed.zip(fused).foreach { case (c, f) => assert(c == f) }
   }
 
+  test("weighted sampling keeps every doc when rate x quality reaches 1.0") {
+    import spark.implicits._
+    // 100 stopwords, no punctuation → quality_score exactly 1.0; at rate
+    // 1.0 the threshold saturates past 4 hex chars, and the short-circuit
+    // must keep ALL of them (the h = 'ffff' corner would otherwise drop
+    // ~1/65536 deterministically)
+    val perfect = Seq.fill(100)("the").mkString(" ")
+    val docs = (1 to 64).map(i => (i.toLong, perfect)).toDF("doc_id", "text")
+    assert(TF.sampleWeighted(docs, 1.0).count() == 64)
+    // and rate 0 keeps nothing
+    assert(TF.sampleWeighted(docs, 0.0).count() == 0)
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())

@@ -265,6 +265,18 @@ class IngestSpec extends SparkSuite {
     val tinyHits = StreamNearDedup.bandHits(StreamNearDedup.keyed(tiny))
       .collect().map(_.doc_id).toSet
     assert(tinyHits == Set(2L), s"$tinyHits")
+    // retention cap: with maxPerBucket = 1 every bucket indexes only its
+    // first resident — doc 2 still hits doc 1 (matching is uncapped), and
+    // doc 3, arriving after the cap, goes unindexed WITHOUT error; a
+    // later near-copy of doc 1 still hits (resident survived the cap)
+    val tiny2 = tiny.union(Seq(
+      (4L, "the quick brown fox jumps over the lazy dog again and again?"))
+      .toDF("doc_id", "text"))
+    val capped = StreamNearDedup.bandHits(StreamNearDedup.keyed(tiny2),
+        maxPerBucket = 1)
+      .collect().map(h => (h.doc_id, h.match_id)).toSet
+    assert(capped.nonEmpty && capped.forall { case (d, m) =>
+      Set(2L, 4L)(d) && Set(1L, 2L)(m) }, s"$capped")
   }
 
   test("streaming shard verdicts match the batch gate composition") {

@@ -196,6 +196,25 @@ class TimeSeriesOpsSpec extends SparkSuite {
     }
   }
 
+  test("decompose with an even period uses the 2xMA so periodicity cancels") {
+    import spark.implicits._
+    val season = Seq(1.0, 5.0, -3.0, -3.0) // sums to 0 over period 4
+    val p = (0 until 24).map(i => ("s", i * 10L, 10.0 * i + season(i % 4)))
+      .toDF("uuid", "t_us", "value")
+    val rows = TimeSeriesOps.decompose(p, Seq("uuid"), 0L, 240L, 10L, 4)
+      .orderBy("w_start").collect()
+    assert(rows.length == 20) // 24 windows minus h=2 edge rows each side
+    rows.foreach { r =>
+      val i = r.getLong(1) / 10
+      // the 2xMA frame (half, 1, 1, 1, 1, half) spans exactly one period
+      // of weight at every phase, so the periodic part cancels and the
+      // linear part survives; an equal-weight 5-frame would leak season
+      assert(r.getDouble(3) == 10.0 * i, s"trend at $i")
+      assert(r.getDouble(4) == season((i % 4).toInt), s"seasonal at $i")
+      assert(r.getDouble(5) == 0.0, s"residual at $i")
+    }
+  }
+
   test("lag correlation peaks exactly at the true shift") {
     import spark.implicits._
     // y repeats x one window later; the non-linear sequence makes r = 1
