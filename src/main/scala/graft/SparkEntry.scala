@@ -644,6 +644,15 @@ object SparkEntry {
       TextFunctions.corpusShard(Tables.load(s, dir, "documents"), 0.5, 3000L)
         .orderBy(col("doc_id"))),
 
+    // the shard build with NEAR-dedup: minhash-LSH cluster representatives
+    // survive (not just exact-fingerprint uniques) before the budget fill
+    "corpus_shard_near" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextFunctions.corpusShardNear(
+          docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8), 0.5, 3000L)
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_stats" -> ((s, dir) =>
       TextFunctions.corpusStats(Tables.load(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))),
@@ -2069,6 +2078,74 @@ object SparkEntry {
          |                JOIN k ON b.doc_id = k.doc_id
          |         WHERE lang.lang_pred = 'en' AND q.quality_score >= 0.5
          |               AND NOT pii.has_pii AND NOT k.is_dup),
+         |cum AS (SELECT doc_id, source AS stratum, n_tokens,
+         |               CAST(sum(n_tokens) OVER (PARTITION BY source
+         |                                        ORDER BY rank_key, doc_id
+         |                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |                 AS cum_tokens
+         |        FROM kept)
+         |SELECT doc_id, stratum, n_tokens, cum_tokens
+         |FROM cum WHERE cum_tokens <= 3000 ORDER BY doc_id""".stripMargin,
+
+    // corpus_shard with the exact-dup gate replaced by near-dup cluster
+    // representatives: the recursive-CTE connected components from
+    // dedup_clusters (exact Jaccard >= 0.8 on 3-shingles — what the
+    // LSH+verify pair generator equals) composed with the same gates
+    "corpus_shard_near" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, source, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(length(norm) AS BIGINT) AS n_chars,
+         |        len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |        len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
+         |      FROM b),
+         |q AS (SELECT doc_id, ${Q6(QSCORE_SQL)} AS quality_score FROM c),
+         |m AS (SELECT doc_id,
+         |             CAST(len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and'))) AS BIGINT) AS n_en,
+         |             CAST(len(list_filter(w, x -> x IN ('el', 'la', 'los', 'que'))) AS BIGINT) AS n_es,
+         |             CAST(len(list_filter(w, x -> x IN ('der', 'die', 'und', 'das'))) AS BIGINT) AS n_de,
+         |             CAST(len(list_filter(w, x -> x IN ('le', 'les', 'et', 'une'))) AS BIGINT) AS n_fr
+         |      FROM b),
+         |lang AS (SELECT doc_id,
+         |       CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+         |            WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+         |            WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+         |            WHEN n_fr > 0 THEN 'fr'
+         |            ELSE 'unknown' END AS lang_pred
+         |      FROM m),
+         |pii AS (SELECT doc_id,
+         |          (len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |           + len(regexp_extract_all(norm, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |           + len(regexp_extract_all(norm, '\\d{3}[- ]\\d{3,4}[- ]\\d{4}'))) > 0 AS has_pii
+         |        FROM d),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM b WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |             len(list_intersect(a.s, b2.s)) AS inter, len(a.s) AS la, len(b2.s) AS lb
+         |      FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id),
+         |e AS (SELECT id_a, id_b FROM p
+         |      WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION ALL SELECT id_b, id_a FROM e),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |kept AS (SELECT b.doc_id, b.source,
+         |                CAST(len(b.w) AS BIGINT) AS n_tokens,
+         |                md5(CAST(b.doc_id AS VARCHAR)) AS rank_key
+         |         FROM b JOIN q ON b.doc_id = q.doc_id
+         |                JOIN lang ON b.doc_id = lang.doc_id
+         |                JOIN pii ON b.doc_id = pii.doc_id
+         |                LEFT JOIN lbl ON b.doc_id = lbl.doc_id
+         |         WHERE lang.lang_pred = 'en' AND q.quality_score >= 0.5
+         |               AND NOT pii.has_pii
+         |               AND coalesce(lbl.cluster_id, b.doc_id) = b.doc_id),
          |cum AS (SELECT doc_id, source AS stratum, n_tokens,
          |               CAST(sum(n_tokens) OVER (PARTITION BY source
          |                                        ORDER BY rank_key, doc_id

@@ -358,6 +358,33 @@ object TextFunctions {
     budgetFill(survivors, budgetPerStratum)
   }
 
+  /** corpusShard with NEAR-duplicate dedup: instead of the exact
+    * fingerprint gate, connected components over a caller-supplied
+    * near-dup pair graph (`pairs`: id_a/id_b, e.g. Dedup.minhashPairs)
+    * pick one representative per cluster — the minimum doc_id — and every
+    * other member is dropped BEFORE the budget fill, so a heavily
+    * templated source can't spend its token budget on paraphrases. Exact
+    * copies have Jaccard 1.0, so near-dedup subsumes the exact gate.
+    *
+    * Scale shape: the drop set (non-representatives) is bounded by the
+    * duplicate GRAPH, not the corpus — it reaches the survivors as a
+    * keyed left-anti join on doc_id (AQE turns it into a broadcast when
+    * small), and everything downstream is the same budgetFill prefix sum
+    * as corpusShard. Clustering itself is Dedup.clusters' dual-regime CC.
+    */
+  def corpusShardNear(docs: DataFrame, pairs: DataFrame,
+                      minQuality: Double = 0.5,
+                      budgetPerStratum: Long = 3000L): DataFrame = {
+    val nonReps = graft.text.Dedup.clusters(docs.select(col("doc_id")), pairs)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val survivors = shardSignals(docs)
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .filter(col("is_en") && col("quality_score") >= minQuality && !col("has_pii"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("rank_key"))
+    budgetFill(survivors, budgetPerStratum)
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dedup key)
     * plus a winnowing-style rolling fingerprint — the minimum hash over all
     * 8-char shingles (min-of-rolling-window, the degenerate single-window

@@ -44,6 +44,26 @@ class CorpusSpec extends SparkSuite {
     assert(TF.sampleWeighted(docs, 0.0).count() == 0)
   }
 
+  test("near-dup shard keeps only cluster representatives") {
+    import spark.implicits._
+    // doc 2 is a NEAR copy of doc 1 (one word appended → 3-shingle
+    // Jaccard 12/13), so the exact-fingerprint shard keeps both but the
+    // near-dup shard must drop it; doc 3 is unrelated and survives
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"),
+      (3L, "the weather and the sea and the sky look calm before the storm")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val pairs = graft.text.Dedup.minhashPairs(docs, 3, 64, 2, 0.8)
+    val near = TF.corpusShardNear(docs, pairs, 0.0, 100000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(near == Set(1L, 3L), s"$near")
+    val exact = TF.corpusShard(docs, 0.0, 100000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L), s"$exact")
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())
