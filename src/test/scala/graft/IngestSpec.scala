@@ -279,6 +279,32 @@ class IngestSpec extends SparkSuite {
       Set(2L, 4L)(d) && Set(1L, 2L)(m) }, s"$capped")
   }
 
+  test("streaming ANN probe over chunked arrivals equals the fused batch IVF") {
+    import graft.streaming.StreamAnnProbe
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fused = key(graft.sim.Vectors.annIvf(emb, 5, 10))
+    val idx = graft.sim.IvfIndex.build(
+      emb.filter(col("vec_id") >= 5), tmpDir("sann_idx"))
+    val queries = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val src = tmpDir("sann_src")
+    val outDir = tmpDir("sann_out")
+    // two chunks: per-query results must not depend on batch slicing
+    queries.filter(col("vec_id") < 2).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(queries.schema).parquet(src)
+    val q = StreamAnnProbe.probe(stream, idx, 10) { (res, _) =>
+        res.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", tmpDir("sann_ckpt")).start()
+    q.processAllAvailable()
+    queries.filter(col("vec_id") >= 2).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = key(spark.read.parquet(outDir))
+    assert(got.nonEmpty && got == fused, s"got ${got.size} vs fused ${fused.size}")
+  }
+
   test("streaming shard verdicts match the batch gate composition") {
     import graft.streaming.StreamShard
     val src = tmpDir("ss_src")
