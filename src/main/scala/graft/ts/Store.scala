@@ -263,6 +263,25 @@ class Store(val spark: SparkSession, val base: String) {
       .select($"time", $"value")
   }
 
+  /** Bulk stream copy — the reference's admin copy tool (btrdb/copy.go:
+    * 32-113): the source's visible points over [start, end) at `asOf` are
+    * inserted into `dstUuid` of `dst` (same store or another; the dest
+    * uuid may equal the source's, copy.go's `dstuuid = "same"`),
+    * optionally deleting the destination range first (copy.go:95-100).
+    * One pruned scan feeding one versioned insert — the distributed
+    * counterpart of copy.go's point channel, no driver loop — and MVCC
+    * falls out: the copy commits as a single new version at the
+    * destination, and `asOf` pins the source snapshot. Returns the
+    * destination stream's new version.
+    */
+  def copyRange(srcUuid: String, dst: Store, dstUuid: String,
+                start: Long, end: Long,
+                deleteFirst: Boolean = false,
+                asOf: Option[Long] = None): Long = {
+    if (deleteFirst) dst.deleteRange(dstUuid, start, end)
+    dst.insert(dstUuid, rawValues(srcUuid, start, end, asOf))
+  }
+
   /** Changed time ranges between two versions (FindChangedSince): inserted
     * points and deleted ranges with fromVer < ver <= toVer, aligned to the
     * 2^res grid and gap-merged per stream.

@@ -43,6 +43,26 @@ class StoreSpec extends SparkSuite {
     assert(st.rawValues("b", 0, 100).count() == 1)
   }
 
+  test("copyRange moves a pinned source range into another store and uuid") {
+    val src = mkStore
+    val v1 = src.insert("s1", (1L to 10L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    src.insert("s1", Seq((5L, 50.0)).toDF("time", "value")) // after the pin
+    val dst = mkStore
+    dst.insert("d1", Seq((4L, -4.0), (40L, -40.0)).toDF("time", "value"))
+    // deleteFirst clears ONLY the copied range at the dest; the copy is
+    // the source's visible view at v1 (the later 50.0 must not arrive)
+    val v = src.copyRange("s1", dst, "d1", 3L, 7L, deleteFirst = true, asOf = Some(v1))
+    val got = dst.rawValues("d1", Long.MinValue, Long.MaxValue, Some(v))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq((3L, 3.0), (4L, 4.0), (5L, 5.0), (6L, 6.0), (40L, -40.0)), s"$got")
+    // same-store, same-uuid self-copy (copy.go's dstuuid = "same"):
+    // idempotent refresh of a range from a pinned snapshot
+    val v2 = src.copyRange("s1", src, "s1", 3L, 7L, deleteFirst = true, asOf = Some(v1))
+    val self = src.rawValues("s1", 0L, 100L, Some(v2)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(self == (1L to 10L).map(t => (t, t.toDouble)), s"$self")
+  }
+
   test("changes reports inserted and deleted ranges, merged at resolution") {
     val st = mkStore
     val v1 = st.insert("s1", Seq((100L, 1.0), (101L, 1.0), (5000L, 2.0)).toDF("time", "value"))
