@@ -638,6 +638,12 @@ object SparkEntry {
       TextFunctions.tokenBudget(Tables.load(s, dir, "documents"), "source", 3000L)
         .orderBy(col("doc_id"))),
 
+    // sequence packing: each doc's (pack_id, pack_offset) in the
+    // fixed-capacity training-sequence stream per source
+    "corpus_pack" -> ((s, dir) =>
+      TextFunctions.tokenPack(Tables.load(s, dir, "documents"), "source", 512L)
+        .orderBy(col("doc_id"))),
+
     // the end-to-end shard build: lang+quality+PII+dedup gates, then
     // token-budget fill per source — every stage an oracle-gated operator
     "corpus_shard" -> ((s, dir) =>
@@ -2038,6 +2044,22 @@ object SparkEntry {
          |      FROM d)
          |SELECT doc_id, stratum, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 3000 ORDER BY doc_id""".stripMargin,
+
+    // pack arithmetic over the same per-stratum running sum: start = cum−n
+    "corpus_pack" ->
+      s"""WITH d AS (SELECT doc_id, source AS stratum,
+         |                  len(string_split($NORM_TEXT_SQL, ' ')) AS n_tokens,
+         |                  md5(CAST(doc_id AS VARCHAR)) AS rank_key
+         |           FROM documents),
+         |c AS (SELECT doc_id, stratum, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY stratum
+         |                                      ORDER BY rank_key, doc_id
+         |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |               - CAST(n_tokens AS BIGINT) AS start_tok
+         |      FROM d)
+         |SELECT doc_id, stratum, n_tokens,
+         |       start_tok // 512 AS pack_id, start_tok % 512 AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "corpus_shard" ->
       s"""WITH d AS (SELECT doc_id, source, $NORM_TEXT_SQL AS norm FROM documents),

@@ -224,7 +224,16 @@ object TextFunctions {
     * and cum_tokens is offset+local-sum — independent of WHERE the range
     * boundaries fall.
     */
-  private[graft] def budgetFill(sized: DataFrame, budgetPerStratum: Long): DataFrame = {
+  private[graft] def budgetFill(sized: DataFrame, budgetPerStratum: Long): DataFrame =
+    stratumPrefixSum(sized)
+      .filter(col("cum_tokens") <= budgetPerStratum)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+
+  /** The two-phase scan itself — (doc_id, stratum, n_tokens, rank_key) →
+    * + cum_tokens, the per-stratum running token total in (rank_key,
+    * doc_id) order. Shared by the budget cut and the sequence packer.
+    */
+  private[graft] def stratumPrefixSum(sized: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = sized.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = sized
@@ -243,8 +252,30 @@ object TextFunctions {
       .rowsBetween(Window.unboundedPreceding, 0)
     ranged.join(broadcast(offsets), Seq("stratum", "slice"))
       .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wLocal))
-      .filter(col("cum_tokens") <= budgetPerStratum)
-      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Sequence packing — the step between a shard manifest and the
+    * trainer: concatenate every document's tokens per stratum in the
+    * deterministic hash order and cut the stream into fixed-capacity
+    * training sequences of `seqTokens`. Each document reports the pack
+    * it STARTS in and its offset there (GPT-style contiguous packing —
+    * a doc crossing a boundary continues into the next pack;
+    * `n_tokens + pack_offset` tells the loader how many). Pure
+    * arithmetic on the same distributed prefix sum as the budget fill:
+    * start = cum − n, pack_id = start div L, pack_offset = start mod L —
+    * no per-pack state, no driver loop, deterministic at any layout.
+    */
+  def tokenPack(docs: DataFrame, stratumCol: String, seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be positive, got $seqTokens")
+    val sized = withBase(docs)
+      .select(col("doc_id"), col(stratumCol).as("stratum"),
+        size(col("w")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rank_key"))
+    stratumPrefixSum(sized)
+      .withColumn("start_tok", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        expr(s"start_tok div ${seqTokens}L").as("pack_id"),
+        (col("start_tok") % seqTokens).as("pack_offset"))
   }
 
   /** Per-(lang, source) corpus rollup — the "dataset card" numbers: doc

@@ -64,6 +64,31 @@ class CorpusSpec extends SparkSuite {
     assert(exact == Set(1L, 2L, 3L), s"$exact")
   }
 
+  test("sequence packing is the contiguous token stream cut at capacity") {
+    import spark.implicits._
+    // three docs of 3/4/2 tokens in one stratum; hash order is by
+    // md5(doc_id) so compute the expected order the same way
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = TF.tokenPack(docs, "source", 4L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val order = Seq(1L, 2L, 3L).sortBy(id =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+    val n = Map(1L -> 3L, 2L -> 4L, 3L -> 2L)
+    var cum = 0L
+    order.foreach { id =>
+      val start = cum
+      assert(got(id) == (n(id), start / 4, start % 4), s"doc $id: ${got(id)}")
+      cum += n(id)
+    }
+    // a doc starting mid-pack with n_tokens + offset > capacity crosses
+    // into the next pack — the loader contract the docstring promises
+    assert(got.values.exists { case (nt, _, off) => off + nt > 4 })
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())

@@ -119,7 +119,7 @@ class PlanShapeSpec extends SparkSuite {
     // a window PARTITION BY stratum over the documents would funnel each
     // stratum through one task; the fill must instead range-partition on
     // the order key and run its doc-level window keyed by (stratum, slice)
-    for (q <- Seq("corpus_budget", "corpus_shard")) {
+    for (q <- Seq("corpus_budget", "corpus_shard", "corpus_pack")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(plan.contains("rangepartitioning(stratum"),
         s"$q missing range-partitioned slice phase:\n${plan.take(3000)}")
