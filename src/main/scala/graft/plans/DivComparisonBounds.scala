@@ -113,10 +113,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.plans", name, usage),
       (args: Seq[Expression]) => builder(args))
+
+  private def tfn(name: String, usage: String)(builder: Seq[Expression] => LogicalPlan) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans", name, usage),
+      (args: Seq[Expression]) => builder(args))
+
+  // TVF helpers: the first argument names a table/view in the CALLING
+  // session's catalog; key columns arrive as one csv string literal
+  private def view(e: Expression): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.SparkSession.active.table(strLit(e, "view name"))
+  private def keyCols(e: Expression): Seq[String] =
+    strLit(e, "key columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DivComparisonBounds)
@@ -140,6 +165,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |a ∩ b| of sorted distinct long arrays") {
       case Seq(a, b) => SortedIntersectCount(a, b)
+    })
+    // SQL TABLE functions: the core read operators callable straight from
+    // spark.sql — `SELECT * FROM graft_windows('pts', 'uuid', 0, 100, 10)`.
+    // The builder runs at analysis time in the calling session, so the TVF
+    // expands to the operator's own DataFrame plan — identical pushdown,
+    // codegen, and partial aggregation; nothing is interpreted per row.
+    import graft.ts.TimeSeriesOps
+    ext.injectTableFunction(tfn("graft_raw_values",
+      "graft_raw_values(view, keys_csv, start, end) - time-ordered raw scan of [start, end)") {
+      case Seq(v, k, s0, e0) =>
+        TimeSeriesOps.rawValues(view(v), keyCols(k),
+          longLit(s0, "start"), longLit(e0, "end")).queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_windows",
+      "graft_windows(view, keys_csv, start, end, width) - StatPoints per fixed-width window") {
+      case Seq(v, k, s0, e0, w) =>
+        TimeSeriesOps.windows(view(v), keyCols(k),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"))
+          .queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_aligned_windows",
+      "graft_aligned_windows(view, keys_csv, start, end, pw) - StatPoints per 2^pw-aligned bucket") {
+      case Seq(v, k, s0, e0, pw) =>
+        TimeSeriesOps.alignedWindows(view(v), keyCols(k),
+          longLit(s0, "start"), longLit(e0, "end"), intLit(pw, "pointWidth"))
+          .queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_gaps",
+      "graft_gaps(view, keys_csv, start, end, width) - empty grid windows per stream") {
+      case Seq(v, k, s0, e0, w) =>
+        TimeSeriesOps.gaps(view(v), keyCols(k),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"))
+          .queryExecution.logical
     })
   }
 }

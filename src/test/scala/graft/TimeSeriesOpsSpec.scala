@@ -40,6 +40,34 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(w.map(_.getLong(5)).toSeq == Seq(2L, 2L, 1L))
   }
 
+  test("SQL table functions expand to the operator plans") {
+    val p = pts((0L, 1.0), (10L, 2.0), (15L, 4.0), (25L, 3.0))
+    p.createOrReplaceTempView("tvf_pts")
+    // windows TVF == windows() row-for-row
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_windows('tvf_pts', 'uuid', 0, 28, 10) ORDER BY w_start")
+      .collect().toSeq
+    val direct = TimeSeriesOps.windows(p, Seq("uuid"), 0L, 28L, 10L)
+      .orderBy("w_start").collect().toSeq
+    assert(viaSql == direct && viaSql.nonEmpty, s"$viaSql vs $direct")
+    // the TVF inherits the operator's pushdown: the derived t_us bound
+    // reaches the scan as a raw ts filter when reading the real table
+    Tables.points(spark, sfDir).createOrReplaceTempView("tvf_events")
+    val plan = spark.sql(
+        "SELECT * FROM graft_raw_values('tvf_events', 'user_id,event_type', 100, 200)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("ts"), plan.take(2000))
+    // raw values and gaps answer through SQL too
+    assert(spark.sql(
+      "SELECT * FROM graft_raw_values('tvf_pts', 'uuid', 0, 16)").count() == 3)
+    assert(spark.sql(
+        "SELECT * FROM graft_gaps('tvf_pts', 'uuid', 0, 40, 10)")
+      .collect().map(_.getLong(1)).toSeq == Seq(30L))
+    assert(spark.sql(
+        "SELECT * FROM graft_aligned_windows('tvf_pts', 'uuid', 0, 32, 4)")
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(0L, 16L))
+  }
+
   test("changes merges adjacent aligned ranges") {
     val p = pts((0L, 1.0), (17L, 2.0), (100L, 3.0))
     // res=4 → ranges [0,16) [16,32) merge; [96,112) separate
