@@ -347,6 +347,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("lag"))
     }),
 
+    // fractional lags: half-day shifts against day windows — the y side
+    // re-buckets on the phase-shifted grid instead of rejecting the lag
+    "ts_lag_corr_frac" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      TS.lagCorrelation(p.filter(col("event_type") === "click"),
+          p.filter(col("event_type") === "view"), Seq("user_id"), T0, T29, DAY,
+          Seq(-DAY / 2, 0L, DAY / 2))
+        .orderBy(col("user_id"), col("lag"))
+    }),
+
     // rolling correlation: per-week Pearson r of click-vs-view day-means
     "ts_windowed_corr" -> ((s, dir) => {
       val p = Tables.points(s, dir)
@@ -1429,6 +1439,42 @@ object SparkEntry {
          |j AS (SELECT x.user_id AS user_id, l.lag AS lag, x.x AS x, y.y AS y
          |      FROM x CROSS JOIN l
          |      JOIN y ON x.user_id = y.user_id AND y.w_start = x.w_start - l.lag),
+         |m AS (SELECT user_id, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |             sum(CAST(y AS HUGEINT) * y) AS syy,
+         |             sum(CAST(x AS HUGEINT) * y) AS sxy
+         |      FROM j GROUP BY 1, 2)
+         |SELECT user_id, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_windows,
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |             AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |            THEN ${Q6(
+             """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
+         |       END AS r
+         |FROM m ORDER BY user_id, lag""".stripMargin,
+
+    // fractional lags: y re-bucketed per lag phase on the shifted grid
+    "ts_lag_corr_frac" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |x AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS x
+         |      FROM pts WHERE event_type = 'click' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |l AS (SELECT unnest([${-DAY / 2}, 0, ${DAY / 2}]) AS lag),
+         |lp AS (SELECT lag, ((lag % $DAY) + $DAY) % $DAY AS phase FROM l),
+         |y AS (SELECT user_id, p.phase AS phase,
+         |             t_us - ((t_us - ($T0 - p.phase)) % $DAY) AS y_w,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS y
+         |      FROM pts CROSS JOIN (SELECT DISTINCT phase FROM lp) p
+         |      WHERE event_type = 'view' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |j AS (SELECT x.user_id AS user_id, lp.lag AS lag, x.x AS x, y.y AS y
+         |      FROM x CROSS JOIN lp
+         |      JOIN y ON x.user_id = y.user_id AND y.phase = lp.phase
+         |             AND y.y_w = x.w_start - lp.lag),
          |m AS (SELECT user_id, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
          |             sum(CAST(x AS HUGEINT) * x) AS sxx,
          |             sum(CAST(y AS HUGEINT) * y) AS syy,

@@ -1074,17 +1074,22 @@ object TimeSeriesOps {
 
   /** Lag cross-correlation — which time shift aligns two streams best
     * ("do clicks LEAD views?"): Pearson r of x(w) against y(w − lag) for
-    * every candidate lag (multiples of the window width). The lag set
-    * enters the plan as an exploded dimension on the x side, so the whole
-    * sweep is ONE equi-join on (key, shifted window) and one moment
-    * aggregation per (key, lag) — not |lags| separate scans. Positive r
-    * at positive lag ⇒ x's past predicts y's present (x leads).
+    * every candidate lag. Lags need NOT be multiples of the window width:
+    * the y side is bucketed once per distinct lag PHASE (lag mod width)
+    * on the correspondingly shifted grid, so a half-window lag compares
+    * full-width windows instead of being rejected, and lags sharing a
+    * phase share one aggregation — the common all-multiples case still
+    * aggregates y exactly once (phase 0 ≡ the x grid). The lag set enters
+    * the plan as an exploded dimension on the x side, so the whole sweep
+    * is ONE equi-join on (key, phase, shifted window) and one moment
+    * aggregation per (key, lag) — not |lags| separate scans. Both inputs
+    * are restricted to [start, end). Positive r at positive lag ⇒ x's
+    * past predicts y's present (x leads).
     */
   def lagCorrelation(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                      start: Long, end: Long, width: Long,
                      lags: Seq[Long]): DataFrame = {
-    require(lags.nonEmpty && lags.forall(_ % width == 0),
-      s"lags must be multiples of width $width: $lags")
+    require(lags.nonEmpty, "at least one lag required")
     val key = keyCols.map(col)
     def meansOf(df: DataFrame, out: String): DataFrame = {
       val d = col("t_us") - start
@@ -1093,11 +1098,21 @@ object TimeSeriesOps {
         .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
           .cast("long").as(out))
     }
+    val phases = lags.map(l => math.floorMod(l, width)).distinct
+    // y means on each phase-shifted grid: one scan fanned |phases| ways
+    // (grid anchor start − phase, so y_w = w_start − lag lands on it)
+    val dy = col("t_us") - (lit(start) - col("phase"))
+    val y = right.filter(col("t_us") >= start && col("t_us") < end)
+      .withColumn("phase", explode(array(phases.map(lit): _*)))
+      .groupBy(key ++ Seq(col("phase"),
+        (col("t_us") - pmod(dy, lit(width))).as("y_w")): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("y"))
     val xl = meansOf(left, "x")
       .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .withColumn("phase", pmod(col("lag"), lit(width)))
       .withColumn("y_w", col("w_start") - col("lag"))
-    val y = meansOf(right, "y").withColumnRenamed("w_start", "y_w")
-    val joined = xl.join(y, keyCols :+ "y_w")
+    val joined = xl.join(y, keyCols ++ Seq("phase", "y_w"))
     val xd = col("x").cast("decimal(38,0)")
     val yd = col("y").cast("decimal(38,0)")
     val mom = joined.groupBy(key :+ col("lag"): _*).agg(

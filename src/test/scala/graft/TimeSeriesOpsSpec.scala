@@ -258,6 +258,21 @@ class TimeSeriesOpsSpec extends SparkSuite {
     // pairs are (x(w), y(w - lag)); y(w) = x(w - 10) ⇒ exact at lag = -10
     assert(r(-10L) == 1.0, s"$r")
     assert(r(0L) < 1.0 && r(10L) < 1.0, s"$r")
+    // fractional lag: y is x shifted HALF a window, two points per
+    // window — on the unshifted grid every whole-window lag mixes
+    // neighboring x values into its means (no lag multiple of the width
+    // can realign it), while the lag -5 phase grid buckets y at
+    // [5, 15), [15, 25), … catching exactly each x window's pair
+    val g = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0, 9.0, 6.0, 2.0, 8.0, 4.0)
+    val x2 = g.zipWithIndex.map { case (v, i) => ("s", i * 5L, v) }
+      .toDF("uuid", "t_us", "value")
+    val y2 = g.zipWithIndex.map { case (v, i) => ("s", i * 5L + 5L, v) }
+      .toDF("uuid", "t_us", "value")
+    val rh = TimeSeriesOps.lagCorrelation(x2, y2, Seq("uuid"), 0L, 55L, 10L,
+        Seq(-10L, -5L, 0L))
+      .collect().map(row => row.getLong(1) -> row.getDouble(3)).toMap
+    assert(rh(-5L) == 1.0, s"$rh")
+    assert(rh(-10L) < 1.0 && rh(0L) < 1.0, s"$rh")
   }
 
   test("similarStreams ranks a copy first and an inverse last") {
