@@ -67,6 +67,14 @@ class Corpus(val docs: DataFrame) {
     TF.tokenBudget(docs, stratumCol, budgetPerStratum)
   def shard(minQuality: Double = 0.5, budgetPerStratum: Long = 3000L): DataFrame =
     TF.corpusShard(docs, minQuality, budgetPerStratum)
+  /** shard() with near-dup cluster gates (minhash-LSH representatives). */
+  def shardNear(minQuality: Double = 0.5, budgetPerStratum: Long = 3000L,
+                n: Int = 3, tau: Double = 0.8): DataFrame =
+    TF.corpusShardNear(docs, Dedup.minhashPairs(docs, n, tau = tau),
+      minQuality, budgetPerStratum)
+  /** Sequence packing: each doc's (pack_id, pack_offset) per stratum. */
+  def tokenPack(stratumCol: String, seqTokens: Long): DataFrame =
+    TF.tokenPack(docs, stratumCol, seqTokens)
 }
 
 object Corpus {

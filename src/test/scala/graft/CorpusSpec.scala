@@ -96,6 +96,8 @@ class CorpusSpec extends SparkSuite {
     val pairs = c.minhashPairs()
     assert(c.clusters(pairs).count() == c.docs.count())
     assert(c.shard().count() > 0)
+    assert(c.shardNear().count() > 0)
+    assert(c.tokenPack("source", 512L).count() == c.docs.count())
     val e = Embeddings(Tables.load(spark, sfDir, "embeddings"))
     assert(e.norms().count() == e.emb.count())
     assert(e.clusters(0.4).count() == e.emb.count())
