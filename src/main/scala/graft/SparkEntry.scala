@@ -600,6 +600,12 @@ object SparkEntry {
       Vectors.dimStats(Tables.load(s, dir, "embeddings"))
         .orderBy(col("dim"))),
 
+    // embedding hygiene: cosine to the exact-mean corpus centroid
+    // (distribution-outlier audit)
+    "emb_centroid_sim" -> ((s, dir) =>
+      Vectors.centroidSim(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
+
     "emb_ann_topk" -> ((s, dir) =>
       Vectors.annTopK(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
@@ -1942,6 +1948,21 @@ object SparkEntry {
          |       ${MEAN6(s"sum(${US6("x")})", "count(*)")} AS d_mean,
          |       max(x) AS d_max, CAST(count(*) AS BIGINT) AS n
          |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // the centroid replays dimStats' exact-mean arithmetic, so the two
+    // engines agree on it bitwise; the cosine then mirrors DOT_SQL
+    "emb_centroid_sim" ->
+      s"""WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+         |c AS (SELECT dim, ${MEAN6(s"sum(${US6("x")})", "count(*)")} AS m
+         |      FROM x GROUP BY dim),
+         |cent AS (SELECT list(m ORDER BY dim) AS cvec FROM c),
+         |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings)
+         |SELECT vec_id,
+         |       CASE WHEN nrm > 0 AND sqrt(${DOT_SQL("cvec", "cvec")}) > 0
+         |            THEN ${Q6(s"${DOT_SQL("embedding", "cvec")} / (nrm * sqrt(${DOT_SQL("cvec", "cvec")}))")}
+         |       END AS centroid_sim
+         |FROM e CROSS JOIN cent ORDER BY vec_id""".stripMargin,
 
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),

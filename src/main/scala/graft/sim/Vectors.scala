@@ -78,6 +78,34 @@ object Vectors {
         max(col("x")).cast("double").as("d_max"),
         count(lit(1)).as("n"))
 
+  /** Embedding hygiene: cosine of every vector against the corpus
+    * centroid — the distribution-outlier audit (wrong-modality or garbage
+    * vectors sit far from the mass even when their norms look healthy;
+    * the centroid-sim histogram is the first thing to look at after an
+    * encoder change). The centroid's per-dimension means use the same
+    * exact micro-unit sums as dimStats and are 6dp-quantized, so the
+    * centroid itself is engine-portable and the oracle replays it
+    * bit-for-bit. One posexplode aggregation produces the 1-row centroid
+    * (metadata-scale), broadcast back over a single corpus pass —
+    * nothing pairwise at any corpus size.
+    */
+  def centroidSim(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val cent = graft.Tables.rebalance(emb)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(graft.Quant.mean6(graft.Quant.sumUs6Unbounded(col("x").cast("double")),
+        count(lit(1))).as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("cvec"))
+      .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+    withNorm(emb, vecCol)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        when(col("nrm") > 0 && col("cnrm") > 0,
+          graft.Quant.q6(dot(col(vecCol), col("cvec")) / (col("nrm") * col("cnrm"))))
+          .as("centroid_sim"))
+  }
+
   /** k-NN similarity graph over the corpus, restricted to the cosine ≥ tau
     * candidate pairs: each vector's top-k neighbors by cosine (rank ties
     * broken by neighbor id on the quantized similarity, so the cut is

@@ -262,6 +262,25 @@ class DedupSimSpec extends SparkSuite {
     assert(rows(reopened.query(emb.filter(col("vec_id") < 5), 10)) == fused)
   }
 
+  test("centroid similarity flags the vector pointing away from the mass") {
+    import spark.implicits._
+    // three clustered vectors and one anti-aligned outlier
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.2f)),
+      (3L, Array(1.0f, 0.0f)),
+      (4L, Array(-1.0f, -0.1f))).toDF("vec_id", "embedding")
+    val sims = graft.sim.Vectors.centroidSim(emb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(sims(_) > 0.9), s"$sims")
+    assert(sims(4L) < 0, s"$sims")
+    // identical vectors sit exactly on the centroid
+    val same = (1 to 3).map(i => (i.toLong, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    graft.sim.Vectors.centroidSim(same).collect()
+      .foreach(r => assert(r.getDouble(1) == 1.0, s"$r"))
+  }
+
   test("char entropy matches the sequential frequency fold") {
     import spark.implicits._
     val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
