@@ -87,6 +87,7 @@ object Corpus {
 class Embeddings(val emb: DataFrame) {
   def norms(): DataFrame = Vectors.norms(emb)
   def dimStats(): DataFrame = Vectors.dimStats(emb)
+  def centroidSim(): DataFrame = Vectors.centroidSim(emb)
   def cosinePairs(tau: Double): DataFrame = Vectors.cosinePairs(emb, tau)
   def knn(tau: Double, k: Int): DataFrame = Vectors.knnGraph(emb, tau, k)
   def annTopK(nQueries: Int, k: Int): DataFrame = Vectors.annTopK(emb, nQueries, k)

@@ -199,5 +199,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"))
           .queryExecution.logical
     })
+    ext.injectTableFunction(tfn("graft_asof_join",
+      "graft_asof_join(left_view, right_view, keys_csv[, tolerance_us]) - " +
+        "latest right value at or before each left row's timestamp") {
+      case Seq(lv, rv, k) =>
+        TimeSeriesOps.asofJoin(view(lv), view(rv), keyCols(k)).queryExecution.logical
+      case Seq(lv, rv, k, tol) =>
+        TimeSeriesOps.asofJoin(view(lv), view(rv), keyCols(k),
+          toleranceUs = Some(longLit(tol, "tolerance_us"))).queryExecution.logical
+    })
   }
 }

@@ -100,6 +100,7 @@ class CorpusSpec extends SparkSuite {
     assert(c.tokenPack("source", 512L).count() == c.docs.count())
     val e = Embeddings(Tables.load(spark, sfDir, "embeddings"))
     assert(e.norms().count() == e.emb.count())
+    assert(e.centroidSim().count() == e.emb.count())
     assert(e.clusters(0.4).count() == e.emb.count())
     assert(e.annTopK(5, 10).count() == 50)
   }

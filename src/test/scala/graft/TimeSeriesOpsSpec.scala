@@ -66,6 +66,15 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(spark.sql(
         "SELECT * FROM graft_aligned_windows('tvf_pts', 'uuid', 0, 32, 4)")
       .collect().map(_.getLong(1)).sorted.toSeq == Seq(0L, 16L))
+    // the two-table as-of TVF routes through the same merge operator
+    import spark.implicits._
+    Seq(("s", 5L, 9.0), ("s", 12L, 8.0)).toDF("uuid", "t_us", "value")
+      .createOrReplaceTempView("tvf_quotes")
+    val asof = spark.sql(
+        "SELECT * FROM graft_asof_join('tvf_pts', 'tvf_quotes', 'uuid') ORDER BY t_us")
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(asof.toSeq == Seq(0L -> None, 10L -> Some(9.0),
+      15L -> Some(8.0), 25L -> Some(8.0)), s"${asof.toSeq}")
   }
 
   test("changes merges adjacent aligned ranges") {
