@@ -738,6 +738,12 @@ object SparkEntry {
       graft.mm.Multimodal.sampleFrames(
           graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 4)
         .orderBy(col("asset_id"), col("frame_idx"))),
+
+    // binary-asset exact dedup: payload-hash verdicts, no decode
+    "mm_dedup" -> ((s, dir) =>
+      graft.mm.Multimodal.dedupAssets(
+          graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")))
+        .orderBy(col("asset_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2354,6 +2360,16 @@ object SparkEntry {
          |       ${MEAN6("sum(height * 1000000)", "count(*)")} AS avg_height,
          |       CAST(max(nb) AS BIGINT) AS max_bytes
          |FROM a GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // md5 of the payload BYTES == md5 of the utf-8 text both engines hash
+    "mm_dedup" ->
+      s"""WITH a AS (SELECT doc_id AS asset_id,
+         |                  concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind,
+         |                  md5(text) AS fp
+         |           FROM documents),
+         |k AS (SELECT *, min(asset_id) OVER (PARTITION BY fp) AS keep_id FROM a)
+         |SELECT asset_id, kind, fp, asset_id <> keep_id AS is_dup, keep_id
+         |FROM k ORDER BY asset_id""".stripMargin,
 
     "mm_frames" ->
       s"""WITH a AS (SELECT doc_id AS asset_id,

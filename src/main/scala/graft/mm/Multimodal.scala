@@ -91,6 +91,24 @@ object Multimodal {
           .as("avg_height"),
         max(length(col("payload"))).cast("long").as("max_bytes"))
 
+  /** Exact asset dedup — the payload-hash verdict for binary columns:
+    * md5 over the opaque bytes, first (minimum) asset_id per fingerprint
+    * survives. Catches verbatim re-uploads — the common lakehouse-ingest
+    * case; a recompressed image hashes differently (that is the
+    * perceptual-hash extension point, which would slot in as another
+    * fingerprint column from the decode stage). Same keyed window shape
+    * as text Dedup.exact: one shuffle on the fingerprint, dup-cluster-
+    * sized groups, no decode.
+    */
+  def dedupAssets(assets: Dataset[MediaRow]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    assets.toDF()
+      .select(col("asset_id"), col("kind"), md5(col("payload")).as("fp"))
+      .withColumn("keep_id", min(col("asset_id")).over(w))
+      .select(col("asset_id"), col("kind"), col("fp"),
+        (col("asset_id") =!= col("keep_id")).as("is_dup"), col("keep_id"))
+  }
+
   /** Frame-sampling shape for video-like assets: explode n evenly-spaced
     * byte offsets per asset (stand-in for frame indices), keeping the
     * plumbing for a one-to-many decode stage honest.

@@ -37,6 +37,21 @@ class MultimodalSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("asset dedup keeps the first copy of each payload") {
+    // two verbatim re-uploads of asset 1's bytes under different ids/kinds
+    val dup = Multimodal.syntheticAssets(spark,
+      docs.filter($"doc_id" < 10).unionByName(
+        docs.filter($"doc_id" === 1)
+          .withColumn("doc_id", lit(101L))))
+    val v = Multimodal.dedupAssets(dup)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(v(101L) == ((true, 1L)), s"$v")
+    assert(v(1L) == ((false, 1L)), s"$v")
+    // dedup inspects bytes only — the differing kind column must not matter
+    assert(dup.filter($"asset_id" === 101).head().kind !=
+      dup.filter($"asset_id" === 1).head().kind)
+  }
+
   test("sampleFrames explodes n evenly spaced offsets per asset") {
     val frames = Multimodal.sampleFrames(assets, 4)
     assert(frames.count() == docs.count() * 4)
