@@ -606,6 +606,12 @@ object SparkEntry {
       Vectors.centroidSim(Tables.load(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
 
+    // int8 scalar-quantization audit: per-vector reconstruction error on
+    // the per-dim 256-level grid
+    "emb_sq8" -> ((s, dir) =>
+      Vectors.sq8Audit(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
+
     "emb_ann_topk" -> ((s, dir) =>
       Vectors.annTopK(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
@@ -1969,6 +1975,24 @@ object SparkEntry {
          |            THEN ${Q6(s"${DOT_SQL("embedding", "cvec")} / (nrm * sqrt(${DOT_SQL("cvec", "cvec")}))")}
          |       END AS centroid_sim
          |FROM e CROSS JOIN cent ORDER BY vec_id""".stripMargin,
+
+    // SQ8: same per-dim min/max grid, same index-ordered error fold
+    "emb_sq8" ->
+      s"""WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+         |arr AS (SELECT list(mn ORDER BY dim) AS mn,
+         |               list((mx - mn) / 255.0 ORDER BY dim) AS s FROM st),
+         |er AS (SELECT vec_id,
+         |              list_transform(generate_series(1, 64),
+         |                i -> CASE WHEN s[i] > 0
+         |                          THEN abs((CAST(embedding[i] AS DOUBLE) - mn[i])
+         |                                   - round((CAST(embedding[i] AS DOUBLE) - mn[i]) / s[i]) * s[i])
+         |                          ELSE abs(CAST(embedding[i] AS DOUBLE) - mn[i]) END) AS errs
+         |       FROM embeddings CROSS JOIN arr)
+         |SELECT vec_id, ${Q6("list_sum(errs) / 64.0")} AS mean_abs_err,
+         |       ${Q6("list_max(errs)")} AS max_abs_err
+         |FROM er ORDER BY vec_id""".stripMargin,
 
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),

@@ -106,6 +106,39 @@ object Vectors {
           .as("centroid_sim"))
   }
 
+  /** Int8 scalar-quantization audit — the "can we ship these embeddings
+    * as int8" report: per-dimension (min, max) over the corpus define the
+    * 256-level grid (code = round((x − min)/scale), scale = range/255 —
+    * the standard SQ8 codec), and every vector reports its mean and max
+    * absolute reconstruction error. Two passes, both narrow: one
+    * posexplode aggregation for the per-dim ranges (metadata-scale,
+    * broadcast back) and one codegen'd HOF projection for the errors —
+    * no shuffle wider than the range table, no pairwise anything.
+    * Constant dimensions (range 0) reconstruct exactly. All arithmetic
+    * is index-ordered double math both engines replay bit-for-bit.
+    */
+  def sq8Audit(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val rng = graft.Tables.rebalance(emb)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).cast("double").as("mn"), max(col("x")).cast("double").as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("ds"))
+      .select(
+        transform(col("ds"), p => p.getField("mn")).as("mn"),
+        transform(col("ds"), p => (p.getField("mx") - p.getField("mn")) / 255.0).as("s"))
+    graft.Tables.rebalance(emb).crossJoin(broadcast(rng))
+      .withColumn("errs", expr(
+        s"""zip_with(
+           |  zip_with($vecCol, mn, (x, a) -> CAST(x AS DOUBLE) - a),
+           |  s,
+           |  (d, ss) -> CASE WHEN ss > 0 THEN abs(d - round(d / ss) * ss)
+           |             ELSE abs(d) END)""".stripMargin))
+      .select(col("vec_id"),
+        graft.Quant.q6(expr("aggregate(errs, CAST(0 AS DOUBLE), (a, e) -> a + e)")
+          / size(col(vecCol)).cast("double")).as("mean_abs_err"),
+        graft.Quant.q6(array_max(col("errs"))).as("max_abs_err"))
+  }
+
   /** k-NN similarity graph over the corpus, restricted to the cosine ≥ tau
     * candidate pairs: each vector's top-k neighbors by cosine (rank ties
     * broken by neighbor id on the quantized similarity, so the cut is

@@ -281,6 +281,27 @@ class DedupSimSpec extends SparkSuite {
       .foreach(r => assert(r.getDouble(1) == 1.0, s"$r"))
   }
 
+  test("sq8 audit reconstructs grid points exactly and bounds the rest") {
+    import spark.implicits._
+    // dim 0 range [0, 255] → scale 1: integer coords reconstruct exactly;
+    // dim 1 constant → scale 0, zero error by the degenerate rule
+    val exact = Seq(
+      (1L, Array(0.0f, 5.0f)),
+      (2L, Array(255.0f, 5.0f)),
+      (3L, Array(17.0f, 5.0f))).toDF("vec_id", "embedding")
+    graft.sim.Vectors.sq8Audit(exact).collect().foreach { r =>
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0, s"$r")
+    }
+    // off-grid value: range [0, 2.55] → scale 0.01; 1.005 sits mid-cell
+    // so |err| ≤ scale/2 and > 0
+    val off = Seq(
+      (1L, Array(0.0f)), (2L, Array(2.55f)), (3L, Array(1.005f)))
+      .toDF("vec_id", "embedding")
+    val e3 = graft.sim.Vectors.sq8Audit(off)
+      .filter($"vec_id" === 3).head().getDouble(2)
+    assert(e3 > 0 && e3 <= 0.005 + 1e-9, s"$e3")
+  }
+
   test("char entropy matches the sequential frequency fold") {
     import spark.implicits._
     val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
