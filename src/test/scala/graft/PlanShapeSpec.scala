@@ -135,6 +135,17 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("embedding audits broadcast their metadata-scale stats row") {
+    // centroid/range tables are 1-row aggregates: they must reach the
+    // corpus pass as a broadcast, never shuffle the corpus against them
+    for (q <- Seq("emb_centroid_sim", "emb_sq8")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("Broadcast"), s"$q:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
   test("gaps with a metadata roster reads raw points exactly once") {
     // without a roster, gaps() must re-scan full history just to learn the
     // stream universe (that scan can't even be time-pruned); with the
