@@ -305,6 +305,47 @@ class IngestSpec extends SparkSuite {
     assert(got.nonEmpty && got == fused, s"got ${got.size} vs fused ${fused.size}")
   }
 
+  test("streaming ANN probe picks up a rebuilt index without restarting") {
+    import graft.streaming.StreamAnnProbe
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val idxDir = tmpDir("sann2_idx")
+    val idx = graft.sim.IvfIndex.build(emb.filter(col("vec_id") >= 5), idxDir)
+    val queries = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val c1 = queries.filter(col("vec_id") < 2)
+    val c2 = queries.filter(col("vec_id") >= 2)
+    // batch truths per index generation, captured while each is live
+    val v1c1 = key(idx.query(c1, 10))
+    val v1c2 = key(idx.query(c2, 10))
+    val src = tmpDir("sann2_src")
+    val outDir = tmpDir("sann2_out")
+    c1.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(queries.schema).parquet(src)
+    val q = StreamAnnProbe.probe(stream, idx, 10) { (res, batchId) =>
+        res.withColumn("probe_batch", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", tmpDir("sann2_ckpt")).start()
+    q.processAllAvailable()
+    // rebuild IN PLACE on half the corpus, then feed the second chunk:
+    // the probe reads the index per micro-batch, so the SAME running
+    // query must answer chunk 2 from the v2 index, not a cached v1
+    graft.sim.IvfIndex.build(
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 250), idxDir)
+    val v2c2 = key(idx.query(c2, 10))
+    assert(v2c2 != v1c2, "index generations must answer differently")
+    c2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    def got(pred: org.apache.spark.sql.Column) =
+      key(out.filter(pred).select("q_id", "n_id", "rank", "cos_sim"))
+    assert(got(col("probe_batch") === 0) == v1c1)
+    assert(got(col("probe_batch") > 0) == v2c2,
+      "rebuilt index not visible to the running stream")
+  }
+
   test("streaming shard verdicts match the batch gate composition") {
     import graft.streaming.StreamShard
     val src = tmpDir("ss_src")
