@@ -120,6 +120,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def dblLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   private def strLit(e: Expression, what: String): String = e match {
     case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
     case other => throw new IllegalArgumentException(
@@ -207,6 +215,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(lv, rv, k, tol) =>
         TimeSeriesOps.asofJoin(view(lv), view(rv), keyCols(k),
           toleranceUs = Some(longLit(tol, "tolerance_us"))).queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_dedup_exact",
+      "graft_dedup_exact(view) - exact-dedup verdict per document of (doc_id, text)") {
+      case Seq(v) =>
+        graft.text.Dedup.exact(view(v)).queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_shard",
+      "graft_shard(view, min_quality, budget_per_stratum) - the one-pass " +
+        "training-shard manifest over (doc_id, text, source)") {
+      case Seq(v, mq, b) =>
+        graft.text.TextFunctions.corpusShard(view(v), dblLit(mq, "min_quality"),
+          longLit(b, "budget_per_stratum")).queryExecution.logical
     })
   }
 }

@@ -89,6 +89,18 @@ class CorpusSpec extends SparkSuite {
     assert(got.values.exists { case (nt, _, off) => off + nt > 4 })
   }
 
+  test("corpus TVFs answer from SQL like the operators") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.createOrReplaceTempView("tvf_docs")
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_shard('tvf_docs', 0.5, 3000) ORDER BY doc_id")
+      .collect().toSeq
+    val direct = TF.corpusShard(docs, 0.5, 3000L).orderBy("doc_id").collect().toSeq
+    assert(viaSql == direct && viaSql.nonEmpty)
+    assert(spark.sql("SELECT * FROM graft_dedup_exact('tvf_docs')").count()
+      == docs.count())
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())
