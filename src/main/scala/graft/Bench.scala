@@ -29,11 +29,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Stdout tails get truncated once the suite is 100+ queries (round 5
-    // lost the first ~35 timings plus the total line); the file is the
-    // complete record regardless of console capture.
+    // The full per-query map only goes to the file: with 100+ queries the
+    // single giant JSON line has exceeded every console tail capture to
+    // date (rounds 1-6 all parsed null). Stdout gets ONE short
+    // machine-parseable line, printed LAST.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

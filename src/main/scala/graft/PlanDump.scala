@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop plan auditor: print the FINAL adaptive physical plan of named
+  * SparkEntry queries (the `.explain` loop the build rule prescribes).
+  * Usage: runMain graft.PlanDump <sfDir> [query ...] (no names = all).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect()
+      println(s"===== $n")
+      println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+    }
+    spark.stop()
+  }
+}

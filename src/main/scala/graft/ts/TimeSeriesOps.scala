@@ -229,19 +229,21 @@ object TimeSeriesOps {
   }
 
   /** Per-stream first difference / rate of change: for each point, the
-    * delta against the previous point of the same stream (lag window) —
-    * the derivative query every TSDB front-end offers. Window ordered by
-    * (t_us, value) so equal-timestamp ties are deterministic. One shuffle
-    * on the stream key; rate is per second (µs axis).
+    * delta against the previous point of the same stream — the derivative
+    * query every TSDB front-end offers. Ordered by (t_us, value) so
+    * equal-timestamp ties are deterministic; rate is per second (µs axis).
+    * Runs as the two-phase sliced scan (see the primitives above cusum):
+    * a local lag inside each timeline slice plus one exchanged boundary
+    * row per slice — no task ever sorts a whole stream's history.
     */
   def delta(points: DataFrame, streamCols: Seq[String],
             version: Option[Long] = None): DataFrame = {
     val key = streamKey(streamCols)
-    val w = Window.partitionBy(key: _*).orderBy(col("t_us"), col("value"))
-    atVersion(points, version)
-      .select(key :+ col("t_us") :+ col("value"): _*)
-      .withColumn("prev_t", lag(col("t_us"), 1).over(w))
-      .withColumn("prev_v", lag(col("value"), 1).over(w))
+    slicedPrev(
+        timeSliced(
+          atVersion(points, version).select(key :+ col("t_us") :+ col("value"): _*),
+          streamCols),
+        streamCols)
       .filter(col("prev_t").isNotNull)
       .select(key ++ Seq(col("t_us"), col("value"),
         graft.Quant.q6(col("value") - col("prev_v")).as("dv"),
@@ -406,26 +408,129 @@ object TimeSeriesOps {
           .as("availability")): _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Two-phase per-stream sequential scan primitives.
+  //
+  // A window `PARTITION BY stream ORDER BY t_us` over raw points funnels
+  // each stream's ENTIRE history through one task's sort — at the
+  // reference's design point (billions of points per stream; the whole
+  // reason qtree.go exists) that task OOMs. The same two-phase recipe as
+  // the corpus prefix sum (TextFunctions.stratumPrefixSum) fixes every
+  // operator of this class:
+  //
+  //   1. range-partition on the global order key (stream, t_us, value) so
+  //      each task holds a contiguous SLICE of a stream's timeline —
+  //      slices are partition-sized, never stream-sized;
+  //   2. exchange ONE row per (stream, slice) — boundary rows / slice sums,
+  //      metadata-scale — and lag/prefix THOSE with a tiny window;
+  //   3. broadcast the per-slice carries back and finish locally with a
+  //      window keyed by (stream, slice), whose groups are bounded by the
+  //      range-partition size regardless of stream skew.
+  //
+  // Results are identical to the single-window form (the oracle replays
+  // that form): the carry algebra is independent of WHERE the range
+  // boundaries fall, and rows tying on the full order key are
+  // range-partitioned into one slice.
+  // ---------------------------------------------------------------------
+
+  /** Phase 1: contiguous timeline slices. Input must carry (t_us, value)
+    * plus the key columns; `slice` is the range-partition ordinal.
+    */
+  private[graft] def timeSliced(df: DataFrame, streamCols: Seq[String]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(parts, streamKey(streamCols) :+ col("t_us") :+ col("value"): _*)
+      .withColumn("slice", spark_partition_id())
+  }
+
+  private def sliceKey(streamCols: Seq[String]): Seq[Column] =
+    streamKey(streamCols) :+ col("slice")
+
+  /** Null-safe broadcast join back on (stream key, slice) — `usingColumns`
+    * equality would silently drop null-keyed streams the window form kept.
+    */
+  private def joinOnSlice(rows: DataFrame, perSlice: DataFrame,
+                          streamCols: Seq[String]): DataFrame = {
+    val renamed = perSlice.columns.foldLeft(perSlice) { (d, c) =>
+      if (streamCols.contains(c) || c == "slice") d.withColumnRenamed(c, s"__j_$c") else d
+    }
+    val cond = (streamCols :+ "slice")
+      .map(c => col(c) <=> col(s"__j_$c")).reduce(_ && _)
+    rows.join(broadcast(renamed), cond, "left")
+      .drop((streamCols :+ "slice").map(c => s"__j_$c"): _*)
+  }
+
+  /** Phase 2+3 for lag-shaped operators: every row gets its predecessor's
+    * (t_us, value) in (t_us, value) order — local lag inside the slice,
+    * the previous slice's last row (one exchanged boundary row per slice)
+    * for each slice's first row. Output adds prev_t / prev_v.
+    */
+  private[graft] def slicedPrev(sliced: DataFrame, streamCols: Seq[String]): DataFrame = {
+    val wLocal = Window.partitionBy(sliceKey(streamCols): _*)
+      .orderBy(col("t_us"), col("value"))
+    val wSlices = Window.partitionBy(streamKey(streamCols): _*).orderBy(col("slice"))
+    val bounds = sliced.groupBy(sliceKey(streamCols): _*)
+      .agg(max(struct(col("t_us"), col("value"))).as("last_tv"))
+      .withColumn("b_prev", lag(col("last_tv"), 1).over(wSlices))
+      .select(sliceKey(streamCols) :+
+        col("b_prev.t_us").as("b_prev_t") :+ col("b_prev.value").as("b_prev_v"): _*)
+    joinOnSlice(
+        sliced
+          .withColumn("lp_t", lag(col("t_us"), 1).over(wLocal))
+          .withColumn("lp_v", lag(col("value"), 1).over(wLocal)),
+        bounds, streamCols)
+      // guard on lp_t (t_us is never null): lp_v may be a legitimate null
+      // VALUE from an existing predecessor, which must not fall through to
+      // the boundary row
+      .withColumn("prev_t", when(col("lp_t").isNotNull, col("lp_t")).otherwise(col("b_prev_t")))
+      .withColumn("prev_v", when(col("lp_t").isNotNull, col("lp_v")).otherwise(col("b_prev_v")))
+      .drop("lp_t", "lp_v", "b_prev_t", "b_prev_v")
+  }
+
+  /** Phase 2+3 for prefix-sum-shaped operators: `outName` = the running
+    * sum of `inc` in (t_us, value) order — per-slice sums exchanged,
+    * prefix-summed over the metadata-scale slice rows, broadcast back as
+    * carry offsets onto the slice-local running sum.
+    */
+  private[graft] def slicedRunningSum(sliced: DataFrame, streamCols: Seq[String],
+                                      inc: Column, outName: String): DataFrame = {
+    val wLocal = Window.partitionBy(sliceKey(streamCols): _*)
+      .orderBy(col("t_us"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wCarry = Window.partitionBy(streamKey(streamCols): _*).orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withInc = sliced.withColumn("__inc", inc)
+    val offsets = withInc.groupBy(sliceKey(streamCols): _*)
+      .agg(sum(col("__inc")).as("__slice_sum"))
+      .withColumn("__carry", sum(col("__slice_sum")).over(wCarry))
+      .select(sliceKey(streamCols) :+ col("__carry"): _*)
+    joinOnSlice(withInc, offsets, streamCols)
+      .withColumn(outName,
+        coalesce(col("__carry"), lit(0)) + sum(col("__inc")).over(wLocal))
+      .drop("__inc", "__carry")
+  }
+
   /** CUSUM change detection: per stream, the running sum of deviations
     * from the stream's global mean — drifts show as sustained slopes, level
     * shifts as kinks (the classic SPC chart). The mean is the rounded
     * integer micro-unit mean (one broadcast stats pass, as anomalies), so
-    * the cumulative sum is EXACT integer arithmetic in the window — no
-    * float accumulation order to disagree on — accumulated as DECIMAL
-    * (an unbounded-length prefix sum, per the graft.Quant overflow rule)
-    * and quantized once on emit.
+    * the cumulative sum is EXACT integer arithmetic — no float accumulation
+    * order to disagree on — accumulated as DECIMAL (an unbounded-length
+    * prefix sum, per the graft.Quant overflow rule) and quantized once on
+    * emit. The prefix sum runs as the two-phase sliced scan (see above):
+    * exact integer carries commute, so slice offsets + local sums
+    * reproduce the stream-wide window bit-for-bit.
     */
   def cusum(points: DataFrame, streamCols: Seq[String],
             version: Option[Long] = None): DataFrame = {
     val key = streamKey(streamCols)
     val stats = streamStats(points, streamCols, version)
       .select(key :+ round(col("mean_us"), 0).cast("long").as("mean_i"): _*)
-    val w = Window.partitionBy(key: _*).orderBy(col("t_us"), col("value"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    atVersion(points, version)
+    val sliced = timeSliced(
+        atVersion(points, version).select(key :+ col("t_us") :+ col("value"): _*),
+        streamCols)
       .join(broadcast(stats), streamCols)
-      .withColumn("cum_us",
-        sum((graft.Quant.us6(col("value")) - col("mean_i")).cast("decimal(38,0)")).over(w))
+    val dev = (graft.Quant.us6(col("value")) - col("mean_i")).cast("decimal(38,0)")
+    slicedRunningSum(sliced, streamCols, dev, "cum_us")
       .select(key ++ Seq(col("t_us"), col("value"),
         graft.Quant.q6(col("cum_us").cast("double") / 1e6).as("cusum")): _*)
   }
@@ -714,24 +819,27 @@ object TimeSeriesOps {
 
   /** Sessionize: split each stream into activity sessions separated by
     * silence longer than `gapUs` — classic gaps-and-islands (lag + running
-    * sum), one shuffle on the stream key. Equal-timestamp ties share a dt
-    * of zero, so the session assignment is order-independent. Output one
-    * row per session with its time bounds, event count, and mean value
-    * (exact micro-unit sum; per-session counts are windowed-scale, so a
-    * long accumulator suffices per the graft.Quant bound).
+    * sum). Equal-timestamp ties share a dt of zero, so the session
+    * assignment is order-independent. Output one row per session with its
+    * time bounds, event count, and mean value (exact micro-unit sum;
+    * per-session counts are windowed-scale, so a long accumulator suffices
+    * per the graft.Quant bound). Both the lag and the session counter run
+    * as the two-phase sliced scan (primitives above cusum): sessions
+    * crossing a slice boundary are stitched by the exchanged boundary row
+    * and the broadcast island-count carry — no stream-wide sort.
     */
   def sessionize(points: DataFrame, streamCols: Seq[String], gapUs: Long,
                  version: Option[Long] = None): DataFrame = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
     val key = streamKey(streamCols)
-    val w = Window.partitionBy(key: _*).orderBy(col("t_us"), col("value"))
-    atVersion(points, version)
-      .select(key :+ col("t_us") :+ col("value"): _*)
-      .withColumn("prev_t", lag(col("t_us"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_t").isNull || col("t_us") - col("prev_t") > gapUs, 1).otherwise(0))
-      .withColumn("session", sum(col("is_new")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val prev = slicedPrev(
+      timeSliced(
+        atVersion(points, version).select(key :+ col("t_us") :+ col("value"): _*),
+        streamCols),
+      streamCols)
+    slicedRunningSum(prev, streamCols,
+        when(col("prev_t").isNull || col("t_us") - col("prev_t") > gapUs, 1).otherwise(0),
+        "session")
       .groupBy(key :+ col("session"): _*)
       .agg(
         min(col("t_us")).as("s_start"),
@@ -1353,21 +1461,21 @@ object TimeSeriesOps {
     * the RLE/compressibility profile (how long does a sensor sit at a
     * level; the batch complement of the streaming Deadband). Equal
     * timestamps collapse to max(value) first so "consecutive" is
-    * well-defined, then classic gaps-and-islands on value change. One
-    * keyed window sort, same cost class as delta().
+    * well-defined, then classic gaps-and-islands on value change, run as
+    * the two-phase sliced scan (primitives above cusum): runs crossing a
+    * slice boundary are stitched by the exchanged boundary row and the
+    * broadcast run-count carry — same cost class as delta(), never a
+    * stream-wide sort.
     */
   def valueRuns(points: DataFrame, streamCols: Seq[String],
                 version: Option[Long] = None): DataFrame = {
     val key = streamKey(streamCols)
     val dedup = atVersion(points, version)
       .groupBy(key :+ col("t_us"): _*).agg(max(col("value")).as("value"))
-    val w = Window.partitionBy(key: _*).orderBy(col("t_us"))
-    dedup
-      .withColumn("prev_v", lag(col("value"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_v").isNull || col("value") =!= col("prev_v"), 1).otherwise(0))
-      .withColumn("run", sum(col("is_new")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val prev = slicedPrev(timeSliced(dedup, streamCols), streamCols)
+    slicedRunningSum(prev, streamCols,
+        when(col("prev_v").isNull || col("value") =!= col("prev_v"), 1).otherwise(0),
+        "run")
       .groupBy(key :+ col("run"): _*)
       .agg(
         min(col("t_us")).as("r_start"),

@@ -135,6 +135,27 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("per-stream sequential ops are two-phase sliced scans, no stream-wide sort") {
+    // a window PARTITION BY stream ORDER BY t_us over raw points would
+    // sort each stream's entire history in ONE task; these ops must
+    // range-partition the timeline and key every point-level window by
+    // (stream, slice), with boundary rows / carries joined back broadcast
+    val streamWide = "windowspecdefinition\\(user_id#\\d+L?, event_type#\\d+, t_us#".r
+    for (q <- Seq("ts_cusum", "ts_delta", "ts_sessionize", "ts_value_runs")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("rangepartitioning(user_id"),
+        s"$q missing range-partitioned slice phase:\n${plan.take(3000)}")
+      assert(plan.contains("windowspecdefinition(user_id#") &&
+        plan.contains(", slice#"),
+        s"$q point window not slice-keyed:\n${plan.take(3000)}")
+      assert(streamWide.findFirstIn(plan).isEmpty,
+        s"$q still has a stream-wide point-ordered window:\n${plan.take(3000)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q slice carries should join back broadcast:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
   test("embedding audits broadcast their metadata-scale stats row") {
     // centroid/range tables are 1-row aggregates: they must reach the
     // corpus pass as a broadcast, never shuffle the corpus against them

@@ -40,6 +40,99 @@ class RewriteEquivalenceSpec extends SparkSuite {
     }
   }
 
+  // skewed point sets for the sliced-scan guards: stream s0 holds ~half
+  // the points (spanning several range slices at 4 shuffle partitions),
+  // timestamps collide on a coarse grid so (t, value) ties — including
+  // full-duplicate rows — land on and across slice boundaries
+  private def randomPoints(seed: Long, n: Int, streams: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val s = if (rnd.nextBoolean()) "s0" else s"s${rnd.nextInt(streams)}"
+      (s, rnd.nextInt(300).toLong, (rnd.nextInt(16) - 8).toDouble / 4)
+    }.toDF("uuid", "t_us", "value")
+  }
+
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+
+  test("sliced delta equals the stream-wide window lag reference") {
+    for (seed <- Seq(3L, 77L)) {
+      val pts = randomPoints(seed, 3000, 6)
+      val w = Window.partitionBy(col("uuid")).orderBy(col("t_us"), col("value"))
+      val ref = pts
+        .withColumn("prev_t", lag(col("t_us"), 1).over(w))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .filter(col("prev_t").isNotNull)
+        .select(col("uuid"), col("t_us"), col("value"),
+          graft.Quant.q6(col("value") - col("prev_v")).as("dv"),
+          (col("t_us") - col("prev_t")).as("dt_us"),
+          when(col("t_us") - col("prev_t") > 0,
+            graft.Quant.q6((col("value") - col("prev_v")) /
+              (col("t_us") - col("prev_t")).cast("double") * 1e6)).as("rate_per_s"))
+      assert(multiset(TimeSeriesOps.delta(pts, Seq("uuid"))) == multiset(ref),
+        s"seed $seed delta mismatch")
+    }
+  }
+
+  test("sliced cusum equals the stream-wide exact prefix-sum reference") {
+    for (seed <- Seq(11L, 2027L)) {
+      val pts = randomPoints(seed, 3000, 6)
+      val stats = TimeSeriesOps.streamStats(pts, Seq("uuid"))
+        .select(col("uuid"), round(col("mean_us"), 0).cast("long").as("mean_i"))
+      val w = Window.partitionBy(col("uuid")).orderBy(col("t_us"), col("value"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ref = pts.join(broadcast(stats), "uuid")
+        .withColumn("cum_us",
+          sum((graft.Quant.us6(col("value")) - col("mean_i")).cast("decimal(38,0)")).over(w))
+        .select(col("uuid"), col("t_us"), col("value"),
+          graft.Quant.q6(col("cum_us").cast("double") / 1e6).as("cusum"))
+      assert(multiset(TimeSeriesOps.cusum(pts, Seq("uuid"))) == multiset(ref),
+        s"seed $seed cusum mismatch")
+    }
+  }
+
+  test("sliced sessionize equals the stream-wide gaps-and-islands reference") {
+    for (seed <- Seq(5L, 404L)) {
+      val pts = randomPoints(seed, 3000, 6)
+      val gapUs = 7L
+      val w = Window.partitionBy(col("uuid")).orderBy(col("t_us"), col("value"))
+      val ref = pts
+        .withColumn("prev_t", lag(col("t_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_t").isNull || col("t_us") - col("prev_t") > gapUs, 1).otherwise(0))
+        .withColumn("session", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("uuid"), col("session"))
+        .agg(min(col("t_us")).as("s_start"), max(col("t_us")).as("s_end"),
+          count(lit(1)).as("n_events"),
+          graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"))
+        .withColumn("duration_us", col("s_end") - col("s_start"))
+        .drop("session")
+      assert(multiset(TimeSeriesOps.sessionize(pts, Seq("uuid"), gapUs)) == multiset(ref),
+        s"seed $seed sessionize mismatch")
+    }
+  }
+
+  test("sliced value runs equal the stream-wide gaps-and-islands reference") {
+    for (seed <- Seq(13L, 909L)) {
+      val pts = randomPoints(seed, 3000, 6)
+      val dedup = pts.groupBy(col("uuid"), col("t_us")).agg(max(col("value")).as("value"))
+      val w = Window.partitionBy(col("uuid")).orderBy(col("t_us"))
+      val ref = dedup
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_v").isNull || col("value") =!= col("prev_v"), 1).otherwise(0))
+        .withColumn("run", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("uuid"), col("run"))
+        .agg(min(col("t_us")).as("r_start"), max(col("t_us")).as("r_end"),
+          min(col("value")).as("value"), count(lit(1)).as("n_points"))
+        .drop("run")
+      assert(multiset(TimeSeriesOps.valueRuns(pts, Seq("uuid"))) == multiset(ref),
+        s"seed $seed value runs mismatch")
+    }
+  }
+
   test("bounded top-k per window equals the global rank reference") {
     for (seed <- Seq(7L, 99L)) {
       val rnd = new scala.util.Random(seed)
