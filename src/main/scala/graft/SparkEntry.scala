@@ -251,6 +251,12 @@ object SparkEntry {
       graft.ts.Downsample.lttb(Tables.points(s, dir), STREAM, T0, T29, 7)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
+    // the scale-path swap-in: M4 candidates per bucket + sliced prefix
+    // count — no stream-wide sort anywhere in the plan
+    "ts_lttb_bucketed" -> ((s, dir) =>
+      graft.ts.Downsample.lttbBucketed(Tables.points(s, dir), STREAM, T0, T29, 7)
+        .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
+
     "ts_ewma" -> ((s, dir) =>
       TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -1047,6 +1053,7 @@ object SparkEntry {
          |ORDER BY user_id, t_us""".stripMargin,
 
     "ts_lttb" -> lttbSql(7),
+    "ts_lttb_bucketed" -> lttbSql(7, bucketed = true),
 
     // tie determinism mirrors the struct-argmax: a tied min takes its
     // earliest t_us, a tied max its latest
@@ -2505,17 +2512,36 @@ object SparkEntry {
     * against the previous stage's selection and the precomputed
     * next-bucket mean (exact integer sums, the same micro-unit rounding).
     */
-  private def lttbSql(nOut: Int): String = {
+  private def lttbSql(nOut: Int, bucketed: Boolean = false): String = {
     val middle = nOut - 2
     def area(cT: String, cV: String) =
       s"abs((CAST(p.t_us AS DOUBLE) - r.tbar) * ($cV - p.value) - " +
         s"(CAST(p.t_us AS DOUBLE) - CAST($cT AS DOUBLE)) * (r.vbar - p.value))"
+    // the bucketed variant selects among each bucket's M4 candidate set
+    // (first/last in time, min/max in value — the same deterministic
+    // struct-extreme tie-breaks as the engine) instead of all bucket rows
+    val pool = if (bucketed) "cand" else "mid"
+    val candCte = if (!bucketed) "" else
+      s"""cand AS (
+         |  SELECT DISTINCT user_id, event_type, kb, t_us, value FROM (
+         |    SELECT user_id, event_type, kb, t_us, value,
+         |      row_number() OVER (PARTITION BY user_id, event_type, kb
+         |        ORDER BY t_us, value) AS r1,
+         |      row_number() OVER (PARTITION BY user_id, event_type, kb
+         |        ORDER BY t_us DESC, value DESC) AS r2,
+         |      row_number() OVER (PARTITION BY user_id, event_type, kb
+         |        ORDER BY value, t_us) AS r3,
+         |      row_number() OVER (PARTITION BY user_id, event_type, kb
+         |        ORDER BY value DESC, t_us DESC) AS r4
+         |    FROM mid)
+         |  WHERE r1 = 1 OR r2 = 1 OR r3 = 1 OR r4 = 1),
+         |""".stripMargin
     val stages = (0 until middle).map { kb =>
       val prev = if (kb == 0) "firstp" else s"sel${kb - 1}"
       s"""sel$kb AS (
          |  SELECT m.user_id AS user_id, m.event_type AS event_type,
          |         m.t_us AS t_us, m.value AS value
-         |  FROM mid m
+         |  FROM $pool m
          |  JOIN $prev p ON m.user_id = p.user_id AND m.event_type = p.event_type
          |  JOIN nextref r ON r.user_id = m.user_id AND r.event_type = m.event_type
          |    AND r.kb = $kb
@@ -2549,7 +2575,7 @@ object SparkEntry {
        |            UNION ALL
        |            SELECT user_id, event_type, ${middle - 1} AS kb,
        |                   CAST(t_us AS DOUBLE) AS tbar, value AS vbar FROM lastp),
-       |$stages
+       |$candCte$stages
        |SELECT user_id, event_type, t_us, value FROM small
        |UNION ALL SELECT user_id, event_type, t_us, value FROM firstp
        |$unions

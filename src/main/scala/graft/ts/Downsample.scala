@@ -126,4 +126,140 @@ object Downsample {
     picked.toDF("k", "t_us", "value")
       .select(restored :+ col("t_us") :+ col("value"): _*)
   }
+
+  /** Scale-path LTTB (the documented swap-in behind `ts_lttb_bucketed`,
+    * following the percentile/cardinality approx-variant precedent):
+    * identical bucket layout, reference means, and triangle/tie rule as
+    * lttb(), but each bucket is pre-reduced to its M4 candidate set —
+    * first/last in time and min/max in value, deterministic struct-extreme
+    * tie-breaks — and the sequential pass selects among those. On buckets
+    * whose winning triangle sits at an extreme (monotone or sawtooth
+    * windows, the common dashboard shapes) the output equals exact LTTB;
+    * elsewhere it may pick a different bucket representative, which is
+    * the documented approximation.
+    *
+    * Why it scales where lttb() cannot: lttb() sorts each stream's whole
+    * in-range history inside one flatMapGroups task, so it must be served
+    * from a rollup level / bounded range. Here the per-point index is the
+    * two-phase sliced prefix count (TimeSeriesOps.timeSliced +
+    * slicedRunningSum — no stream-wide sort), candidates and bucket means
+    * are map-side-partial groupBys, and the only sequential pass runs
+    * over nOut-scale candidate summaries per stream.
+    */
+  def lttbBucketed(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                   nOut: Int, version: Option[Long] = None): DataFrame = {
+    require(nOut >= 3, s"nOut must be at least 3, got $nOut")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val key = streamCols.map(col)
+    val middle = nOut - 2
+    val versioned = version.fold(points)(v => points.filter(col("ver") <= v))
+    val inRange = versioned.filter(col("t_us") >= start && col("t_us") < end)
+      .select(key :+ col("t_us") :+ col("value"): _*)
+    val keyTypes = inRange.select(key: _*).schema
+
+    // per-point 1-based index in (t_us, value) order — distributed prefix
+    // count, never a stream-wide sort — plus the metadata-scale per-stream
+    // total joined back broadcast (null-safe: null keys are real streams)
+    val rn = TimeSeriesOps.slicedRunningSum(
+      TimeSeriesOps.timeSliced(inRange, streamCols), streamCols, lit(1L), "rn")
+    val counts = inRange.groupBy(key: _*).agg(count(lit(1)).as("n"))
+    val cRenamed = streamCols.foldLeft(counts)((d, c) => d.withColumnRenamed(c, s"__c_$c"))
+    val joinCond = streamCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
+    val withN = rn.join(broadcast(cRenamed), joinCond)
+      .drop(streamCols.map(c => s"__c_$c"): _*)
+
+    val small = withN.filter(col("n") <= nOut)
+      .select(key :+ col("t_us") :+ col("value"): _*)
+    val packedKey = concat_ws(SEP,
+      key.map(c => coalesce(c.cast("string"), lit(NULL_SENTINEL))): _*)
+    val big = withN.filter(col("n") > nOut).withColumn("k", packedKey)
+      .select(col("k"), col("rn"), col("n"), col("t_us"), col("value"))
+    val firstp = big.filter(col("rn") === 1)
+    val lastp = big.filter(col("rn") === col("n"))
+    val mid = big.filter(col("rn") >= 2 && col("rn") <= col("n") - 1)
+      .withColumn("kb", expr(s"((rn - 2) * $middle) div (n - 2)"))
+
+    // exact-integer bucket means (the oracle replays CAST(sum AS DOUBLE)
+    // division) and the M4 candidate set, deduplicated
+    val bm = mid.groupBy(col("k"), col("kb"))
+      .agg(count(lit(1)).as("c"),
+        // buckets are unbounded groups (N / (nOut-2) points): exact
+        // decimal sums per the graft.Quant overflow rule
+        sum(col("t_us").cast("decimal(38,0)")).as("st"),
+        graft.Quant.sumUs6Unbounded(col("value")).as("sus"))
+      .select(col("k"), col("kb"),
+        (col("st").cast("double") / col("c").cast("double")).as("tbar"),
+        graft.Quant.mean6(col("sus"), col("c")).as("vbar"))
+    val cand = mid.groupBy(col("k"), col("kb"))
+      .agg(
+        min(struct(col("t_us"), col("value"))).as("c1"),
+        max(struct(col("t_us"), col("value"))).as("c2"),
+        min(struct(col("value"), col("t_us"))).as("c3"),
+        max(struct(col("value"), col("t_us"))).as("c4"))
+      .select(col("k"), col("kb"), explode(array_distinct(array(
+        col("c1"), col("c2"),
+        struct(col("c3.t_us").as("t_us"), col("c3.value").as("value")),
+        struct(col("c4.t_us").as("t_us"), col("c4.value").as("value"))))).as("c"))
+      .select(col("k"), col("kb"), col("c.t_us"), col("c.value"))
+
+    // one tagged union, nOut-scale per stream, for the sequential pass:
+    // kind 0/1 = first/last point, 2 = bucket candidate, 3 = bucket mean
+    val packed =
+      firstp.select(col("k"), lit(0).as("kind"), lit(-1L).as("kb"),
+          col("t_us"), col("value"), lit(0.0).as("tbar"), lit(0.0).as("vbar"))
+        .union(lastp.select(col("k"), lit(1), lit(-1L),
+          col("t_us"), col("value"), lit(0.0), lit(0.0)))
+        .union(cand.select(col("k"), lit(2), col("kb"),
+          col("t_us"), col("value"), lit(0.0), lit(0.0)))
+        .union(bm.select(col("k"), lit(3), col("kb"),
+          lit(0L), lit(0.0), col("tbar"), col("vbar")))
+        .as[(String, Int, Long, Long, Double, Double, Double)]
+
+    val picked = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      var ft = 0L; var fv = 0.0; var lt = 0L; var lv = 0.0
+      val bmOf = scala.collection.mutable.HashMap.empty[Long, (Double, Double)]
+      val candsOf = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+      it.foreach {
+        case (_, 0, _, t, v, _, _) => ft = t; fv = v
+        case (_, 1, _, t, v, _, _) => lt = t; lv = v
+        case (_, 2, kb, t, v, _, _) =>
+          candsOf.getOrElseUpdate(kb,
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]) += ((t, v))
+        case (_, _, kb, _, _, tb, vb) => bmOf(kb) = (tb, vb)
+      }
+      val out = Array.newBuilder[(String, Long, Double)]
+      out += ((k, ft, fv))
+      var x0 = ft.toDouble; var y0 = fv
+      var kb = 0
+      while (kb < middle) {
+        val (tBar, vBar) =
+          if (kb + 1 < middle) bmOf(kb + 1) else (lt.toDouble, lv)
+        var bestA = -1.0; var bestT = 0L; var bestV = 0.0; var first = true
+        candsOf.getOrElse(kb, scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+          .foreach { case (t, v) =>
+            val a = math.abs((x0 - tBar) * (v - y0) - (x0 - t.toDouble) * (vBar - y0))
+            if (first || a > bestA ||
+                (a == bestA && (t > bestT || (t == bestT && v > bestV)))) {
+              bestA = a; bestT = t; bestV = v; first = false
+            }
+          }
+        out += ((k, bestT, bestV))
+        x0 = bestT.toDouble; y0 = bestV
+        kb += 1
+      }
+      out += ((k, lt, lv))
+      out.result().iterator
+    }
+
+    val parts = split(col("k"), SEP, -1)
+    val restored = keyTypes.zipWithIndex.map { case (f, i) =>
+      when(parts(i) === NULL_SENTINEL, lit(null))
+        .otherwise(parts(i)).cast(f.dataType).as(f.name)
+    }
+    picked.toDF("k", "t_us", "value")
+      .select(restored :+ col("t_us") :+ col("value"): _*)
+      .unionByName(small)
+  }
 }

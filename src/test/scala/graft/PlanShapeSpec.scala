@@ -141,7 +141,8 @@ class PlanShapeSpec extends SparkSuite {
     // range-partition the timeline and key every point-level window by
     // (stream, slice), with boundary rows / carries joined back broadcast
     val streamWide = "windowspecdefinition\\(user_id#\\d+L?, event_type#\\d+, t_us#".r
-    for (q <- Seq("ts_cusum", "ts_delta", "ts_sessionize", "ts_value_runs")) {
+    for (q <- Seq("ts_cusum", "ts_delta", "ts_sessionize", "ts_value_runs",
+        "ts_lttb_bucketed")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(plan.contains("rangepartitioning(user_id"),
         s"$q missing range-partitioned slice phase:\n${plan.take(3000)}")

@@ -133,6 +133,63 @@ class RewriteEquivalenceSpec extends SparkSuite {
     }
   }
 
+  test("bucketed lttb equals the sequential candidate-chain reference") {
+    // the distributed pipeline (sliced prefix count → bucket assignment →
+    // M4 candidates → per-stream chain over summaries) must reproduce the
+    // naive single-pass form of the SAME algorithm exactly
+    def us6(v: Double): Long = java.math.BigDecimal.valueOf(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def mean6(s: BigInt, n: Int): Double = java.math.BigDecimal
+      .valueOf(s.doubleValue / n).setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue / 1e6
+    def refBucketed(rows: Seq[(String, Long, Double)], nOut: Int) = {
+      val middle = nOut - 2
+      rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val pts = g.map(r => (r._2, r._3)).sorted.toArray
+        if (pts.length <= nOut) pts.toSeq.map(p => (k, p._1, p._2))
+        else {
+          val m = pts.length - 2
+          val buckets = Array.fill(middle)(
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+          for (j <- 0 until m) buckets(((j.toLong * middle) / m).toInt) += pts(j + 1)
+          val bm = buckets.map { b =>
+            (b.map(p => BigInt(p._1)).sum.doubleValue / b.length,
+              mean6(b.map(p => BigInt(us6(p._2))).sum, b.length))
+          }
+          val cands = buckets.map { b =>
+            Seq(b.minBy(identity), b.maxBy(identity),
+              b.minBy(p => (p._2, p._1)), b.maxBy(p => (p._2, p._1))).distinct
+          }
+          val out = scala.collection.mutable.ArrayBuffer(pts(0))
+          for (kb <- 0 until middle) {
+            val (tBar, vBar) =
+              if (kb + 1 < middle) bm(kb + 1) else (pts.last._1.toDouble, pts.last._2)
+            val x0 = out.last._1.toDouble; val y0 = out.last._2
+            var bestA = -1.0; var best = (0L, 0.0); var first = true
+            for ((t, v) <- cands(kb)) {
+              val a = math.abs((x0 - tBar) * (v - y0) - (x0 - t.toDouble) * (vBar - y0))
+              if (first || a > bestA ||
+                  (a == bestA && (t > best._1 || (t == best._1 && v > best._2)))) {
+                bestA = a; best = (t, v); first = false
+              }
+            }
+            out += best
+          }
+          out += pts.last
+          out.toSeq.map(p => (k, p._1, p._2))
+        }
+      }
+    }
+    def m(s: Seq[(String, Long, Double)]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    for (seed <- Seq(21L, 555L)) {
+      val pts = randomPoints(seed, 3000, 6)
+      val got = graft.ts.Downsample.lttbBucketed(pts, Seq("uuid"), 0L, 300L, 9)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val in = pts.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(m(got) == m(refBucketed(in, 9)), s"seed $seed bucketed lttb mismatch")
+    }
+  }
+
   test("bounded top-k per window equals the global rank reference") {
     for (seed <- Seq(7L, 99L)) {
       val rnd = new scala.util.Random(seed)
