@@ -69,8 +69,15 @@ object SparkEntry {
         concat(lit("ing-"), (col("id") % 64).cast("string")).as("uuid"),
         (lit(T0) + col("id") * 1000L).as("time"),
         (col("id") % 1000).cast("double").as("value")))
+      // readback fingerprint per stream: count, time bounds, exact value
+      // sum, committed version — the ingest is synthetic, so the DuckDB
+      // oracle recomputes the expected visible view from generate_series
+      // (no store dir needed) and the hash gates insert + readback e2e
       st.rawPoints.groupBy(col("uuid"))
-        .agg(count(lit(1)).as("n_points"), max(col("ver")).as("ver"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("time")).as("t_min"), max(col("time")).as("t_max"),
+          sum(col("value").cast("long")).as("v_sum"),
+          max(col("ver")).as("ver"))
         .orderBy(col("uuid"))
     }),
 
@@ -630,6 +637,15 @@ object SparkEntry {
       Vectors.annIvf(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
 
+    // the IVF SERVING path under an exact oracle: zero Lloyd rounds means
+    // the quantizer is the deterministic lowest-id seed vectors, so DuckDB
+    // replays assignment + nProbe probe ranking + exact re-rank
+    // bit-for-bit; Lloyd refinement (emb_ann_ivf above) stays rows-only,
+    // its training pinned by specs
+    "emb_ann_ivf_served" -> ((s, dir) =>
+      Vectors.annIvf(Tables.load(s, dir, "embeddings"), 5, 10, lloydIters = 0)
+        .orderBy(col("q_id"), col("rank"))),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_tokens" -> ((s, dir) =>
       TextFunctions.tokenStats(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -759,6 +775,21 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Mirrors the ts_ingest query's synthetic batch — uuid 'ing-'||(id%64),
+    // time T0+id*1000, value id%1000 over 500k ids, all committed at
+    // version 1 into a fresh store — so the oracle needs no store dir:
+    // it recomputes the expected visible view from generate_series and
+    // the hash gates the insert + readback path end to end.
+    "ts_ingest" ->
+      s"""WITH g AS (SELECT unnest(generate_series(0, 499999)) AS id),
+         |s AS (SELECT concat('ing-', CAST(id % 64 AS VARCHAR)) AS uuid,
+         |             $T0 + id * 1000 AS time, id % 1000 AS v FROM g)
+         |SELECT uuid, CAST(count(*) AS BIGINT) AS n_points,
+         |       min(time) AS t_min, max(time) AS t_max,
+         |       CAST(sum(v) AS BIGINT) AS v_sum,
+         |       CAST(1 AS BIGINT) AS ver
+         |FROM s GROUP BY uuid ORDER BY uuid""".stripMargin,
+
     "ts_raw_values" ->
       s"""WITH pts AS ($PTS_SQL)
          |SELECT user_id, event_type, t_us, value FROM pts
@@ -2038,6 +2069,35 @@ object SparkEntry {
          |              row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank
          |       FROM r)
          |SELECT id_a AS q_id, id_b AS n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
+         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Vectors.annIvf(lloydIters = 0) — the serving path with the
+    // deterministic seed quantizer: centroids = the 16 lowest-id corpus
+    // vectors (cell = vec_id rank), corpus assigned by argmax(2·v·c − |c|²)
+    // with ties → max cell, queries probe the 4 best cells (ties → min
+    // cell), candidates exact-cosine reranked. Every dot replays DOT_SQL's
+    // index order, so the hash matches bit-for-bit.
+    "emb_ann_ivf_served" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |      FROM e, c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |p AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |      FROM e, c WHERE e.vec_id < 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |r AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id,
+         |             ${DOT_SQL("p.embedding", "a.embedding")} / (p.nrm * a.nrm) AS cos
+         |      FROM p JOIN a ON p.cell = a.cell),
+         |rk AS (SELECT q_id, n_id, cos,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM r)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
          |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "text_tokens" ->

@@ -288,6 +288,15 @@ object Vectors {
     // more job (the training collect), which also yields the deterministic
     // lowest-id seeds — three separate driver jobs (seed limit+collect,
     // count, train collect) measurably dominate the sub-second IVF build.
+    //
+    // lloydIters == 0 short-circuits BOTH regimes: the quantizer is just
+    // the seed vectors, so one TakeOrdered(nCells) job suffices at any
+    // corpus size (this is the oracle-replayable serving configuration —
+    // emb_ann_ivf_served).
+    if (lloydIters == 0)
+      return corpus.orderBy(col("vec_id")).limit(nCells)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val corpusN = corpus.count()
     var cents: Array[Array[Double]] = null
     if (corpusN <= trainLimit) {
