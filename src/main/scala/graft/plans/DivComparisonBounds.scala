@@ -144,10 +144,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.plans", name, usage),
       (args: Seq[Expression]) => builder(args))
 
-  // TVF helpers: the first argument names a table/view in the CALLING
-  // session's catalog; key columns arrive as one csv string literal
-  private def view(e: Expression): org.apache.spark.sql.DataFrame =
-    org.apache.spark.sql.SparkSession.active.table(strLit(e, "view name"))
+  // TVF helpers: the first argument names a table/view, resolved against
+  // SparkSession.active — the THREAD-LOCAL active session at function-
+  // resolution time, which in a multi-session app (cloned sessions,
+  // Connect) may differ from the session that registered the extension.
+  // Single-session deployments (this engine's contract) are unaffected;
+  // a missing view is rethrown as an AnalysisException naming the TVF
+  // argument so it surfaces as an analysis error, not a builder crash.
+  private def view(e: Expression): org.apache.spark.sql.DataFrame = {
+    val name = strLit(e, "view name")
+    try org.apache.spark.sql.SparkSession.active.table(name)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "TABLE_OR_VIEW_NOT_FOUND",
+          messageParameters = Map("relationName" ->
+            (s"`$name` (a graft TVF view argument, resolved in the " +
+              "ACTIVE session's catalog)")))
+    }
+  }
   private def keyCols(e: Expression): Seq[String] =
     strLit(e, "key columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq
 

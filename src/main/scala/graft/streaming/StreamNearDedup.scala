@@ -76,10 +76,20 @@ object StreamNearDedup {
       .as[BandDoc]
   }
 
+  /** `cappedCounter` (optional) makes the maxPerBucket recall trade
+    * OBSERVABLE: it counts arrivals that were unique (no hit emitted) but
+    * arrived at a full bucket and were NOT indexed — the docs whose later
+    * near-dups this band can no longer catch. Without it an over-cap
+    * unique arrival is indistinguishable from an indexed one at runtime.
+    * Pass `spark.sparkContext.longAccumulator("...")` and read it per
+    * batch (e.g. from a StreamingQueryListener) to monitor recall decay.
+    */
   def bandHits(bandDocs: Dataset[BandDoc],
                minAgree: Double = 0.5,
                maxPerBucket: Int = Int.MaxValue,
-               stateTtlMs: Option[Long] = None): Dataset[BandHit] = {
+               stateTtlMs: Option[Long] = None,
+               cappedCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[BandHit] = {
     require(maxPerBucket > 0, s"maxPerBucket must be positive, got $maxPerBucket")
     implicit val ke = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
     val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -111,6 +121,7 @@ object StreamNearDedup {
               }
               if (bestAgree >= minAgree) out += BandHit(d.doc_id, key._1, bestId, bestAgree)
               else if (idx.size < maxPerBucket) idx :+= IndexedSig(d.doc_id, d.sig)
+              else cappedCounter.foreach(_.add(1L))
             }
             state.update(BucketIndex(idx))
             stateTtlMs.foreach(state.setTimeoutDuration)

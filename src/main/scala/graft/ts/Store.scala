@@ -35,7 +35,19 @@ import org.apache.spark.sql.functions._
   * drops dead rows and rewrites partitions — BTrDB's tree GC, done as a
   * deterministic batch job instead of reference counting.
   */
-class Store(val spark: SparkSession, val base: String) {
+/** `maxBatchStreams` bounds the ONLY driver-resident state the store
+  * keeps: the per-batch uuid→version map (nextVersions / versionsFor).
+  * That map is metadata-scale — one entry per distinct stream IN THE
+  * BATCH, never per point and never per stream in the store — which is
+  * how the reference sizes its etcd version state too. The bound makes
+  * the contract explicit for million-stream fleets: a batch touching
+  * more distinct uuids than this fails loudly (split the batch; the
+  * write path itself is unbounded), instead of quietly growing the
+  * driver heap. The default (2^20 entries ≈ tens of MB) is far above
+  * any sane micro-batch and far below driver OOM territory.
+  */
+class Store(val spark: SparkSession, val base: String,
+            val maxBatchStreams: Int = Store.DefaultMaxBatchStreams) {
   private val pointsDir = s"$base/points"
   private val tombsDir  = s"$base/tombstones"
 
@@ -146,15 +158,27 @@ class Store(val spark: SparkSession, val base: String) {
     // exists takes the general path even if all its rows are dead.)
     if (!hasData(pointsDir) && !hasData(s"$base/points_old") &&
         !hasData(tombsDir) && !hasData(s"$base/tombstones_old"))
-      return batch.select("uuid").distinct()
-        .as[String].collect().toSeq.map(_ -> 1L)
+      return bounded(batch.select("uuid").distinct()
+        .limit(maxBatchStreams + 1).as[String].collect().toSeq).map(_ -> 1L)
     val pv = rawPoints.groupBy("uuid").agg(max($"ver").as("pv"))
     val tv = tombstones.groupBy("uuid").agg(max($"ver").as("tv"))
-    batch.select("uuid").distinct()
+    bounded(batch.select("uuid").distinct()
       .join(pv, Seq("uuid"), "left").join(tv, Seq("uuid"), "left")
       .select($"uuid",
         (greatest(coalesce($"pv", lit(0L)), coalesce($"tv", lit(0L))) + 1).as("ver"))
-      .as[(String, Long)].collect().toSeq
+      .limit(maxBatchStreams + 1).as[(String, Long)].collect().toSeq)
+  }
+
+  /** The maxBatchStreams guard: the limit(max+1) on the collects above
+    * bounds driver memory unconditionally; one extra row proves overflow
+    * without ever materializing the full fleet.
+    */
+  private def bounded[T](rows: Seq[T]): Seq[T] = {
+    require(rows.size <= maxBatchStreams,
+      s"batch touches more than $maxBatchStreams distinct streams: the " +
+        "per-batch uuid->version map is driver-resident by contract - " +
+        "split the batch (or raise maxBatchStreams)")
+    rows
   }
 
   /** Current committed version per uuid for a BOUNDED uuid set, with
@@ -170,6 +194,7 @@ class Store(val spark: SparkSession, val base: String) {
     */
   def versionsFor(uuids: Seq[String]): Map[String, Long] = {
     if (uuids.isEmpty) return Map.empty
+    bounded(uuids)
     val ubs = uuids.map(ubOf).distinct
     val uset = uuids.toSet
     val pv = rawPoints
@@ -278,8 +303,16 @@ class Store(val spark: SparkSession, val base: String) {
                 start: Long, end: Long,
                 deleteFirst: Boolean = false,
                 asOf: Option[Long] = None): Long = {
+    // Pin the source snapshot BEFORE any destination delete: the source
+    // read is a lazy plan that only evaluates inside dst.insert, so in
+    // the same-store/same-uuid mode (copy.go's dstuuid = "same") an
+    // unpinned read after deleteFirst would see the fresh tombstone and
+    // silently copy nothing. Resolving "latest" to the source's current
+    // version now makes the read immune to anything the copy itself
+    // commits (and is a no-op otherwise: ver <= current covers all).
+    val pinned = asOf.orElse(Some(version(srcUuid)))
     if (deleteFirst) dst.deleteRange(dstUuid, start, end)
-    dst.insert(dstUuid, rawValues(srcUuid, start, end, asOf))
+    dst.insert(dstUuid, rawValues(srcUuid, start, end, pinned))
   }
 
   /** Changed time ranges between two versions (FindChangedSince): inserted
@@ -429,6 +462,13 @@ object Store {
   val UuidBuckets = 64
   /** tb = time >> TimeBucketShift: ≈51-day buckets at µs resolution. */
   val TimeBucketShift = 42
+  /** Default bound on the per-batch driver-side uuid→version map — see
+    * the maxBatchStreams doc on the class.
+    */
+  val DefaultMaxBatchStreams: Int = 1 << 20
 
   def apply(spark: SparkSession, base: String): Store = new Store(spark, base)
+
+  def apply(spark: SparkSession, base: String, maxBatchStreams: Int): Store =
+    new Store(spark, base, maxBatchStreams)
 }

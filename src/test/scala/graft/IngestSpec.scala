@@ -277,6 +277,17 @@ class IngestSpec extends SparkSuite {
       .collect().map(h => (h.doc_id, h.match_id)).toSet
     assert(capped.nonEmpty && capped.forall { case (d, m) =>
       Set(2L, 4L)(d) && Set(1L, 2L)(m) }, s"$capped")
+    // the silent recall trade is observable: craft a full bucket (cap 1,
+    // doc 1 indexed) and send doc 9 — unique (agreement 0.25 < 0.5) but
+    // over-cap, so it must be counted as non-indexed, not silently lost
+    val cappedAcc = spark.sparkContext.longAccumulator("near_dedup_capped")
+    val crafted = Seq(
+      BandDoc(0, 100, 1L, Seq(1L, 2L, 3L, 4L)),
+      BandDoc(0, 100, 9L, Seq(1L, 9L, 8L, 7L))).toDS()
+    val craftedHits = StreamNearDedup.bandHits(crafted, minAgree = 0.5,
+      maxPerBucket = 1, cappedCounter = Some(cappedAcc)).collect()
+    assert(craftedHits.isEmpty, craftedHits.mkString(","))
+    assert(cappedAcc.value == 1L, s"capped=${cappedAcc.value}")
   }
 
   test("streaming ANN probe over chunked arrivals equals the fused batch IVF") {

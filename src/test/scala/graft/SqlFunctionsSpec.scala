@@ -26,6 +26,22 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(spark.sql("SELECT minhash_sig('a b', 3, 8) IS NULL AS x").head().getBoolean(0))
   }
 
+  test("a TVF over a missing view fails as an analysis error naming the arg") {
+    // the view argument resolves against the ACTIVE session's catalog at
+    // function-resolution time; a miss must surface as an
+    // AnalysisException pointing at the TVF argument, not a builder crash
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_raw_values('no_such_view_xyz', 'uuid', 0, 10)")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val ae = chain(e).collectFirst {
+      case a: org.apache.spark.sql.AnalysisException => a }
+    assert(ae.isDefined, s"expected an AnalysisException in ${chain(e).map(_.getClass)}")
+    assert(ae.get.getMessage.contains("no_such_view_xyz"), ae.get.getMessage)
+  }
+
   test("simhash_sig in SQL equals the Column-API value") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

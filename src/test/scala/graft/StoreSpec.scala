@@ -63,6 +63,39 @@ class StoreSpec extends SparkSuite {
     assert(self == (1L to 10L).map(t => (t, t.toDouble)), s"$self")
   }
 
+  test("version discovery is bounded: an over-wide batch fails loudly") {
+    // the per-batch uuid->version map is driver-resident by contract;
+    // beyond maxBatchStreams the collect must refuse, not grow the heap
+    val st = Store(spark, tmpDir("store_cap"), maxBatchStreams = 2)
+    val ok = Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("uuid", "time", "value")
+    st.insertBatch(ok) // 2 streams: at the bound, fine
+    assert(st.rawPoints.count() == 2)
+    val wide = Seq(("a", 3L, 3.0), ("b", 4L, 4.0), ("c", 5L, 5.0))
+      .toDF("uuid", "time", "value")
+    val e = intercept[IllegalArgumentException] { st.insertBatch(wide) }
+    assert(e.getMessage.contains("distinct streams"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      st.versionsFor(Seq("a", "b", "c")) }
+    assert(e2.getMessage.contains("distinct streams"), e2.getMessage)
+    // the store itself is NOT bounded: the same wide batch commits fine
+    // on a store with the default contract
+    val st2 = Store(spark, tmpDir("store_cap2"))
+    st2.insertBatch(wide)
+    assert(st2.rawPoints.count() == 3)
+  }
+
+  test("unpinned same-uuid copyRange with deleteFirst keeps the range") {
+    // the source read is lazy and only runs inside the insert — without
+    // pinning "latest" to the pre-delete version, the self-copy would see
+    // its own fresh tombstone and silently copy zero points
+    val st = mkStore
+    st.insert("s1", (1L to 10L).map(t => (t, t.toDouble)).toDF("time", "value"))
+    val v = st.copyRange("s1", st, "s1", 3L, 7L, deleteFirst = true, asOf = None)
+    val got = st.rawValues("s1", 0L, 100L, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == (1L to 10L).map(t => (t, t.toDouble)), s"$got")
+  }
+
   test("changes reports inserted and deleted ranges, merged at resolution") {
     val st = mkStore
     val v1 = st.insert("s1", Seq((100L, 1.0), (101L, 1.0), (5000L, 2.0)).toDF("time", "value"))
