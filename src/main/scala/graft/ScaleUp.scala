@@ -1,0 +1,95 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-scaling dataset generator: writes an N× scale-up of a source SF
+  * dir by unioning key-offset copies of the fact tables (dims follow
+  * their keys; nation/region stay as-is). Used for the §7d scaling run —
+  * the gate SF times are floor-dominated (~0.2 s/query of job overhead),
+  * so only a 10× run shows which plans are data-bound.
+  *
+  * Replication is adjusted where naive copies would fabricate quadratic
+  * outputs instead of 10× the work:
+  *  - documents: every word of copy i > 0 gets a copy-tag suffix, so
+  *    cross-copy shingle overlap is zero — dedup/LSH workloads grow
+  *    linearly (10× the clusters), not 100× the candidate pairs;
+  *  - embeddings: copy i's vectors are cyclically rotated by i lanes
+  *    (norm-preserving), so cross-copy cosines stay unstructured and
+  *    pair/kNN outputs scale with the corpus, not with copy count;
+  *  - events: copy i offsets user_id — 10× the streams, same per-stream
+  *    density, everything inside the queries' fixed time windows.
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [copies=10]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
+    def replicate(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => copy(df, i)).reduce(_ union _)
+
+    write(replicate(tbl("events")) { (d, i) =>
+      d.withColumn("user_id", col("user_id") + i * 10000L)
+    }, "events")
+
+    write(replicate(tbl("documents")) { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + i * 100000000L)
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"q$i"))), " "))
+        .withColumn("n_chars", length(col("text")))
+    }, "documents")
+
+    write(replicate(tbl("embeddings")) { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("vec_id", col("vec_id") + i * 10000000L)
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i))"))
+    }, "embeddings")
+
+    write(replicate(tbl("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + i * 10000000000L)
+        .withColumn("l_partkey", col("l_partkey") + i * 1000000000L)
+        .withColumn("l_suppkey", col("l_suppkey") + i * 100000000L)
+    }, "lineitem")
+
+    write(replicate(tbl("orders")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + i * 10000000000L)
+        .withColumn("o_custkey", col("o_custkey") + i * 1000000000L)
+    }, "orders")
+
+    write(replicate(tbl("customer")) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + i * 1000000000L)
+    }, "customer")
+
+    write(replicate(tbl("part")) { (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + i * 1000000000L)
+    }, "part")
+
+    write(replicate(tbl("supplier")) { (d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + i * 100000000L)
+    }, "supplier")
+
+    write(tbl("nation"), "nation")
+    write(tbl("region"), "region")
+
+    println(s"""{"scaled": "$out", "copies": $copies}""")
+    spark.stop()
+  }
+}
