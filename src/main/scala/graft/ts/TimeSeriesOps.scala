@@ -509,6 +509,51 @@ object TimeSeriesOps {
       .drop("__inc", "__carry")
   }
 
+  /** Fused phase 2+3 for gaps-and-islands operators: `outName` = the
+    * running island count per stream in (t_us, value) order, where a row
+    * starts a new island iff it has no predecessor or
+    * isNew(curT, curV, prevT, prevV). Chaining slicedPrev +
+    * slicedRunningSum would run the full-data lag pass twice (the carry
+    * branch re-derives the increments) and join twice; this fuses them:
+    * ONE local pass (lag + running count per slice) and ONE
+    * metadata-scale branch — per-slice boundary rows and local island
+    * counts, with a correction where a slice's first row locally counted
+    * itself a new island but its true predecessor (the previous slice's
+    * last row) continues it — prefix-summed into a single per-slice carry
+    * and broadcast back.
+    */
+  private[graft] def slicedIslands(sliced: DataFrame, streamCols: Seq[String],
+      isNew: (Column, Column, Column, Column) => Column,
+      outName: String): DataFrame = {
+    val wLocal = Window.partitionBy(sliceKey(streamCols): _*)
+      .orderBy(col("t_us"), col("value"))
+    val local = sliced
+      .withColumn("lp_t", lag(col("t_us"), 1).over(wLocal))
+      .withColumn("lp_v", lag(col("value"), 1).over(wLocal))
+      .withColumn("__inc", when(col("lp_t").isNull ||
+          isNew(col("t_us"), col("value"), col("lp_t"), col("lp_v")), 1).otherwise(0))
+      .withColumn("__run_local", sum(col("__inc")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSlices = Window.partitionBy(streamKey(streamCols): _*).orderBy(col("slice"))
+    val meta = local.groupBy(sliceKey(streamCols): _*)
+      .agg(min(struct(col("t_us"), col("value"))).as("first_tv"),
+        max(struct(col("t_us"), col("value"))).as("last_tv"),
+        sum(col("__inc")).as("n_new"))
+      .withColumn("prev_last", lag(col("last_tv"), 1).over(wSlices))
+      // the correction: every row of a continuing slice is over-counted
+      // by exactly the first row's phantom island
+      .withColumn("corr", when(col("prev_last").isNotNull &&
+          !(isNew(col("first_tv.t_us"), col("first_tv.value"),
+            col("prev_last.t_us"), col("prev_last.value")) <=> lit(true)), -1L)
+        .otherwise(0L))
+      .withColumn("carry", coalesce(sum(col("n_new") + col("corr")).over(
+          wSlices.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + col("corr"))
+      .select(sliceKey(streamCols) :+ col("carry"): _*)
+    joinOnSlice(local, meta, streamCols)
+      .withColumn(outName, col("__run_local") + col("carry"))
+      .drop("lp_t", "lp_v", "__inc", "__run_local", "carry")
+  }
+
   /** CUSUM change detection: per stream, the running sum of deviations
     * from the stream's global mean — drifts show as sustained slopes, level
     * shifts as kinks (the classic SPC chart). The mean is the rounded
@@ -832,13 +877,12 @@ object TimeSeriesOps {
                  version: Option[Long] = None): DataFrame = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
     val key = streamKey(streamCols)
-    val prev = slicedPrev(
-      timeSliced(
-        atVersion(points, version).select(key :+ col("t_us") :+ col("value"): _*),
-        streamCols),
-      streamCols)
-    slicedRunningSum(prev, streamCols,
-        when(col("prev_t").isNull || col("t_us") - col("prev_t") > gapUs, 1).otherwise(0),
+    slicedIslands(
+        timeSliced(
+          atVersion(points, version).select(key :+ col("t_us") :+ col("value"): _*),
+          streamCols),
+        streamCols,
+        (ct, _, pt, _) => ct - pt > gapUs,
         "session")
       .groupBy(key :+ col("session"): _*)
       .agg(
@@ -1472,9 +1516,8 @@ object TimeSeriesOps {
     val key = streamKey(streamCols)
     val dedup = atVersion(points, version)
       .groupBy(key :+ col("t_us"): _*).agg(max(col("value")).as("value"))
-    val prev = slicedPrev(timeSliced(dedup, streamCols), streamCols)
-    slicedRunningSum(prev, streamCols,
-        when(col("prev_v").isNull || col("value") =!= col("prev_v"), 1).otherwise(0),
+    slicedIslands(timeSliced(dedup, streamCols), streamCols,
+        (_, cv, _, pv) => pv.isNull || cv =!= pv,
         "run")
       .groupBy(key :+ col("run"): _*)
       .agg(
