@@ -656,6 +656,12 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextFunctions.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // bigram-LM quality scoring, self-trained on the corpus; the exact
+    // mean-inverse-probability score hash-gates where log-PPL could not
+    "text_lm_score" -> ((s, dir) =>
+      TextFunctions.lmScore(Tables.load(s, dir, "documents"), 1024)
+        .orderBy(col("doc_id"))),
+
     "text_fingerprint" -> ((s, dir) =>
       TextFunctions.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -768,6 +774,14 @@ object SparkEntry {
         .orderBy(col("asset_id"), col("frame_idx"))),
 
     // binary-asset exact dedup: payload-hash verdicts, no decode
+    // perceptual near-dup over the binary assets (the recompressed-image
+    // case byte-hash dedup misses): codegen PhashSig + pigeonhole join
+    "mm_phash" -> ((s, dir) =>
+      graft.mm.Multimodal.phashPairs(
+          graft.mm.Multimodal.syntheticAssets(s,
+            Tables.rebalance(Tables.load(s, dir, "documents"))))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "mm_dedup" -> ((s, dir) =>
       graft.mm.Multimodal.dedupAssets(
           graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")))
@@ -2108,6 +2122,42 @@ object SparkEntry {
          |       CAST(length(norm) AS BIGINT) AS n_chars_norm
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextFunctions.lmScore: top-1024 vocab (count desc, word asc
+    // — the same total order TakeOrdered applies), OOV = chr(4)||'oov',
+    // bigram/bigram-start counts over the whole corpus, and per doc the
+    // exact-quantized mean inverse bigram probability. Every term is one
+    // IEEE division of two exact integer counts — no libm — so the score
+    // hashes identically (log-based perplexity could not; see
+    // text_entropy).
+    "text_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |wl AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),
+         |wd AS (SELECT doc_id, unnest(w) AS word,
+         |              unnest(generate_series(1, len(w))) AS pos FROM wl),
+         |vc AS (SELECT word, count(*) AS c FROM wd GROUP BY 1),
+         |top AS (SELECT word FROM vc
+         |        QUALIFY row_number() OVER (ORDER BY c DESC, word) <= 1024),
+         |m AS (SELECT wd.doc_id, wd.pos,
+         |             CASE WHEN t.word IS NOT NULL THEN wd.word
+         |                  ELSE chr(4) || 'oov' END AS mw
+         |      FROM wd LEFT JOIN top t ON wd.word = t.word),
+         |big AS (SELECT doc_id, mw,
+         |               lead(mw) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
+         |        FROM m QUALIFY nw IS NOT NULL),
+         |b12 AS (SELECT mw, nw, count(*) AS c12 FROM big GROUP BY 1, 2),
+         |u1 AS (SELECT mw, count(*) AS c1 FROM big GROUP BY 1),
+         |ov AS (SELECT doc_id,
+         |              count(CASE WHEN mw = chr(4) || 'oov' THEN 1 END) AS n_oov
+         |       FROM m GROUP BY 1),
+         |t AS (SELECT big.doc_id, ${US6("CAST(u1.c1 AS DOUBLE) / b12.c12")} AS tt
+         |      FROM big JOIN b12 ON big.mw = b12.mw AND big.nw = b12.nw
+         |                JOIN u1 ON big.mw = u1.mw)
+         |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(ov.n_oov AS BIGINT) AS n_oov,
+         |       ${MEAN6("sum(tt)", "count(*)")} AS mean_inv_p
+         |FROM t JOIN ov ON t.doc_id = ov.doc_id
+         |GROUP BY t.doc_id, ov.n_oov ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
          |b AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d),
@@ -2461,6 +2511,39 @@ object SparkEntry {
          |k AS (SELECT *, min(asset_id) OVER (PARTITION BY fp) AS keep_id FROM a)
          |SELECT asset_id, kind, fp, asset_id <> keep_id AS is_dup, keep_id
          |FROM k ORDER BY asset_id""".stripMargin,
+
+    // Mirrors Multimodal.phashPairs: per asset a 64-bin code-point-bigram
+    // histogram (bin = (cp1*31 + cp2) mod 64) sign-quantized against the
+    // asset's own mean bin load (64*hist[d] > #bigrams), then near-dup
+    // pairs at Hamming <= 3. The oracle keeps the bits as a boolean list
+    // (no 64-bit packing needed): its pigeonhole chunks are list slices —
+    // chunk ALIGNMENT need not match the engine, only recall 1.0 within
+    // each engine matters, and the exact hamming filter decides
+    // membership identically on both sides.
+    "mm_phash" ->
+      s"""WITH b AS (SELECT doc_id,
+         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
+         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
+         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
+         |             length(text) - 1 AS total
+         |           FROM documents WHERE length(text) >= 2),
+         |s AS (SELECT doc_id,
+         |        list_transform(generate_series(0, 63),
+         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
+         |      FROM b),
+         |ck AS (SELECT doc_id, bits, c.c AS ci,
+         |              bits[c.c * 16 + 1 : c.c * 16 + 16] AS cv
+         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |             a.bits AS ba, b2.bits AS bb
+         |      FROM ck a JOIN ck b2 ON a.ci = b2.ci AND a.cv = b2.cv
+         |        AND a.doc_id < b2.doc_id),
+         |h AS (SELECT DISTINCT id_a, id_b,
+         |        CAST(len(list_filter(generate_series(1, 64),
+         |          i -> ba[CAST(i AS INT)] <> bb[CAST(i AS INT)])) AS BIGINT) AS hamming
+         |      FROM p)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_frames" ->
       s"""WITH a AS (SELECT doc_id AS asset_id,

@@ -109,6 +109,27 @@ object Multimodal {
         (col("asset_id") =!= col("keep_id")).as("is_dup"), col("keep_id"))
   }
 
+  /** Perceptual near-dup pairs for binary assets — the extension point
+    * dedupAssets names: a recompressed/retouched asset hashes differently
+    * byte-wise but lands within a few bits perceptually. Pipeline: decode
+    * (stub: utf-8 → code points; a real deployment swaps in pixels/DCT),
+    * 64-bin bigram-histogram features sign-quantized against the asset's
+    * own mean bin load (graft.plans.PhashSig — one codegen'd pass, exact
+    * integer arithmetic the oracle replays), then the SAME pigeonhole
+    * Hamming join as text SimHash (Dedup.hammingPairs): equality-join on
+    * signature chunks, never all-pairs, exact bit_count(xor) verification.
+    * Featureless payloads (< 2 code points) are excluded — their null
+    * hash would otherwise cluster unrelated empty assets.
+    */
+  def phashPairs(assets: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val signed = assets.toDF()
+      .select(col("asset_id").as("doc_id"),
+        graft.plans.TextHashes.phashSig(col("payload").cast("string")).as("sig"))
+      .filter(col("sig").isNotNull)
+    graft.text.Dedup.hammingPairs(signed, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Frame-sampling shape for video-like assets: explode n evenly-spaced
     * byte offsets per asset (stand-in for frame indices), keeping the
     * plumbing for a one-to-many decode stage honest.

@@ -160,6 +160,39 @@ object TextHashes {
     sig
   }
 
+  /** 64-bit perceptual hash of a DECODED payload (string stand-in): the
+    * code-point-bigram histogram over 64 bins (bin = (cp1·31 + cp2) mod
+    * 64), sign-quantized against the payload's own mean bin load — bit d
+    * is 1 iff 64·hist[d] > #bigrams. This is the classic pHash shape
+    * (feature vector → self-median sign bits) with the container's stub
+    * decode; a real deployment swaps the feature stage (DCT coefficients,
+    * embedding dims), not the quantizer or the join. All-integer
+    * arithmetic, so DuckDB replays the bits verbatim. Null under 2 code
+    * points (no bigrams).
+    */
+  def phash(decoded: UTF8String): java.lang.Long = {
+    if (decoded == null) return null
+    val s = decoded.toString
+    val hist = new Array[Int](64)
+    var total = 0
+    var i = 0
+    var prev = -1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (prev >= 0) { hist((prev * 31 + cp) % 64) += 1; total += 1 }
+      prev = cp
+    }
+    if (total == 0) return null
+    var sig = 0L
+    var d = 0
+    while (d < 64) {
+      if (64L * hist(d) > total) sig |= 1L << d
+      d += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
   /** Sorted distinct 64-bit hashes of the word n-gram shingles of `norm`
     * (one XXH64 per shingle byte-slice). The sorted-set form makes
     * intersection a linear merge walk (see intersectCount). Null when the
@@ -216,6 +249,9 @@ object TextHashes {
 
   def simhashSig(norm: Column): Column =
     GraftSqlShim.column(SimHashSig(GraftSqlShim.expression(norm)))
+
+  def phashSig(decoded: Column): Column =
+    GraftSqlShim.column(PhashSig(GraftSqlShim.expression(decoded)))
 
   def hashedShingles(norm: Column, n: Int): Column =
     GraftSqlShim.column(HashedShingles(GraftSqlShim.expression(norm), n))
@@ -296,6 +332,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit perceptual hash of a decoded-payload string column; null when
+  * the payload has fewer than two code points.
+  */
+case class PhashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireString(prettyName, child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "phash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.phash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("ph")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long $tmp = graft.plans.TextHashes.phash($c);
+       |${ev.isNull} = $tmp == null;
+       |${ev.value} = ${ev.isNull} ? 0L : $tmp.longValue();
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash of a normalized-text column. */

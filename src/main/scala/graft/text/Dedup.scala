@@ -329,8 +329,6 @@ object Dedup {
     * bit_count(xor) filter then removes false positives.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
     // Codegen'd SimHashSig: one compiled pass per document — md5-lower-64
     // word hashes (TextHashes.md5Lower64, the DuckDB md5_number_lower
     // value), ±1 vote per bit, so the oracle recomputes the signature
@@ -338,6 +336,17 @@ object Dedup {
     val signed = TextFunctions.withBase(docs)
       .select(col("doc_id"), TextHashes.simhashSig(col("norm")).as("sig"))
       .cache()
+    hammingPairs(signed, maxHamming)
+  }
+
+  /** The pigeonhole Hamming join over any (doc_id, sig: long) frame —
+    * shared by text SimHash and the multimodal perceptual hash. Recall
+    * 1.0 by construction per signature family; precision restored by the
+    * exact bit_count(xor) filter.
+    */
+  private[graft] def hammingPairs(signed: DataFrame, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("ci"),
         expr(s"(sig >> ${c * chunkBits}) & ${(1L << chunkBits) - 1}").as("cv"))

@@ -278,6 +278,56 @@ object TextFunctions {
         (col("start_tok") % seqTokens).as("pack_offset"))
   }
 
+  /** Bigram language-model quality scoring — the CCNet-style "how
+    * LM-plausible is this document" filter, self-trained on the corpus:
+    * top-`vocab` words (rest collapse to one OOV token), corpus bigram /
+    * bigram-start counts, and per document the MEAN INVERSE bigram
+    * probability  mean(c(w1) / c(w1,w2))  over its bigrams — high =
+    * surprising transitions (gibberish, boilerplate soup, off-domain),
+    * low = fluent in-domain text. The score is a monotone perplexity
+    * stand-in chosen for the gate contract: every term is a ratio of two
+    * exact integer counts (ONE IEEE division, no libm), quantized via
+    * graft.Quant and summed as exact micro-units — so DuckDB replays it
+    * bit-for-bit where a log-based perplexity could not (see
+    * text_entropy's rows-only stance). A deployment wanting true PPL
+    * takes log/exp on top of the same joins.
+    *
+    * Scale shape: the vocab is a TakeOrdered top-V (driver-bounded,
+    * broadcast back); the LM tables are distributed keyed aggregates
+    * joined on (w1, w2) — never broadcast, never all-pairs; the only
+    * window is per-document (bounded by document length, not corpus
+    * size). Output: doc_id, n_bigrams, n_oov, mean_inv_p; documents with
+    * fewer than two words carry no bigram and are excluded.
+    */
+  def lmScore(docs: DataFrame, vocab: Int = 1024): DataFrame = {
+    require(vocab > 0, s"vocab must be positive, got $vocab")
+    val words = withBase(docs)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(vocab)
+      .select(col("word"), lit(true).as("in_v"))
+    val mapped = words.join(broadcast(top), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_v").isNotNull, col("word")).otherwise(lit("oov")).as("mw"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = mapped
+      .withColumn("nw", lead(col("mw"), 1).over(byDoc))
+      .filter(col("nw").isNotNull)
+    val bigLm = big.groupBy(col("mw"), col("nw")).agg(count(lit(1)).as("c12"))
+    val uniLm = big.groupBy(col("mw")).agg(count(lit(1)).as("c1"))
+    val oov = mapped.groupBy(col("doc_id"))
+      .agg(count(when(col("mw") === "oov", lit(1))).as("n_oov"))
+    big.join(bigLm, Seq("mw", "nw")).join(uniLm, Seq("mw"))
+      .select(col("doc_id"),
+        graft.Quant.us6(col("c1").cast("double") / col("c12").cast("double")).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Quant.mean6(sum(col("t")), count(lit(1))).as("mean_inv_p"))
+      .join(oov, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("mean_inv_p"))
+  }
+
   /** Per-(lang, source) corpus rollup — the "dataset card" numbers: doc
     * count, token totals, mean quality. One map-side-partial groupBy.
     */

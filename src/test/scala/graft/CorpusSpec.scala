@@ -101,6 +101,22 @@ class CorpusSpec extends SparkSuite {
       == docs.count())
   }
 
+  test("bigram LM score equals the hand-computed inverse probabilities") {
+    import graft.text.TextFunctions
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // corpus bigrams: (a,b):3 (b,a):1 (b,c):1; starts: a:3 b:2
+    // doc 1 terms: 3/3, 2/1, 3/3 -> mean 4/3; doc 2: 3/3, 2/1 -> mean 3/2
+    val full = TextFunctions.lmScore(docs, vocab = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == Set((1L, 3L, 0L, 1.333333), (2L, 2L, 0L, 1.5)), s"$full")
+    // vocab 1: only 'a' survives (count tie with 'b' broken word-asc),
+    // b and c collapse to the OOV token; same arithmetic over (a,T,...)
+    val capped = TextFunctions.lmScore(docs, vocab = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(capped == Set((1L, 3L, 2L, 1.333333), (2L, 2L, 2L, 1.5)), s"$capped")
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())

@@ -61,6 +61,35 @@ class MultimodalSpec extends SparkSuite {
     assert(offs.head == 0L && offs.sameElements(offs.sorted))
   }
 
+  test("perceptual near-dup pairs: exact copies, light retouch, no unrelated") {
+    import Multimodal.MediaRow
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val retouched = base.updated(10, 'X').toString // a few bigram counts shift
+    val crafted = Seq(
+      MediaRow(1L, "img/0", 64, 64, base.getBytes("UTF-8")),
+      MediaRow(2L, "img/0", 64, 64, base.getBytes("UTF-8")),           // exact copy
+      MediaRow(3L, "img/0", 64, 64, retouched.getBytes("UTF-8")),      // near-dup
+      MediaRow(4L, "img/0", 64, 64,
+        "zqxjkvbnm 0123456789 !!??" .getBytes("UTF-8")),               // unrelated
+      MediaRow(5L, "img/0", 64, 64, "a".getBytes("UTF-8"))).toDS()     // featureless
+    val pairs = Multimodal.phashPairs(crafted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"$pairs") // identical payloads: hamming 0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), s"$pairs") // retouch within bound
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"$pairs") // unrelated excluded
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"$pairs") // featureless excluded
+    // engine signature == a direct driver-side replay of the quantizer
+    val sig = crafted.toDF().filter($"asset_id" === 1)
+      .select(graft.plans.TextHashes.phashSig($"payload".cast("string")).as("s"))
+      .head().getLong(0)
+    val hist = new Array[Int](64); var total = 0
+    base.toCharArray.sliding(2).foreach { w =>
+      if (w.length == 2) { hist((w(0).toInt * 31 + w(1).toInt) % 64) += 1; total += 1 } }
+    var ref = 0L
+    for (d <- 0 until 64) if (64L * hist(d) > total) ref |= 1L << d
+    assert(sig == ref, s"engine $sig vs replay $ref")
+  }
+
   test("decoded features feed the similarity stack unchanged") {
     // decode → featurize → k-NN graph: the media features ARE an embedding
     // column, so the whole graft.sim surface composes onto binary assets
