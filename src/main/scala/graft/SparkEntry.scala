@@ -583,24 +583,29 @@ object SparkEntry {
     }),
 
     // ---- LLM-pipeline: similarity search ------------------------------
+    // LSH-bucketed candidates + exact cosine verify — the corpus-scale
+    // generator (equality join on (table, bucket), never all-pairs); the
+    // oracle replays the md5-derived buckets so the pair set is hash-gated,
+    // and the exact quadratic generator survives only as the oracle/spec
+    // mirror (Vectors.cosinePairs, DedupSimSpec recall floors)
     "emb_cosine_pairs" -> ((s, dir) =>
-      Vectors.cosinePairs(Tables.load(s, dir, "embeddings"), 0.4)
+      Vectors.cosinePairsLsh(Tables.load(s, dir, "embeddings"), 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // semantic dedup: connected components over the cosine≥τ pair graph —
     // the same clustering operator driving token-level dedup, applied to
-    // embedding-space near-duplicates
+    // embedding-space near-duplicates (pairs from the LSH path)
     "emb_clusters" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Dedup.clusters(
           emb.select(col("vec_id").as("doc_id")),
-          Vectors.cosinePairs(emb, 0.4).select(col("id_a"), col("id_b")))
+          Vectors.cosinePairsLsh(emb, 0.4).select(col("id_a"), col("id_b")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy(col("vec_id"))
     }),
 
     "emb_knn" -> ((s, dir) =>
-      Vectors.knnGraph(Tables.load(s, dir, "embeddings"), 0.4, 3)
+      Vectors.knnGraphLsh(Tables.load(s, dir, "embeddings"), 0.4, 3)
         .orderBy(col("vec_id"), col("rank"))),
 
     // embedding hygiene: per-vector L2 norms (degenerate-vector audit)
@@ -1958,20 +1963,17 @@ object SparkEntry {
          |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // the three pair-graph queries replay the LSH-bucketed generator
+    // (LSH_PAIR_CTES), not the quadratic join — the oracle mirrors the
+    // registered scale path bucket-for-bucket
     "emb_cosine_pairs" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       ${Q6(s"${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm)")} AS cos_sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $LSH_PAIR_CTES
+         |SELECT id_a, id_b, ${Q6("cos")} AS cos_sim
+         |FROM pr ORDER BY id_a, id_b""".stripMargin,
 
     "emb_clusters" ->
       s"""WITH RECURSIVE
-         |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
-         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |       FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |       WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+         |$LSH_PAIR_CTES,
          |sym AS (SELECT id_a AS src, id_b AS dst FROM pr
          |        UNION ALL SELECT id_b, id_a FROM pr),
          |reach(src, dst) AS (
@@ -1985,13 +1987,10 @@ object SparkEntry {
          |ORDER BY v.vec_id""".stripMargin,
 
     "emb_knn" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
-         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |              ${Q6(s"${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm)")} AS cos_sim
-         |       FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |       WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
-         |sym AS (SELECT id_a AS vec_id, id_b AS nbr_id, cos_sim FROM pr
-         |        UNION ALL SELECT id_b, id_a, cos_sim FROM pr),
+      s"""WITH $LSH_PAIR_CTES,
+         |prq AS (SELECT id_a, id_b, ${Q6("cos")} AS cos_sim FROM pr),
+         |sym AS (SELECT id_a AS vec_id, id_b AS nbr_id, cos_sim FROM prq
+         |        UNION ALL SELECT id_b, id_a, cos_sim FROM prq),
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |                                   ORDER BY cos_sim DESC, nbr_id) AS rank
          |      FROM sym)
@@ -2648,6 +2647,33 @@ object SparkEntry {
     */
   private def PLANE_SQL(t: String, b: String, d: String): String =
     s"((md5_number_lower(concat('lsh|', $t, '|', $b, '|', $d)) >> 11) / 9007199254740992.0 - 0.5)"
+
+  /** Mirrors graft.sim.Vectors.cosinePairsLsh(tau = 0.4, 16 tables × 8
+    * bits, 1-bit multiprobe) — buckets from the same md5-derived planes,
+    * candidates = pairs whose buckets collide (exactly, or within Hamming
+    * distance 1 from either endpoint — least/greatest symmetrizes the
+    * probe direction), exact cosine ≥ 0.4 verify in DOT_SQL's index order.
+    * Shared by emb_cosine_pairs / emb_knn / emb_clusters; yields `pr`
+    * (id_a < id_b, raw cos).
+    */
+  private val LSH_PAIR_CTES =
+    s"""e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+       |bk AS (SELECT e.vec_id, t.t AS tbl,
+       |         CAST(list_sum(list_transform(generate_series(0, 7), bb ->
+       |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+       |                  CAST(e.embedding[dd] AS DOUBLE) * ${PLANE_SQL("t.t", "bb", "dd - 1")})) > 0
+       |                THEN (1 << bb) ELSE 0 END)) AS BIGINT) AS bucket
+       |       FROM e, (SELECT unnest(generate_series(0, 15)) AS t) t),
+       |pp AS (SELECT b.vec_id, b.tbl, xor(b.bucket, f.f) AS bucket
+       |       FROM bk b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f),
+       |cand AS (SELECT DISTINCT least(p.vec_id, q.vec_id) AS id_a,
+       |                         greatest(p.vec_id, q.vec_id) AS id_b
+       |         FROM pp p JOIN bk q ON p.tbl = q.tbl AND p.bucket = q.bucket
+       |         WHERE p.vec_id <> q.vec_id),
+       |pr AS (SELECT id_a, id_b,
+       |              ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |       FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+       |       WHERE ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)""".stripMargin
 
   /** LTTB mirror — graft.ts.Downsample.lttb unrolled: the sequential
     * bucket-by-bucket selection becomes a chain of nOut-2 CTEs, each

@@ -139,20 +139,92 @@ object Vectors {
         graft.Quant.q6(array_max(col("errs"))).as("max_abs_err"))
   }
 
+  /** LSH-bucketed near-dup pair generation — the corpus-scale form of
+    * cosinePairs, and the embedding-space analogue of text MinHash dedup
+    * (Dedup.minhashPairs): candidates = vector pairs sharing a bucket in
+    * ANY of `nTables` random-hyperplane tables (1-bit multiprobe on one
+    * side — a pair collides if either endpoint's bucket is within Hamming
+    * distance 1 of the other's, stacking per-table recall), then EXACT
+    * cosine verification ≥ tau, so the output is a subset of
+    * cosinePairs(emb, tau) with no false positives.
+    *
+    * Scale shape: bucketing is one narrow codegen'd pass (LshBuckets);
+    * the candidate stage is an EQUALITY shuffle join on (table, bucket) —
+    * per-bucket bounded work, never an all-pairs nested loop; verification
+    * is applied inside the join stage so only surviving pairs (a tiny set
+    * for near-dup workloads) reach the final dedup shuffle. Raise
+    * `bitsPerTable` with corpus size to keep bucket occupancy bounded
+    * (work ≈ nTables · Σ_bucket |bucket|²). Duplicate candidates cost
+    * only redundant codegen'd dot products, not shuffle bytes.
+    *
+    * Recall: per-table collision for a pair at angle θ is
+    * p^b + b·p^(b-1)(1−p) with p = 1 − θ/π; union over tables. At the
+    * defaults (16×8 + probe), ≥ 99.99% for true near-dups (cos ≥ 0.8)
+    * and ~94% at the 0.4 floor on near-random 64-dim data
+    * (DedupSimSpec pins both against the exact generator).
+    *
+    * The md5-derived planes are engine-portable (LshBuckets.planes), so
+    * the DuckDB oracle replays buckets, probes, and cosines bit-for-bit —
+    * the bucketed path is hash-gated, not merely spec'd.
+    */
+  def cosinePairsLsh(emb: DataFrame, tau: Double,
+                     nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val hashed = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsPerTable, dim))
+          .as(Seq("tbl", "bucket")))
+    // probe side carries the exact bucket plus every 1-bit flip; the base
+    // side stays exact — symmetrized by least/greatest below, so a pair is
+    // a candidate if EITHER endpoint probes into the other's bucket
+    val probeFlips = (-1 until bitsPerTable).map { j =>
+      if (j < 0) col("bucket") else expr(s"bucket ^ ${1 << j}")
+    }
+    val probe = hashed
+      .withColumn("bucket", explode(array(probeFlips: _*)))
+      .select(col("vec_id").as("id_p"), col("embedding").as("vp"), col("nrm").as("np_"),
+        col("tbl"), col("bucket"))
+    val base = hashed.select(col("vec_id").as("id_q"), col("embedding").as("vq"),
+      col("nrm").as("nq"), col("tbl"), col("bucket"))
+    // dot(vp, vq) is bitwise order-independent (per-term products commute,
+    // accumulation is index-ordered), so no endpoint swap is needed before
+    // the cosine; verify BEFORE distinct so the dedup shuffle carries only
+    // surviving (id, id, cos) triples, never candidate vectors
+    probe.join(base, Seq("tbl", "bucket"))
+      .filter(col("id_p") =!= col("id_q"))
+      .select(
+        least(col("id_p"), col("id_q")).as("id_a"),
+        greatest(col("id_p"), col("id_q")).as("id_b"),
+        (dot(col("vp"), col("vq")) / (col("np_") * col("nq"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
+      .distinct()
+  }
+
   /** k-NN similarity graph over the corpus, restricted to the cosine ≥ tau
     * candidate pairs: each vector's top-k neighbors by cosine (rank ties
     * broken by neighbor id on the quantized similarity, so the cut is
     * deterministic). The tau floor is what keeps this linear-ish — the
-    * graph consumes the near-dup pair set (here the quadratic oracle-scale
-    * generator; at corpus scale, feed pairs from the LSH path instead).
-    * This is the input artifact of graph-based semantic dedup and of
-    * NN-descent-style ANN index builds.
+    * graph consumes the near-dup pair set. This is the input artifact of
+    * graph-based semantic dedup and of NN-descent-style ANN index builds.
     */
-  def knnGraph(emb: DataFrame, tau: Double, k: Int): DataFrame = {
-    val pairs = cosinePairs(emb, tau)
+  def knnGraph(emb: DataFrame, tau: Double, k: Int): DataFrame =
+    knnFromPairs(cosinePairs(emb, tau), k)
+
+  /** knnGraph served from the LSH-bucketed pair generator — the registered
+    * corpus-scale path (the exact-generator form above is the oracle/spec
+    * mirror).
+    */
+  def knnGraphLsh(emb: DataFrame, tau: Double, k: Int,
+                  nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame =
+    knnFromPairs(cosinePairsLsh(emb, tau, nTables, bitsPerTable, dim), k)
+
+  /** The symmetrize + per-vector top-k tail shared by both generators.
+    * `pairs` carries (id_a, id_b, cos_sim) with id_a < id_b.
+    */
+  def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     // symmetrize by exploding each pair into both directions — a union of
-    // two selects over `pairs` would execute the quadratic candidate join
-    // TWICE (plan branches don't share subtrees, only exchanges)
+    // two selects over `pairs` would execute the candidate join TWICE
+    // (plan branches don't share subtrees, only exchanges)
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_sim")),
         struct(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_sim")))).as("e"))

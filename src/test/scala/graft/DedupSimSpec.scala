@@ -90,6 +90,64 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("LSH cosine pairs are a subset of exact pairs with identical similarities") {
+    val exact = Vectors.cosinePairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Vectors.cosinePairsLsh(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "corpus should contain cosine-similar pairs")
+    // no false positives, and every surviving pair carries the exact-path
+    // quantized cosine bit-for-bit
+    lsh.foreach { case (pair, cs) =>
+      assert(exact.get(pair).contains(cs), s"pair $pair: lsh=$cs exact=${exact.get(pair)}")
+    }
+    // the 0.4 floor sits close to the random-pair background on this
+    // corpus — LSH recall there is bounded by the collision-probability
+    // gap, not implementation quality; pin the analytic floor
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("LSH cosine pairs recall ~100% of true near-duplicates (cos >= 0.8)") {
+    // planted clusters: base vectors plus small perturbations — the
+    // actual near-dup workload shape (the real corpus tops out near
+    // cos 0.55, so high-similarity recall needs synthetic clusters)
+    val rnd = new scala.util.Random(4213)
+    def unitish(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val rows = (0 until 40).flatMap { c =>
+      val base = unitish()
+      (0 until 5).map { j =>
+        val v = base.zipWithIndex.map { case (x, _) =>
+          x + (rnd.nextDouble() * 0.06 - 0.03).toFloat }
+        (c * 5L + j, v)
+      }
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = Vectors.cosinePairs(df, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Vectors.cosinePairsLsh(df, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 100, s"should plant many near-dup pairs, got ${exact.size}")
+    assert(lsh.subsetOf(exact))
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.99, s"near-dup recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("LSH-served knn graph matches exact knn on the near-dup neighborhood") {
+    val g = Vectors.knnGraphLsh(emb, 0.4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gx = Vectors.knnGraph(emb, 0.4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g.nonEmpty)
+    // candidate recall < 1 can only DROP neighbors (shifting later ranks
+    // up), never invent them — shared edges must agree, and the served
+    // graph stays within the exact graph's vertex set
+    assert(g.map(_._1).subsetOf(gx.map(_._1)))
+    val agree = (g intersect gx).size.toDouble / g.size
+    assert(agree >= 0.85, s"knn agreement $agree")
+  }
+
   test("exact dedup maps every doc to the minimal id of its hash group") {
     val d = Dedup.exact(docs)
     assert(d.count() == docs.count())

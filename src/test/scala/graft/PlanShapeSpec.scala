@@ -157,6 +157,22 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("embedding pair graph is LSH-bucketed — no all-pairs join anywhere") {
+    // the quadratic generator (a JOIN b ON id_a < id_b) could only execute
+    // as a broadcast-nested-loop / cartesian; the registered path must be
+    // the (table, bucket) equality join fed by the codegen'd bucketing pass
+    for (q <- Seq("emb_cosine_pairs", "emb_knn", "emb_clusters")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    for (q <- Seq("emb_cosine_pairs", "emb_knn")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("lsh_buckets"),
+        s"$q candidates should come from LshBuckets:\n${plan.take(3000)}")
+    }
+  }
+
   test("embedding audits broadcast their metadata-scale stats row") {
     // centroid/range tables are 1-row aggregates: they must reach the
     // corpus pass as a broadcast, never shuffle the corpus against them
