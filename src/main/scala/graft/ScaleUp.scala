@@ -40,8 +40,19 @@ object ScaleUp {
     def replicate(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => copy(df, i)).reduce(_ union _)
 
-    write(replicate(tbl("events")) { (d, i) =>
-      d.withColumn("user_id", col("user_id") + i * 10000L)
+    // the per-copy stream offset must clear the source id space — a fixed
+    // 10000 would silently alias copies onto existing streams at a source
+    // SF with larger ids, corrupting per-stream density; derive it as a
+    // power-of-ten ceiling of max(user_id) instead
+    val events = tbl("events")
+    val idStep = {
+      val mx = events.agg(max(col("user_id")).cast("long")).head.getLong(0)
+      var s = 10000L
+      while (s <= mx) s *= 10
+      s
+    }
+    write(replicate(events) { (d, i) =>
+      d.withColumn("user_id", col("user_id") + i * idStep)
     }, "events")
 
     write(replicate(tbl("documents")) { (d, i) =>

@@ -155,12 +155,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val name = strLit(e, "view name")
     try org.apache.spark.sql.SparkSession.active.table(name)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      // only the genuine missing-relation error gets relabeled with the
+      // TVF context; any other analysis failure (e.g. an unresolvable
+      // view DEFINITION) must keep its own error class — and either way
+      // the original exception rides along as the cause, so the
+      // diagnostic chain survives the rewrap
+      case ex: org.apache.spark.sql.AnalysisException
+          if ex.getCondition == "TABLE_OR_VIEW_NOT_FOUND" =>
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "TABLE_OR_VIEW_NOT_FOUND",
           messageParameters = Map("relationName" ->
             (s"`$name` (a graft TVF view argument, resolved in the " +
-              "ACTIVE session's catalog)")))
+              "ACTIVE session's catalog)")),
+          cause = Some(ex))
     }
   }
   private def keyCols(e: Expression): Seq[String] =

@@ -306,9 +306,14 @@ object TextFunctions {
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word").asc).limit(vocab)
       .select(col("word"), lit(true).as("in_v"))
+    // the OOV bucket is keyed by a sentinel no normalized token can equal
+    // (the bare word "oov" could land in a real corpus's top-V vocab and
+    // wrongly merge with the bucket); the control char is an explicit
+    // escape so it stays visible in review - the oracle mirrors it as
+    // chr(4) || 'oov'
     val mapped = words.join(broadcast(top), Seq("word"), "left")
       .select(col("doc_id"), col("pos"),
-        when(col("in_v").isNotNull, col("word")).otherwise(lit("oov")).as("mw"))
+        when(col("in_v").isNotNull, col("word")).otherwise(lit("\u0004oov")).as("mw"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val big = mapped
@@ -317,7 +322,7 @@ object TextFunctions {
     val bigLm = big.groupBy(col("mw"), col("nw")).agg(count(lit(1)).as("c12"))
     val uniLm = big.groupBy(col("mw")).agg(count(lit(1)).as("c1"))
     val oov = mapped.groupBy(col("doc_id"))
-      .agg(count(when(col("mw") === "oov", lit(1))).as("n_oov"))
+      .agg(count(when(col("mw") === "\u0004oov", lit(1))).as("n_oov"))
     big.join(bigLm, Seq("mw", "nw")).join(uniLm, Seq("mw"))
       .select(col("doc_id"),
         graft.Quant.us6(col("c1").cast("double") / col("c12").cast("double")).as("t"))

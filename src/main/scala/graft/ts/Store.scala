@@ -194,15 +194,17 @@ class Store(val spark: SparkSession, val base: String,
     */
   def versionsFor(uuids: Seq[String]): Map[String, Long] = {
     if (uuids.isEmpty) return Map.empty
-    bounded(uuids)
-    val ubs = uuids.map(ubOf).distinct
-    val uset = uuids.toSet
+    // the class contract bounds DISTINCT streams per batch — a duplicate-
+    // heavy caller list must not trip the guard early
+    val distinctIds = bounded(uuids.distinct)
+    val ubs = distinctIds.map(ubOf).distinct
+    val uset = distinctIds.toSet
     val pv = rawPoints
-      .filter($"ub".isin(ubs: _*)).filter($"uuid".isin(uuids: _*))
+      .filter($"ub".isin(ubs: _*)).filter($"uuid".isin(distinctIds: _*))
       .groupBy("uuid").agg(max($"ver").as("v"))
       .as[(String, Long)].collect()
     val tv = tombstones
-      .filter($"uuid".isin(uuids: _*))
+      .filter($"uuid".isin(distinctIds: _*))
       .groupBy("uuid").agg(max($"ver").as("v"))
       .as[(String, Long)].collect()
     (pv ++ tv).filter(kv => uset(kv._1))

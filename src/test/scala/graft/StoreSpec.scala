@@ -77,6 +77,9 @@ class StoreSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException] {
       st.versionsFor(Seq("a", "b", "c")) }
     assert(e2.getMessage.contains("distinct streams"), e2.getMessage)
+    // the bound is on DISTINCT streams: a duplicate-heavy list whose
+    // distinct count fits must pass, not trip the guard early
+    assert(st.versionsFor(Seq("a", "a", "b", "a", "b")).keySet == Set("a", "b"))
     // the store itself is NOT bounded: the same wide batch commits fine
     // on a store with the default contract
     val st2 = Store(spark, tmpDir("store_cap2"))
