@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Visual downsampling: Largest-Triangle-Three-Buckets (LTTB), the
@@ -169,52 +169,64 @@ object Downsample {
     val withN = rn.join(broadcast(cRenamed), joinCond)
       .drop(streamCols.map(c => s"__c_$c"): _*)
 
-    val small = withN.filter(col("n") <= nOut)
+    // small streams pass through verbatim: they need (rows, n) but never
+    // rn, so they are served from inRange + the broadcast counts — NOT
+    // from the sliced prefix pipeline (keeping it single-consumer)
+    val small = inRange.join(broadcast(cRenamed), joinCond)
+      .filter(col("n") <= nOut)
       .select(key :+ col("t_us") :+ col("value"): _*)
     val packedKey = concat_ws(SEP,
       key.map(c => coalesce(c.cast("string"), lit(NULL_SENTINEL))): _*)
+    // the first/last rows ride the SAME aggregation as the buckets, as
+    // singleton groups kb = -1 / kb = middle: one pass over the heavy
+    // frame computes bucket means, M4 candidate extremes, and endpoints
+    // together (separately-aggregated branches would each replay the
+    // whole prefix pipeline — this was the dominant cost of the query)
     val big = withN.filter(col("n") > nOut).withColumn("k", packedKey)
       .select(col("k"), col("rn"), col("n"), col("t_us"), col("value"))
-    val firstp = big.filter(col("rn") === 1)
-    val lastp = big.filter(col("rn") === col("n"))
-    val mid = big.filter(col("rn") >= 2 && col("rn") <= col("n") - 1)
-      .withColumn("kb", expr(s"((rn - 2) * $middle) div (n - 2)"))
-
-    // exact-integer bucket means (the oracle replays CAST(sum AS DOUBLE)
-    // division) and the M4 candidate set, deduplicated
-    val bm = mid.groupBy(col("k"), col("kb"))
+      .withColumn("kb",
+        when(col("rn") === 1, lit(-1L))
+          .when(col("rn") === col("n"), lit(middle.toLong))
+          .otherwise(expr(s"((rn - 2) * $middle) div (n - 2)")))
+    val g = big.groupBy(col("k"), col("kb"))
       .agg(count(lit(1)).as("c"),
         // buckets are unbounded groups (N / (nOut-2) points): exact
-        // decimal sums per the graft.Quant overflow rule
+        // decimal sums per the graft.Quant overflow rule; the oracle
+        // replays CAST(sum AS DOUBLE) division
         sum(col("t_us").cast("decimal(38,0)")).as("st"),
-        graft.Quant.sumUs6Unbounded(col("value")).as("sus"))
-      .select(col("k"), col("kb"),
-        (col("st").cast("double") / col("c").cast("double")).as("tbar"),
-        graft.Quant.mean6(col("sus"), col("c")).as("vbar"))
-    val cand = mid.groupBy(col("k"), col("kb"))
-      .agg(
+        graft.Quant.sumUs6Unbounded(col("value")).as("sus"),
         min(struct(col("t_us"), col("value"))).as("c1"),
         max(struct(col("t_us"), col("value"))).as("c2"),
         min(struct(col("value"), col("t_us"))).as("c3"),
         max(struct(col("value"), col("t_us"))).as("c4"))
-      .select(col("k"), col("kb"), explode(array_distinct(array(
-        col("c1"), col("c2"),
-        struct(col("c3.t_us").as("t_us"), col("c3.value").as("value")),
-        struct(col("c4.t_us").as("t_us"), col("c4.value").as("value"))))).as("c"))
-      .select(col("k"), col("kb"), col("c.t_us"), col("c.value"))
-
     // one tagged union, nOut-scale per stream, for the sequential pass:
-    // kind 0/1 = first/last point, 2 = bucket candidate, 3 = bucket mean
-    val packed =
-      firstp.select(col("k"), lit(0).as("kind"), lit(-1L).as("kb"),
-          col("t_us"), col("value"), lit(0.0).as("tbar"), lit(0.0).as("vbar"))
-        .union(lastp.select(col("k"), lit(1), lit(-1L),
-          col("t_us"), col("value"), lit(0.0), lit(0.0)))
-        .union(cand.select(col("k"), lit(2), col("kb"),
-          col("t_us"), col("value"), lit(0.0), lit(0.0)))
-        .union(bm.select(col("k"), lit(3), col("kb"),
-          lit(0L), lit(0.0), col("tbar"), col("vbar")))
-        .as[(String, Int, Long, Long, Double, Double, Double)]
+    // kind 0/1 = first/last point (the singleton groups' min struct IS
+    // the endpoint row), 2 = bucket candidate, 3 = bucket mean. Built as
+    // a SINGLE explode over g — filter-per-kind branches would push the
+    // kb predicate below the aggregate and re-run the whole prefix
+    // pipeline once per branch (which was the dominant cost here)
+    val candArr = array_distinct(array(
+      col("c1"), col("c2"),
+      struct(col("c3.t_us").as("t_us"), col("c3.value").as("value")),
+      struct(col("c4.t_us").as("t_us"), col("c4.value").as("value"))))
+    def tagged(kind: Int, kb: Column, t: Column, v: Column,
+               tb: Column, vb: Column) =
+      struct(lit(kind).as("kind"), kb.as("kb"), t.as("t_us"), v.as("value"),
+        tb.as("tbar"), vb.as("vbar"))
+    val endpoint = (kind: Int) => array(tagged(kind, lit(-1L),
+      col("c1.t_us"), col("c1.value"), lit(0.0), lit(0.0)))
+    val packed = g.select(col("k"), explode(
+        when(col("kb") === -1L, endpoint(0))
+          .when(col("kb") === middle.toLong, endpoint(1))
+          .otherwise(concat(
+            transform(candArr, cd => tagged(2, col("kb"),
+              cd.getField("t_us"), cd.getField("value"), lit(0.0), lit(0.0))),
+            array(tagged(3, col("kb"), lit(0L), lit(0.0),
+              col("st").cast("double") / col("c").cast("double"),
+              graft.Quant.mean6(col("sus"), col("c"))))))).as("e"))
+      .select(col("k"), col("e.kind"), col("e.kb"), col("e.t_us"),
+        col("e.value"), col("e.tbar"), col("e.vbar"))
+      .as[(String, Int, Long, Long, Double, Double, Double)]
 
     val picked = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
       var ft = 0L; var fv = 0.0; var lt = 0L; var lv = 0.0

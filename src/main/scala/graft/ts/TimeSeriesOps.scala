@@ -418,28 +418,66 @@ object TimeSeriesOps {
   // the corpus prefix sum (TextFunctions.stratumPrefixSum) fixes every
   // operator of this class:
   //
-  //   1. range-partition on the global order key (stream, t_us, value) so
-  //      each task holds a contiguous SLICE of a stream's timeline —
-  //      slices are partition-sized, never stream-sized;
+  //   1. cut the time axis into ~parts quantile buckets (slices) and
+  //      hash-partition ONCE on (stream, slice) — each (stream, slice)
+  //      group is a contiguous slice of that stream's timeline, bounded
+  //      by the bucket population, never stream-sized;
   //   2. exchange ONE row per (stream, slice) — boundary rows / slice sums,
   //      metadata-scale — and lag/prefix THOSE with a tiny window;
   //   3. broadcast the per-slice carries back and finish locally with a
   //      window keyed by (stream, slice), whose groups are bounded by the
-  //      range-partition size regardless of stream skew.
+  //      bucket population regardless of stream skew.
   //
   // Results are identical to the single-window form (the oracle replays
-  // that form): the carry algebra is independent of WHERE the range
-  // boundaries fall, and rows tying on the full order key are
-  // range-partitioned into one slice.
+  // that form): the carry algebra is independent of WHERE the bucket
+  // boundaries fall, and rows tying on t_us share a bucket by
+  // construction.
   // ---------------------------------------------------------------------
 
   /** Phase 1: contiguous timeline slices. Input must carry (t_us, value)
-    * plus the key columns; `slice` is the range-partition ordinal.
+    * plus the key columns; `slice` is the row's bucket ordinal between
+    * precomputed approximate-quantile cuts of t_us.
+    *
+    * The slice is assigned BEFORE the exchange and the frame is then
+    * hash-partitioned on (stream key, slice), so ONE full-data exchange
+    * satisfies every downstream (stream, slice)-keyed window and
+    * aggregate. The previous form (repartitionByRange +
+    * spark_partition_id) needed a SECOND full-data hash exchange to
+    * cluster the windows and a full re-sort under the boundary
+    * aggregate — and its slice ids were execution-dependent, correct in
+    * the two plan branches only while exchange reuse happened to fire;
+    * quantile cuts are driver-side constants, deterministic in every
+    * branch by construction.
+    *
+    * Boundary PLACEMENT never affects results (the carry algebra is
+    * boundary-independent, and rows tying on t_us share a bucket by
+    * construction — RewriteEquivalenceSpec pins both), so approximate
+    * quantiles are exactly as correct as exact ones; the sketch pass
+    * reads only the time column. Slice population stays bounded at
+    * ~rows/parts across streams, and since the exchange is an ordinary
+    * hash shuffle, AQE's skew-split/coalesce apply to it.
     */
   private[graft] def timeSliced(df: DataFrame, streamCols: Seq[String]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.repartitionByRange(parts, streamKey(streamCols) :+ col("t_us") :+ col("value"): _*)
-      .withColumn("slice", spark_partition_id())
+    val cuts = df.stat.approxQuantile(
+        "t_us", (1 until parts).map(_.toDouble / parts).toArray, 0.01)
+      .map(math.ceil(_).toLong).distinct.sorted
+    val slice = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("t_us") >= c, 1).otherwise(0) }
+    df.withColumn("slice", slice)
+  }
+
+  /** The main-branch exchange: cluster the sliced frame on (stream,
+    * slice) so every downstream point-level window runs with only a
+    * local sort. Carry branches deliberately do NOT consume this — an
+    * order-free carry aggregates the un-exchanged frame directly
+    * (map-side partials make its shuffle metadata-scale), and an
+    * order-dependent one reads the window output so the exchange is
+    * reused — so no branch ever re-shuffles the full frame.
+    */
+  private def clustered(sliced: DataFrame, streamCols: Seq[String]): DataFrame = {
+    val parts = sliced.sparkSession.sessionState.conf.numShufflePartitions
+    sliced.repartition(parts, sliceKey(streamCols): _*)
   }
 
   private def sliceKey(streamCols: Seq[String]): Seq[Column] =
@@ -468,13 +506,17 @@ object TimeSeriesOps {
     val wLocal = Window.partitionBy(sliceKey(streamCols): _*)
       .orderBy(col("t_us"), col("value"))
     val wSlices = Window.partitionBy(streamKey(streamCols): _*).orderBy(col("slice"))
+    // boundary rows aggregate the UN-exchanged frame: max(struct) is an
+    // order-free aggregate with a map-side partial at the scan, so this
+    // branch shuffles only (stream, slice) summary rows — never the full
+    // frame, and never via a second copy of the main exchange
     val bounds = sliced.groupBy(sliceKey(streamCols): _*)
       .agg(max(struct(col("t_us"), col("value"))).as("last_tv"))
       .withColumn("b_prev", lag(col("last_tv"), 1).over(wSlices))
       .select(sliceKey(streamCols) :+
         col("b_prev.t_us").as("b_prev_t") :+ col("b_prev.value").as("b_prev_v"): _*)
     joinOnSlice(
-        sliced
+        clustered(sliced, streamCols)
           .withColumn("lp_t", lag(col("t_us"), 1).over(wLocal))
           .withColumn("lp_v", lag(col("value"), 1).over(wLocal)),
         bounds, streamCols)
@@ -499,11 +541,15 @@ object TimeSeriesOps {
     val wCarry = Window.partitionBy(streamKey(streamCols): _*).orderBy(col("slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withInc = sliced.withColumn("__inc", inc)
+    // slice sums are order-free: aggregate the UN-exchanged frame (map-
+    // side partials at the scan), so the carry branch never shuffles or
+    // re-sorts the full frame — only the main branch pays the one
+    // (stream, slice) exchange
     val offsets = withInc.groupBy(sliceKey(streamCols): _*)
       .agg(sum(col("__inc")).as("__slice_sum"))
       .withColumn("__carry", sum(col("__slice_sum")).over(wCarry))
       .select(sliceKey(streamCols) :+ col("__carry"): _*)
-    joinOnSlice(withInc, offsets, streamCols)
+    joinOnSlice(clustered(withInc, streamCols), offsets, streamCols)
       .withColumn(outName,
         coalesce(col("__carry"), lit(0)) + sum(col("__inc")).over(wLocal))
       .drop("__inc", "__carry")
@@ -527,7 +573,10 @@ object TimeSeriesOps {
       outName: String): DataFrame = {
     val wLocal = Window.partitionBy(sliceKey(streamCols): _*)
       .orderBy(col("t_us"), col("value"))
-    val local = sliced
+    // island starts are order-DEPENDENT (lag), so the meta branch reads
+    // the window output below — its exchange is the reused main-branch
+    // one, never a second full shuffle
+    val local = clustered(sliced, streamCols)
       .withColumn("lp_t", lag(col("t_us"), 1).over(wLocal))
       .withColumn("lp_v", lag(col("value"), 1).over(wLocal))
       .withColumn("__inc", when(col("lp_t").isNull ||
@@ -884,12 +933,23 @@ object TimeSeriesOps {
         streamCols,
         (ct, _, pt, _) => ct - pt > gapUs,
         "session")
+      // two-level session rollup: level 1 groups by (stream, slice,
+      // session) — satisfied by the islands frame's (stream, slice)
+      // clustering, so it aggregates WITHOUT an exchange — and level 2
+      // stitches cross-slice sessions from those per-slice partials
+      // (metadata-scale shuffle instead of re-shuffling every point)
+      .groupBy(key :+ col("slice") :+ col("session"): _*)
+      .agg(
+        min(col("t_us")).as("p_start"),
+        max(col("t_us")).as("p_end"),
+        count(lit(1)).as("p_n"),
+        sum(graft.Quant.us6(col("value"))).as("p_sum"))
       .groupBy(key :+ col("session"): _*)
       .agg(
-        min(col("t_us")).as("s_start"),
-        max(col("t_us")).as("s_end"),
-        count(lit(1)).as("n_events"),
-        graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"))
+        min(col("p_start")).as("s_start"),
+        max(col("p_end")).as("s_end"),
+        sum(col("p_n")).as("n_events"),
+        graft.Quant.mean6(sum(col("p_sum")), sum(col("p_n"))).as("v_mean"))
       .withColumn("duration_us", col("s_end") - col("s_start"))
       .drop("session")
   }
@@ -1519,12 +1579,21 @@ object TimeSeriesOps {
     slicedIslands(timeSliced(dedup, streamCols), streamCols,
         (_, cv, _, pv) => pv.isNull || cv =!= pv,
         "run")
+      // two-level run rollup (see sessionize): per-(stream, slice, run)
+      // partials aggregate exchange-free under the existing clustering;
+      // only the partials shuffle to stitch boundary-crossing runs
+      .groupBy(key :+ col("slice") :+ col("run"): _*)
+      .agg(
+        min(col("t_us")).as("p_start"),
+        max(col("t_us")).as("p_end"),
+        min(col("value")).as("p_value"),
+        count(lit(1)).as("p_n"))
       .groupBy(key :+ col("run"): _*)
       .agg(
-        min(col("t_us")).as("r_start"),
-        max(col("t_us")).as("r_end"),
-        min(col("value")).as("value"),
-        count(lit(1)).as("n_points"))
+        min(col("p_start")).as("r_start"),
+        max(col("p_end")).as("r_end"),
+        min(col("p_value")).as("value"),
+        sum(col("p_n")).as("n_points"))
       .drop("run")
   }
 

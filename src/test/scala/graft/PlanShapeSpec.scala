@@ -138,14 +138,34 @@ class PlanShapeSpec extends SparkSuite {
   test("per-stream sequential ops are two-phase sliced scans, no stream-wide sort") {
     // a window PARTITION BY stream ORDER BY t_us over raw points would
     // sort each stream's entire history in ONE task; these ops must
-    // range-partition the timeline and key every point-level window by
-    // (stream, slice), with boundary rows / carries joined back broadcast
+    // bucket the timeline into slices BEFORE the shuffle and key every
+    // point-level window by (stream, slice), with boundary rows / carries
+    // joined back broadcast
     val streamWide = "windowspecdefinition\\(user_id#\\d+L?, event_type#\\d+, t_us#".r
+    // the full-frame exchange is the explicit repartition; carry branches
+    // may exchange (stream, slice) rows too, but only ABOVE a map-side
+    // partial aggregate (metadata-scale), which plans as
+    // ENSURE_REQUIREMENTS — so count REPARTITION_BY_NUM occurrences
+    val sliceExchange =
+      ("Exchange hashpartitioning\\(user_id#\\d+L?, event_type#\\d+, slice#\\d+, " +
+        "\\d+\\), REPARTITION_BY_NUM").r
     for (q <- Seq("ts_cusum", "ts_delta", "ts_sessionize", "ts_value_runs",
         "ts_lttb_bucketed")) {
-      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
-      assert(plan.contains("rangepartitioning(user_id"),
-        s"$q missing range-partitioned slice phase:\n${plan.take(3000)}")
+      // exchange reuse is an AQE runtime decision: execute first, then
+      // read only the FINAL plan section (toString appends the initial
+      // plan too, which shows both branch copies pre-reuse)
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      spark.catalog.clearCache()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // the slice is a pre-shuffle bucket expression, so ONE (stream,
+      // slice) hash exchange serves every downstream window and
+      // aggregate — further consumers must reuse it, not re-shuffle
+      val wide = plan.linesIterator
+        .filter(l => !l.contains("ReusedExchange"))
+        .flatMap(sliceExchange.findFirstIn).size
+      assert(wide == 1,
+        s"$q should shuffle the full frame exactly once on (stream, slice), found $wide:\n${plan.take(3000)}")
       assert(plan.contains("windowspecdefinition(user_id#") &&
         plan.contains(", slice#"),
         s"$q point window not slice-keyed:\n${plan.take(3000)}")
