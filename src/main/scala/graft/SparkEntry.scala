@@ -747,6 +747,13 @@ object SparkEntry {
       TextFunctions.charEntropy(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // the pre-log fingerprint of the same operator: sorted exact
+    // (char, count) profiles — all-integer, fully hash-gated, leaving
+    // log2 display-only on text_entropy
+    "text_entropy_freq" -> ((s, dir) =>
+      TextFunctions.charFreqProfile(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // shared-10-word-prefix groups — template/boilerplate detection
     "dedup_prefix" -> ((s, dir) =>
       Dedup.prefixGroups(Tables.load(s, dir, "documents"), 10)
@@ -2449,6 +2456,22 @@ object SparkEntry {
          |         AS words_per_sentence,
          |       ${Q6("CAST(n_nospace AS DOUBLE) / n_words")} AS chars_per_word
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.charFreqProfile: per-char exact counts over
+    // the normalized text, serialized sorted by char (binary UTF-8 order
+    // in both engines; DuckDB's string_split('','') = [''] matches
+    // Spark's split semantics on empty docs). All-integer — the pre-log
+    // face of text_entropy, hash-gated where entropy_bits cannot be.
+    "text_entropy_freq" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |ch AS (SELECT doc_id, length(norm) AS n,
+         |              unnest(string_split(norm, '')) AS ch FROM d),
+         |cc AS (SELECT doc_id, n, ch, count(*) AS c
+         |       FROM ch GROUP BY doc_id, n, ch)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+         |       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         |       string_agg(ch || ':' || c, '|' ORDER BY ch) AS freq_profile
+         |FROM cc GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     "text_wordlen" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm,

@@ -320,16 +320,24 @@ object TextFunctions {
       .withColumn("nw", lead(col("mw"), 1).over(byDoc))
       .filter(col("nw").isNotNull)
     val bigLm = big.groupBy(col("mw"), col("nw")).agg(count(lit(1)).as("c12"))
-    val uniLm = big.groupBy(col("mw")).agg(count(lit(1)).as("c1"))
-    val oov = mapped.groupBy(col("doc_id"))
-      .agg(count(when(col("mw") === "\u0004oov", lit(1))).as("n_oov"))
+    // the unigram LM re-aggregates the bigram LM (c1 = sum of c12 over
+    // second words) — a metadata-scale groupBy bounded by (vocab+1)^2
+    // rows, replacing a second full groupBy over the token stream
+    val uniLm = bigLm.groupBy(col("mw")).agg(sum(col("c12")).as("c1"))
+    // n_oov rides the per-doc aggregate: OOV first-words counted over the
+    // bigram rows, plus the document's LAST word (which never appears as
+    // a first word) recovered as the nw of the max-pos bigram — so the
+    // separate count over `mapped` and its join are gone
+    val oovTok = "\u0004oov"
     big.join(bigLm, Seq("mw", "nw")).join(uniLm, Seq("mw"))
-      .select(col("doc_id"),
-        graft.Quant.us6(col("c1").cast("double") / col("c12").cast("double")).as("t"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        graft.Quant.mean6(sum(col("t")), count(lit(1))).as("mean_inv_p"))
-      .join(oov, Seq("doc_id"))
+        (sum(when(col("mw") === oovTok, 1L).otherwise(0L)) +
+          when(max(struct(col("pos"), col("nw"))).getField("nw") === oovTok, 1L)
+            .otherwise(0L)).as("n_oov"),
+        graft.Quant.mean6(
+          sum(graft.Quant.us6(col("c1").cast("double") / col("c12").cast("double"))),
+          count(lit(1))).as("mean_inv_p"))
       .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("mean_inv_p"))
   }
 
@@ -539,19 +547,41 @@ object TextFunctions {
     * engines, so this operator is spec-gated (rows-only at the driver),
     * not oracle-hashed.
     */
-  def charEntropy(docs: DataFrame): DataFrame =
+  /** The shared per-doc sorted (char, count) profile: explode → keyed
+    * counts (map-side partial), then a per-doc collect of at most
+    * alphabet-size structs — bounded regardless of document length.
+    */
+  private def charCounts(docs: DataFrame): DataFrame =
     withBase(docs)
       .select(col("doc_id"), length(col("norm")).as("n"),
         explode(split(col("norm"), "")).as("ch"))
       .groupBy(col("doc_id"), col("n"), col("ch")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("n"))
       .agg(sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"))
+
+  def charEntropy(docs: DataFrame): DataFrame =
+    charCounts(docs)
       .select(col("doc_id"), col("n").cast("long").as("n_chars"),
         size(col("cs")).cast("long").as("n_distinct_chars"),
         when(col("n") > 0, graft.Quant.q6(expr(
           "aggregate(cs, CAST(0.0 AS DOUBLE), " +
             "(acc, x) -> acc - (CAST(x.c AS DOUBLE) / n) * log2(CAST(x.c AS DOUBLE) / n))")))
           .otherwise(0d).as("entropy_bits"))
+
+  /** The PRE-log entropy fingerprint, hash-gateable where entropy_bits is
+    * not: the sorted exact (char, count) profile serialized as
+    * "ch:count|..." — every quantity an integer, no libm anywhere, so the
+    * DuckDB oracle replays it bit-for-bit (the same trick text_lm_score
+    * uses to dodge log-perplexity). entropy_bits stays display-only on
+    * charEntropy; this companion is the oracled face of the operator.
+    */
+  def charFreqProfile(docs: DataFrame): DataFrame =
+    charCounts(docs)
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        size(col("cs")).cast("long").as("n_distinct_chars"),
+        array_join(transform(col("cs"), x =>
+          concat(x.getField("ch"), lit(":"), x.getField("c").cast("string"))), "|")
+          .as("freq_profile"))
 
   /** Per-source duplication-rate report — the dataset-card number behind
     * "how redundant is this source": doc count, distinct fingerprints,
