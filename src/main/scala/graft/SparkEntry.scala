@@ -576,6 +576,21 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // SEMANTIC contamination — the embedding-space member of the
+    // contamination triad (verbatim 8-gram, trigram Jaccard, and this):
+    // training docs whose embeddings sit cosine-close to any benchmark
+    // doc's, candidates from the broadcast LSH bucket join, exact verify
+    "corpus_contamination_emb" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      val tagged = emb.join(broadcast(src), emb("vec_id") === src("doc_id")).drop("doc_id")
+      Vectors.crossCosinePairsLsh(
+          tagged.filter(col("source") =!= "src0").drop("source"),
+          tagged.filter(col("source") === "src0").drop("source"), 0.4)
+        .select(col("id_a").as("train_id"), col("id_b").as("bench_id"), col("cos_sim"))
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.clusters(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
@@ -1969,6 +1984,31 @@ object SparkEntry {
          |SELECT d.doc_id AS doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors Vectors.crossCosinePairsLsh: buckets for BOTH sides from
+    // the shared md5 planes, 1-bit multiprobe on the benchmark (src0)
+    // side only, exact cosine >= 0.4 verify in DOT_SQL's index order.
+    "corpus_contamination_emb" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |m AS (SELECT e.vec_id, e.embedding, d.source
+         |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+         |bk AS (SELECT m.vec_id, m.source, t.t AS tbl,
+         |         CAST(list_sum(list_transform(generate_series(0, 7), bb ->
+         |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+         |                  CAST(m.embedding[dd] AS DOUBLE) * ${PLANE_SQL("t.t", "bb", "dd - 1")})) > 0
+         |                THEN (1 << bb) ELSE 0 END)) AS BIGINT) AS bucket
+         |       FROM m, (SELECT unnest(generate_series(0, 15)) AS t) t),
+         |pp AS (SELECT b.vec_id, b.tbl, xor(b.bucket, f.f) AS bucket
+         |       FROM bk b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f
+         |       WHERE b.source = 'src0'),
+         |cand AS (SELECT DISTINCT c.vec_id AS train_id, p.vec_id AS bench_id
+         |         FROM pp p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |         WHERE c.source <> 'src0'),
+         |pr AS (SELECT train_id, bench_id,
+         |              ${DOT_SQL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |       FROM cand JOIN e a ON a.vec_id = train_id JOIN e b ON b.vec_id = bench_id)
+         |SELECT train_id, bench_id, ${Q6("cos")} AS cos_sim
+         |FROM pr WHERE cos >= 0.4 ORDER BY train_id, bench_id""".stripMargin,
 
     // the three pair-graph queries replay the LSH-bucketed generator
     // (LSH_PAIR_CTES), not the quadratic join — the oracle mirrors the

@@ -200,6 +200,44 @@ object Vectors {
       .distinct()
   }
 
+  /** Cross-corpus cosine near-dup pairs via LSH buckets — the SEMANTIC
+    * contamination detector (the embedding-space member of the
+    * contamination triad: verbatim 8-gram, trigram-Jaccard, and this):
+    * every (corpus, probe) pair sharing a bucket in any table, exact
+    * cosine ≥ tau verify, probe side 1-bit multiprobed. The probe side
+    * (a benchmark) is small by construction, so its multiprobed bucket
+    * table BROADCASTS and the candidate stage is a broadcast hash join
+    * on (table, bucket) — the corpus is hashed in one narrow codegen
+    * pass and never shuffled. Output (corpus id, probe id, cos_sim),
+    * a subset of the exact cross pairs with no false positives; same
+    * md5-derived planes as cosinePairsLsh, so the oracle replays it
+    * bit-for-bit.
+    */
+  def crossCosinePairsLsh(corpus: DataFrame, probes: DataFrame, tau: Double,
+                          nTables: Int = 16, bitsPerTable: Int = 8,
+                          dim: Int = 64): DataFrame = {
+    def hashed(df: DataFrame) = withNorm(df)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsPerTable, dim))
+          .as(Seq("tbl", "bucket")))
+    val probeFlips = (-1 until bitsPerTable).map { j =>
+      if (j < 0) col("bucket") else expr(s"bucket ^ ${1 << j}")
+    }
+    val q = broadcast(hashed(probes)
+      .withColumn("bucket", explode(array(probeFlips: _*)))
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"),
+        col("tbl"), col("bucket")))
+    hashed(corpus)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"),
+        col("tbl"), col("bucket"))
+      .join(q, Seq("tbl", "bucket"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
+      .distinct()
+  }
+
   /** k-NN similarity graph over the corpus, restricted to the cosine ≥ tau
     * candidate pairs: each vector's top-k neighbors by cosine (rank ties
     * broken by neighbor id on the quantized similarity, so the cut is

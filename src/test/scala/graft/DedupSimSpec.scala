@@ -134,6 +134,36 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.99, s"near-dup recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("cross-corpus LSH pairs are a subset of exact cross pairs") {
+    val src = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("source"))
+    val tagged = emb.join(src, emb("vec_id") === src("doc_id")).drop("doc_id")
+    def side(pred: org.apache.spark.sql.Column) =
+      tagged.filter(pred).drop("source")
+    val lsh = Vectors.crossCosinePairsLsh(
+        side(col("source") =!= "src0"), side(col("source") === "src0"), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact cross cosines, driver-side (the spec-scale corpus is tiny)
+    def vecs(pred: org.apache.spark.sql.Column): Map[Long, Array[Double]] =
+      side(pred).select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val train = vecs(col("source") =!= "src0")
+    val bench = vecs(col("source") === "src0")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (for ((ta, va) <- train; (ba, vb) <- bench; c = cos(va, vb)
+      if c >= 0.3) yield (ta, ba) -> c).toMap
+    assert(exact.nonEmpty, "corpus should contain cross-similar pairs at tau 0.3")
+    lsh.foreach { case (pair, cs) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(math.abs(exact(pair) - cs) < 1e-6, s"$pair: $cs vs ${exact(pair)}")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("LSH-served knn graph matches exact knn on the near-dup neighborhood") {
     val g = Vectors.knnGraphLsh(emb, 0.4, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -181,12 +181,13 @@ class PlanShapeSpec extends SparkSuite {
     // the quadratic generator (a JOIN b ON id_a < id_b) could only execute
     // as a broadcast-nested-loop / cartesian; the registered path must be
     // the (table, bucket) equality join fed by the codegen'd bucketing pass
-    for (q <- Seq("emb_cosine_pairs", "emb_knn", "emb_clusters")) {
+    for (q <- Seq("emb_cosine_pairs", "emb_knn", "emb_clusters",
+        "corpus_contamination_emb")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n${plan.take(3000)}")
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
-    for (q <- Seq("emb_cosine_pairs", "emb_knn")) {
+    for (q <- Seq("emb_cosine_pairs", "emb_knn", "corpus_contamination_emb")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(plan.contains("lsh_buckets"),
         s"$q candidates should come from LshBuckets:\n${plan.take(3000)}")
