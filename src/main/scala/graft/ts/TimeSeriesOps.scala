@@ -434,6 +434,19 @@ object TimeSeriesOps {
   // construction.
   // ---------------------------------------------------------------------
 
+  /** Quantile cuts per (canonical input plan, parts), JVM-wide. The
+    * sketch pass behind each entry is a full scan of the frame's time
+    * column, so long-lived sessions replaying sliced ops over the same
+    * tables save one data pass per repeat. Safe to cache through
+    * ANYTHING — hash collisions, appended data, reused plans — because
+    * boundary placement never affects results, only balance; a stale
+    * entry costs skew, not correctness. Bounded by wholesale clear
+    * (entries are a few hundred bytes; sessions issuing many sliced ops
+    * over the same tables hit the same few keys).
+    */
+  private[graft] val cutsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+
   /** Phase 1: contiguous timeline slices. Input must carry (t_us, value)
     * plus the key columns; `slice` is the row's bucket ordinal between
     * precomputed approximate-quantile cuts of t_us.
@@ -459,9 +472,13 @@ object TimeSeriesOps {
     */
   private[graft] def timeSliced(df: DataFrame, streamCols: Seq[String]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val cuts = df.stat.approxQuantile(
-        "t_us", (1 until parts).map(_.toDouble / parts).toArray, 0.01)
-      .map(math.ceil(_).toLong).distinct.sorted
+    if (cutsCache.size > 256) cutsCache.clear()
+    val key = (df.queryExecution.analyzed.canonicalized.hashCode(), parts)
+    val cuts = cutsCache.computeIfAbsent(key, { _ =>
+      df.stat.approxQuantile(
+          "t_us", (1 until parts).map(_.toDouble / parts).toArray, 0.01)
+        .map(math.ceil(_).toLong).distinct.sorted
+    })
     val slice = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col("t_us") >= c, 1).otherwise(0) }
     df.withColumn("slice", slice)

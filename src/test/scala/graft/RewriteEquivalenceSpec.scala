@@ -133,6 +133,22 @@ class RewriteEquivalenceSpec extends SparkSuite {
     }
   }
 
+  test("quantile cuts are cached per canonical plan and stay valid cut arrays") {
+    TimeSeriesOps.cutsCache.clear()
+    val pts = randomPoints(9L, 3000, 6)
+    val first = TimeSeriesOps.timeSliced(pts, Seq("uuid"))
+    assert(TimeSeriesOps.cutsCache.size == 1, "first slice should populate one entry")
+    val cuts = TimeSeriesOps.cutsCache.values.iterator.next()
+    assert(cuts.toSeq == cuts.toSeq.distinct.sorted, "cuts must be sorted distinct")
+    // same logical plan (rebuilt, not the same object) → cache hit, not a new entry
+    val again = TimeSeriesOps.timeSliced(randomPoints(9L, 3000, 6), Seq("uuid"))
+    assert(TimeSeriesOps.cutsCache.size == 1, "identical plan must reuse the entry")
+    assert(multiset(first) == multiset(again), "cached cuts must slice identically")
+    // a different plan gets its own entry
+    TimeSeriesOps.timeSliced(pts.filter(col("t_us") >= 10), Seq("uuid"))
+    assert(TimeSeriesOps.cutsCache.size == 2, "distinct plan must not collide")
+  }
+
   test("bucketed lttb equals the sequential candidate-chain reference") {
     // the distributed pipeline (sliced prefix count → bucket assignment →
     // M4 candidates → per-stream chain over summaries) must reproduce the
