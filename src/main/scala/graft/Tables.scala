@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Loaders for the driver-generated test tables plus the canonical
   * time-series "points" projection.
@@ -52,21 +53,38 @@ object Tables {
     }
   }
 
-  /** Canonical points view: (user_id, event_type, t_us, value, ver).
-    *
-    * The events parquet stores TIMESTAMP(NANOS) which Spark's µs
-    * TimestampType rejects (PARQUET_TYPE_ILLEGAL); the supported path
-    * (SPARK-40819) is `nanosAsLong`, reading ts as a long of epoch-ns.
-    * Integer `DIV 1000` then matches DuckDB's `epoch_us(ts)` exactly
-    * (both truncate; epoch values here are positive). A double-division
-    * would corrupt low bits — 1.7e18 ns exceeds 2^53.
+  /** Epoch-µs expression for an events frame's `ts` column —
+    * schema-adaptive, because driver generations of the parquet have
+    * stored ts both as TIMESTAMP(NANOS) (which Spark's µs TimestampType
+    * rejects, PARQUET_TYPE_ILLEGAL; the supported path, SPARK-40819, is
+    * `nanosAsLong`, reading it as a long of epoch-ns) and as plain
+    * TIMESTAMP_NTZ µs. For the ns-long shape, integer `DIV 1000` matches
+    * DuckDB's `epoch_us(ts)` exactly (both truncate; epoch values here
+    * are positive — a double-division would corrupt low bits, 1.7e18 ns
+    * exceeds 2^53). For NTZ, the wall-clock µs ARE the epoch µs under a
+    * UTC session timezone (which points() pins), so the NTZ→TIMESTAMP
+    * cast is bit-identity and unix_micros reads the raw µs out.
     */
+  def tsUs(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case types.LongType         => expr("ts DIV 1000")
+      case types.TimestampNTZType => unix_micros(col("ts").cast(types.TimestampType))
+      case types.TimestampType    => unix_micros(col("ts"))
+      case t => throw new IllegalStateException(s"unsupported events.ts type: $t")
+    }
+
+  /** Canonical points view: (user_id, event_type, t_us, value, ver). */
   def points(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events").select(
+    // epoch arithmetic (and the DuckDB oracle's epoch_us) assumes UTC;
+    // Verify/Bench/tests already pin it — this is the safety net for
+    // ad-hoc sessions
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val ev = load(spark, dir, "events")
+    ev.select(
       col("user_id"),
       col("event_type"),
-      expr("ts DIV 1000").as("t_us"),
+      tsUs(ev).as("t_us"),
       col("value"),
       col("event_id").as("ver"))
   }

@@ -4,17 +4,25 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: derive parquet-pushable bounds from comparisons on
-  * integer-division expressions.
+  * derived epoch-time expressions.
   *
-  * The canonical time axis is `t_us = ts DIV 1000` (epoch-ns long → µs).
-  * A predicate like `t_us >= T` sits on a DERIVED column, so the parquet
-  * scan pushes nothing and every time-range query reads every row group —
-  * at 100 TB the time filter is precisely the one that must prune. Since
-  * `DIV` is truncating division by a positive constant, each comparison
-  * implies a bound on the RAW column:
+  * The canonical time axis `t_us` is DERIVED from the raw `ts` column —
+  * `ts DIV 1000` when the parquet stores epoch-ns longs, or
+  * `unix_micros(ts)` when it stores timestamps. A predicate like
+  * `t_us >= T` therefore sits on an expression, the parquet scan pushes
+  * nothing on the time axis, and every time-range query reads every row
+  * group — at 100 TB the time filter is precisely the one that must
+  * prune. Two inversions restore the raw-column bound:
+  *
+  * `unix_micros` is EXACTLY invertible (TimestampType stores epoch µs;
+  * a UTC-cast TIMESTAMP_NTZ is bit-identity on the stored µs), so each
+  * comparison maps 1:1 onto the raw timestamp column.
+  *
+  * Truncating `DIV` by a positive constant implies a one-step-wider
+  * bound on the raw column:
   *
   *   c div d >= v  ⟹  c >= v*d − (d−1)
   *   c div d >  v  ⟹  c >= v*d + 1
@@ -59,7 +67,53 @@ object DivComparisonBounds extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  private def isUtc(tz: Option[String]): Boolean = tz.exists { s =>
+    try java.time.ZoneId.of(s).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+  }
+
+  /** The raw column behind an exactly-invertible epoch-µs projection,
+    * plus the literal constructor mapping a µs bound back onto it:
+    * `unix_micros(ts: TIMESTAMP)` (µs-stored, timezone-independent) or
+    * `unix_micros(CAST(ts: TIMESTAMP_NTZ AS TIMESTAMP))` under a UTC
+    * session zone (bit-identity on the stored µs — any other zone shifts
+    * the mapping, so the inversion is declined there).
+    */
+  private object MicrosOf {
+    def unapply(e: Expression): Option[(Expression, Long => Literal)] = e match {
+      case UnixMicros(Cast(inner, TimestampType, tz, _))
+          if inner.dataType == TimestampNTZType && isUtc(tz) =>
+        Some((inner, v => Literal(v, TimestampNTZType)))
+      case UnixMicros(c) if c.dataType == TimestampType =>
+        Some((c, v => Literal(v, TimestampType)))
+      case _ => None
+    }
+  }
+
   private def implied(conjunct: Expression): Seq[Expression] = conjunct match {
+    // exact unix_micros inversions — checked before the div cases so a
+    // wrapped comparison resolves once, by the tighter rule
+    case GreaterThanOrEqual(MicrosOf(c, tsLit), vl) =>
+      longLit(vl).map(v => GreaterThanOrEqual(c, tsLit(v))).toSeq
+    case GreaterThan(MicrosOf(c, tsLit), vl) =>
+      longLit(vl).map(v => GreaterThan(c, tsLit(v))).toSeq
+    case LessThanOrEqual(MicrosOf(c, tsLit), vl) =>
+      longLit(vl).map(v => LessThanOrEqual(c, tsLit(v))).toSeq
+    case LessThan(MicrosOf(c, tsLit), vl) =>
+      longLit(vl).map(v => LessThan(c, tsLit(v))).toSeq
+    case EqualTo(MicrosOf(c, tsLit), vl) =>
+      longLit(vl).map(v => EqualTo(c, tsLit(v))).toSeq
+    // literal-on-left variants (v OP unix_micros(c)) — mirror the comparison
+    case GreaterThanOrEqual(vl, MicrosOf(c, tsLit)) =>
+      longLit(vl).map(v => LessThanOrEqual(c, tsLit(v))).toSeq
+    case GreaterThan(vl, MicrosOf(c, tsLit)) =>
+      longLit(vl).map(v => LessThan(c, tsLit(v))).toSeq
+    case LessThanOrEqual(vl, MicrosOf(c, tsLit)) =>
+      longLit(vl).map(v => GreaterThanOrEqual(c, tsLit(v))).toSeq
+    case LessThan(vl, MicrosOf(c, tsLit)) =>
+      longLit(vl).map(v => GreaterThan(c, tsLit(v))).toSeq
+    case EqualTo(vl, MicrosOf(c, tsLit)) =>
+      longLit(vl).map(v => EqualTo(c, tsLit(v))).toSeq
     case GreaterThanOrEqual(DivByConst(c, d), vl) =>
       longLit(vl).toSeq.flatMap(v => mul(v, d).flatMap(p => add(p, -(d - 1))).map(lower(c, d, _)))
     case GreaterThan(DivByConst(c, d), vl) =>

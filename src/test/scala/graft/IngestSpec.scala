@@ -64,11 +64,13 @@ class IngestSpec extends SparkSuite {
   }
 
   test("watermarked stat stream matches batch aggregation for closed windows") {
-    // drive the events parquet through a streaming source (ts is ns-long
-    // under nanosAsLong → convert to timestamp for the window op)
-    val batchDf = Tables.load(spark, sfDir, "events")
+    // drive the events parquet through a streaming source (ts shape is
+    // generation-dependent → normalize via Tables.tsUs, then back to a
+    // timestamp for the window op)
+    val batchRaw = Tables.load(spark, sfDir, "events")
+    val batchDf = batchRaw
       .select(col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"), col("value"))
+        timestamp_micros(Tables.tsUs(batchRaw)).as("ts"), col("value"))
     val streamDf = spark.readStream
       .schema(batchDf.schema)
       .parquet(stageAsDir(batchDf))

@@ -24,14 +24,17 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("time-range filters on t_us reach the parquet scan as raw ts bounds") {
-    // t_us = ts DIV 1000 is derived; without DivComparisonBounds the scan
-    // pushes nothing on the time axis and every row group is read.
+    // t_us is derived from raw ts (DIV 1000 on ns-longs, unix_micros on
+    // timestamps); without DivComparisonBounds the scan pushes nothing on
+    // the time axis and every row group is read. The upper-bound shape is
+    // schema-dependent: t_us < T inverts to ts <= T*1000-1 under the
+    // truncating DIV, but exactly to ts < timestamp(T) under unix_micros.
     val plan = physical(
       TS.rawValues(Tables.points(spark, sfDir), STREAM, T08, T22))
     assert(plan.contains("PushedFilters"), plan.take(2000))
     assert(plan.contains("GreaterThanOrEqual(ts"),
       s"lower ts bound not pushed:\n${plan.take(3000)}")
-    assert(plan.contains("LessThanOrEqual(ts"),
+    assert(plan.contains("LessThanOrEqual(ts") || plan.contains("LessThan(ts"),
       s"upper ts bound not pushed:\n${plan.take(3000)}")
   }
 
