@@ -73,13 +73,24 @@ object Tables {
       case t => throw new IllegalStateException(s"unsupported events.ts type: $t")
     }
 
-  /** Canonical points view: (user_id, event_type, t_us, value, ver). */
+  /** Canonical points view: (user_id, event_type, t_us, value, ver).
+    *
+    * REQUIRES a UTC session timezone: epoch arithmetic here (and the
+    * DuckDB oracle's `epoch_us`) reads NTZ wall-clock µs as epoch µs,
+    * which only holds under UTC. A non-UTC session fails fast rather
+    * than being silently reconfigured — a caller who deliberately set
+    * another zone for unrelated queries must not have it clobbered as
+    * a side effect of building this frame.
+    */
   def points(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // epoch arithmetic (and the DuckDB oracle's epoch_us) assumes UTC;
-    // Verify/Bench/tests already pin it — this is the safety net for
-    // ad-hoc sessions
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val utc =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    if (!utc) throw new IllegalStateException(
+      s"graft requires spark.sql.session.timeZone=UTC for epoch arithmetic (found '$tz'); " +
+        """set .config("spark.sql.session.timeZone", "UTC") on the session before calling points()""")
     val ev = load(spark, dir, "events")
     ev.select(
       col("user_id"),

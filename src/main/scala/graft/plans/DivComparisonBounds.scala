@@ -77,14 +77,18 @@ object DivComparisonBounds extends Rule[LogicalPlan] with PredicateHelper {
     * `unix_micros(ts: TIMESTAMP)` (µs-stored, timezone-independent) or
     * `unix_micros(CAST(ts: TIMESTAMP_NTZ AS TIMESTAMP))` under a UTC
     * session zone (bit-identity on the stored µs — any other zone shifts
-    * the mapping, so the inversion is declined there).
+    * the mapping, so the inversion is declined there). Cast-rooted
+    * children are confined to that first case: without the guard below,
+    * a non-UTC NTZ cast would fall through to the plain-TIMESTAMP case
+    * (the Cast itself has TimestampType) and add an exact but
+    * Cast-rooted — hence never pushable — redundant conjunct.
     */
   private object MicrosOf {
     def unapply(e: Expression): Option[(Expression, Long => Literal)] = e match {
       case UnixMicros(Cast(inner, TimestampType, tz, _))
           if inner.dataType == TimestampNTZType && isUtc(tz) =>
         Some((inner, v => Literal(v, TimestampNTZType)))
-      case UnixMicros(c) if c.dataType == TimestampType =>
+      case UnixMicros(c) if c.dataType == TimestampType && !c.isInstanceOf[Cast] =>
         Some((c, v => Literal(v, TimestampType)))
       case _ => None
     }

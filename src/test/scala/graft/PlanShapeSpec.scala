@@ -38,6 +38,39 @@ class PlanShapeSpec extends SparkSuite {
       s"upper ts bound not pushed:\n${plan.take(3000)}")
   }
 
+  test("ts bounds push for EVERY events ts encoding, independent of the corpus") {
+    // The driver's corpus carries only one ts shape per generation, so the
+    // corpus-backed test above exercises a single tsUs branch. Write a tiny
+    // events table in each shape ourselves and assert the pushed-filter
+    // shape for all three: epoch-ns long (DIV-1000 inversion), TIMESTAMP_NTZ
+    // (UTC-cast unix_micros inversion), and plain TIMESTAMP (direct
+    // unix_micros inversion).
+    val base = spark.range(1, 100).selectExpr(
+      "id AS event_id",
+      "1704672000000000 + id * 1000000 AS us", // inside [T08, T22)
+      "id % 7 AS user_id",
+      "'click' AS event_type",
+      "CAST(id AS DOUBLE) AS value")
+    val shapes: Seq[(String, DataFrame)] = Seq(
+      "nslong" -> base.selectExpr(
+        "event_id", "us * 1000 AS ts", "user_id", "event_type", "value"),
+      "ntz" -> base.selectExpr(
+        "event_id", "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value"),
+      "tstz" -> base.selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id", "event_type", "value"))
+    for ((shape, df) <- shapes) {
+      val dir = tmpDir(s"plan_ts_$shape")
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val plan = physical(
+        TS.rawValues(Tables.points(spark, dir), STREAM, T08, T22))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"[$shape] lower ts bound not pushed:\n${plan.take(3000)}")
+      assert(plan.contains("LessThanOrEqual(ts") || plan.contains("LessThan(ts"),
+        s"[$shape] upper ts bound not pushed:\n${plan.take(3000)}")
+    }
+  }
+
   test("div-bound rule also fires for literal-on-left comparisons") {
     // T15 > t_us  ⇔  t_us < T15; t_us is ts DIV 1000, so the raw upper
     // bound on ts must still reach the scan through the reversed pattern
