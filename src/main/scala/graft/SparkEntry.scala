@@ -254,8 +254,12 @@ object SparkEntry {
       TS.argMinMax(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // the dashboard-facing name auto-delegates to the bucketed plan when
+    // any stream's in-range history exceeds the one-task exact bound; at
+    // this SF every stream is far below it, so the oracle replays the
+    // exact sequential chain
     "ts_lttb" -> ((s, dir) =>
-      graft.ts.Downsample.lttb(Tables.points(s, dir), STREAM, T0, T29, 7)
+      graft.ts.Downsample.lttbAuto(Tables.points(s, dir), STREAM, T0, T29, 7)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
     // the scale-path swap-in: M4 candidates per bucket + sliced prefix
@@ -368,6 +372,16 @@ object SparkEntry {
           p.filter(col("event_type") === "view"), Seq("user_id"), T0, T29, DAY,
           Seq(-DAY / 2, 0L, DAY / 2))
         .orderBy(col("user_id"), col("lag"))
+    }),
+
+    // autocorrelation function per stream — the seasonality detector
+    // (ACF over day-mean series): lagCorrelation with the stream joined
+    // against ITSELF, so all lags share one phase and the scan fans once
+    "ts_autocorr" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      TS.lagCorrelation(p, p, STREAM, T0, T29, DAY,
+          Seq(0L, DAY, 2 * DAY, 3 * DAY, 7 * DAY))
+        .orderBy(col("user_id"), col("event_type"), col("lag"))
     }),
 
     // rolling correlation: per-week Pearson r of click-vs-view day-means
@@ -639,6 +653,13 @@ object SparkEntry {
       Vectors.centroidSim(Tables.load(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
 
+    // embedding-space outlier audit: centroid-cosine z-scores, the
+    // ts_anomaly recipe on the embedding axis — corrupt/off-domain
+    // vector candidates before dedup
+    "emb_outliers" -> ((s, dir) =>
+      Vectors.outliers(Tables.load(s, dir, "embeddings"), 2.0)
+        .orderBy(col("vec_id"))),
+
     // int8 scalar-quantization audit: per-vector reconstruction error on
     // the per-dim 256-level grid
     "emb_sq8" -> ((s, dir) =>
@@ -712,6 +733,13 @@ object SparkEntry {
     // fixed-capacity training-sequence stream per source
     "corpus_pack" -> ((s, dir) =>
       TextFunctions.tokenPack(Tables.load(s, dir, "documents"), "source", 512L)
+        .orderBy(col("doc_id"))),
+
+    // temperature-smoothed source mixture (p_i ∝ n_i^(1/2)): the
+    // low-resource-upweighting data-mixing allocator over the same
+    // deterministic prefix-sum fill as corpus_budget
+    "corpus_mix" -> ((s, dir) =>
+      TextFunctions.tokenMixture(Tables.load(s, dir, "documents"), "source", 10000L)
         .orderBy(col("doc_id"))),
 
     // the end-to-end shard build: lang+quality+PII+dedup gates, then
@@ -1589,6 +1617,38 @@ object SparkEntry {
          |       END AS r
          |FROM m ORDER BY user_id, lag""".stripMargin,
 
+    // ACF: the lag_corr moment pipeline with y ≡ x (per-stream self-join)
+    "ts_autocorr" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |x AS (SELECT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS x
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |l AS (SELECT unnest([0, $DAY, ${2 * DAY}, ${3 * DAY}, ${7 * DAY}]) AS lag),
+         |j AS (SELECT a.user_id AS user_id, a.event_type AS event_type,
+         |             l.lag AS lag, a.x AS x, b.x AS y
+         |      FROM x a CROSS JOIN l
+         |      JOIN x b ON a.user_id = b.user_id AND a.event_type = b.event_type
+         |              AND b.w_start = a.w_start - l.lag),
+         |m AS (SELECT user_id, event_type, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |             sum(CAST(y AS HUGEINT) * y) AS syy,
+         |             sum(CAST(x AS HUGEINT) * y) AS sxy
+         |      FROM j GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, CAST(lag AS BIGINT) AS lag,
+         |       CAST(n AS BIGINT) AS n_windows,
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |             AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |            THEN ${Q6(
+             """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
+         |       END AS r
+         |FROM m ORDER BY user_id, event_type, lag""".stripMargin,
+
     "ts_windowed_corr" ->
       s"""WITH pts AS ($PTS_SQL),
          |x AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
@@ -2074,6 +2134,33 @@ object SparkEntry {
          |       END AS centroid_sim
          |FROM e CROSS JOIN cent ORDER BY vec_id""".stripMargin,
 
+    // centroid-cosine z-scores: the ts_anomaly moment recipe on the
+    // embedding axis, over the exactly-replayed centroid_sim
+    "emb_outliers" ->
+      s"""WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+         |c AS (SELECT dim, ${MEAN6(s"sum(${US6("x")})", "count(*)")} AS m
+         |      FROM x GROUP BY dim),
+         |cent AS (SELECT list(m ORDER BY dim) AS cvec FROM c),
+         |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |s AS (SELECT vec_id,
+         |             CASE WHEN nrm > 0 AND sqrt(${DOT_SQL("cvec", "cvec")}) > 0
+         |                  THEN ${Q6(s"${DOT_SQL("embedding", "cvec")} / (nrm * sqrt(${DOT_SQL("cvec", "cvec")}))")}
+         |             END AS centroid_sim
+         |      FROM e CROSS JOIN cent),
+         |u AS (SELECT vec_id, centroid_sim, ${US6("centroid_sim")} AS us
+         |      FROM s WHERE centroid_sim IS NOT NULL),
+         |st AS (SELECT sum(us) AS s1, sum(CAST(us AS HUGEINT) * us) AS s2,
+         |              count(*) AS n FROM u),
+         |j AS (SELECT u.vec_id AS vec_id, u.centroid_sim AS centroid_sim, u.us AS us,
+         |             CAST(st.s1 AS DOUBLE) / st.n AS mean,
+         |             sqrt(CAST(st.s2 AS DOUBLE) / st.n
+         |                  - (CAST(st.s1 AS DOUBLE) / st.n) * (CAST(st.s1 AS DOUBLE) / st.n)) AS std
+         |      FROM u CROSS JOIN st)
+         |SELECT vec_id, centroid_sim, ${Q6("(CAST(us AS DOUBLE) - mean) / std")} AS z_score
+         |FROM j WHERE std > 0 AND abs((CAST(us AS DOUBLE) - mean) / std) >= 2.0
+         |ORDER BY vec_id""".stripMargin,
+
     // SQ8: same per-dim min/max grid, same index-ordered error fold
     "emb_sq8" ->
       s"""WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
@@ -2320,6 +2407,33 @@ object SparkEntry {
          |SELECT doc_id, stratum, n_tokens,
          |       start_tok // 512 AS pack_id, start_tok % 512 AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // temperature mixture: sqrt-smoothed shares folded in stratum order
+    // (ONE association order for the float denominator on both engines),
+    // then the same per-stratum running-sum fill as corpus_budget
+    "corpus_mix" ->
+      s"""WITH d AS (SELECT doc_id, source AS stratum,
+         |                  len(string_split($NORM_TEXT_SQL, ' ')) AS n_tokens,
+         |                  md5(CAST(doc_id AS VARCHAR)) AS rank_key
+         |           FROM documents),
+         |m AS (SELECT stratum, sum(n_tokens) AS st FROM d GROUP BY 1),
+         |w AS (SELECT stratum, sqrt(CAST(st AS DOUBLE)) AS wgt,
+         |             sum(sqrt(CAST(st AS DOUBLE))) OVER (ORDER BY stratum
+         |               ROWS UNBOUNDED PRECEDING) AS cum_w
+         |      FROM m),
+         |den AS (SELECT max(cum_w) AS denom FROM w),
+         |b AS (SELECT stratum, CAST(floor(10000 * wgt / denom) AS BIGINT) AS stratum_budget
+         |      FROM w CROSS JOIN den),
+         |c AS (SELECT doc_id, stratum, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY stratum
+         |                                      ORDER BY rank_key, doc_id
+         |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |               AS cum_tokens
+         |      FROM d)
+         |SELECT c.doc_id AS doc_id, c.stratum AS stratum, c.n_tokens AS n_tokens,
+         |       c.cum_tokens AS cum_tokens, b.stratum_budget AS stratum_budget
+         |FROM c JOIN b ON c.stratum = b.stratum
+         |WHERE c.cum_tokens <= b.stratum_budget ORDER BY doc_id""".stripMargin,
 
     "corpus_shard" ->
       s"""WITH d AS (SELECT doc_id, source, $NORM_TEXT_SQL AS norm FROM documents),

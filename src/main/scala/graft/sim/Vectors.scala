@@ -106,6 +106,35 @@ object Vectors {
           .as("centroid_sim"))
   }
 
+  /** Embedding-space outlier audit — the "find the corrupt / off-domain
+    * vectors" cleaning pass a training pipeline runs before dedup: the
+    * z-score of each vector's centroid cosine against the corpus
+    * distribution, |z| ≥ τ flagged. The q6-quantized centroid_sim is
+    * already engine-exact; its exact integer micro-unit form feeds one
+    * moment row (n, Σ, Σ² — DECIMAL, unbounded group per the Quant
+    * overflow rule) broadcast back, and mean/std/z assemble in the same
+    * deterministic float expression as ts_anomaly — the anomaly recipe
+    * pointed at the embedding axis. One narrow pass + one 1-row
+    * broadcast: nothing pairwise at any corpus size. Zero-norm vectors
+    * (null cosine) are excluded from both the moments and the output.
+    */
+  def outliers(emb: DataFrame, zThresh: Double, vecCol: String = "embedding"): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    val sims = centroidSim(emb, vecCol)
+      .filter(col("centroid_sim").isNotNull)
+      .withColumn("s_us", graft.Quant.us6(col("centroid_sim")).cast("decimal(38,0)"))
+    val stats = sims.agg(
+      sum(col("s_us")).as("s1"),
+      sum(col("s_us") * col("s_us")).as("s2"),
+      count(lit(1)).as("n"))
+    val mean = col("s1").cast("double") / col("n")
+    val std = sqrt(col("s2").cast("double") / col("n") - mean * mean)
+    val z = (col("s_us").cast("double") - mean) / std
+    sims.crossJoin(broadcast(stats))
+      .filter(std > 0 && abs(z) >= zThresh)
+      .select(col("vec_id"), col("centroid_sim"), graft.Quant.q6(z).as("z_score"))
+  }
+
   /** Int8 scalar-quantization audit — the "can we ship these embeddings
     * as int8" report: per-dimension (min, max) over the corpus define the
     * 256-level grid (code = round((x − min)/scale), scale = range/255 —

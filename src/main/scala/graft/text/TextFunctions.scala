@@ -278,6 +278,51 @@ object TextFunctions {
         (col("start_tok") % seqTokens).as("pack_offset"))
   }
 
+  /** Temperature-smoothed source mixture — the multilingual data-mixing
+    * allocator (the mT5/XLM-R sampling rule p_i ∝ n_i^α, at α = 1/2):
+    * each stratum's token mass smooths with sqrt (correctly-rounded
+    * IEEE on both engines, where an arbitrary-α pow() is libm-dependent
+    * — the text_entropy stance), normalizes into a share of
+    * `totalBudget`, and fills deterministically in md5 order through
+    * the same two-phase prefix sum as tokenBudget. This upweights the
+    * tail: a source holding 1% of the corpus draws ~10% of the budget,
+    * the standard fix for low-resource starvation under proportional
+    * sampling.
+    *
+    * Scale shape: the mass table is one map-side-partial aggregate at
+    * stratum cardinality (metadata-scale); its sqrt-share denominator
+    * is a running-sum fold in stratum order over that tiny table — a
+    * deliberately single-partition window of #sources rows, so the
+    * float sum has exactly ONE association order both engines replay —
+    * and the budgets broadcast back onto the distributed fill. No
+    * stage anywhere touches more than (docs-per-partition) rows.
+    */
+  def tokenMixture(docs: DataFrame, stratumCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    import org.apache.spark.sql.expressions.Window
+    val sized = withBase(docs)
+      .select(col("doc_id"), col(stratumCol).as("stratum"),
+        size(col("w")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rank_key"))
+    val mass = sized.groupBy(col("stratum")).agg(sum(col("n_tokens")).as("stratum_tokens"))
+    val wCum = Window.orderBy(col("stratum")).rowsBetween(Window.unboundedPreceding, 0)
+    val weighted = mass
+      .withColumn("wgt", sqrt(col("stratum_tokens").cast("double")))
+      .withColumn("cum_w", sum(col("wgt")).over(wCum))
+    // wgt ≥ 0 ⇒ the running fold is monotone: max(cum_w) IS the full
+    // left-fold denominator, with no order-free float re-aggregation
+    val denom = weighted.agg(max(col("cum_w")).as("denom"))
+    val budgets = weighted.crossJoin(broadcast(denom))
+      .select(col("stratum"),
+        floor(lit(totalBudget).cast("double") * col("wgt") / col("denom"))
+          .cast("long").as("stratum_budget"))
+    stratumPrefixSum(sized)
+      .join(broadcast(budgets), Seq("stratum"))
+      .filter(col("cum_tokens") <= col("stratum_budget"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        col("cum_tokens"), col("stratum_budget"))
+  }
+
   /** Bigram language-model quality scoring — the CCNet-style "how
     * LM-plausible is this document" filter, self-trained on the corpus:
     * top-`vocab` words (rest collapse to one OOV token), corpus bigram /

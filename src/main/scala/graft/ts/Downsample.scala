@@ -274,4 +274,28 @@ object Downsample {
       .select(restored :+ col("t_us") :+ col("value"): _*)
       .unionByName(small)
   }
+
+  /** Dashboard-facing LTTB, scale-safe by default: exact lttb() while
+    * every stream's in-range history fits one task, the bucketed M4 plan
+    * beyond that — the percentile/cardinality swap-in pattern made
+    * automatic, so callers of the canonical name never hit the
+    * sort-a-stream-in-one-task cliff. The probe is one map-side-partial
+    * count per stream reduced to a single driver row (the same
+    * metadata-scale decision Lloyd/IvfIndex already make); at dashboard
+    * call rates the probe is served from the same scan cache as the
+    * query itself.
+    */
+  def lttbAuto(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+               nOut: Int, version: Option[Long] = None,
+               maxExactPoints: Long = 1000000L): DataFrame = {
+    val versioned = version.fold(points)(v => points.filter(col("ver") <= v))
+    val maxPerStream = versioned
+      .filter(col("t_us") >= start && col("t_us") < end)
+      .groupBy(streamCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    if (maxPerStream.forall(_ <= maxExactPoints))
+      lttb(points, streamCols, start, end, nOut, version)
+    else lttbBucketed(points, streamCols, start, end, nOut, version)
+  }
 }

@@ -117,6 +117,26 @@ class CorpusSpec extends SparkSuite {
     assert(capped == Set((1L, 3L, 2L, 1.333333), (2L, 2L, 2L, 1.5)), s"$capped")
   }
 
+  test("token mixture allocates sqrt-smoothed budgets and fills in md5 order") {
+    import spark.implicits._
+    // stratum a: 9 docs × 4 tokens = 36; stratum b: 1 doc × 4 = 4.
+    // sqrt shares 6 / 2 over denom 8 → budgets floor(32·6/8) = 24 (six
+    // a-docs) and floor(32·2/8) = 8 (the one b-doc) — the tail source
+    // gets 25% of the budget for 10% of the mass
+    val docs = ((1 to 9).map(i => (i.toLong, "a", "w x y z")) :+
+      (10L, "b", "w x y z")).toDF("doc_id", "source", "text")
+    val got = TF.tokenMixture(docs, "source", 32L).collect()
+    val byStratum = got.groupBy(_.getString(1))
+    assert(byStratum("a").length == 6 && byStratum("b").length == 1, s"${got.toSeq}")
+    assert(byStratum("a").head.getLong(4) == 24L && byStratum("b").head.getLong(4) == 8L)
+    // the six a-docs are the first six in (md5(doc_id), doc_id) order
+    val expA = docs.filter(col("source") === "a")
+      .withColumn("rk", md5(col("doc_id").cast("string")))
+      .orderBy("rk", "doc_id").limit(6)
+      .collect().map(_.getLong(0)).toSet
+    assert(byStratum("a").map(_.getLong(0)).toSet == expA)
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())

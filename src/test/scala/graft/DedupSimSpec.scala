@@ -369,6 +369,18 @@ class DedupSimSpec extends SparkSuite {
       .foreach(r => assert(r.getDouble(1) == 1.0, s"$r"))
   }
 
+  test("embedding outliers flag exactly the anti-aligned vector") {
+    import spark.implicits._
+    // twenty near-identical vectors and one anti-aligned: only the
+    // latter's centroid cosine sits beyond 2σ of the distribution
+    val emb = ((1 to 20).map(i => (i.toLong, Array(1.0f, (i % 5) * 0.01f))) :+
+      (99L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.sim.Vectors.outliers(emb, 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(99L), s"flagged: $out")
+    assert(out(99L) < -2.0, s"outlier z not negative-extreme: $out")
+  }
+
   test("sq8 audit reconstructs grid points exactly and bounds the rest") {
     import spark.implicits._
     // dim 0 range [0, 255] → scale 1: integer coords reconstruct exactly;

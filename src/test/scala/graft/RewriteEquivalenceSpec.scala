@@ -206,6 +206,23 @@ class RewriteEquivalenceSpec extends SparkSuite {
     }
   }
 
+  test("lttbAuto delegates on the max in-range stream size") {
+    // below the bound the dashboard-facing name IS exact lttb; above it,
+    // the bucketed plan — checked by comparing against each path directly
+    val pts = randomPoints(11L, 3000, 6)
+    def m(df: org.apache.spark.sql.DataFrame) = multiset(df)
+    val exact = graft.ts.Downsample.lttb(pts, Seq("uuid"), 0L, 300L, 9)
+    val bucketed = graft.ts.Downsample.lttbBucketed(pts, Seq("uuid"), 0L, 300L, 9)
+    val below = graft.ts.Downsample.lttbAuto(pts, Seq("uuid"), 0L, 300L, 9,
+      maxExactPoints = 1000000L)
+    val above = graft.ts.Downsample.lttbAuto(pts, Seq("uuid"), 0L, 300L, 9,
+      maxExactPoints = 10L)
+    assert(m(below) == m(exact), "below the bound lttbAuto must be exact lttb")
+    assert(m(above) == m(bucketed), "above the bound lttbAuto must be the bucketed plan")
+    // and on an empty range the probe must not blow up on the null max
+    assert(graft.ts.Downsample.lttbAuto(pts, Seq("uuid"), 9000L, 9100L, 9).count() == 0)
+  }
+
   test("bounded top-k per window equals the global rank reference") {
     for (seed <- Seq(7L, 99L)) {
       val rnd = new scala.util.Random(seed)

@@ -252,6 +252,18 @@ class TimeSeriesOpsSpec extends SparkSuite {
     }
   }
 
+  test("autocorrelation of an alternating series: +1 at the period, -1 off it") {
+    import spark.implicits._
+    // period-2 alternation 1,3,1,3,… → ACF r(0)=r(2w)=+1, r(1w)=−1
+    val pts = (0 until 28).map(i =>
+        ("s", i * 10L, if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("uuid", "t_us", "value")
+    val acf = TimeSeriesOps.lagCorrelation(pts, pts, Seq("uuid"), 0L, 280L, 10L,
+        Seq(0L, 10L, 20L))
+      .collect().map(row => row.getLong(1) -> row.getDouble(3)).toMap
+    assert(acf(0L) == 1.0 && acf(20L) == 1.0 && acf(10L) == -1.0, s"$acf")
+  }
+
   test("lag correlation peaks exactly at the true shift") {
     import spark.implicits._
     // y repeats x one window later; the non-linear sequence makes r = 1
