@@ -75,6 +75,9 @@ class Corpus(val docs: DataFrame) {
   /** Sequence packing: each doc's (pack_id, pack_offset) per stratum. */
   def tokenPack(stratumCol: String, seqTokens: Long): DataFrame =
     TF.tokenPack(docs, stratumCol, seqTokens)
+  /** Temperature-smoothed source mixture (p_i ∝ n_i^(1/2)). */
+  def tokenMixture(stratumCol: String, totalBudget: Long): DataFrame =
+    TF.tokenMixture(docs, stratumCol, totalBudget)
 }
 
 object Corpus {
@@ -88,6 +91,8 @@ class Embeddings(val emb: DataFrame) {
   def norms(): DataFrame = Vectors.norms(emb)
   def dimStats(): DataFrame = Vectors.dimStats(emb)
   def centroidSim(): DataFrame = Vectors.centroidSim(emb)
+  /** Centroid-cosine z-score outliers (corrupt/off-domain vectors). */
+  def outliers(zThresh: Double = 2.0): DataFrame = Vectors.outliers(emb, zThresh)
   def cosinePairs(tau: Double): DataFrame = Vectors.cosinePairs(emb, tau)
   def knn(tau: Double, k: Int): DataFrame = Vectors.knnGraph(emb, tau, k)
   def annTopK(nQueries: Int, k: Int): DataFrame = Vectors.annTopK(emb, nQueries, k)

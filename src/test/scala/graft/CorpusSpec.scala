@@ -146,9 +146,11 @@ class CorpusSpec extends SparkSuite {
     assert(c.shard().count() > 0)
     assert(c.shardNear().count() > 0)
     assert(c.tokenPack("source", 512L).count() == c.docs.count())
+    assert(c.tokenMixture("source", 10000L).count() > 0)
     val e = Embeddings(Tables.load(spark, sfDir, "embeddings"))
     assert(e.norms().count() == e.emb.count())
     assert(e.centroidSim().count() == e.emb.count())
+    assert(e.outliers().count() < e.emb.count())
     assert(e.clusters(0.4).count() == e.emb.count())
     assert(e.annTopK(5, 10).count() == 50)
   }
