@@ -276,6 +276,20 @@ object SparkEntry {
       TS.holt(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.5, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // Holt-Winters additive: level + trend + weekly seasonal (period 7
+    // day-windows) — the seasonal forecaster over the same bounded
+    // window-mean series as holt
+    "ts_holtwinters" -> ((s, dir) =>
+      TS.holtWinters(Tables.points(s, dir), STREAM, T0, T29, DAY, 7, 0.5, 0.3, 0.4)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // the "next week" serving query: h-step projections from the final
+    // Holt-Winters state — no extra pass over points
+    "ts_forecast" -> ((s, dir) =>
+      TS.holtWintersForecast(Tables.points(s, dir), STREAM, T0, T29, DAY,
+          7, 0.5, 0.3, 0.4, 7)
+        .orderBy(col("user_id"), col("event_type"), col("h"))),
+
     "ts_interpolate" -> ((s, dir) =>
       TS.interpolate(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("g_t"))),
@@ -1238,6 +1252,72 @@ object SparkEntry {
          |SELECT user_id, event_type, w_start, v_mean,
          |       ${Q6("l")} AS level, ${Q6("b")} AS trend
          |FROM rec ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // Holt-Winters: the holt recursion + a seasonal LIST carried through
+    // the recursive CTE (ring[rn - p] replays element_at(acc, -p).s)
+    "ts_holtwinters" ->
+      s"""WITH RECURSIVE pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        $V_MEAN_SQL
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |n AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                   ORDER BY w_start) AS rn FROM w),
+         |rec AS (
+         |  SELECT user_id, event_type, w_start, v_mean, rn,
+         |         v_mean AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
+         |         [CAST(0.0 AS DOUBLE)] AS ring
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.event_type, n.w_start, n.v_mean, n.rn,
+         |         $HW_LNEW AS l,
+         |         $HW_B * (($HW_LNEW) - r.l) + $HW_IB * r.b AS b,
+         |         $HW_SNEW AS s,
+         |         list_append(r.ring, $HW_SNEW) AS ring
+         |  FROM n JOIN rec r ON n.user_id = r.user_id
+         |    AND n.event_type = r.event_type AND n.rn = r.rn + 1)
+         |SELECT user_id, event_type, w_start, v_mean,
+         |       ${Q6("l")} AS level, ${Q6("b")} AS trend, ${Q6("s")} AS seasonal
+         |FROM rec ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // forecast: the last rec row per stream carries (l, b, ring); the
+    // horizon explodes from generate_series with the identical seasonal
+    // index arithmetic (n − p + ((h−1) mod p), 1-based into the ring)
+    "ts_forecast" ->
+      s"""WITH RECURSIVE pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        $V_MEAN_SQL
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |n AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                   ORDER BY w_start) AS rn FROM w),
+         |rec AS (
+         |  SELECT user_id, event_type, w_start, v_mean, rn,
+         |         v_mean AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
+         |         [CAST(0.0 AS DOUBLE)] AS ring
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.event_type, n.w_start, n.v_mean, n.rn,
+         |         $HW_LNEW AS l,
+         |         $HW_B * (($HW_LNEW) - r.l) + $HW_IB * r.b AS b,
+         |         $HW_SNEW AS s,
+         |         list_append(r.ring, $HW_SNEW) AS ring
+         |  FROM n JOIN rec r ON n.user_id = r.user_id
+         |    AND n.event_type = r.event_type AND n.rn = r.rn + 1),
+         |lastrow AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                         ORDER BY rn DESC) AS rr FROM rec),
+         |f AS (SELECT user_id, event_type, w_start AS last_w, l, b, ring, rn AS n
+         |      FROM lastrow WHERE rr = 1),
+         |hs AS (SELECT unnest(generate_series(1, 7)) AS h)
+         |SELECT user_id, event_type, CAST(h AS BIGINT) AS h,
+         |       last_w + CAST(h AS BIGINT) * $DAY AS w_start,
+         |       ${Q6(s"""l + CAST(h AS DOUBLE) * b +
+               |         CASE WHEN n - $HW_P + ((h - 1) % $HW_P) >= 0
+               |              THEN ring[n - $HW_P + ((h - 1) % $HW_P) + 1]
+               |              ELSE CAST(0.0 AS DOUBLE) END""".stripMargin)} AS forecast
+         |FROM f CROSS JOIN hs ORDER BY user_id, event_type, h""".stripMargin,
 
     "ts_interpolate" ->
       s"""WITH pts AS ($PTS_SQL),
@@ -2761,6 +2841,20 @@ object SparkEntry {
   private val HOLT_IB = java.lang.Double.toString(1.0 - 0.3)
   // l_t spelled identically everywhere it appears (engine + oracle)
   private val HOLT_LNEW = s"$HOLT_A * n.v_mean + $HOLT_IA * (r.l + r.b)"
+  // Holt-Winters coefficients + recurrence terms, same spelling contract;
+  // the seasonal history rides the recursion as a LIST (r.ring), indexed
+  // 1-based: s_{t-p} for the row with rn = t+1 sits at ring[rn - p]
+  private val HW_P = 7
+  private val HW_A = java.lang.Double.toString(0.5)
+  private val HW_IA = java.lang.Double.toString(1.0 - 0.5)
+  private val HW_B = java.lang.Double.toString(0.3)
+  private val HW_IB = java.lang.Double.toString(1.0 - 0.3)
+  private val HW_G = java.lang.Double.toString(0.4)
+  private val HW_IG = java.lang.Double.toString(1.0 - 0.4)
+  private val HW_SPREV =
+    s"CASE WHEN n.rn >= ${HW_P + 1} THEN r.ring[n.rn - $HW_P] ELSE CAST(0.0 AS DOUBLE) END"
+  private val HW_LNEW = s"$HW_A * (n.v_mean - ($HW_SPREV)) + $HW_IA * (r.l + r.b)"
+  private val HW_SNEW = s"$HW_G * (n.v_mean - ($HW_LNEW)) + $HW_IG * ($HW_SPREV)"
 
   /** Interpolated-percentile aggregate over (rn, n, value) — mirrors
     * TimeSeriesOps.percentileWindows: idx = p·(n-1), lookup of the two

@@ -787,6 +787,100 @@ object TimeSeriesOps {
         graft.Quant.q6(col("col.hw.b")).as("trend")): _*)
   }
 
+  /** Holt-Winters additive triple smoothing — the seasonal forecaster
+    * (level + trend + seasonal with period p windows) on top of holt():
+    *   l_t = α·(m_t − s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(m_t − l_t) + (1−γ)·s_{t−p}
+    * zero-initialized seasonals (s_{t−p} = 0 while t < p), (l_0, b_0) =
+    * (m_0, 0) — the deterministic textbook recurrence. Same scale and
+    * determinism contract as holt(): the fold runs over the BOUNDED
+    * per-stream window-mean series, coefficients serialize via
+    * Double.toString, and the recursive-CTE oracle carries the seasonal
+    * history as a LIST so every float op replays bit-identically (l_t
+    * and s_{t−p} are spelled out repeatedly — identical expressions
+    * yield identical doubles).
+    */
+  private def hwFold(points: DataFrame, streamCols: Seq[String], start: Long,
+                     end: Long, width: Long, period: Int, alpha: Double,
+                     beta: Double, gamma: Double,
+                     version: Option[Long]): DataFrame = {
+    require(period >= 2, s"period must be at least 2 windows, got $period")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0, 1], got $gamma")
+    val key = streamKey(streamCols)
+    val a = java.lang.Double.toString(alpha)
+    val ia = java.lang.Double.toString(1.0 - alpha)
+    val b = java.lang.Double.toString(beta)
+    val ib = java.lang.Double.toString(1.0 - beta)
+    val g = java.lang.Double.toString(gamma)
+    val ig = java.lang.Double.toString(1.0 - gamma)
+    val sPrev = s"CASE WHEN size(acc) >= $period THEN element_at(acc, -$period).s " +
+      "ELSE CAST(0.0 AS DOUBLE) END"
+    val lNew = s"$a * (x.v_mean - ($sPrev)) + " +
+      s"$ia * (element_at(acc, -1).l + element_at(acc, -1).b)"
+    windows(points, streamCols, start, end, width, version)
+      .groupBy(key: _*)
+      .agg(sort_array(collect_list(struct(col("w_start"), col("v_mean")))).as("ser"))
+      .withColumn("hw", expr(
+        s"""aggregate(ser, CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE, s: DOUBLE>>),
+           |  (acc, x) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0
+           |         THEN named_struct('l', x.v_mean, 'b', CAST(0.0 AS DOUBLE),
+           |                           's', CAST(0.0 AS DOUBLE))
+           |         ELSE named_struct(
+           |           'l', $lNew,
+           |           'b', $b * (($lNew) - element_at(acc, -1).l)
+           |                + $ib * element_at(acc, -1).b,
+           |           's', $g * (x.v_mean - ($lNew)) + $ig * ($sPrev)) END))""".stripMargin))
+  }
+
+  def holtWinters(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                  width: Long, period: Int, alpha: Double, beta: Double,
+                  gamma: Double, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    hwFold(points, streamCols, start, end, width, period, alpha, beta, gamma, version)
+      .select(key :+ posexplode(arrays_zip(col("ser"), col("hw"))): _*)
+      .select(key ++ Seq(col("col.ser.w_start").as("w_start"),
+        col("col.ser.v_mean").as("v_mean"),
+        graft.Quant.q6(col("col.hw.l")).as("level"),
+        graft.Quant.q6(col("col.hw.b")).as("trend"),
+        graft.Quant.q6(col("col.hw.s")).as("seasonal")): _*)
+  }
+
+  /** The forecast SERVED from the Holt-Winters state — ŷ(T+h) =
+    * l_T + h·b_T + s_{T−p+1+((h−1) mod p)} for h = 1..horizon, the
+    * query a dashboard's "next week" band runs. Pure arithmetic on the
+    * fold's final state (one struct per stream): no extra pass over
+    * points, seasonal indices resolve inside a transform() HOF, and
+    * streams shorter than one period fall back to seasonal 0 — all
+    * replayed exactly by the recursive-CTE oracle's carried ring.
+    */
+  def holtWintersForecast(points: DataFrame, streamCols: Seq[String], start: Long,
+                          end: Long, width: Long, period: Int, alpha: Double,
+                          beta: Double, gamma: Double, horizon: Int,
+                          version: Option[Long] = None): DataFrame = {
+    require(horizon >= 1, s"horizon must be at least 1, got $horizon")
+    val key = streamKey(streamCols)
+    hwFold(points, streamCols, start, end, width, period, alpha, beta, gamma, version)
+      .select(key ++ Seq(
+        element_at(col("ser"), -1).getField("w_start").as("last_w"),
+        element_at(col("hw"), -1).getField("l").as("l"),
+        element_at(col("hw"), -1).getField("b").as("b"),
+        col("hw"), size(col("hw")).as("n")): _*)
+      .select(key :+ explode(expr(
+        s"""transform(sequence(1, $horizon), h -> named_struct(
+           |  'h', CAST(h AS BIGINT),
+           |  'w_start', last_w + CAST(h AS BIGINT) * ${width}L,
+           |  'forecast', l + CAST(h AS DOUBLE) * b +
+           |    CASE WHEN n - $period + ((h - 1) % $period) >= 0
+           |         THEN element_at(hw, n - $period + ((h - 1) % $period) + 1).s
+           |         ELSE CAST(0.0 AS DOUBLE) END))""".stripMargin)).as("f"): _*)
+      .select(key ++ Seq(col("f.h").as("h"), col("f.w_start").as("w_start"),
+        graft.Quant.q6(col("f.forecast")).as("forecast")): _*)
+  }
+
   /** Linear interpolation onto a regular [start, end) grid: at each grid
     * time g, the value is the point AT g if one exists, otherwise the
     * linear blend of the last point before and first point after g (null

@@ -125,6 +125,40 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(h(3).getDouble(4) > h(2).getDouble(4) && h(2).getDouble(4) > h(1).getDouble(4))
   }
 
+  test("holt-winters: gamma 0 degenerates to holt; seasonal follows the cycle") {
+    val p = pts((5L, 10.0), (15L, 23.0), (25L, 31.0), (35L, 44.0), (45L, 52.0))
+    val hw0 = TimeSeriesOps.holtWinters(p, Seq("uuid"), 0L, 50L, 10L, 2, 0.5, 0.3, 0.0)
+      .orderBy("w_start").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val h = TimeSeriesOps.holt(p, Seq("uuid"), 0L, 50L, 10L, 0.5, 0.3)
+      .orderBy("w_start").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(hw0.map(x => (x._1, x._2, x._3)).toSeq == h.toSeq,
+      "gamma=0 must reproduce holt bit-for-bit")
+    assert(hw0.forall(_._4 == 0.0), "gamma=0 seasonals must be exactly zero")
+    // hand-computed period-2 alternation, alpha .5, beta 0, gamma 1:
+    // l: 10, .5·20+.5·10=15, .5·(10−0)+.5·15=12.5, .5·(20−5)+.5·12.5=13.75
+    // s: 0, 20−15=5, 10−12.5=−2.5, 20−13.75=6.25
+    val q = pts((5L, 10.0), (15L, 20.0), (25L, 10.0), (35L, 20.0))
+    val hw = TimeSeriesOps.holtWinters(q, Seq("uuid"), 0L, 40L, 10L, 2, 0.5, 0.0, 1.0)
+      .orderBy("w_start").collect()
+    assert(hw.map(_.getDouble(3)).toSeq == Seq(10.0, 15.0, 12.5, 13.75), hw.toSeq)
+    assert(hw.map(_.getDouble(5)).toSeq == Seq(0.0, 5.0, -2.5, 6.25), hw.toSeq)
+    assert(hw.forall(_.getDouble(4) == 0.0), "beta=0 keeps trend at zero")
+  }
+
+  test("holt-winters forecast projects level + trend + cycled seasonal") {
+    // final state of the period-2 case above: l=13.75, b=0,
+    // s = [0, 5, −2.5, 6.25] → ŷ alternates l+s₂ / l+s₃ = 11.25 / 20.0
+    val q = pts((5L, 10.0), (15L, 20.0), (25L, 10.0), (35L, 20.0))
+    val f = TimeSeriesOps.holtWintersForecast(q, Seq("uuid"), 0L, 40L, 10L,
+        2, 0.5, 0.0, 1.0, 4)
+      .orderBy("h").collect()
+    assert(f.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(f.map(_.getLong(2)).toSeq == Seq(40L, 50L, 60L, 70L))
+    assert(f.map(_.getDouble(3)).toSeq == Seq(11.25, 20.0, 11.25, 20.0), f.toSeq)
+  }
+
   test("interpolate blends linearly, pins exact hits, nulls outside the hull") {
     val p = pts((10L, 1.0), (30L, 3.0))
     val r = TimeSeriesOps.interpolate(p, Seq("uuid"), 0L, 50L, 10L)
