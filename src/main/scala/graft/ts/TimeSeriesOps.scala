@@ -1422,15 +1422,26 @@ object TimeSeriesOps {
           .cast("long").as(out))
     }
     val phases = lags.map(l => math.floorMod(l, width)).distinct
-    // y means on each phase-shifted grid: one scan fanned |phases| ways
-    // (grid anchor start − phase, so y_w = w_start − lag lands on it)
-    val dy = col("t_us") - (lit(start) - col("phase"))
-    val y = right.filter(col("t_us") >= start && col("t_us") < end)
-      .withColumn("phase", explode(array(phases.map(lit): _*)))
-      .groupBy(key ++ Seq(col("phase"),
-        (col("t_us") - pmod(dy, lit(width))).as("y_w")): _*)
-      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
-        .cast("long").as("y"))
+    // all-multiples case (single phase 0): y is the SAME aggregation
+    // shape as x — no explode, no shifted-grid arithmetic, one narrow
+    // agg (the subtrees canonicalize equal, though AQE stage reuse is
+    // not currently observed to dedupe them); otherwise y means on each
+    // phase-shifted grid: one scan fanned |phases| ways (grid anchor
+    // start − phase, so y_w = w_start − lag lands on it)
+    val y =
+      if (phases == Seq(0L))
+        meansOf(right, "y")
+          .withColumn("phase", lit(0L))
+          .withColumnRenamed("w_start", "y_w")
+      else {
+        val dy = col("t_us") - (lit(start) - col("phase"))
+        right.filter(col("t_us") >= start && col("t_us") < end)
+          .withColumn("phase", explode(array(phases.map(lit): _*)))
+          .groupBy(key ++ Seq(col("phase"),
+            (col("t_us") - pmod(dy, lit(width))).as("y_w")): _*)
+          .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+            .cast("long").as("y"))
+      }
     val xl = meansOf(left, "x")
       .withColumn("lag", explode(array(lags.map(lit): _*)))
       .withColumn("phase", pmod(col("lag"), lit(width)))
