@@ -1442,7 +1442,14 @@ object TimeSeriesOps {
           .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
             .cast("long").as("y"))
       }
+    // the explicit not-null (always true: t_us is filtered non-null)
+    // mirrors the isnotnull(grouping) conjunct the JOIN pushes into y's
+    // scan through its aggregate — x's own join key is the computed
+    // w_start − lag, which never pushes through — so the two sides'
+    // scan+partial-agg subtrees canonicalize EQUAL and AQE serves y
+    // from x's shuffle (ReusedExchange) in the autocorrelation case
     val xl = meansOf(left, "x")
+      .filter(col("w_start").isNotNull)
       .withColumn("lag", explode(array(lags.map(lit): _*)))
       .withColumn("phase", pmod(col("lag"), lit(width)))
       .withColumn("y_w", col("w_start") - col("lag"))

@@ -71,6 +71,18 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("autocorrelation serves both join sides from ONE means exchange") {
+    // x carries an explicit isnotnull(w_start) so its scan+partial-agg
+    // subtree canonicalizes equal to y's (whose join key pushes
+    // isnotnull(grouping) through the aggregate); losing that equality
+    // silently doubles the scan — assert the runtime reuse directly
+    val df = SparkEntry.queries("ts_autocorr")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"autocorr no longer reuses the means exchange:\n${plan.take(3000)}")
+  }
+
   test("div-bound rule also fires for literal-on-left comparisons") {
     // T15 > t_us  ⇔  t_us < T15; t_us is ts DIV 1000, so the raw upper
     // bound on ts must still reach the scan through the reversed pattern
