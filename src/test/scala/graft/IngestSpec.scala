@@ -553,6 +553,43 @@ class IngestSpec extends SparkSuite {
     assert(batch == got, s"batch $batch != streaming $got")
   }
 
+  test("streaming holt-winters matches the batch fold window-for-window") {
+    import graft.streaming.{Forecast, WindowMean}
+    // alternating series split across two micro-batches; one point per
+    // window upstream would make v_mean == value, so feed the means
+    val src = tmpDir("hw_src")
+    val wm = (0 until 10).map(i =>
+      WindowMean("s", i * 10L, if (i % 2 == 0) 1.0 else 3.0))
+    wm.take(4).toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("uuid STRING, w_start LONG, v_mean DOUBLE")
+      .parquet(src).as[WindowMean]
+    val q = Forecast.holtWinters(stream, 2, 0.5, 0.3, 0.4).writeStream
+      .outputMode("append").format("memory").queryName("hw_out")
+      .option("checkpointLocation", tmpDir("hw_ckpt")).start()
+    q.processAllAvailable()
+    wm.drop(4).toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT w_start, level, trend, seasonal FROM hw_out ORDER BY w_start")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val pts = wm.map(m => ("s", m.w_start + 5L, m.v_mean)).toDF("uuid", "t_us", "value")
+    val batch = graft.ts.TimeSeriesOps
+      .holtWinters(pts, Seq("uuid"), 0L, 100L, 10L, 2, 0.5, 0.3, 0.4)
+      .orderBy("w_start").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got.length == 10 && got == batch, s"stream $got != batch $batch")
+    // forecast_next is h=1 of the batch forecast from the same history
+    val f1 = graft.ts.TimeSeriesOps
+      .holtWintersForecast(pts, Seq("uuid"), 0L, 100L, 10L, 2, 0.5, 0.3, 0.4, 1)
+      .collect().map(r => r.getDouble(3)).head
+    val lastNext = spark.sql(
+        "SELECT forecast_next FROM hw_out ORDER BY w_start DESC LIMIT 1")
+      .collect().head.getDouble(0)
+    assert(lastNext == f1, s"stream next $lastNext != batch h=1 $f1")
+  }
+
   test("gap monitor alerts silent streams by timer and closes gaps on resume") {
     import graft.streaming.{GapMonitor, RawPoint}
     val src = tmpDir("gm_src")
