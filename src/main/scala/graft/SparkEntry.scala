@@ -338,6 +338,12 @@ object SparkEntry {
       TS.rolling(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // Bollinger envelope: trailing-week mean ± 2σ from exact decimal
+    // moment sums re-aggregated over the frame
+    "ts_band" -> ((s, dir) =>
+      TS.bollingerBands(Tables.points(s, dir), STREAM, T0, T29, DAY, 7, 2.0)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_percentile" -> ((s, dir) =>
       TS.percentileWindows(Tables.points(s, dir), STREAM, T0, T29, WEEK, Seq(0.5, 0.95))
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -1465,6 +1471,31 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY w_start
          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // bands: the rolling frame over per-window HUGEINT moments; variance
+    // numerator exact, one float expression per band (the stddev rule)
+    "ts_band" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |b AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        sum(${US6("value")}) AS s1,
+         |        sum(CAST(${US6("value")} AS HUGEINT) * ${US6("value")}) AS s2,
+         |        count(*) AS n
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |r AS (SELECT user_id, event_type, w_start,
+         |        sum(CAST(s1 AS HUGEINT)) OVER w AS rs1,
+         |        sum(s2) OVER w AS rs2,
+         |        sum(n) OVER w AS rn
+         |      FROM b
+         |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_type, w_start,
+         |       ${MEAN6("rs1", "rn")} AS roll_mean,
+         |       ${Q6("(CAST(rs1 AS DOUBLE) / rn - 2.0 * (sqrt(CAST(rn * rs2 - rs1 * rs1 AS DOUBLE)) / rn)) / 1000000.0")} AS band_lo,
+         |       ${Q6("(CAST(rs1 AS DOUBLE) / rn + 2.0 * (sqrt(CAST(rn * rs2 - rs1 * rs1 AS DOUBLE)) / rn)) / 1000000.0")} AS band_hi,
+         |       CAST(rn AS BIGINT) AS n_pts
+         |FROM r ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_percentile" ->
       s"""WITH pts AS ($PTS_SQL),

@@ -1781,6 +1781,44 @@ object TimeSeriesOps {
         col("n").as("v_count")): _*)
   }
 
+  /** Bollinger bands — rolling mean ± K·σ over the trailing k windows,
+    * the volatility envelope dashboards draw around rolling()'s mean:
+    * per-window exact integer µ-unit moments (DECIMAL — squared µ-units
+    * overflow longs, the ts_stddev rule), re-aggregated over the
+    * trailing frame by exact sums, variance numerator n·Σx² − (Σx)²
+    * assembled exactly, and ONE deterministic float expression per
+    * band. Same plan shape as rolling(): one map-side-partial window
+    * aggregation + one k-row frame window over window summaries — no
+    * raw-point sort at any fleet size.
+    */
+  def bollingerBands(points: DataFrame, streamCols: Seq[String], start: Long,
+                     end: Long, width: Long, k: Int, nSigma: Double,
+                     version: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
+    val base = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(sum(us).as("s1"), sum(us * us).as("s2"), count(lit(1)).as("n"))
+    val frame = Window.partitionBy(key: _*).orderBy(col("w_start"))
+      .rowsBetween(-(k - 1).toLong, 0)
+    val rs1 = sum(col("s1")).over(frame)
+    val rs2 = sum(col("s2")).over(frame)
+    val rn = sum(col("n")).over(frame)
+    val bigD = rn * rs2 - rs1 * rs1
+    val meanF = rs1.cast("double") / rn
+    val stdF = sqrt(bigD.cast("double")) / rn
+    val ns = lit(nSigma)
+    base.select(key ++ Seq(col("w_start"),
+      graft.Quant.mean6(rs1, rn).as("roll_mean"),
+      graft.Quant.q6((meanF - ns * stdF) / 1e6).as("band_lo"),
+      graft.Quant.q6((meanF + ns * stdF) / 1e6).as("band_hi"),
+      rn.as("n_pts")): _*)
+  }
+
   /** Per-window least-squares slope (PromQL deriv()): the trend of each
     * window's points in value-units per second, from exact integer moment
     * sums. Times enter as offsets from the window start (t − w_start < the

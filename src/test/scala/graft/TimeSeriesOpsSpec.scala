@@ -147,6 +147,21 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(hw.forall(_.getDouble(4) == 0.0), "beta=0 keeps trend at zero")
   }
 
+  test("bollinger bands collapse on constant series and straddle the mean") {
+    val c = pts((1L, 5.0), (11L, 5.0), (21L, 5.0))
+    val b = TimeSeriesOps.bollingerBands(c, Seq("uuid"), 0L, 30L, 10L, 3, 2.0)
+      .orderBy("w_start").collect()
+    assert(b.length == 3 && b.forall(r =>
+      r.getDouble(2) == 5.0 && r.getDouble(3) == 5.0 && r.getDouble(4) == 5.0),
+      b.toSeq)
+    // trailing frame {1, 3}: mean 2, population σ = 1 → 2σ bands at 0 / 4
+    val v = pts((1L, 1.0), (11L, 3.0))
+    val b2 = TimeSeriesOps.bollingerBands(v, Seq("uuid"), 0L, 20L, 10L, 2, 2.0)
+      .orderBy("w_start").collect()
+    assert(b2(1).getDouble(2) == 2.0 && b2(1).getDouble(3) == 0.0 &&
+      b2(1).getDouble(4) == 4.0, b2.toSeq)
+  }
+
   test("holt-winters forecast projects level + trend + cycled seasonal") {
     // final state of the period-2 case above: l=13.75, b=0,
     // s = [0, 5, −2.5, 6.25] → ŷ alternates l+s₂ / l+s₃ = 11.25 / 20.0
