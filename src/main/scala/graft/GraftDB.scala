@@ -195,6 +195,31 @@ class GraftDB(val spark: SparkSession, val base: String) {
              version: Option[Long] = None): DataFrame =
       TS.holt(points(version), K, start, end, width, alpha, beta).drop("uuid")
 
+    def holtWinters(start: Long, end: Long, width: Long, period: Int,
+                    alpha: Double, beta: Double, gamma: Double,
+                    version: Option[Long] = None): DataFrame =
+      TS.holtWinters(points(version), K, start, end, width, period,
+        alpha, beta, gamma).drop("uuid")
+
+    /** h-step-ahead projection from the Holt-Winters state. */
+    def forecast(start: Long, end: Long, width: Long, period: Int,
+                 alpha: Double, beta: Double, gamma: Double, horizon: Int,
+                 version: Option[Long] = None): DataFrame =
+      TS.holtWintersForecast(points(version), K, start, end, width, period,
+        alpha, beta, gamma, horizon).drop("uuid")
+
+    /** Autocorrelation function over the window-mean series. */
+    def autocorr(start: Long, end: Long, width: Long, lags: Seq[Long],
+                 version: Option[Long] = None): DataFrame =
+      TS.lagCorrelation(points(version), points(version), K, start, end,
+        width, lags).drop("uuid")
+
+    /** Bollinger envelope: trailing-k mean ± nSigma·σ. */
+    def bands(start: Long, end: Long, width: Long, k: Int, nSigma: Double,
+              version: Option[Long] = None): DataFrame =
+      TS.bollingerBands(points(version), K, start, end, width, k, nSigma)
+        .drop("uuid")
+
     def interpolate(start: Long, end: Long, width: Long,
                     version: Option[Long] = None): DataFrame =
       TS.interpolate(points(version), K, start, end, width).drop("uuid")
@@ -216,7 +241,7 @@ class GraftDB(val spark: SparkSession, val base: String) {
 
     def lttb(start: Long, end: Long, nOut: Int,
              version: Option[Long] = None): DataFrame =
-      graft.ts.Downsample.lttb(points(version), K, start, end, nOut).drop("uuid")
+      graft.ts.Downsample.lttbAuto(points(version), K, start, end, nOut).drop("uuid")
 
     def gaps(start: Long, end: Long, width: Long,
              version: Option[Long] = None): DataFrame =

@@ -70,6 +70,11 @@ class GraftDBSpec extends SparkSuite {
     assert(s.interpolate(0, 64, 16).count() == 4)
     assert(s.counterRate(0, 64, 16).count() > 0)
     assert(s.lttb(0, 64, 5).count() == 5)
+    assert(s.holtWinters(0, 64, 16, 2, 0.5, 0.3, 0.4).count() ==
+      s.windows(0, 64, 16).count())
+    assert(s.forecast(0, 64, 16, 2, 0.5, 0.3, 0.4, horizon = 3).count() == 3)
+    assert(s.autocorr(0, 64, 16, Seq(0L, 48L)).count() == 2)
+    assert(s.bands(0, 64, 16, 2, 2.0).count() == s.windows(0, 64, 16).count())
     assert(s.argMinMax(0, 64, 16).count() == s.windows(0, 64, 16).count())
     // sketch percentiles: n << accuracy, so p50 is the exact nearest-rank
     // element of the 34 visible values {0..15, 48..63, 500, 501}
