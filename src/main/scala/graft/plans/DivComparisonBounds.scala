@@ -296,6 +296,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TimeSeriesOps.asofJoin(view(lv), view(rv), keyCols(k),
           toleranceUs = Some(longLit(tol, "tolerance_us"))).queryExecution.logical
     })
+    ext.injectTableFunction(tfn("graft_forecast",
+      "graft_forecast(view, keys_csv, start, end, width, period, alpha, beta, gamma, horizon) - " +
+        "h-step Holt-Winters projection per stream") {
+      case Seq(v, k, s0, e0, w, p, a, b, g, h) =>
+        TimeSeriesOps.holtWintersForecast(view(v), keyCols(k),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"),
+          intLit(p, "period"), dblLit(a, "alpha"), dblLit(b, "beta"),
+          dblLit(g, "gamma"), intLit(h, "horizon")).queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_band",
+      "graft_band(view, keys_csv, start, end, width, k, n_sigma) - " +
+        "Bollinger envelope (trailing-k mean ± n_sigma·σ) per stream") {
+      case Seq(v, kc, s0, e0, w, kk, ns) =>
+        TimeSeriesOps.bollingerBands(view(v), keyCols(kc),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"),
+          intLit(kk, "k"), dblLit(ns, "n_sigma")).queryExecution.logical
+    })
     ext.injectTableFunction(tfn("graft_dedup_exact",
       "graft_dedup_exact(view) - exact-dedup verdict per document of (doc_id, text)") {
       case Seq(v) =>

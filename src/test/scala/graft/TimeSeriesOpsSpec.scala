@@ -66,6 +66,19 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(spark.sql(
         "SELECT * FROM graft_aligned_windows('tvf_pts', 'uuid', 0, 32, 4)")
       .collect().map(_.getLong(1)).sorted.toSeq == Seq(0L, 16L))
+    // round-9 TVFs: forecast and bands expand to their operator plans
+    val fSql = spark.sql(
+        "SELECT * FROM graft_forecast('tvf_pts', 'uuid', 0, 28, 10, 2, 0.5, 0.3, 0.4, 3) ORDER BY h")
+      .collect().toSeq
+    val fDirect = TimeSeriesOps.holtWintersForecast(p, Seq("uuid"), 0L, 28L, 10L,
+        2, 0.5, 0.3, 0.4, 3).orderBy("h").collect().toSeq
+    assert(fSql == fDirect && fSql.length == 3, s"$fSql vs $fDirect")
+    val bSql = spark.sql(
+        "SELECT * FROM graft_band('tvf_pts', 'uuid', 0, 28, 10, 2, 2.0) ORDER BY w_start")
+      .collect().toSeq
+    val bDirect = TimeSeriesOps.bollingerBands(p, Seq("uuid"), 0L, 28L, 10L, 2, 2.0)
+      .orderBy("w_start").collect().toSeq
+    assert(bSql == bDirect && bSql.nonEmpty, s"$bSql vs $bDirect")
     // the two-table as-of TVF routes through the same merge operator
     import spark.implicits._
     Seq(("s", 5L, 9.0), ("s", 12L, 8.0)).toDF("uuid", "t_us", "value")
