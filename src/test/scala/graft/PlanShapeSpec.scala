@@ -369,6 +369,28 @@ class PlanShapeSpec extends SparkSuite {
       s"histogram time bound not pushed:\n${hist.take(3000)}")
   }
 
+  test("round-9 ops: pushed bounds, no cartesians, metadata-only broadcasts") {
+    for (q <- Seq("ts_autocorr", "ts_holtwinters", "ts_forecast", "ts_band",
+        "corpus_mix", "emb_outliers")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // the window/moment aggregations filter the derived t_us axis — raw
+    // ts bounds must reach the parquet scan (DivComparisonBounds)
+    for (q <- Seq("ts_autocorr", "ts_holtwinters", "ts_forecast", "ts_band")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+    }
+    // mixture budgets and outlier stats ride broadcasts (metadata-scale),
+    // never a shuffle of the corpus against them
+    for (q <- Seq("corpus_mix", "emb_outliers")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+        s"$q stats/budget join not broadcast:\n${plan.take(3000)}")
+    }
+  }
+
   test("round-5c ops: pushed bounds, no cartesians, funnel merges as-of") {
     for (q <- Seq("ts_stddev", "ts_deriv", "ts_wow", "ts_funnel",
         "emb_norms", "emb_dim_stats", "text_wordlen", "dedup_prefix")) {
