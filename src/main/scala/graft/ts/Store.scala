@@ -234,15 +234,82 @@ class Store(val spark: SparkSession, val base: String,
   /** Obliterate: the stream disappears entirely (full-range tombstone;
     * physical removal happens at compact()).
     */
-  def obliterate(uuid: String): Long =
+  def obliterate(uuid: String): Long = {
+    // unflushed rows must not outlive the stream: a later flush would
+    // commit them ABOVE the obliterate tombstone and resurrect it
+    rm(hpath(s"$base/buffer/uuid=$uuid"))
     deleteRange(uuid, Long.MinValue, Long.MaxValue)
+  }
 
-  /** Flush is a no-op for durability (every insert batch is already a
-    * committed parquet append — the journal/pqm buffering of the reference
-    * is Structured Streaming's checkpointed micro-batch, see
-    * graft.streaming.Ingest); it returns the current version like the RPC.
+  // ---- unflushed-write buffer (the reference's PQM, opt-in) ----
+  private val bufferDir = s"$base/buffer"
+
+  /** Buffered insert — the reference's primary-queue write path
+    * (internal/pqm): rows land in a per-stream staging area WITHOUT a
+    * version bump and are visible to the *Merged read forms immediately,
+    * the read-your-unflushed-writes semantic of
+    * `pqm.MergeQueryValuesStream` (quasar.go:241–267). `flush` promotes
+    * the buffer into one committed versioned batch (the reference's
+    * journal→tree commit). Durability-first callers keep using insert()
+    * (every batch a committed append); this path exists for the
+    * reference's latency shape — points queryable before the commit.
+    * Scale contract: the buffer holds only the unflushed tail (ingest
+    * rate × flush interval), never corpus-scale data, so the merged
+    * read's union arm stays small by construction.
     */
-  def flush(uuid: String): Long = version(uuid)
+  def insertBuffered(uuid: String, points: DataFrame): Unit =
+    points.select(lit(uuid).as("uuid"), col("time").cast("long").as("time"),
+        col("value").cast("double").as("value"))
+      .repartition(1)
+      .write.mode(SaveMode.Append).partitionBy("uuid").parquet(bufferDir)
+
+  /** Unflushed rows across all streams (empty frame when none; the
+    * explicit schema keeps a drained buffer dir — every partition
+    * flushed or obliterated — readable as empty instead of failing
+    * parquet inference).
+    */
+  def bufferedPoints: DataFrame =
+    if (hasData(bufferDir))
+      spark.read.schema("time BIGINT, value DOUBLE, uuid STRING").parquet(bufferDir)
+        .select($"uuid", $"time", $"value")
+    else spark.emptyDataset[(String, Long, Double)].toDF("uuid", "time", "value")
+
+  /** (versionMajor, versionMinor) — the reference's two-part version:
+    * committed version plus an unflushed component. The reference's
+    * minor counts journal inserts since the last flush; the proxy here
+    * is the buffered ROW count (documented deviation in the minor's
+    * unit, same zero/non-zero semantics).
+    */
+  def versionMerged(uuid: String): (Long, Long) =
+    (version(uuid), bufferedPoints.filter($"uuid" === uuid).count())
+
+  /** rawValues with the write buffer merged in — read-your-unflushed-
+    * writes. Historical reads (`rawValues` with asOf) see only committed
+    * data, exactly like the reference's versioned queries, which pin a
+    * major version and bypass the buffer.
+    */
+  def rawValuesMerged(uuid: String, start: Long, end: Long): DataFrame =
+    rawValues(uuid, start, end, None)
+      .unionByName(bufferedPoints
+        .filter($"uuid" === uuid && $"time" >= start && $"time" < end)
+        .select($"time", $"value"))
+
+  /** Promote the stream's buffered rows to ONE committed versioned batch
+    * and clear them; with an empty buffer this is the version probe it
+    * always was. At-least-once across crashes: if the process dies
+    * between the committed append and the buffer clear, the next flush
+    * re-commits the same rows at a new version (the same replay window
+    * the reference's journal recovery has, internal/jprovider).
+    */
+  def flush(uuid: String): Long = {
+    val buf = bufferedPoints.filter($"uuid" === uuid).select($"time", $"value")
+    if (buf.isEmpty) version(uuid)
+    else {
+      val v = insert(uuid, buf)
+      rm(hpath(s"$bufferDir/uuid=$uuid"))
+      v
+    }
+  }
 
   /** Visible points at `asOf` (None = latest). The tombstone join stays a
     * broadcast: deletes are rare events, points are the 100 TB side.

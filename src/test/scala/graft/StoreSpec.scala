@@ -22,6 +22,36 @@ class StoreSpec extends SparkSuite {
     assert(st.rawValues("s1", 0, 100).count() == 3)
   }
 
+  test("buffered writes are read-your-unflushed; flush promotes and clears") {
+    val st = mkStore
+    val v1 = st.insert("s1", Seq((10L, 1.0), (20L, 2.0)).toDF("time", "value"))
+    st.insertBuffered("s1", Seq((30L, 3.0), (40L, 4.0)).toDF("time", "value"))
+    // merged reads see the buffer immediately; committed reads do not
+    assert(st.rawValuesMerged("s1", 0, 100).count() == 4)
+    assert(st.rawValues("s1", 0, 100).count() == 2)
+    // two-part version: major unchanged, minor counts the unflushed tail
+    assert(st.version("s1") == v1)
+    assert(st.versionMerged("s1") == (v1, 2L))
+    // other streams see nothing
+    assert(st.rawValuesMerged("s2", 0, 100).count() == 0)
+    // flush promotes to ONE committed batch and empties the buffer
+    val v2 = st.flush("s1")
+    assert(v2 == v1 + 1)
+    assert(st.rawValues("s1", 0, 100).count() == 4)
+    assert(st.versionMerged("s1") == (v2, 0L))
+    // historical read at v1 excludes the promoted rows (version pinning
+    // bypasses the buffer, like the reference's versioned queries)
+    assert(st.rawValues("s1", 0, 100, Some(v1)).count() == 2)
+    // an empty-buffer flush stays the version probe it always was
+    assert(st.flush("s1") == v2)
+    // obliterate drops the buffer too: unflushed rows must not resurrect
+    st.insertBuffered("s1", Seq((50L, 5.0)).toDF("time", "value"))
+    st.obliterate("s1")
+    st.flush("s1")
+    assert(st.rawValues("s1", 0, 100).count() == 0)
+    assert(st.rawValuesMerged("s1", 0, 100).count() == 0)
+  }
+
   test("range delete hides only prior points; insert-after-delete visible") {
     val st = mkStore
     val v1 = st.insert("s1", (1L to 10L).map(t => (t, t.toDouble)).toDF("time", "value"))
