@@ -128,6 +128,22 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def rawValues(start: Long, end: Long, version: Option[Long] = None): DataFrame =
       store.rawValues(uuid, start, end, version)
 
+    // ---- read-your-unflushed-writes (the reference's PQM merge) ----
+    def insertBuffered(points: DataFrame): Unit = store.insertBuffered(uuid, points)
+    def versionMerged: (Long, Long) = store.versionMerged(uuid)
+    def rawValuesMerged(start: Long, end: Long): DataFrame =
+      store.rawValuesMerged(uuid, start, end)
+    /** Stat windows with the write buffer merged in — the reference's
+      * merger.go:132 path (stat reads see unflushed points too).
+      */
+    def windowsMerged(start: Long, end: Long, width: Long): DataFrame = {
+      val merged = points(None)
+        .unionByName(store.bufferedPoints.filter(col("uuid") === uuid)
+          .select(col("uuid"), col("time").as("t_us"), col("value"),
+            lit(Long.MaxValue).as("ver")))
+      TS.windows(merged, K, start, end, width).drop("uuid")
+    }
+
     def alignedWindows(start: Long, end: Long, pointWidth: Int,
                        version: Option[Long] = None): DataFrame =
       TS.alignedWindows(points(version), K, start, end, pointWidth).drop("uuid")

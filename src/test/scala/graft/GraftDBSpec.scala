@@ -92,6 +92,17 @@ class GraftDBSpec extends SparkSuite {
     assert(db.listCollections("plant/").count() == 1)
     assert(db.lookupStreams("plant/", Map("unit" -> "V")).count() == 1)
 
+    // read-your-unflushed-writes through the handle: buffered rows show
+    // in the merged raw + stat reads, flush promotes them
+    val preN = s.rawValues(0, 64).count()
+    s.insertBuffered(Seq((33L, 7.0)).toDF("time", "value"))
+    assert(s.rawValues(0, 64).count() == preN)
+    assert(s.rawValuesMerged(0, 64).count() == preN + 1)
+    assert(s.windowsMerged(0, 64, 16).agg(sum("v_count")).head.getLong(0) == preN + 1)
+    assert(s.versionMerged._2 == 1L)
+    val vF = s.flush()
+    assert(s.rawValues(0, 64).count() == preN + 1 && s.versionMerged == (vF, 0L))
+
     // obliterate: gone from data and metadata — AND from rollup-served
     // reads (the full-range tombstone must invalidate every window, not
     // vanish in align-up overflow)
