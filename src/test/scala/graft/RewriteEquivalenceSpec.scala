@@ -206,6 +206,40 @@ class RewriteEquivalenceSpec extends SparkSuite {
     }
   }
 
+  test("holt-winters fold equals a scala reference on random series") {
+    // one point per window and ≤2dp values keep v_mean exact, so the SQL
+    // aggregate-HOF fold must match a plain Scala fold bit-for-bit
+    def q6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue / 1e6 + 0.0
+    val (p, a, b, g) = (3, 0.4, 0.2, 0.6)
+    for (seed <- Seq(5L, 123L)) {
+      val rnd = new scala.util.Random(seed)
+      val vals = (0 until 40).map(_ => (rnd.nextInt(800) - 400) / 4.0)
+      val pts = vals.zipWithIndex.map { case (v, i) => ("s", i * 10L + 3L, v) }
+        .toDF("uuid", "t_us", "value")
+      val got = graft.ts.TimeSeriesOps
+        .holtWinters(pts, Seq("uuid"), 0L, 400L, 10L, p, a, b, g)
+        .orderBy("w_start").collect()
+        .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val ref = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+      val ring = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var (l, t) = (0.0, 0.0)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        if (i == 0) { l = v; t = 0.0; ring += 0.0 }
+        else {
+          val sPrev = if (ring.length >= p) ring(ring.length - p) else 0.0
+          val lNew = a * (v - sPrev) + (1.0 - a) * (l + t)
+          val tNew = b * (lNew - l) + (1.0 - b) * t
+          val sNew = g * (v - lNew) + (1.0 - g) * sPrev
+          l = lNew; t = tNew; ring += sNew
+        }
+        ref += ((q6(l), q6(t), q6(ring.last)))
+      }
+      assert(got == ref.toSeq, s"seed $seed: ${got.take(5)} vs ${ref.take(5)}")
+    }
+  }
+
   test("lttbAuto delegates on the max in-range stream size") {
     // below the bound the dashboard-facing name IS exact lttb; above it,
     // the bucketed plan — checked by comparing against each path directly
