@@ -680,6 +680,18 @@ object SparkEntry {
       Vectors.outliers(Tables.load(s, dir, "embeddings"), 2.0)
         .orderBy(col("vec_id"))),
 
+    // class-cohesion audit: per label, mean member cosine to the OWN
+    // label centroid — the noisy-class health check
+    "emb_label_cohesion" -> ((s, dir) =>
+      Vectors.labelCohesion(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label"))),
+
+    // class-separation audit: label-centroid cosine matrix (labels²,
+    // metadata-scale)
+    "emb_label_sim" -> ((s, dir) =>
+      Vectors.labelCentroidSim(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label_a"), col("label_b"))),
+
     // int8 scalar-quantization audit: per-vector reconstruction error on
     // the per-dim 256-level grid
     "emb_sq8" -> ((s, dir) =>
@@ -2244,6 +2256,39 @@ object SparkEntry {
          |            THEN ${Q6(s"${DOT_SQL("embedding", "cvec")} / (nrm * sqrt(${DOT_SQL("cvec", "cvec")}))")}
          |       END AS centroid_sim
          |FROM e CROSS JOIN cent ORDER BY vec_id""".stripMargin,
+
+    // per-label centroids: the centroid_sim arithmetic grouped by label;
+    // cohesion averages the q6 member cosines via µ-unit integer sums
+    "emb_label_cohesion" ->
+      s"""WITH x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+         |c AS (SELECT label, dim, ${MEAN6(s"sum(${US6("x")})", "count(*)")} AS m
+         |      FROM x GROUP BY 1, 2),
+         |v AS (SELECT label, list(m ORDER BY dim) AS cvec FROM c GROUP BY 1),
+         |e AS (SELECT label, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |s AS (SELECT e.label AS label,
+         |             CASE WHEN nrm > 0 AND sqrt(${DOT_SQL("cvec", "cvec")}) > 0
+         |                  THEN ${Q6(s"${DOT_SQL("embedding", "cvec")} / (nrm * sqrt(${DOT_SQL("cvec", "cvec")}))")}
+         |             END AS cos
+         |      FROM e JOIN v ON e.label = v.label),
+         |u AS (SELECT label, ${US6("cos")} AS us FROM s WHERE cos IS NOT NULL)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |       ${MEAN6("sum(us)", "count(*)")} AS mean_cos
+         |FROM u GROUP BY label ORDER BY label""".stripMargin,
+
+    // label-centroid cosine matrix — the same centroid CTE self-joined
+    "emb_label_sim" ->
+      s"""WITH x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+         |c AS (SELECT label, dim, ${MEAN6(s"sum(${US6("x")})", "count(*)")} AS m
+         |      FROM x GROUP BY 1, 2),
+         |v AS (SELECT label, list(m ORDER BY dim) AS cvec FROM c GROUP BY 1)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |       CASE WHEN sqrt(${DOT_SQL("a.cvec", "a.cvec")}) > 0
+         |             AND sqrt(${DOT_SQL("b.cvec", "b.cvec")}) > 0
+         |            THEN ${Q6(s"${DOT_SQL("a.cvec", "b.cvec")} / (sqrt(${DOT_SQL("a.cvec", "a.cvec")}) * sqrt(${DOT_SQL("b.cvec", "b.cvec")}))")}
+         |       END AS sim
+         |FROM v a CROSS JOIN v b ORDER BY label_a, label_b""".stripMargin,
 
     // centroid-cosine z-scores: the ts_anomaly moment recipe on the
     // embedding axis, over the exactly-replayed centroid_sim

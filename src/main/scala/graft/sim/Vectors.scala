@@ -106,6 +106,69 @@ object Vectors {
           .as("centroid_sim"))
   }
 
+  /** Per-label exact-mean centroids (the centroidSim arithmetic grouped
+    * by label): #labels × dim rows reduced to one (label, cvec, cnrm)
+    * row each — metadata-scale, broadcastable.
+    */
+  private def labelCentroids(emb: DataFrame, labelCol: String,
+                             vecCol: String): DataFrame =
+    graft.Tables.rebalance(emb)
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(graft.Quant.mean6(graft.Quant.sumUs6Unbounded(col("x").cast("double")),
+        count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("cvec"))
+      .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+
+  /** Class-cohesion audit — for every label: member count and mean
+    * cosine of members to their OWN label centroid (low cohesion =
+    * noisy / mislabeled class, the curriculum-mixing health check).
+    * One posexplode aggregation for the centroids (metadata-scale,
+    * broadcast back) + one corpus pass; the per-member cosines are
+    * q6-exact and averaged via the µ-unit integer mean, so the
+    * aggregate is partition-order-free and oracle-replayable.
+    * Zero-norm members (null cosine) are excluded from n.
+    */
+  def labelCohesion(emb: DataFrame, labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents = labelCentroids(emb, labelCol, vecCol)
+    withNorm(emb, vecCol)
+      .select(col(labelCol).as("label"), col(vecCol).as("v"), col("nrm"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        when(col("nrm") > 0 && col("cnrm") > 0,
+          graft.Quant.q6(dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm"))))
+          .as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("c_us", graft.Quant.us6(col("cos")).cast("decimal(38,0)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        graft.Quant.mean6(sum(col("c_us")), count(lit(1))).as("mean_cos"))
+  }
+
+  /** Class-separation audit — the cosine between every pair of label
+    * centroids (labels² rows, metadata-scale; high off-diagonal
+    * similarity = classes an embedding-space dedup or router cannot
+    * tell apart). Both sides of the product are the broadcastable
+    * centroid table, so the "join" is labels × labels, never
+    * corpus-anything.
+    */
+  def labelCentroidSim(emb: DataFrame, labelCol: String = "label",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cents = labelCentroids(emb, labelCol, vecCol)
+    val a = cents.select(col("label").as("label_a"), col("cvec").as("va"),
+      col("cnrm").as("na"))
+    val b = cents.select(col("label").as("label_b"), col("cvec").as("vb"),
+      col("cnrm").as("nb"))
+    a.crossJoin(broadcast(b))
+      .select(col("label_a"), col("label_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          graft.Quant.q6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+          .as("sim"))
+  }
+
   /** Embedding-space outlier audit — the "find the corrupt / off-domain
     * vectors" cleaning pass a training pipeline runs before dedup: the
     * z-score of each vector's centroid cosine against the corpus

@@ -381,6 +381,22 @@ class DedupSimSpec extends SparkSuite {
     assert(out(99L) < -2.0, s"outlier z not negative-extreme: $out")
   }
 
+  test("label cohesion and separation: tight orthogonal classes read as such") {
+    import spark.implicits._
+    // label 0 along +x, label 1 along +y — each internally identical
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val coh = graft.sim.Vectors.labelCohesion(emb)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(coh == Map(0 -> (2L, 1.0), 1 -> (2L, 1.0)), s"$coh")
+    val sim = graft.sim.Vectors.labelCentroidSim(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(sim((0, 0)) == 1.0 && sim((1, 1)) == 1.0, s"$sim")
+    assert(sim((0, 1)) == 0.0 && sim((1, 0)) == 0.0, s"$sim")
+  }
+
   test("sq8 audit reconstructs grid points exactly and bounds the rest") {
     import spark.implicits._
     // dim 0 range [0, 255] → scale 1: integer coords reconstruct exactly;
