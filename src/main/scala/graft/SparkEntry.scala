@@ -757,6 +757,11 @@ object SparkEntry {
       TextFunctions.sampleWeighted(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
 
+    // class balancing: exactly n docs per source, two-phase bounded rank
+    "sample_balanced" -> ((s, dir) =>
+      TextFunctions.sampleBalanced(Tables.load(s, dir, "documents"), "source", 10)
+        .orderBy(col("doc_id"))),
+
     "corpus_budget" -> ((s, dir) =>
       TextFunctions.tokenBudget(Tables.load(s, dir, "documents"), "source", 3000L)
         .orderBy(col("doc_id"))),
@@ -2533,6 +2538,18 @@ object SparkEntry {
          |   OR substring(md5('w|' || CAST(doc_id AS VARCHAR)), 1, 4)
          |      < printf('%04x', CAST(least(floor(0.5 * quality_score * 65536), 65535.0) AS INT))
          |ORDER BY doc_id""".stripMargin,
+
+    // balanced sample: the single-window rank reference the two-phase
+    // bounded rank must equal
+    "sample_balanced" ->
+      s"""WITH d AS (SELECT doc_id, source AS stratum,
+         |                  md5(CAST(doc_id AS VARCHAR)) AS rank_key
+         |           FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY stratum
+         |                                   ORDER BY rank_key, doc_id) AS rnk
+         |      FROM d)
+         |SELECT doc_id, stratum, rank_key, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 10 ORDER BY doc_id""".stripMargin,
 
     "corpus_budget" ->
       s"""WITH d AS (SELECT doc_id, source AS stratum,

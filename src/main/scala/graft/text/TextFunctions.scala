@@ -184,6 +184,34 @@ object TextFunctions {
       .limit(n)
       .select(col("doc_id"), col("rank_key"))
 
+  /** Count-capped balanced sample — exactly min(n, |stratum|) documents
+    * per stratum in the deterministic md5 order (the class-balancing
+    * complement of sampleStratified's rate cut: "40 docs from EVERY
+    * source, however skewed the corpus"). Two-phase bounded rank, the
+    * topKPerWindow recipe on the hash axis: a single row_number
+    * PARTITION BY stratum would sort each stratum's documents in ONE
+    * task, so the local phase ranks within (stratum, scan slice) —
+    * partition-sized groups — and only each slice's top n survive to
+    * the final rank over ≤ n × #slices rows per stratum. Any global
+    * top-n row is in its slice's top n, so the cut is exact; the
+    * (rank_key, doc_id) order is total, so it is deterministic.
+    */
+  def sampleBalanced(docs: DataFrame, stratumCol: String, nPerStratum: Int): DataFrame = {
+    require(nPerStratum > 0, s"nPerStratum must be positive, got $nPerStratum")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), col(stratumCol).as("stratum"))
+      .withColumn("rank_key", md5(col("doc_id").cast("string")))
+    val ord = Seq(col("rank_key").asc, col("doc_id").asc)
+    val local = row_number().over(
+      Window.partitionBy(col("stratum"), col("slice")).orderBy(ord: _*))
+    val cands = keyed.withColumn("slice", spark_partition_id())
+      .withColumn("lrnk", local).filter(col("lrnk") <= nPerStratum)
+    val rank = row_number().over(
+      Window.partitionBy(col("stratum")).orderBy(ord: _*))
+    cands.withColumn("rnk", rank.cast("long")).filter(col("rnk") <= nPerStratum)
+      .select(col("doc_id"), col("stratum"), col("rank_key"), col("rnk"))
+  }
+
   /** Deterministic token-budget fill per stratum: take each stratum's
     * documents in md5 order and keep the longest prefix whose running
     * token total stays within `budgetPerStratum` — the dataset-mixing

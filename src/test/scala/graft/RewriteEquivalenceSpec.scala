@@ -206,6 +206,21 @@ class RewriteEquivalenceSpec extends SparkSuite {
     }
   }
 
+  test("balanced sample equals the single-window rank reference") {
+    for (seed <- Seq(9L, 44L)) {
+      val docs = randomDocs(seed, 500, 5).select(col("doc_id"), col("stratum"))
+      val got = graft.text.TextFunctions.sampleBalanced(docs, "stratum", 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val w = Window.partitionBy(col("stratum")).orderBy(col("rk"), col("doc_id"))
+      val ref = docs
+        .withColumn("rk", md5(col("doc_id").cast("string")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == ref, s"seed $seed: ${got.size} vs ${ref.size}")
+    }
+  }
+
   test("holt-winters fold equals a scala reference on random series") {
     // one point per window and ≤2dp values keep v_mean exact, so the SQL
     // aggregate-HOF fold must match a plain Scala fold bit-for-bit
