@@ -338,6 +338,12 @@ object SparkEntry {
       TS.rolling(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // per-point JSON property facets: codegen extraction + one
+    // map-side-partial groupBy (the semi-structured analytics path)
+    "ts_facets" -> ((s, dir) =>
+      TS.propsFacets(Tables.load(s, dir, "events"), Seq("event_type"))
+        .orderBy(col("event_type"), col("facet"))),
+
     // Bollinger envelope: trailing-week mean ± 2σ from exact decimal
     // moment sums re-aggregated over the frame
     "ts_band" -> ((s, dir) =>
@@ -1488,6 +1494,12 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY w_start
          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    "ts_facets" ->
+      s"""SELECT event_type,
+         |       CAST(json_extract_string(props, '$$.k') AS BIGINT) AS facet,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // bands: the rolling frame over per-window HUGEINT moments; variance
     // numerator exact, one float expression per band (the stddev rule)

@@ -1781,6 +1781,22 @@ object TimeSeriesOps {
         col("n").as("v_count")): _*)
   }
 
+  /** Per-point property facets — the semi-structured analytics path:
+    * BTrDB carries per-stream tags/annotations (metadata facets via
+    * GetMetadataUsage); event systems carry per-POINT JSON properties,
+    * and this is that facet count — values of a JSON path tallied per
+    * key. `get_json_object` is a codegen'd projection, so the plan is
+    * scan → map-side-partial groupBy: one narrow pass, no shuffle wider
+    * than the (key, facet) result, column-pruned to the props column.
+    */
+  def propsFacets(events: DataFrame, keyCols: Seq[String],
+                  path: String = "$.k"): DataFrame =
+    events
+      .select(keyCols.map(col) :+
+        get_json_object(col("props"), path).cast("long").as("facet"): _*)
+      .groupBy(keyCols.map(col) :+ col("facet"): _*)
+      .agg(count(lit(1)).as("n"))
+
   /** Bollinger bands — rolling mean ± K·σ over the trailing k windows,
     * the volatility envelope dashboards draw around rolling()'s mean:
     * per-window exact integer µ-unit moments (DECIMAL — squared µ-units
