@@ -389,6 +389,13 @@ class PlanShapeSpec extends SparkSuite {
       assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
         s"$q stats/budget join not broadcast:\n${plan.take(3000)}")
     }
+    // the facet query must prune the scan to (event_type, props): a scan
+    // that also reads ts/value/user_id re-reads the fact columns for a
+    // props-only aggregate
+    val fp = physical(SparkEntry.queries("ts_facets")(spark, sfDir))
+    val readSchema = fp.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props") && !readSchema.contains("value"),
+      s"ts_facets scan not pruned to props:\n$readSchema")
   }
 
   test("round-5c ops: pushed bounds, no cartesians, funnel merges as-of") {
