@@ -529,6 +529,46 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: the six-table star — region filter broadcast down
+    // the dim chain, customer-supplier nation COLOCATION condition (the
+    // classic local-supplier join), exact-integer revenue sums per the
+    // unbounded-group decimal rule
+    "q5_join" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.load(s, dir, "nation")
+      val cu = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val su = Tables.load(s, dir, "supplier")
+      val dim = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(cu, o("o_custkey") === cu("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          cu("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(dim), cu("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e4, 0)
+            .cast("long").cast("decimal(38,0)")).cast("double") / 100, 0) / 100 + lit(0d))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q12 shape: big-big equi-join + conditional aggregation (this
+    // dataset carries no commitdate/shipmode, so "late" = shipped more
+    // than 30 days after the order date)
+    "q12_agg" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_shipdate").cast("date") >
+              date_add(col("o_orderdate").cast("date"), 30), 1L).otherwise(0L))
+            .as("n_late"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q6_filter" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
@@ -2042,6 +2082,26 @@ object SparkEntry {
         |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
         |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q12_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q6_filter" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue
