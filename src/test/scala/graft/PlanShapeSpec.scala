@@ -371,10 +371,13 @@ class PlanShapeSpec extends SparkSuite {
 
   test("round-9 ops: pushed bounds, no cartesians, metadata-only broadcasts") {
     for (q <- Seq("ts_autocorr", "ts_holtwinters", "ts_forecast", "ts_band",
-        "corpus_mix", "emb_outliers")) {
+        "corpus_mix", "emb_outliers", "q5_join", "q12_agg")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
+    // Q5's region/nation dim chain must broadcast, not shuffle
+    assert(physical(SparkEntry.queries("q5_join")(spark, sfDir))
+      .contains("BroadcastHashJoin"), "q5 dim chain not broadcast")
     // the window/moment aggregations filter the derived t_us axis — raw
     // ts bounds must reach the parquet scan (DivComparisonBounds)
     for (q <- Seq("ts_autocorr", "ts_holtwinters", "ts_forecast", "ts_band")) {
