@@ -268,6 +268,12 @@ object SparkEntry {
       graft.ts.Downsample.lttbBucketed(Tables.points(s, dir), STREAM, T0, T29, 7)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
+    // SAX symbolization: each stream as one 28-letter word (daily PAA,
+    // z-normalized, 4-letter alphabet) — the motif/similarity index
+    "ts_sax" -> ((s, dir) =>
+      graft.ts.Downsample.sax(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"))),
+
     "ts_ewma" -> ((s, dir) =>
       TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -303,6 +309,13 @@ object SparkEntry {
     "ts_heatmap" -> ((s, dir) =>
       TS.histogram(Tables.points(s, dir), Seq.empty, T0, T29, DAY, 50.0)
         .orderBy(col("w_start"), col("bin"))),
+
+    // weekly-seasonality fingerprint: per-stream (day-of-week, hour-of-day)
+    // profile over exactly 4 complete weeks — one pass, pure integer phase
+    // arithmetic (T0 is a Monday, so dow 0 = Monday)
+    "ts_calendar" -> ((s, dir) =>
+      TS.calendarProfile(Tables.points(s, dir), STREAM, T0, T29)
+        .orderBy(col("user_id"), col("event_type"), col("dow"), col("hour"))),
 
     "ts_counter_rate" -> ((s, dir) =>
       TS.counterRate(Tables.points(s, dir), STREAM, T0, T29, DAY)
@@ -1238,6 +1251,36 @@ object SparkEntry {
     "ts_lttb" -> lttbSql(7),
     "ts_lttb_bucketed" -> lttbSql(7, bucketed = true),
 
+    // mirrors Downsample.sax: MEAN6-integer PAA bucket means, exact
+    // DECIMAL variance numerator (only the final D casts to double),
+    // z thresholds on the shared SAX_BREAK literal, sd=0 guard first
+    "ts_sax" -> {
+      val bp = java.lang.Double.toString(graft.ts.Downsample.SAX_BREAK)
+      s"""WITH pts AS ($PTS_SQL),
+         |b AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |s AS (SELECT user_id, event_type, count(*) AS nb, sum(m_us) AS s1,
+         |             sum(CAST(m_us AS HUGEINT) * m_us) AS s2
+         |      FROM b GROUP BY 1, 2),
+         |z AS (SELECT b.user_id, b.event_type, b.w_start, s.nb,
+         |        sqrt(CAST(s.nb * s.s2 - CAST(s.s1 AS HUGEINT) * s.s1 AS DOUBLE)) / s.nb AS sd_us,
+         |        (CAST(b.m_us AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.nb) AS dev_us
+         |      FROM b JOIN s USING (user_id, event_type)),
+         |y AS (SELECT user_id, event_type, w_start, nb,
+         |        CASE WHEN sd_us = 0 THEN 'c'
+         |             WHEN dev_us / sd_us < -$bp THEN 'a'
+         |             WHEN dev_us / sd_us < 0 THEN 'b'
+         |             WHEN dev_us / sd_us < $bp THEN 'c'
+         |             ELSE 'd' END AS sym
+         |      FROM z)
+         |SELECT user_id, event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
+         |       string_agg(sym, '' ORDER BY w_start) AS word
+         |FROM y GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+    },
+
     // tie determinism mirrors the struct-argmax: a tied min takes its
     // earliest t_us, a tied max its latest
     "ts_argminmax" ->
@@ -1433,6 +1476,18 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n
          |FROM pts WHERE t_us >= $T0 AND t_us < $T29
          |GROUP BY 1, 2 ORDER BY w_start, bin""".stripMargin,
+
+    // mirrors calendarProfile's pure-integer phase arithmetic: dow/hour
+    // from epoch-µs offsets against the Monday-aligned T0, no calendar fn
+    "ts_calendar" ->
+      s"""WITH pts AS ($PTS_SQL)
+         |SELECT user_id, event_type,
+         |       ((t_us - $T0) // $DAY) % 7 AS dow,
+         |       ((t_us - $T0) % $DAY) // $HOUR AS hour,
+         |       CAST(count(*) AS BIGINT) AS n, $V_MEAN_SQL,
+         |       min(value) AS v_min, max(value) AS v_max
+         |FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |GROUP BY 1, 2, 3, 4 ORDER BY user_id, event_type, dow, hour""".stripMargin,
 
     "ts_counter_rate" ->
       s"""WITH pts AS ($PTS_SQL),

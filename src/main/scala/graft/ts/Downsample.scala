@@ -298,4 +298,73 @@ object Downsample {
       lttb(points, streamCols, start, end, nOut, version)
     else lttbBucketed(points, streamCols, start, end, nOut, version)
   }
+
+  /** N(0,1) upper-quartile breakpoint for the 4-letter SAX alphabet —
+    * the one literal both engines embed verbatim (the Lin et al. table
+    * value for a = 4 is ±Φ⁻¹(3/4)); symbols split at (−BP, 0, +BP).
+    */
+  val SAX_BREAK = 0.6744897501960817
+
+  /** SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003):
+    * each stream reduced to one short WORD — equal-width time buckets
+    * (PAA means), z-normalized against the stream's own bucket-mean
+    * distribution, each z mapped to a 4-letter alphabet at the fixed
+    * N(0,1) quartile breakpoints. The motif/novelty indexing front-end a
+    * BTrDB user scripts by pulling windows client-side; here one plan.
+    *
+    * Determinism contract (bit-identical to the DuckDB oracle): bucket
+    * means are exact-µ-unit MEAN6 integers; the per-stream variance
+    * numerator D = n·Σm² − (Σm)² is assembled in exact DECIMAL
+    * arithmetic (the ts_stddev rule) and only the final D is cast;
+    * σ_us = sqrt(D)/n and z = (m − µ)/σ_us are IEEE-pinned (sqrt and /
+    * are correctly rounded on both engines), and symbol boundaries are
+    * float comparisons against the shared SAX_BREAK literal. A
+    * zero-variance stream (σ_us = 0, incl. single-bucket streams) reads
+    * all-'c' by the guard branch, never NaN.
+    *
+    * Scale shape: one map-side-partial groupBy to bucket means, then
+    * window + word assembly over GRID-BOUNDED per-stream groups (≤
+    * (end−start)/width rows each — metadata scale, like rolling()); the
+    * final groupBy reuses the window's hash partitioning, so the whole
+    * op is two exchanges of the bucket-summary table, never of raw
+    * points.
+    */
+  def sax(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+          width: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width > 0, s"width must be positive, got $width")
+    val key = streamCols.map(col)
+    val completeEnd = start + ((end - start) / width) * width
+    val versioned = version.fold(points)(v => points.filter(col("ver") <= v))
+    val d = col("t_us") - start
+    val buckets = versioned
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+      .agg(sum(graft.Quant.us6(col("value"))).as("sum_us"), count(lit(1)).as("n"))
+      .select(key ++ Seq(col("w_start"),
+        round(col("sum_us").cast("double") / col("n"), 0).cast("long").as("m_us")): _*)
+    val w = Window.partitionBy(key: _*)
+    val mDec = col("m_us").cast("decimal(38,0)")
+    val nb = count(lit(1)).over(w)
+    val s1 = sum(col("m_us")).over(w).cast("decimal(38,0)")
+    val s2 = sum(mDec * mDec).over(w)
+    val scored = buckets
+      .withColumn("nb", nb)
+      .withColumn("sd_us",
+        sqrt((col("nb").cast("decimal(38,0)") * s2 - s1 * s1).cast("double")) / col("nb"))
+      .withColumn("mean_us", s1.cast("double") / col("nb"))
+      .withColumn("z", when(col("sd_us") === 0d, lit(0d)) // ANSI: guard ÷0
+        .otherwise((col("m_us").cast("double") - col("mean_us")) / col("sd_us")))
+      .withColumn("sym",
+        when(col("sd_us") === 0d, lit("c"))
+          .when(col("z") < -SAX_BREAK, lit("a"))
+          .when(col("z") < 0d, lit("b"))
+          .when(col("z") < SAX_BREAK, lit("c"))
+          .otherwise(lit("d")))
+    scored.groupBy(key: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("w_start"), col("sym")))),
+          x => x.getField("sym"))).as("word"))
+  }
 }

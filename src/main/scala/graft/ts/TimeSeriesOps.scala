@@ -937,6 +937,42 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Calendar profile: per (stream, day-of-week, hour-of-day) sample count,
+    * exact mean, and min/max over [start, end) — the weekly-seasonality
+    * fingerprint behind capacity dashboards (in the reference this takes
+    * 168 repeated Windows scans per stream, btrdb.go QueryWindow; here it
+    * is ONE pass). Both phase columns derive from pure epoch-µs integer
+    * arithmetic relative to `start` — dow 0 = the weekday of `start`
+    * (callers pass a Monday-aligned start for ISO numbering), hour in
+    * 0..23 UTC-offset-free — so the engine and the DuckDB oracle compute
+    * identical buckets with no calendar library, timezone, or DST rule
+    * involved. One map-side-partial aggregation over counts + integer
+    * micro-unit sums; output ≤ |streams| × 168 rows.
+    *
+    * The phase divisions are exact in IEEE double: both numerators are
+    * pmod-floored multiples of their divisor, and |t_us − start| stays
+    * far below 2^53 for any real time range.
+    */
+  def calendarProfile(points: DataFrame, streamCols: Seq[String], start: Long,
+                      end: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val day = 86400000000L
+    val hour = 3600000000L
+    val d = col("t_us") - start
+    val dow = pmod(((d - pmod(d, lit(day))) / day).cast("long"), lit(7L)).as("dow")
+    val hr = ((pmod(d, lit(day)) - pmod(d, lit(hour))) / hour).cast("long").as("hour")
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < end)
+      .groupBy(key :+ dow :+ hr: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Quant.us6(col("value"))).as("sum_us"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+      .select(key ++ Seq(col("dow"), col("hour"), col("n"),
+        graft.Quant.mean6(col("sum_us"), col("n")).as("v_mean"),
+        col("v_min"), col("v_max")): _*)
+  }
+
   /** Counter-reset-aware per-window increase and rate (the PromQL
     * increase()/rate() semantics): per point, the positive delta against
     * the previous sample — a negative delta means the counter reset, and

@@ -199,6 +199,41 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(r(4).isNullAt(2))                   // after last point
   }
 
+  test("sax words z-normalize bucket means at the quartile breakpoints") {
+    // s1 bucket means at width 10 over [0,40): [0, 10, 10, 20] →
+    // z = [-√2, 0, 0, √2] → symbols a c c d (0 is NOT < 0 → 'c')
+    // s2 is constant → sd = 0 guard → all 'c', never NaN
+    val p = Seq(
+      ("s1", 0L, 0.0), ("s1", 10L, 10.0), ("s1", 25L, 10.0), ("s1", 35L, 20.0),
+      ("s2", 0L, 5.0), ("s2", 12L, 5.0), ("s2", 27L, 5.0), ("s2", 33L, 5.0))
+      .toDF("uuid", "t_us", "value").withColumn("ver", lit(1L))
+    val s = graft.ts.Downsample.sax(p, Seq("uuid"), 0L, 40L, 10L)
+      .orderBy("uuid").collect()
+    assert(s.length == 2)
+    assert(s(0).getString(0) == "s1" && s(0).getLong(1) == 4L
+      && s(0).getString(2) == "accd", s.mkString(", "))
+    assert(s(1).getString(0) == "s2" && s(1).getString(2) == "cccc")
+  }
+
+  test("calendar profile phases by pure integer arithmetic") {
+    val day = 86400000000L; val hour = 3600000000L
+    val p = pts(
+      (3 * day + 5 * hour + 42L, 2.0),  // dow 3, hour 5
+      (10 * day + 5 * hour + 1L, 4.0),  // dow 3 (10 % 7), hour 5 — same cell
+      (10 * day + 23 * hour, 7.0),      // dow 3, hour 23
+      (14 * day, 9.0))                  // at end — excluded
+    val c = TimeSeriesOps.calendarProfile(p, Seq("uuid"), 0L, 14 * day)
+      .orderBy("dow", "hour").collect()
+    assert(c.length == 2)
+    assert(c(0).getLong(1) == 3L && c(0).getLong(2) == 5L && c(0).getLong(3) == 2L)
+    assert(c(0).getDouble(4) == 3.0) // exact µ-unit mean of 2.0 and 4.0
+    assert(c(1).getLong(1) == 3L && c(1).getLong(2) == 23L && c(1).getDouble(4) == 7.0)
+    // dow is phase-relative to start: shifting start one day relabels it
+    val shifted = TimeSeriesOps.calendarProfile(p, Seq("uuid"), day, 14 * day)
+      .orderBy("dow", "hour").collect()
+    assert(shifted.forall(_.getLong(1) == 2L))
+  }
+
   test("histogram bins partition each window's count") {
     val p = pts((1L, 5.0), (2L, 55.0), (3L, 57.0), (12L, 105.0))
     val h = TimeSeriesOps.histogram(p, Seq("uuid"), 0L, 20L, 10L, 50.0)
