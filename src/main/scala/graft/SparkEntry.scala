@@ -632,6 +632,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), 3, 0.5, Some(1000L))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // asymmetric containment |A∩B|/|A| — the quote/subset near-dup class
+    // symmetric Jaccard misses (short doc embedded in a long one)
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), 3, 0.5, Some(1000L))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.load(s, dir, "documents"), 3, 64, 2, 0.8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -897,6 +903,12 @@ object SparkEntry {
     "dedup_prefix" -> ((s, dir) =>
       Dedup.prefixGroups(Tables.load(s, dir, "documents"), 10)
         .orderBy(col("doc_id"))),
+
+    // bigram collocations by the word2vec phrase score — which word pairs
+    // should merge into single tokens before training
+    "text_phrases" -> ((s, dir) =>
+      TextFunctions.phrases(Tables.load(s, dir, "documents"))
+        .orderBy(col("score").desc, col("w1"), col("w2"))),
 
     // the memorization-risk report: which exact 8-word passages does the
     // corpus repeat, and in how many documents
@@ -2190,6 +2202,24 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardSql(0.5, Some(1000L)),
 
+    // mirrors Dedup.containmentPairs: same 3-gram shingles as jaccardSql,
+    // both directed ratios, threshold on the larger one
+    "dedup_containment" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w
+         |              FROM documents WHERE doc_id < 1000),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM docs WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |       ${Q6("CAST(inter AS DOUBLE) / la")} AS contain_a,
+         |       ${Q6("CAST(inter AS DOUBLE) / lb")} AS contain_b
+         |FROM p WHERE inter > 0
+         |  AND greatest(CAST(inter AS DOUBLE) / la, CAST(inter AS DOUBLE) / lb) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_minhash" -> jaccardSql(0.8, None),
 
     "corpus_contamination_near" ->
@@ -2945,6 +2975,26 @@ object SparkEntry {
          |      FROM p)
          |SELECT doc_id, pfp, group_id, CAST(n_shared AS BIGINT) AS n_shared
          |FROM g WHERE n_shared > 1 ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextFunctions.phrases: occurrence counts (not distinct docs),
+    // the δ=5-discounted lift assembled from exact longs, ONE double division
+    "text_phrases" ->
+      s"""WITH d AS (SELECT string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |t AS (SELECT unnest(w) AS tok FROM d),
+         |u AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+         |tot AS (SELECT count(*) AS n_total FROM t),
+         |bi AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1]))) AS pair
+         |       FROM d WHERE len(w) >= 2),
+         |bc AS (SELECT pair, count(*) AS n_ab FROM bi GROUP BY pair HAVING count(*) >= 10),
+         |s AS (SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2, n_ab FROM bc),
+         |j AS (SELECT s.w1, s.w2, s.n_ab, ua.n AS n_a, ub.n AS n_b
+         |      FROM s JOIN u ua ON s.w1 = ua.tok JOIN u ub ON s.w2 = ub.tok)
+         |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+         |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       ${Q6("CAST((n_ab - 5) * n_total AS DOUBLE) / (n_a * n_b)")} AS score
+         |FROM j, tot
+         |ORDER BY score DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "corpus_dup_ngrams" ->
       s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),

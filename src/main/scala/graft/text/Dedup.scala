@@ -110,6 +110,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), graft.Quant.q6(col("jaccard")).as("jaccard"))
   }
 
+  /** Asymmetric n-gram containment pairs — |A∩B|/|A| and |A∩B|/|B| over
+    * distinct word shingles, thresholded on the LARGER direction: the
+    * subset/quote detector symmetric Jaccard misses (a short doc fully
+    * embedded in a long one has Jaccard ≈ |A|/|B| — arbitrarily low —
+    * but containment exactly 1.0; the "is this doc quoted inside that
+    * one" dedup question). Same inverted-index equality self-join as
+    * ngramJaccardPairs — candidates cost Σ df(g)², never |docs|², AQE
+    * splits stop-shingle skew — only the emitted ratios differ.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, tau: Double,
+                       idLimit: Option[Long] = None): DataFrame = {
+    val scoped = idLimit.fold(docs)(l => docs.filter(col("doc_id") < l))
+    val inv = hashedShingled(scoped, n)
+      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("g"))
+    inv.select(col("doc_id").as("id_a"), col("sz").as("sza"), col("g"))
+      .join(inv.select(col("doc_id").as("id_b"), col("sz").as("szb"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("c_a", col("inter").cast("double") / col("sza"))
+      .withColumn("c_b", col("inter").cast("double") / col("szb"))
+      .filter(greatest(col("c_a"), col("c_b")) >= tau)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        graft.Quant.q6(col("c_a")).as("contain_a"),
+        graft.Quant.q6(col("c_b")).as("contain_b"))
+  }
+
   /** Exact Jaccard over (ha, hb) sorted hashed-shingle arrays — codegen'd
     * merge-walk intersection, no per-element lambda dispatch.
     */

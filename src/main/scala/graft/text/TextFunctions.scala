@@ -699,6 +699,46 @@ object TextFunctions {
         graft.Quant.q6(length(regexp_replace(col("norm"), lit(" "), lit("")))
           .cast("double") / col("n_words")).as("chars_per_word"))
 
+  /** Bigram collocation report — the word2vec phrase-merging rule
+    * (Mikolov et al. 2013 §4): score(a,b) = (n_ab − δ)·N / (n_a·n_b),
+    * the discounted observed/expected lift that decides which word pairs
+    * become single tokens before training. Counts are OCCURRENCES (not
+    * distinct docs — the LM sees every repetition); δ discounts rare
+    * accidents and minCount floors the report. The score is assembled
+    * from exact longs with ONE double division — (n_ab−δ)·N and n_a·n_b
+    * stay in integer space (overflow would throw loudly under ANSI, and
+    * needs two >3e9-count words colliding — beyond 10¹²-token corpora;
+    * past that, pre-divide by N) — so both engines agree bit-for-bit.
+    *
+    * Plan: one token explode → vocab-keyed counts; one guarded bigram
+    * transform → pair counts (map-side partial, minCount cuts the tail
+    * BEFORE the joins); two equi-joins against the unigram table; the
+    * 1-row total broadcast; TakeOrdered top-k. Nothing wider than the
+    * surviving pair table ever shuffles.
+    */
+  def phrases(docs: DataFrame, delta: Long = 5, minCount: Long = 10,
+              k: Int = 50): DataFrame = {
+    val base = withBase(docs)
+    val toks = base.select(explode(col("w")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val nTotal = toks.agg(count(lit(1)).as("n_total"))
+    val bi = base.select(explode(expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) END")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bi.join(uni.select(col("tok").as("w1"), col("n_tok").as("n_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("score", graft.Quant.q6(
+        ((col("n_ab") - delta) * col("n_total")).cast("double")
+          / (col("n_a") * col("n_b"))))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"), col("score"))
+  }
+
   /** The most-duplicated word n-grams corpus-wide (by distinct-document
     * frequency, ≥ 2 docs) — the memorization-risk / boilerplate report
     * ("which exact passages does the corpus repeat?"). Distinct shingles

@@ -6,6 +6,19 @@ import graft.text.{TextFunctions => TF}
 /** The Corpus/Embeddings facades and the fused-shard drift guard. */
 class CorpusSpec extends SparkSuite {
 
+  test("phrases scores the word2vec discounted lift from exact counts") {
+    import spark.implicits._
+    // "x y" × 12 → N = 24 tokens, n_x = n_y = 12, n_xy = 12, n_yx = 11
+    // score(x,y) = (12−5)·24/144 = 7/6; score(y,x) = (11−5)·24/144 = 1.0
+    val d = Seq((1L, Seq.fill(12)("x y").mkString(" "))).toDF("doc_id", "text")
+    val p = TF.phrases(d).orderBy(col("score").desc).collect()
+    assert(p.length == 2, p.mkString(", "))
+    assert(p(0).getString(0) == "x" && p(0).getString(1) == "y")
+    assert(p(0).getLong(2) == 12L && p(0).getLong(3) == 12L && p(0).getLong(4) == 12L)
+    assert(math.abs(p(0).getDouble(5) - 7.0 / 6) < 1e-6)
+    assert(p(1).getString(0) == "y" && p(1).getDouble(5) == 1.0)
+  }
+
   test("every oracle entry names a real query (driver-contract guard)") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs

@@ -12,6 +12,23 @@ class DedupSimSpec extends SparkSuite {
   private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
   private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
 
+  test("containment flags a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 starts with doc 1's full text: every one of doc 1's eight
+    // 3-grams is inside doc 2 → contain_a = 1.0, but Jaccard = 8/18 < 0.5
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val p = Dedup.containmentPairs(d, 3, 0.5).collect()
+    assert(p.length == 1, p.mkString(", "))
+    assert(p(0).getLong(0) == 1L && p(0).getLong(1) == 2L)
+    assert(p(0).getLong(2) == 8L)                 // inter
+    assert(p(0).getDouble(3) == 1.0)              // contain_a: A ⊆ B
+    assert(math.abs(p(0).getDouble(4) - 8.0 / 18) < 1e-6)
+    assert(Dedup.ngramJaccardPairs(d, 3, 0.5).isEmpty) // Jaccard misses it
+  }
+
   test("minhash-LSH + exact verify equals the exact Jaccard pair set") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
