@@ -771,6 +771,13 @@ object SparkEntry {
       Vectors.annLsh(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
 
+    // product-quantization audit: 8×16 seed codebook (the served-IVF
+    // zero-training trick), per-vector code word + exact-µ-unit MSE —
+    // completes the compression triad (SQ8 / PQ / coarse IVF)
+    "emb_pq" -> ((s, dir) =>
+      Vectors.pqAudit(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
+
     "emb_ann_ivf" -> ((s, dir) =>
       Vectors.annIvf(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
@@ -2496,6 +2503,27 @@ object SparkEntry {
          |SELECT vec_id, ${Q6("list_sum(errs) / 64.0")} AS mean_abs_err,
          |       ${Q6("list_max(errs)")} AS max_abs_err
          |FROM er ORDER BY vec_id""".stripMargin,
+
+    // mirrors Vectors.pqAudit: seed codebook = subvectors of vec_id < 16,
+    // direct index-ordered Σ(x−c)² fold, ties to the smallest code,
+    // per-subspace SSE → µ-units before the cross-subspace sum
+    "emb_pq" ->
+      s"""WITH sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id AS INT) AS code, svec AS cvec FROM sv WHERE vec_id < 16),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub)),
+         |r AS (SELECT vec_id, sub, code, sse,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |b AS (SELECT vec_id, sub, code, sse FROM r WHERE rn = 1)
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes,
+         |       ${MEAN6(s"sum(${US6("sse")})", "64")} AS recon_mse
+         |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),

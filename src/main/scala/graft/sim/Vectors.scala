@@ -231,6 +231,60 @@ object Vectors {
         graft.Quant.q6(array_max(col("errs"))).as("max_abs_err"))
   }
 
+  /** Product-quantization audit — the "can we serve these embeddings from
+    * PQ codes" report that completes the compression triad next to SQ8
+    * (sq8Audit) and the coarse IVF quantizer: the D-dim vector splits
+    * into `m` subspaces, each coded against a per-subspace codebook of
+    * `k` entries, and every vector reports its code word plus the
+    * µ-unit-exact mean squared reconstruction error (Jégou et al. 2011).
+    *
+    * The codebook is the DETERMINISTIC seed quantizer — the subvectors of
+    * the k lowest-id corpus vectors — the same zero-training trick that
+    * makes emb_ann_ivf_served exactly oracle-replayable (Lloyd-refined
+    * codebooks belong to the rows-only training path). Assignment is
+    * argmin of the DIRECT index-ordered Σ(x−c)² fold (no |s|²−2s·c+|c|²
+    * cancellation — both engines replay the same adds), ties to the
+    * smallest code via struct-min; per-subspace SSEs quantize to integer
+    * µ-units before the cross-subspace sum, so the per-vector MSE is
+    * order-free.
+    *
+    * Scale shape: subvector explode (m narrow rows/vector) → broadcast
+    * join against the m·k-row codebook → map-side-partial struct-min →
+    * per-vector word assembly over m-bounded groups. One corpus pass, no
+    * shuffle wider than (vec_id, sub) summaries.
+    */
+  def pqAudit(emb: DataFrame, m: Int = 8, k: Int = 16,
+              vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val subArrs = array((0 until m).map(j => slice(col(vecCol), j * sub + 1, sub)): _*)
+    def exploded(df: DataFrame) =
+      df.select(col("vec_id"), posexplode(subArrs).as(Seq("sub", "svec")))
+    val cb = exploded(emb.filter(col("vec_id") < k))
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("svec").as("cvec"))
+    val sse = expr(
+      """aggregate(
+        |  zip_with(svec, cvec,
+        |    (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
+        |            * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
+        |  CAST(0 AS DOUBLE), (a, e) -> a + e)""".stripMargin)
+    exploded(graft.Tables.rebalance(emb))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("sse", sse)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("sse"), col("code"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(
+        concat_ws("-", transform(
+          array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
+          x => x.getField("code").cast("string"))).as("codes"),
+        sum(graft.Quant.us6(col("best.sse"))).as("sse_us"))
+      .select(col("vec_id"), col("codes"),
+        graft.Quant.mean6(col("sse_us"), lit(dim)).as("recon_mse"))
+  }
+
   /** LSH-bucketed near-dup pair generation — the corpus-scale form of
     * cosinePairs, and the embedding-space analogue of text MinHash dedup
     * (Dedup.minhashPairs): candidates = vector pairs sharing a bucket in

@@ -12,6 +12,25 @@ class DedupSimSpec extends SparkSuite {
   private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
   private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
 
+  test("pq codes a seed-identical vector exactly and ties to the smaller code") {
+    import spark.implicits._
+    // seeds 0..15 are constant vectors (seed i = all-i); the codebook IS
+    // their subvectors, so a vector equal to seed 3 codes 3 in every
+    // subspace with zero error; one perturbed dim moves only sub 0's SSE;
+    // the all-2.5 vector is equidistant from seeds 2 and 3 → code 2
+    val rows =
+      (0 until 16).map(i => (i.toLong, Seq.fill(64)(i.toFloat))) ++ Seq(
+        (100L, Seq.fill(64)(3.0f)),
+        (101L, Seq.tabulate(64)(d => if (d == 0) 3.5f else 3.0f)),
+        (102L, Seq.fill(64)(2.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = Vectors.pqAudit(emb).filter(col("vec_id") >= 100).orderBy("vec_id").collect()
+    assert(r(0).getString(1) == Seq.fill(8)("3").mkString("-") && r(0).getDouble(2) == 0.0)
+    assert(r(1).getString(1) == Seq.fill(8)("3").mkString("-"))
+    assert(r(1).getDouble(2) == 0.003906) // q6 of 0.25/64
+    assert(r(2).getString(1) == Seq.fill(8)("2").mkString("-") && r(2).getDouble(2) == 0.25)
+  }
+
   test("containment flags a short doc embedded in a long one that Jaccard misses") {
     import spark.implicits._
     // doc 2 starts with doc 1's full text: every one of doc 1's eight
