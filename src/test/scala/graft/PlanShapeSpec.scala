@@ -399,6 +399,29 @@ class PlanShapeSpec extends SparkSuite {
     val readSchema = fp.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("props") && !readSchema.contains("value"),
       s"ts_facets scan not pruned to props:\n$readSchema")
+
+    // second-wave round-9 ops
+    for (q <- Seq("ts_calendar", "ts_sax", "dedup_containment",
+        "text_phrases", "emb_pq")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // calendar/sax filter the derived t_us axis — raw ts bounds must
+    // reach the scan; calendar is one aggregation, join-free
+    for (q <- Seq("ts_calendar", "ts_sax")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+    }
+    assert(!physical(SparkEntry.queries("ts_calendar")(spark, sfDir))
+      .contains("Join"), "ts_calendar should be join-free")
+    // containment candidates ride the inverted-index EQUALITY join —
+    // never a nested-loop over doc pairs
+    assert(!physical(SparkEntry.queries("dedup_containment")(spark, sfDir))
+      .contains("BroadcastNestedLoopJoin"), "containment candidate join degraded")
+    // pq's codebook is a broadcast; the corpus side never reshuffles wide
+    assert(physical(SparkEntry.queries("emb_pq")(spark, sfDir))
+      .contains("BroadcastHashJoin"), "emb_pq codebook join not broadcast")
   }
 
   test("round-5c ops: pushed bounds, no cartesians, funnel merges as-of") {
