@@ -363,6 +363,18 @@ object SparkEntry {
       TS.bollingerBands(Tables.points(s, dir), STREAM, T0, T29, DAY, 7, 2.0)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // peak extraction: windows strictly above both k-window shoulders
+    // with ≥5.0 prominence (integer µ-unit comparisons end to end)
+    "ts_peaks" -> ((s, dir) =>
+      TS.peaks(Tables.points(s, dir), STREAM, T0, T29, DAY, 2, 5000000L)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // offline mean-shift change points: |next-k mean − prev-k mean| ≥ 15.0
+    // at the local apex of the score series
+    "ts_changepoint" -> ((s, dir) =>
+      TS.changePoints(Tables.points(s, dir), STREAM, T0, T29, DAY, 3, 15000000L)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_percentile" -> ((s, dir) =>
       TS.percentileWindows(Tables.points(s, dir), STREAM, T0, T29, WEEK, Seq(0.5, 0.95))
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -809,6 +821,12 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) =>
       TextFunctions.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // per-doc top-5 keywords by tf·(N/df) — the linear-idf exact-replay
+    // form (log idf is libm-bound); dataset-card topic signals
+    "text_keywords" -> ((s, dir) =>
+      TextFunctions.keywords(Tables.load(s, dir, "documents"), 5)
+        .orderBy(col("doc_id"), col("rank"))),
 
     "text_pii" -> ((s, dir) =>
       TextFunctions.piiScan(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -1639,6 +1657,69 @@ object SparkEntry {
          |       ${Q6("(CAST(rs1 AS DOUBLE) / rn + 2.0 * (sqrt(CAST(rn * rs2 - rs1 * rs1 AS DOUBLE)) / rn)) / 1000000.0")} AS band_hi,
          |       CAST(rn AS BIGINT) AS n_pts
          |FROM r ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.peaks: rounded-integer window means, full
+    // k-window shoulders on both sides, strict dominance + prominence
+    "ts_peaks" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us,
+         |        count(*) AS n_points
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |x AS (SELECT *,
+         |        max(m_us) OVER wl AS l_max, max(m_us) OVER wr AS r_max,
+         |        count(*) OVER wl AS l_n, count(*) OVER wr AS r_n
+         |      FROM m
+         |      WINDOW wl AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |                    ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+         |             wr AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |                    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING))
+         |SELECT user_id, event_type, w_start,
+         |       CAST(m_us AS DOUBLE) / 1000000.0 + 0 AS v_mean,
+         |       CAST(m_us - greatest(l_max, r_max) AS DOUBLE) / 1000000.0 + 0 AS prominence,
+         |       CAST(n_points AS BIGINT) AS n_points
+         |FROM x
+         |WHERE l_n = 2 AND r_n = 2 AND m_us > l_max AND m_us > r_max
+         |  AND m_us - greatest(l_max, r_max) >= 5000000
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.changePoints: exact µ-unit side sums →
+    // rounded-integer side means, |shift| threshold + half-open apex rule
+    "ts_changepoint" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |b AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        sum(${US6("value")}) AS sum_us, count(*) AS n
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |s AS (SELECT *,
+         |        count(*) OVER wl AS l_cnt, count(*) OVER wr AS r_cnt,
+         |        CAST(round(CAST(sum(sum_us) OVER wl AS DOUBLE) / sum(n) OVER wl, 0) AS BIGINT) AS l_mean_us,
+         |        CAST(round(CAST(sum(sum_us) OVER wr AS DOUBLE) / sum(n) OVER wr, 0) AS BIGINT) AS r_mean_us
+         |      FROM b
+         |      WINDOW wl AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         |             wr AS (PARTITION BY user_id, event_type ORDER BY w_start
+         |                    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)),
+         |sc AS (SELECT *,
+         |        CASE WHEN l_cnt = 3 AND r_cnt = 3 THEN abs(r_mean_us - l_mean_us) END AS score,
+         |        lag(CASE WHEN l_cnt = 3 AND r_cnt = 3 THEN abs(r_mean_us - l_mean_us) END)
+         |          OVER wo AS prev_score,
+         |        lead(CASE WHEN l_cnt = 3 AND r_cnt = 3 THEN abs(r_mean_us - l_mean_us) END)
+         |          OVER wo AS next_score
+         |       FROM s
+         |       WINDOW wo AS (PARTITION BY user_id, event_type ORDER BY w_start))
+         |SELECT user_id, event_type, w_start,
+         |       CAST(l_mean_us AS DOUBLE) / 1000000.0 + 0 AS mean_before,
+         |       CAST(r_mean_us AS DOUBLE) / 1000000.0 + 0 AS mean_after,
+         |       CAST(r_mean_us - l_mean_us AS DOUBLE) / 1000000.0 + 0 AS shift
+         |FROM sc
+         |WHERE score IS NOT NULL AND score >= 15000000
+         |  AND (prev_score IS NULL OR score > prev_score)
+         |  AND (next_score IS NULL OR score >= next_score)
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_percentile" ->
       s"""WITH pts AS ($PTS_SQL),
@@ -3117,6 +3198,25 @@ object SparkEntry {
          |                                         i -> md5(substr(norm, CAST(i AS INT), 8)))) END AS fp_winnow,
          |       CAST(greatest(length(norm) - 7, 1) AS BIGINT) AS n_shingles8
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextFunctions.keywords: tf over all occurrences, df from
+    // the distinct (doc, word) pairs, score = tf · (N/df) with the same
+    // op order, ties score-desc then word-asc
+    "text_keywords" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM d),
+         |tf AS (SELECT doc_id, word, count(*) AS tf
+         |       FROM t WHERE word <> '' GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |        CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+         |      FROM tf JOIN df USING (word) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, word) AS rank
+         |      FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
   )
 
   // ---- DuckDB oracle building blocks ----------------------------------

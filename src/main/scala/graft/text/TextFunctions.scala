@@ -579,6 +579,47 @@ object TextFunctions {
       .orderBy(col("doc_freq").desc, col("word"))
       .limit(k)
 
+  /** Per-document keyword extraction: the top `k` words by tf·idf with
+    * the LINEAR idf N/df (score = tf · N/df). A log idf is libm-bound —
+    * `ln` is not required correctly rounded, so the engines can disagree
+    * in the last ulp and flip tied ranks; the linear form keeps the
+    * ranking intent (frequent in the document, rare in the corpus) while
+    * every score is one correctly-rounded division and one multiply on
+    * exact integers — bit-identical across engines, the corpus_mix
+    * determinism recipe. Ties break score-desc then word-asc, so the
+    * top-k cut is total.
+    *
+    * Scale shape: per-doc term counts in one map-side-partial groupBy;
+    * document frequency re-aggregated FROM the tf frame (map-side
+    * partials bound each task's output by its distinct vocabulary, and
+    * the df table is vocab-scale — AQE broadcasts it back when small);
+    * the top-k rank runs over doc-bounded groups. No corpus-scale sort,
+    * no stopword-skewed window partition (a count-over-word window would
+    * materialize the full posting list of every stopword in one task).
+    */
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val tf = withBase(docs)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .filter(col("word") =!= "") // an empty doc splits to [""]
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Lexical-diversity statistics per document: type count (distinct
     * words), type-token ratio, and hapax legomena (words used exactly once)
     * — the vocabulary-richness signals next to the repetition score

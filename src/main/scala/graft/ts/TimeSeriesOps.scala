@@ -1978,4 +1978,117 @@ object TimeSeriesOps {
       .withColumn("cvr",
         graft.Quant.mean6(col("n_converted") * 1000000L, col("n_base")))
   }
+
+  /** Peak detection over the window-mean series: a window is a peak when
+    * its mean strictly exceeds every neighbor within `k` non-empty
+    * windows on BOTH sides and rises at least `minPromUs` micro-units
+    * above the taller shoulder (the prominence floor that separates real
+    * spikes from ripple). The alarm/event-extraction query a BTrDB user
+    * scripts by pulling Windows client-side and scanning for local maxima
+    * (qtree windows → client loop); here it is one declarative plan.
+    *
+    * Determinism: window means are rounded integer micro-units (the
+    * offsetCompare / correlation contract), so every comparison —
+    * neighbor max, strict dominance, prominence threshold — is exact
+    * integer arithmetic; requiring a full k-window shoulder on both
+    * sides (count, not just max) keeps boundary windows out without an
+    * engine-dependent null rule. Ties (equal neighbor mean) are NOT
+    * peaks: strictness is the tiebreak, so a plateau never fires.
+    *
+    * Scale shape: one map-side-partial groupBy to window means, then
+    * rows-frame windows over GRID-BOUNDED per-stream groups (≤
+    * (end−start)/width rows — metadata scale, the rolling() shape); raw
+    * points are never sorted or shuffled beyond the one partial-agg
+    * exchange.
+    */
+  def peaks(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+            width: Long, k: Int, minPromUs: Long,
+            version: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minPromUs >= 0, s"minPromUs must be non-negative, got $minPromUs")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val means = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("m_us"),
+        count(lit(1)).as("n_points"))
+    val ord = Window.partitionBy(key: _*).orderBy(col("w_start"))
+    val lFrame = ord.rowsBetween(-k.toLong, -1L)
+    val rFrame = ord.rowsBetween(1L, k.toLong)
+    means
+      .withColumn("l_max", max(col("m_us")).over(lFrame))
+      .withColumn("r_max", max(col("m_us")).over(rFrame))
+      .withColumn("l_n", count(lit(1)).over(lFrame))
+      .withColumn("r_n", count(lit(1)).over(rFrame))
+      .filter(col("l_n") === k && col("r_n") === k &&
+        col("m_us") > col("l_max") && col("m_us") > col("r_max") &&
+        col("m_us") - greatest(col("l_max"), col("r_max")) >= minPromUs)
+      .select(key ++ Seq(col("w_start"),
+        (col("m_us").cast("double") / 1e6 + lit(0d)).as("v_mean"),
+        ((col("m_us") - greatest(col("l_max"), col("r_max"))).cast("double") / 1e6
+          + lit(0d)).as("prominence"),
+        col("n_points")): _*)
+  }
+
+  /** Change-point detection over the window-mean series — the two-sample
+    * mean-shift scan (CUSUM's offline sibling): at each boundary, the
+    * mean of the next `k` non-empty windows (current included) minus the
+    * mean of the previous `k`; a change point is a boundary whose
+    * |shift| clears `minShiftUs` micro-units AND is the local apex of
+    * the |shift| series (strictly above the previous boundary's score,
+    * at-or-above the next — the half-open tiebreak that picks exactly
+    * one boundary per plateau, never a run of flags for one level
+    * change).
+    *
+    * Determinism: side means are rounded integer micro-units from exact
+    * µ-unit sums (each point weighs equally within its side — a
+    * mean-of-window-means would not be a two-sample statistic), so the
+    * shift, its threshold test, and both apex comparisons are exact
+    * integer arithmetic end to end.
+    *
+    * Scale shape: identical to rolling()/bollingerBands() — one
+    * map-side-partial groupBy to per-window (sum, count), then rows-frame
+    * windows over grid-bounded per-stream groups; never a raw-point
+    * sort.
+    */
+  def changePoints(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                   width: Long, k: Int, minShiftUs: Long,
+                   version: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minShiftUs >= 0, s"minShiftUs must be non-negative, got $minShiftUs")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val base = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(sum(graft.Quant.us6(col("value"))).as("sum_us"), count(lit(1)).as("n"))
+    val ord = Window.partitionBy(key: _*).orderBy(col("w_start"))
+    val lFrame = ord.rowsBetween(-k.toLong, -1L)
+    val rFrame = ord.rowsBetween(0L, (k - 1).toLong)
+    val scored = base
+      .withColumn("l_cnt", count(lit(1)).over(lFrame))
+      .withColumn("r_cnt", count(lit(1)).over(rFrame))
+      .withColumn("l_mean_us",
+        round(sum(col("sum_us")).over(lFrame).cast("double") /
+          sum(col("n")).over(lFrame), 0).cast("long"))
+      .withColumn("r_mean_us",
+        round(sum(col("sum_us")).over(rFrame).cast("double") /
+          sum(col("n")).over(rFrame), 0).cast("long"))
+      .withColumn("score_us",
+        when(col("l_cnt") === k && col("r_cnt") === k,
+          abs(col("r_mean_us") - col("l_mean_us"))))
+    scored
+      .withColumn("prev_score", lag(col("score_us"), 1).over(ord))
+      .withColumn("next_score", lead(col("score_us"), 1).over(ord))
+      .filter(col("score_us").isNotNull && col("score_us") >= minShiftUs &&
+        (col("prev_score").isNull || col("score_us") > col("prev_score")) &&
+        (col("next_score").isNull || col("score_us") >= col("next_score")))
+      .select(key ++ Seq(col("w_start"),
+        (col("l_mean_us").cast("double") / 1e6 + lit(0d)).as("mean_before"),
+        (col("r_mean_us").cast("double") / 1e6 + lit(0d)).as("mean_after"),
+        ((col("r_mean_us") - col("l_mean_us")).cast("double") / 1e6 + lit(0d))
+          .as("shift")): _*)
+  }
 }

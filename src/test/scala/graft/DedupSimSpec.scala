@@ -280,6 +280,19 @@ class DedupSimSpec extends SparkSuite {
     assert(v == Seq(("b", 2L), ("a", 1L), ("c", 1L)))
   }
 
+  test("keywords rank by tf times linear idf with total tiebreaks") {
+    import spark.implicits._
+    // N=3; doc 1: 'x' tf=2 df=1 → 6.0 beats 'a' tf=3 df=3 → 3.0;
+    // 'b'/'c' tie at 1.5 and break word-asc
+    val d = Seq((1L, "a x a x a b c"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val k = graft.text.TextFunctions.keywords(d, 3).orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    assert(k.take(3).toSeq == Seq((1L, 1L, "x", 6.0), (1L, 2L, "a", 3.0),
+      (1L, 3L, "b", 1.5)), k.toSeq)
+    // a doc shorter than k emits only its own vocabulary
+    assert(k.count(_._1 == 2L) == 2)
+  }
+
   test("lexical diversity: types, hapax, and ratios on a known doc") {
     import spark.implicits._
     val d = Seq((1L, "a b a c")).toDF("doc_id", "text")

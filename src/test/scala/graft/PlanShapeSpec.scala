@@ -422,6 +422,29 @@ class PlanShapeSpec extends SparkSuite {
     // pq's codebook is a broadcast; the corpus side never reshuffles wide
     assert(physical(SparkEntry.queries("emb_pq")(spark, sfDir))
       .contains("BroadcastHashJoin"), "emb_pq codebook join not broadcast")
+
+    // third-wave round-9 ops (keywords' 1-row n_docs broadcast is a
+    // Cross BNLJ by construction — the emb_outliers stats-row shape —
+    // so only true cartesians are banned there)
+    for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // peak/change-point scans run over the window-mean series with raw
+    // ts bounds pushed; their frame windows partition by the stream key,
+    // never a global (empty-partition) window
+    for (q <- Seq("ts_peaks", "ts_changepoint")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+      assert(!plan.contains("Window [") || !plan.contains("partitionBy=[]"),
+        s"$q has a global window:\n${plan.take(3000)}")
+    }
+    // keywords: the N-docs row is a broadcast, and the top-k rank is the
+    // only window — partitioned by doc_id (doc-bounded groups)
+    val kwPlan = physical(SparkEntry.queries("text_keywords")(spark, sfDir))
+    assert(kwPlan.contains("BroadcastExchange") || kwPlan.contains("BroadcastQueryStage"),
+      s"text_keywords n_docs not broadcast:\n${kwPlan.take(3000)}")
   }
 
   test("round-5c ops: pushed bounds, no cartesians, funnel merges as-of") {

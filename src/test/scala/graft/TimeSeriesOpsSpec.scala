@@ -175,6 +175,48 @@ class TimeSeriesOpsSpec extends SparkSuite {
       b2(1).getDouble(4) == 4.0, b2.toSeq)
   }
 
+  test("peaks require strict dominance, full shoulders, and prominence") {
+    // window means at width 10: 1, 2, 9, 2, 1, 8.4, 8.4, 1 →
+    // w=20 (mean 9) is a k=2 peak with prominence 9−2=7;
+    // the 8.4-plateau (w=50,60) never fires (strictness);
+    // w=10 has no full left shoulder
+    val p = pts((1L, 1.0), (11L, 2.0), (21L, 9.0), (31L, 2.0), (41L, 1.0),
+      (51L, 8.4), (61L, 8.4), (71L, 1.0))
+    val pk = TimeSeriesOps.peaks(p, Seq("uuid"), 0L, 80L, 10L, 2, 0L)
+      .orderBy("w_start").collect()
+    assert(pk.map(_.getLong(1)).toSeq == Seq(20L), pk.toSeq)
+    assert(pk.head.getDouble(2) == 9.0 && pk.head.getDouble(3) == 7.0, pk.toSeq)
+    // a prominence floor above 7 silences it
+    assert(TimeSeriesOps.peaks(p, Seq("uuid"), 0L, 80L, 10L, 2, 7000001L).count() == 0)
+    // constant series: no strict dominance anywhere
+    val c = pts((1L, 5.0), (11L, 5.0), (21L, 5.0), (31L, 5.0), (41L, 5.0))
+    assert(TimeSeriesOps.peaks(c, Seq("uuid"), 0L, 50L, 10L, 2, 0L).count() == 0)
+  }
+
+  test("change points flag the level shift once, at the score apex") {
+    // step series 1,1,1,10,10,10: k=1 scores |Δmean| = 0,0,9,0,0 →
+    // exactly the boundary entering the new level clears a 1.0 floor,
+    // shift +9 (a zero floor would also admit the zero-score plateau
+    // heads — the threshold is part of the contract)
+    val p = pts((1L, 1.0), (11L, 1.0), (21L, 1.0), (31L, 10.0), (41L, 10.0),
+      (51L, 10.0))
+    val cp = TimeSeriesOps.changePoints(p, Seq("uuid"), 0L, 60L, 10L, 1, 1000000L)
+      .orderBy("w_start").collect()
+    assert(cp.map(r => (r.getLong(1), r.getDouble(4))).toSeq == Seq((30L, 9.0)), cp.toSeq)
+    assert(cp.head.getDouble(2) == 1.0 && cp.head.getDouble(3) == 10.0, cp.toSeq)
+    // threshold above the shift silences it; at the shift it still fires
+    assert(TimeSeriesOps.changePoints(p, Seq("uuid"), 0L, 60L, 10L, 1, 9000001L).count() == 0)
+    assert(TimeSeriesOps.changePoints(p, Seq("uuid"), 0L, 60L, 10L, 1, 9000000L).count() == 1)
+    // side means weigh points, not windows: left windows {1×1pt, 3×3pts}
+    // → mean 2.5, not 2.0
+    val u = pts((1L, 1.0), (11L, 3.0), (12L, 3.0), (13L, 3.0), (21L, 10.0),
+      (31L, 10.0))
+    val cp2 = TimeSeriesOps.changePoints(u, Seq("uuid"), 0L, 40L, 10L, 2, 0L)
+      .orderBy("w_start").collect()
+    assert(cp2.map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq ==
+      Seq((20L, 2.5, 10.0)), cp2.toSeq)
+  }
+
   test("holt-winters forecast projects level + trend + cycled seasonal") {
     // final state of the period-2 case above: l=13.75, b=0,
     // s = [0, 5, −2.5, 6.25] → ŷ alternates l+s₂ / l+s₃ = 11.25 / 20.0
