@@ -274,6 +274,14 @@ object SparkEntry {
       graft.ts.Downsample.sax(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"))),
 
+    // DTW shape search: warping-tolerant top-10 by exact integer DP over
+    // the PAA profiles (the correlation-defeating phase-shift cases)
+    "ts_dtw" -> ((s, dir) =>
+      graft.ts.Downsample.dtwSimilar(Tables.points(s, dir), STREAM,
+          col("user_id") === 7 && col("event_type") === "click",
+          T0, T29, DAY, 10)
+        .orderBy(col("rank"))),
+
     "ts_ewma" -> ((s, dir) =>
       TS.ewma(Tables.points(s, dir), STREAM, T0, T29, DAY, 0.3)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -1316,6 +1324,47 @@ object SparkEntry {
          |SELECT user_id, event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
          |       string_agg(sym, '' ORDER BY w_start) AS word
          |FROM y GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+    },
+
+    // mirrors Downsample.dtwSimilar: same MEAN6-integer PAA profiles;
+    // the row-sequential DP fold is replayed in its min-plus-scan form
+    // (dp[i][j] = S[j] + min_{k≤j}(min(prev[k],prev[k−1]) − S[k−1]),
+    // an exact algebraic identity) inside a recursive CTE carrying each
+    // DP row as a LIST — all integer arithmetic, so identical cells
+    "ts_dtw" -> {
+      s"""WITH RECURSIVE pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |prof AS (SELECT user_id, event_type, list(m_us ORDER BY w_start) AS pa
+         |         FROM m GROUP BY 1, 2),
+         |q AS (SELECT pa AS qa FROM prof WHERE user_id = 7 AND event_type = 'click'),
+         |cand AS (SELECT p.user_id, p.event_type, p.pa AS ca, q.qa
+         |         FROM prof p CROSS JOIN q
+         |         WHERE NOT (p.user_id = 7 AND p.event_type = 'click')),
+         |dp AS (
+         |  SELECT user_id, event_type, ca, qa, 1 AS i,
+         |         list_transform(generate_series(1, len(ca)), j ->
+         |           list_sum(list_transform(generate_series(1, j), l -> abs(qa[1] - ca[l])))) AS dpr
+         |  FROM cand
+         |  UNION ALL
+         |  SELECT user_id, event_type, ca, qa, i + 1,
+         |         list_transform(generate_series(1, len(ca)), j ->
+         |           list_sum(list_transform(generate_series(1, j), l -> abs(qa[i+1] - ca[l])))
+         |           + list_min(list_transform(generate_series(1, j), k ->
+         |               (CASE WHEN k = 1 THEN dpr[1] ELSE least(dpr[k], dpr[k-1]) END)
+         |               - (CASE WHEN k = 1 THEN 0 ELSE list_sum(list_transform(
+         |                    generate_series(1, k-1), l -> abs(qa[i+1] - ca[l]))) END))))
+         |  FROM dp WHERE i < len(qa)
+         |)
+         |SELECT user_id, event_type,
+         |       CAST(len(ca) AS BIGINT) AS n_buckets,
+         |       CAST(CAST(dpr[len(ca)] AS BIGINT) AS DOUBLE) / 1000000.0 + 0 AS dtw,
+         |       CAST(row_number() OVER (ORDER BY dpr[len(ca)], user_id, event_type) AS BIGINT) AS rank
+         |FROM dp WHERE i = len(qa)
+         |ORDER BY dtw, user_id, event_type LIMIT 10""".stripMargin
     },
 
     // tie determinism mirrors the struct-argmax: a tied min takes its

@@ -445,6 +445,15 @@ class PlanShapeSpec extends SparkSuite {
     val kwPlan = physical(SparkEntry.queries("text_keywords")(spark, sfDir))
     assert(kwPlan.contains("BroadcastExchange") || kwPlan.contains("BroadcastQueryStage"),
       s"text_keywords n_docs not broadcast:\n${kwPlan.take(3000)}")
+    // dtw: raw ts bounds pushed, the query profile broadcasts (1-row
+    // cross, the similarStreams shape), top-k is a TakeOrdered — and
+    // candidates never join each other
+    val dtwPlan = physical(SparkEntry.queries("ts_dtw")(spark, sfDir))
+    assert(dtwPlan.contains("GreaterThanOrEqual(ts"),
+      s"ts_dtw time bound not pushed:\n${dtwPlan.take(3000)}")
+    assert(!dtwPlan.contains("CartesianProduct"), s"ts_dtw:\n${dtwPlan.take(3000)}")
+    assert(dtwPlan.contains("TakeOrdered"),
+      s"ts_dtw top-k not TakeOrdered:\n${dtwPlan.take(3000)}")
   }
 
   test("round-5c ops: pushed bounds, no cartesians, funnel merges as-of") {

@@ -255,6 +255,43 @@ class RewriteEquivalenceSpec extends SparkSuite {
     }
   }
 
+  test("dtw fold equals a brute-force DP on random profiles of mixed length") {
+    // one point per bucket and ≤2dp values keep the PAA means exact, so
+    // the nested aggregate-HOF fold must reproduce a plain O(n·m) Scala
+    // DP in exact integers — including length-1 profiles (no outer fold
+    // iterations) and candidate arrays longer and shorter than the query
+    def dtwRef(a: Seq[Long], b: Seq[Long]): Long = {
+      val inf = Long.MaxValue / 4
+      var prev = Array.fill(b.length + 1)(inf); prev(0) = 0L
+      for (i <- 1 to a.length) {
+        val cur = Array.fill(b.length + 1)(inf)
+        for (j <- 1 to b.length)
+          cur(j) = math.abs(a(i - 1) - b(j - 1)) +
+            math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    for (seed <- Seq(7L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      // stream s0 is the query; lengths 1..12 buckets at width 10
+      val profiles = (0 until 8).map { s =>
+        s"s$s" -> (0 until (rnd.nextInt(12) + 1)).map(_ => (rnd.nextInt(800) - 400) / 4.0)
+      }
+      val pts = profiles.flatMap { case (u, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (u, i * 10L + 1L, v) }
+      }.toDF("uuid", "t_us", "value")
+      val got = graft.ts.Downsample
+        .dtwSimilar(pts, Seq("uuid"), col("uuid") === "s0", 0L, 120L, 10L, 100)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val qa = profiles.head._2.map(v => math.round(v * 1e6))
+      val ref = profiles.tail.map { case (u, vs) =>
+        u -> dtwRef(qa, vs.map(v => math.round(v * 1e6))) / 1e6
+      }.toMap
+      assert(got == ref, s"seed $seed: $got vs $ref")
+    }
+  }
+
   test("lttbAuto delegates on the max in-range stream size") {
     // below the bound the dashboard-facing name IS exact lttb; above it,
     // the bucketed plan — checked by comparing against each path directly
