@@ -752,6 +752,12 @@ object SparkEntry {
       Vectors.dimStats(Tables.load(s, dir, "embeddings"))
         .orderBy(col("dim"))),
 
+    // anisotropy audit: 5 exact-integer power-iteration steps toward the
+    // dominant centered direction + its variance share (All-but-the-top)
+    "emb_pca" -> ((s, dir) =>
+      Vectors.pcaPower(Tables.load(s, dir, "embeddings"), 64, 5)
+        .orderBy(col("dim"))),
+
     // embedding hygiene: cosine to the exact-mean corpus centroid
     // (distribution-outlier audit)
     "emb_centroid_sim" -> ((s, dir) =>
@@ -2540,6 +2546,59 @@ object SparkEntry {
          |       ${MEAN6(s"sum(${US6("x")})", "count(*)")} AS d_mean,
          |       max(x) AS d_max, CAST(count(*) AS BIGINT) AS n
          |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // mirrors Vectors.pcaPower through the Gram matrix: Σᵢ x̃ᵢ(x̃ᵢ·v) =
+    // (Σᵢ x̃ᵢx̃ᵢᵀ)v exactly in integer arithmetic, so G is precomputed
+    // once and the 5 rescaled iterations replay as 64×64 list math in a
+    // recursive CTE — identical integers to the engine's corpus passes
+    "emb_pca" ->
+      s"""WITH RECURSIVE
+         |x AS (SELECT vec_id, i AS k,
+         |        CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xu
+         |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+         |muk AS (SELECT k, CAST(round(CAST(sum(xu) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |        FROM x GROUP BY k),
+         |xt AS (SELECT x.vec_id, x.k, x.xu - muk.m_us AS xq FROM x JOIN muk USING (k)),
+         |g AS (SELECT a.k AS ki, b.k AS kj, sum(CAST(a.xq AS HUGEINT) * b.xq) AS gv
+         |      FROM xt a JOIN xt b USING (vec_id) GROUP BY 1, 2),
+         |gm AS (SELECT list(gl ORDER BY ki) AS gmat
+         |       FROM (SELECT ki, list(gv ORDER BY kj) AS gl FROM g GROUP BY ki)),
+         |it AS (
+         |  SELECT 0 AS t, list_transform(generate_series(1, 64),
+         |           k -> CAST(1000000 AS HUGEINT)) AS v, gmat
+         |  FROM gm
+         |  UNION ALL
+         |  SELECT t + 1,
+         |    list_transform(mv, a ->
+         |      CASE WHEN list_max(list_transform(mv, q -> abs(q))) = 0
+         |           THEN CAST(0 AS HUGEINT)
+         |           ELSE CAST(round(CAST(a AS DOUBLE) /
+         |                  CAST(list_max(list_transform(mv, q -> abs(q))) AS DOUBLE)
+         |                  * 1000000.0, 0) AS HUGEINT) END),
+         |    gmat
+         |  FROM (SELECT t, gmat,
+         |          list_transform(generate_series(1, 64), k ->
+         |            list_sum(list_transform(generate_series(1, 64),
+         |              l -> gmat[k][l] * v[l]))) AS mv
+         |        FROM it WHERE t < 5) s
+         |),
+         |fin AS (SELECT v FROM it WHERE t = 5),
+         |den AS (SELECT list_sum(list_transform(v, a -> a * a)) AS den FROM fin),
+         |dots AS (SELECT xt.vec_id, sum(CAST(xt.xq AS HUGEINT) * fv.v[xt.k]) AS dot
+         |         FROM xt, fin fv GROUP BY xt.vec_id),
+         |nt AS (SELECT (SELECT sum(dot * dot) FROM dots) AS num,
+         |              (SELECT sum(CAST(xq AS HUGEINT) * xq) FROM xt) AS trace)
+         |SELECT muk.k - 1 AS dim,
+         |       CAST(muk.m_us AS DOUBLE) / 1000000.0 + 0 AS mean,
+         |       (CASE WHEN den.den = 0 THEN 0
+         |             ELSE CAST(fin.v[muk.k] AS DOUBLE) / sqrt(CAST(den.den AS DOUBLE)) END)
+         |         + 0 AS loading,
+         |       (CASE WHEN den.den = 0 OR nt.trace = 0 THEN 0
+         |             ELSE CAST(nt.num AS DOUBLE) /
+         |                  (CAST(den.den AS DOUBLE) * CAST(nt.trace AS DOUBLE)) END)
+         |         + 0 AS lambda_share
+         |FROM muk, fin, den, nt
+         |ORDER BY dim""".stripMargin,
 
     // the centroid replays dimStats' exact-mean arithmetic, so the two
     // engines agree on it bitwise; the cosine then mirrors DOT_SQL

@@ -198,6 +198,104 @@ object Vectors {
       .select(col("vec_id"), col("centroid_sim"), graft.Quant.q6(z).as("z_score"))
   }
 
+  /** Dominant-direction audit — `iters` power-iteration steps toward the
+    * top principal component of the CENTERED embedding cloud (the
+    * anisotropy pathology of Mu & Viswanath 2018 "All-but-the-top": a
+    * large common direction eats the similarity signal; its variance
+    * share is the first number to check after an encoder change).
+    * Emits one row per dimension: the per-dim mean, the unit loading of
+    * the dominant direction, and the direction's variance share
+    * (Rayleigh quotient / trace).
+    *
+    * Determinism contract: vectors quantize to exact integer µ-units,
+    * centered on the rounded-integer per-dim mean; each iteration
+    * computes v′ = Σᵢ x̃ᵢ(x̃ᵢ·v) in exact integer arithmetic (per-row
+    * dots in longs, per-dim sums in DECIMAL — the unbounded-group rule)
+    * and rescales to max|v′ₖ| = 10⁶ with ONE deterministic float
+    * expression per component. The oracle replays the identical
+    * integers through the Gram matrix: Σᵢ x̃ᵢ(x̃ᵢ·v) = (Σᵢ x̃ᵢx̃ᵢᵀ)v
+    * exactly (integer arithmetic is associative), so it precomputes G
+    * once and runs the same iterations as 64×64 list math in a
+    * recursive CTE. The all-ones seed makes the run deterministic; the
+    * audit is DEFINED as `iters` steps from that seed, so convergence
+    * is not part of the contract.
+    *
+    * Scale shape: one posexplode aggregation for the means
+    * (metadata-scale, broadcast back), then per iteration ONE narrow
+    * corpus pass — per-row dot against the broadcast 1-row v, 64
+    * map-side-partial decimal sums, no explode, no shuffle wider than
+    * 64 partials per task. Nothing pairwise, nothing driver-side but
+    * the plan itself.
+    */
+  def pcaPower(emb: DataFrame, dim: Int, iters: Int = 5,
+               vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val session = emb.sparkSession
+    val mu = graft.Tables.rebalance(emb)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(graft.Quant.sumUs6Unbounded(col("x").cast("double")).cast("double") /
+        count(lit(1)), 0).cast("long").as("m_us"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m_us")))),
+        p => p.getField("m_us")).as("mu"))
+    val xq = graft.Tables.rebalance(emb)
+      .crossJoin(broadcast(mu))
+      .select(col("vec_id"), expr(
+        s"""zip_with(transform($vecCol,
+           |  e -> CAST(round(CAST(e AS DOUBLE) * 1000000.0D, 0) AS BIGINT)),
+           |mu, (a, b) -> a - b)""".stripMargin).as("xq"))
+    val dot = expr(
+      "aggregate(zip_with(xq, v, (a, b) -> a * b), CAST(0 AS BIGINT), (s, p) -> s + p)")
+    // per-dim sums via posexplode + groupBy(dim) — the centroidSim shape:
+    // a single 64-column decimal projection would blow the codegen method
+    // limit (Janino falls back to interpreted); this stays narrow, with
+    // map-side partials bounding the shuffle at 64 partials per task. The
+    // max|s| rescale rides a 64-row global window (metadata-scale).
+    val allRows = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    var vFrame = session.range(1)
+      .select(expr(s"array_repeat(CAST(1000000 AS BIGINT), $dim)").as("v"))
+    for (_ <- 0 until iters) {
+      vFrame = xq.crossJoin(broadcast(vFrame)).withColumn("dot", dot)
+        .select(col("dot"), posexplode(col("xq")).as(Seq("dim", "xv")))
+        .groupBy(col("dim"))
+        .agg(sum(expr("CAST(xv AS DECIMAL(38,0)) * dot")).as("s"))
+        .withColumn("ma", max(abs(col("s"))).over(allRows))
+        .select(col("dim"),
+          when(col("ma") === 0, 0L).otherwise(
+            round(col("s").cast("double") / col("ma").cast("double") * 1e6, 0)
+              .cast("long")).as("vk"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("vk")))),
+          p => p.getField("vk")).as("v"))
+    }
+    val stats = xq.crossJoin(broadcast(vFrame)).withColumn("dot", dot)
+      .agg(
+        sum(expr("CAST(dot AS DECIMAL(38,0)) * dot")).as("num"),
+        sum(expr("aggregate(transform(xq, a -> a * a), CAST(0 AS BIGINT), (s, p) -> s + p)")
+          .cast("decimal(38,0)")).as("trace"))
+    vFrame
+      .withColumn("den",
+        expr("aggregate(transform(v, a -> a * a), CAST(0 AS BIGINT), (s, p) -> s + p)"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(mu))
+      .select(col("den"), col("num"), col("trace"), col("mu"),
+        posexplode(col("v")).as(Seq("dim", "vk")))
+      .select(
+        col("dim").cast("long").as("dim"),
+        (element_at(col("mu"), col("dim").cast("int") + 1).cast("double") / 1e6
+          + lit(0d)).as("mean"),
+        (when(col("den") === 0, lit(0d))
+          .otherwise(col("vk").cast("double") / sqrt(col("den").cast("double")))
+          + lit(0d)).as("loading"),
+        (when(col("den") === 0 || col("trace") === 0, lit(0d))
+          .otherwise(col("num").cast("double") /
+            (col("den").cast("double") * col("trace").cast("double")))
+          + lit(0d)).as("lambda_share"))
+  }
+
   /** Int8 scalar-quantization audit — the "can we ship these embeddings
     * as int8" report: per-dimension (min, max) over the corpus define the
     * 256-level grid (code = round((x − min)/scale), scale = range/255 —

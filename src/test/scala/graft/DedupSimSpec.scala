@@ -430,6 +430,27 @@ class DedupSimSpec extends SparkSuite {
     assert(out(99L) < -2.0, s"outlier z not negative-extreme: $out")
   }
 
+  test("pca power iteration recovers a planted direction exactly") {
+    import spark.implicits._
+    // all variance along (1,1,0,0): after centering (means 3,3,0,0) the
+    // direction locks to v = (1e6,1e6,0,0) in one step and the variance
+    // share is EXACTLY 1.0 — num/(den·trace) cancels algebraically
+    val emb = (1 to 5).map(a => (a.toLong, Array(a.toFloat, a.toFloat, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.sim.Vectors.pcaPower(emb, 4).orderBy("dim").collect()
+    val l = 1e6 / math.sqrt(2e12)
+    assert(r.map(_.getDouble(1)).toSeq == Seq(3.0, 3.0, 0.0, 0.0), r.toSeq)
+    assert(r.map(_.getDouble(2)).toSeq == Seq(l, l, 0.0, 0.0), r.toSeq)
+    assert(r.forall(_.getDouble(3) == 1.0), r.toSeq)
+    // a direction orthogonal to the all-ones seed is invisible to the
+    // audit by construction: Gv₀ = 0 → the degenerate guard emits zeros
+    // instead of NaNs
+    val orth = (1 to 5).map(a => (a.toLong, Array(a.toFloat, -a.toFloat, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = graft.sim.Vectors.pcaPower(orth, 4).orderBy("dim").collect()
+    assert(r2.forall(x => x.getDouble(2) == 0.0 && x.getDouble(3) == 0.0), r2.toSeq)
+  }
+
   test("label cohesion and separation: tight orthogonal classes read as such") {
     import spark.implicits._
     // label 0 along +x, label 1 along +y — each internally identical

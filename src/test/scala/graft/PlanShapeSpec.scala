@@ -426,7 +426,7 @@ class PlanShapeSpec extends SparkSuite {
     // third-wave round-9 ops (keywords' 1-row n_docs broadcast is a
     // Cross BNLJ by construction — the emb_outliers stats-row shape —
     // so only true cartesians are banned there)
-    for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords")) {
+    for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords", "emb_pca")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
