@@ -37,6 +37,8 @@ class Corpus(val docs: DataFrame) {
   def stats(): DataFrame = TF.corpusStats(docs)
   def vocab(k: Int = 100): DataFrame = TF.vocab(docs, k)
   def dupNgrams(n: Int = 8, k: Int = 50): DataFrame = TF.dupNgrams(docs, n, k)
+  /** Per-doc top-k keywords by tf·(N/df) — the exact-replay linear idf. */
+  def keywords(k: Int = 5): DataFrame = TF.keywords(docs, k)
   def crossSourceOverlap(): DataFrame = TF.crossSourceOverlap(docs)
   def dupStats(): DataFrame = TF.dupStats(docs)
 
@@ -93,6 +95,8 @@ class Embeddings(val emb: DataFrame) {
   def centroidSim(): DataFrame = Vectors.centroidSim(emb)
   /** Centroid-cosine z-score outliers (corrupt/off-domain vectors). */
   def outliers(zThresh: Double = 2.0): DataFrame = Vectors.outliers(emb, zThresh)
+  /** Dominant-direction anisotropy audit (power iteration, exact ints). */
+  def pca(dim: Int, iters: Int = 5): DataFrame = Vectors.pcaPower(emb, dim, iters)
   def cosinePairs(tau: Double): DataFrame = Vectors.cosinePairs(emb, tau)
   def knn(tau: Double, k: Int): DataFrame = Vectors.knnGraph(emb, tau, k)
   def annTopK(nQueries: Int, k: Int): DataFrame = Vectors.annTopK(emb, nQueries, k)

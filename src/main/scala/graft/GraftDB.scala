@@ -69,6 +69,25 @@ class GraftDB(val spark: SparkSession, val base: String) {
     TS.similarStreams(store.pointsAt(None).withColumnRenamed("time", "t_us"),
       Seq("uuid"), col("uuid") === query.uuid, start, end, width, k)
 
+  /** DTW shape search across the whole store: rank every stream by
+    * Dynamic Time Warping distance of its PAA profile to the query
+    * handle's (Downsample.dtwSimilar — warping-tolerant where similar()
+    * is phase-rigid; exact integer DP, broadcast query, TakeOrdered).
+    */
+  def similarDtw(query: StreamHandle, start: Long, end: Long, width: Long,
+                 k: Int): DataFrame =
+    graft.ts.Downsample.dtwSimilar(
+      store.pointsAt(None).withColumnRenamed("time", "t_us"),
+      Seq("uuid"), col("uuid") === query.uuid, start, end, width, k)
+
+  /** Subsequence motif discovery across the whole store: top SAX
+    * subwords by occurrence (Downsample.motifs).
+    */
+  def motifs(start: Long, end: Long, width: Long, w: Int, k: Int): DataFrame =
+    graft.ts.Downsample.motifs(
+      store.pointsAt(None).withColumnRenamed("time", "t_us"),
+      Seq("uuid"), start, end, width, w, k)
+
   /** Rolling correlation of two handles: one r per coarse window. */
   def correlateWindowed(a: StreamHandle, b: StreamHandle, start: Long, end: Long,
                         width: Long, coarse: Long): DataFrame =
@@ -234,6 +253,19 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def bands(start: Long, end: Long, width: Long, k: Int, nSigma: Double,
               version: Option[Long] = None): DataFrame =
       TS.bollingerBands(points(version), K, start, end, width, k, nSigma)
+        .drop("uuid")
+
+    /** Peaks of the window-mean series (strict k-shoulder dominance +
+      * prominence floor in micro-units).
+      */
+    def peaks(start: Long, end: Long, width: Long, k: Int, minPromUs: Long,
+              version: Option[Long] = None): DataFrame =
+      TS.peaks(points(version), K, start, end, width, k, minPromUs).drop("uuid")
+
+    /** Offline mean-shift change points over the window-mean series. */
+    def changePoints(start: Long, end: Long, width: Long, k: Int,
+                     minShiftUs: Long, version: Option[Long] = None): DataFrame =
+      TS.changePoints(points(version), K, start, end, width, k, minShiftUs)
         .drop("uuid")
 
     def interpolate(start: Long, end: Long, width: Long,

@@ -274,6 +274,12 @@ object SparkEntry {
       graft.ts.Downsample.sax(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"))),
 
+    // subsequence motif discovery: top length-4 SAX subwords by
+    // occurrence across the fleet (whole words are nearly unique)
+    "ts_motifs" -> ((s, dir) =>
+      graft.ts.Downsample.motifs(Tables.points(s, dir), STREAM, T0, T29, DAY, 4, 25)
+        .orderBy(col("n_occ").desc, col("subword"))),
+
     // DTW shape search: warping-tolerant top-10 by exact integer DP over
     // the PAA profiles (the correlation-defeating phase-shift cases)
     "ts_dtw" -> ((s, dir) =>
@@ -1330,6 +1336,42 @@ object SparkEntry {
          |SELECT user_id, event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
          |       string_agg(sym, '' ORDER BY w_start) AS word
          |FROM y GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+    },
+
+    // mirrors Downsample.motifs: the ts_sax symbol pipeline + w−1 leads
+    // (NULL-propagating concat keeps only complete windows), then one
+    // count/count-distinct per subword and a total-order top-k
+    "ts_motifs" -> {
+      val bp = java.lang.Double.toString(graft.ts.Downsample.SAX_BREAK)
+      s"""WITH pts AS ($PTS_SQL),
+         |b AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |s AS (SELECT user_id, event_type, count(*) AS nb, sum(m_us) AS s1,
+         |             sum(CAST(m_us AS HUGEINT) * m_us) AS s2
+         |      FROM b GROUP BY 1, 2),
+         |z AS (SELECT b.user_id, b.event_type, b.w_start,
+         |        sqrt(CAST(s.nb * s.s2 - CAST(s.s1 AS HUGEINT) * s.s1 AS DOUBLE)) / s.nb AS sd_us,
+         |        (CAST(b.m_us AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.nb) AS dev_us
+         |      FROM b JOIN s USING (user_id, event_type)),
+         |y AS (SELECT user_id, event_type, w_start,
+         |        CASE WHEN sd_us = 0 THEN 'c'
+         |             WHEN dev_us / sd_us < -$bp THEN 'a'
+         |             WHEN dev_us / sd_us < 0 THEN 'b'
+         |             WHEN dev_us / sd_us < $bp THEN 'c'
+         |             ELSE 'd' END AS sym
+         |      FROM z),
+         |sw AS (SELECT user_id, event_type,
+         |         sym || lead(sym, 1) OVER wo || lead(sym, 2) OVER wo
+         |             || lead(sym, 3) OVER wo AS subword
+         |       FROM y
+         |       WINDOW wo AS (PARTITION BY user_id, event_type ORDER BY w_start))
+         |SELECT subword, CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_streams
+         |FROM sw WHERE subword IS NOT NULL
+         |GROUP BY subword ORDER BY n_occ DESC, subword LIMIT 25""".stripMargin
     },
 
     // mirrors Downsample.dtwSimilar: same MEAN6-integer PAA profiles;

@@ -368,6 +368,75 @@ object Downsample {
           x => x.getField("sym"))).as("word"))
   }
 
+  /** Subsequence motif discovery over the SAX symbol stream (Lin, Keogh
+    * et al. 2003 §4): slide a length-`w` window over every stream's
+    * z-normalized symbol series and rank the subwords by total
+    * occurrence count — the repeated-shape report (whole SAX words are
+    * nearly unique at any realistic word length; motifs live in the
+    * subsequences). Emits the top `k` subwords with their occurrence
+    * and distinct-stream counts.
+    *
+    * Subwords assemble from `w − 1` lead()s over the per-stream bucket
+    * order — deterministic, no collect_list ordering assumption — and
+    * only COMPLETE windows count (trailing positions with fewer than
+    * `w` remaining buckets emit nothing). Positions index consecutive
+    * non-empty buckets: a stream with a data gap contributes the
+    * subword spanning it, the standard PAA-series treatment.
+    *
+    * Scale shape: the symbol series is the same grid-bounded frame as
+    * sax() (two metadata-scale exchanges, raw points never shuffled);
+    * the subword aggregation adds one map-side-partial groupBy over ≤
+    * 4^w distinct keys and the top-k is a TakeOrdered.
+    */
+  def motifs(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+             width: Long, w: Int, k: Int,
+             version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w > 1, s"subword length must be at least 2, got $w")
+    require(k > 0, s"k must be positive, got $k")
+    val key = streamCols.map(col)
+    // the sax() symbol pipeline minus the word assembly: re-run the
+    // scored frame by calling sax() is not possible (it collapses to
+    // words), so the bucket/sym construction is shared by contract with
+    // the sax oracle — any change there must change both
+    val completeEnd = start + ((end - start) / width) * width
+    val versioned = version.fold(points)(v => points.filter(col("ver") <= v))
+    val d = col("t_us") - start
+    val buckets = versioned
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+      .agg(sum(graft.Quant.us6(col("value"))).as("sum_us"), count(lit(1)).as("n"))
+      .select(key ++ Seq(col("w_start"),
+        round(col("sum_us").cast("double") / col("n"), 0).cast("long").as("m_us")): _*)
+    val wAll = Window.partitionBy(key: _*)
+    val wOrd = Window.partitionBy(key: _*).orderBy(col("w_start"))
+    val mDec = col("m_us").cast("decimal(38,0)")
+    val s1 = sum(col("m_us")).over(wAll).cast("decimal(38,0)")
+    val s2 = sum(mDec * mDec).over(wAll)
+    val syms = buckets
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .withColumn("sd_us",
+        sqrt((col("nb").cast("decimal(38,0)") * s2 - s1 * s1).cast("double")) / col("nb"))
+      .withColumn("z", when(col("sd_us") === 0d, lit(0d))
+        .otherwise((col("m_us").cast("double") - s1.cast("double") / col("nb")) / col("sd_us")))
+      .withColumn("sym",
+        when(col("sd_us") === 0d, lit("c"))
+          .when(col("z") < -SAX_BREAK, lit("a"))
+          .when(col("z") < 0d, lit("b"))
+          .when(col("z") < SAX_BREAK, lit("c"))
+          .otherwise(lit("d")))
+    val parts = col("sym") +: (1 until w).map(i => lead(col("sym"), i).over(wOrd))
+    syms
+      .withColumn("subword",
+        when(parts.map(_.isNotNull).reduce(_ && _), concat(parts: _*)))
+      .filter(col("subword").isNotNull)
+      .groupBy(col("subword"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(key.head, key.tail: _*).as("n_streams"))
+      .orderBy(col("n_occ").desc, col("subword"))
+      .limit(k)
+  }
+
   /** DTW similarity search — rank the fleet by Dynamic Time Warping
     * distance to one query stream's PAA profile (Berndt & Clifford 1994;
     * the UCR-suite "find streams with this SHAPE" query, tolerant of

@@ -426,10 +426,16 @@ class PlanShapeSpec extends SparkSuite {
     // third-wave round-9 ops (keywords' 1-row n_docs broadcast is a
     // Cross BNLJ by construction — the emb_outliers stats-row shape —
     // so only true cartesians are banned there)
-    for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords", "emb_pca")) {
+    for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords", "emb_pca",
+        "ts_motifs")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
+    // motifs: pushed ts bounds and a TakeOrdered top-k over the subword
+    // aggregate — never a global sort of the symbol stream
+    val moPlan = physical(SparkEntry.queries("ts_motifs")(spark, sfDir))
+    assert(moPlan.contains("GreaterThanOrEqual(ts") && moPlan.contains("TakeOrdered"),
+      s"ts_motifs:\n${moPlan.take(3000)}")
     // peak/change-point scans run over the window-mean series with raw
     // ts bounds pushed; their frame windows partition by the stream key,
     // never a global (empty-partition) window

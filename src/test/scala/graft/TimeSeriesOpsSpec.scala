@@ -217,6 +217,23 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("motifs count sliding SAX subwords over complete windows only") {
+    // streams A, B alternate 0/10 per bucket → symbols adadad: subword
+    // 'adad' at positions 0 and 2, 'dada' at 1 → top motif (adad, 4, 2);
+    // stream C has only 3 buckets and emits no length-4 subword
+    val rows = for {
+      u <- Seq("A", "B"); i <- 0 until 6
+    } yield (u, i * 10L + 1L, if (i % 2 == 0) 0.0 else 10.0)
+    val short = (0 until 3).map(i => ("C", i * 10L + 1L, i.toDouble))
+    val p = (rows ++ short).toDF("uuid", "t_us", "value")
+      .withColumn("ver", lit(1L))
+    val m = graft.ts.Downsample.motifs(p, Seq("uuid"), 0L, 60L, 10L, 4, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m.head == ("adad", 4L, 2L), m.toSeq)
+    assert(m.toSeq.contains(("dada", 2L, 2L)), m.toSeq)
+    assert(m.forall(_._3 <= 2L), s"short stream leaked a subword: ${m.toSeq}")
+  }
+
   test("holt-winters forecast projects level + trend + cycled seasonal") {
     // final state of the period-2 case above: l=13.75, b=0,
     // s = [0, 5, −2.5, 6.25] → ŷ alternates l+s₂ / l+s₃ = 11.25 / 20.0
