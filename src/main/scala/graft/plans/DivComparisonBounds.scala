@@ -313,6 +313,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"),
           intLit(kk, "k"), dblLit(ns, "n_sigma")).queryExecution.logical
     })
+    ext.injectTableFunction(tfn("graft_peaks",
+      "graft_peaks(view, keys_csv, start, end, width, k, min_prom_us) - " +
+        "window-mean peaks with strict k-shoulder dominance and a prominence floor") {
+      case Seq(v, kc, s0, e0, w, kk, mp) =>
+        TimeSeriesOps.peaks(view(v), keyCols(kc),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"),
+          intLit(kk, "k"), longLit(mp, "min_prom_us")).queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_changepoints",
+      "graft_changepoints(view, keys_csv, start, end, width, k, min_shift_us) - " +
+        "offline mean-shift change points over the window-mean series") {
+      case Seq(v, kc, s0, e0, w, kk, ms) =>
+        TimeSeriesOps.changePoints(view(v), keyCols(kc),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"),
+          intLit(kk, "k"), longLit(ms, "min_shift_us")).queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_motifs",
+      "graft_motifs(view, keys_csv, start, end, width, w, k) - " +
+        "top-k SAX subsequence motifs across the fleet") {
+      case Seq(v, kc, s0, e0, wd, sw, kk) =>
+        graft.ts.Downsample.motifs(view(v), keyCols(kc),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(wd, "width"),
+          intLit(sw, "w"), intLit(kk, "k")).queryExecution.logical
+    })
     ext.injectTableFunction(tfn("graft_dedup_exact",
       "graft_dedup_exact(view) - exact-dedup verdict per document of (doc_id, text)") {
       case Seq(v) =>

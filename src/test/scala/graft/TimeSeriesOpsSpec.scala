@@ -79,6 +79,28 @@ class TimeSeriesOpsSpec extends SparkSuite {
     val bDirect = TimeSeriesOps.bollingerBands(p, Seq("uuid"), 0L, 28L, 10L, 2, 2.0)
       .orderBy("w_start").collect().toSeq
     assert(bSql == bDirect && bSql.nonEmpty, s"$bSql vs $bDirect")
+    // round-9 TVFs: peaks / change points / motifs expand to their plans
+    val pk = pts((1L, 1.0), (11L, 2.0), (21L, 9.0), (31L, 2.0), (41L, 1.0),
+      (51L, 1.0), (61L, 1.0))
+    pk.createOrReplaceTempView("tvf_peaks")
+    val pSql = spark.sql(
+        "SELECT * FROM graft_peaks('tvf_peaks', 'uuid', 0, 70, 10, 2, 0) ORDER BY w_start")
+      .collect().toSeq
+    val pDirect = TimeSeriesOps.peaks(pk, Seq("uuid"), 0L, 70L, 10L, 2, 0L)
+      .orderBy("w_start").collect().toSeq
+    assert(pSql == pDirect && pSql.nonEmpty, s"$pSql vs $pDirect")
+    val cSql = spark.sql(
+        "SELECT * FROM graft_changepoints('tvf_peaks', 'uuid', 0, 70, 10, 1, 1000000) ORDER BY w_start")
+      .collect().toSeq
+    val cDirect = TimeSeriesOps.changePoints(pk, Seq("uuid"), 0L, 70L, 10L, 1, 1000000L)
+      .orderBy("w_start").collect().toSeq
+    assert(cSql == cDirect && cSql.nonEmpty, s"$cSql vs $cDirect")
+    val mSql = spark.sql(
+        "SELECT * FROM graft_motifs('tvf_peaks', 'uuid', 0, 70, 10, 4, 5) ORDER BY subword")
+      .collect().toSeq
+    val mDirect = graft.ts.Downsample.motifs(pk, Seq("uuid"), 0L, 70L, 10L, 4, 5)
+      .orderBy("subword").collect().toSeq
+    assert(mSql == mDirect && mSql.nonEmpty, s"$mSql vs $mDirect")
     // the two-table as-of TVF routes through the same merge operator
     import spark.implicits._
     Seq(("s", 5L, 9.0), ("s", 12L, 8.0)).toDF("uuid", "t_us", "value")
