@@ -590,6 +590,57 @@ class IngestSpec extends SparkSuite {
     assert(lastNext == f1, s"stream next $lastNext != batch h=1 $f1")
   }
 
+  test("streaming change points match the batch flags one window late") {
+    import graft.streaming.{ChangePointMonitor, WindowSum}
+    val src = tmpDir("cp_src")
+    // stream s: step 1,1,1,10,10,10,1 (one point per window); stream t
+    // plants a NEGATIVE HALF-boundary side mean (−2500001/2 µ-units →
+    // HALF_UP −1250001, where a toward-+∞ round would give −1250000)
+    val ws = (0 until 7).map(i => WindowSum("s", i * 10L,
+        if (i < 3) 1000000L else if (i < 6) 10000000L else 1000000L, 1L)) ++
+      (0 until 6).map(i => WindowSum("t", i * 10L,
+        if (i < 3) -2500001L else 7500000L, if (i < 3) 2L else 1L))
+    ws.filter(_.w_start < 40).toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("uuid STRING, w_start LONG, sum_us LONG, n LONG")
+      .parquet(src).as[WindowSum]
+    val q = ChangePointMonitor.changePoints(stream, 1, 1000000L).writeStream
+      .outputMode("append").format("memory").queryName("cp_out")
+      .option("checkpointLocation", tmpDir("cp_ckpt")).start()
+    q.processAllAvailable()
+    // the step boundary (w=30) is in the first micro-batch but its apex
+    // decision needs the successor's score — nothing emits yet
+    assert(spark.sql("SELECT count(*) FROM cp_out").collect().head.getLong(0) == 0,
+      "apex decisions must wait for one window of lookahead")
+    ws.filter(_.w_start >= 40).toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT uuid, w_start, mean_before, mean_after, shift FROM cp_out ORDER BY uuid, w_start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got == Seq(
+      ("s", 30L, 1.0, 10.0, 9.0),
+      ("t", 30L, -1.250001, 7.5, 8.750001)), s"got $got")
+    // the batch operator over equivalent points agrees flag-for-flag,
+    // except its end-of-range decision (next_score NULL → pass) — a
+    // stream never ends, the documented deviation
+    val pts = ((0 until 7).map(i => ("s", i * 10L + 1L,
+        if (i < 3) 1.0 else if (i < 6) 10.0 else 1.0)) ++
+      (0 until 6).flatMap { i =>
+        if (i < 3) Seq(("t", i * 10L + 1L, -1.25), ("t", i * 10L + 2L, -1.250001))
+        else Seq(("t", i * 10L + 1L, 7.5))
+      }).toDF("uuid", "t_us", "value").withColumn("ver", lit(1L))
+    val batch = graft.ts.TimeSeriesOps
+      .changePoints(pts, Seq("uuid"), 0L, 70L, 10L, 1, 1000000L)
+      .orderBy("uuid", "w_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(batch == Seq(got.head, ("s", 60L, 10.0, 1.0, -9.0), got.last),
+      s"batch $batch vs stream $got")
+  }
+
   test("gap monitor alerts silent streams by timer and closes gaps on resume") {
     import graft.streaming.{GapMonitor, RawPoint}
     val src = tmpDir("gm_src")
