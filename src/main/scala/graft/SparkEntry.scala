@@ -449,6 +449,12 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("lag"))
     }),
 
+    // partial autocorrelation (lags 1-3, Durbin-Levinson unrolled): the
+    // AR-order cutoff diagnostic next to the ACF
+    "ts_pacf" -> ((s, dir) =>
+      TS.pacf(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"))),
+
     // rolling correlation: per-week Pearson r of click-vs-view day-means
     "ts_windowed_corr" -> ((s, dir) => {
       val p = Tables.points(s, dir)
@@ -2080,6 +2086,60 @@ object SparkEntry {
                |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
          |       END AS r
          |FROM m ORDER BY user_id, event_type, lag""".stripMargin,
+
+    // mirrors TimeSeriesOps.pacf: the ts_autocorr moment pipeline at lags
+    // {1,2,3}·DAY, pivoted, then the SAME unrolled Durbin–Levinson DAG
+    // over the Q6'd r values — identical doubles term for term
+    "ts_pacf" -> {
+      val rSql = Q6(
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)
+      s"""WITH pts AS ($PTS_SQL),
+         |x AS (SELECT user_id, event_type,
+         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS x
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |l AS (SELECT unnest([$DAY, ${2 * DAY}, ${3 * DAY}]) AS lag),
+         |j AS (SELECT a.user_id AS user_id, a.event_type AS event_type,
+         |             l.lag AS lag, a.x AS x, b.x AS y
+         |      FROM x a CROSS JOIN l
+         |      JOIN x b ON a.user_id = b.user_id AND a.event_type = b.event_type
+         |              AND b.w_start = a.w_start - l.lag),
+         |m AS (SELECT user_id, event_type, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |             sum(CAST(y AS HUGEINT) * y) AS syy,
+         |             sum(CAST(x AS HUGEINT) * y) AS sxy
+         |      FROM j GROUP BY 1, 2, 3),
+         |acf AS (SELECT user_id, event_type, lag,
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |             AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |            THEN $rSql
+         |       END AS r
+         |      FROM m),
+         |p AS (SELECT user_id, event_type,
+         |        max(CASE WHEN lag = $DAY THEN r END) AS r1,
+         |        max(CASE WHEN lag = ${2 * DAY} THEN r END) AS r2,
+         |        max(CASE WHEN lag = ${3 * DAY} THEN r END) AS r3
+         |      FROM acf GROUP BY 1, 2),
+         |d AS (SELECT *,
+         |        (1 - r1 * r1) AS e1,
+         |        ((r2 - r1 * r1) / (1 - r1 * r1)) AS phi22
+         |      FROM p),
+         |e AS (SELECT *,
+         |        (r1 - phi22 * r1) AS phi21,
+         |        ((1 - r1 * r1) * (1 - phi22 * phi22)) AS e2
+         |      FROM d)
+         |SELECT user_id, event_type, r1, r2, r3,
+         |       r1 AS pacf1,
+         |       CASE WHEN e1 > 0 THEN ${Q6("phi22")} END AS pacf2,
+         |       CASE WHEN e1 > 0 AND e2 > 0
+         |            THEN ${Q6("(r3 - phi21 * r2 - phi22 * r1) / e2")} END AS pacf3
+         |FROM e ORDER BY user_id, event_type""".stripMargin
+    },
 
     "ts_windowed_corr" ->
       s"""WITH pts AS ($PTS_SQL),

@@ -1505,6 +1505,44 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Partial autocorrelation at lags 1–3 of the window-mean series — the
+    * AR-order diagnostic read next to the ACF (ts_autocorr): pacf(m) is
+    * the correlation at lag m with the shorter lags regressed out, so an
+    * AR(p) stream cuts off sharply after lag p where the raw ACF decays
+    * slowly. Computed by the Durbin–Levinson recursion UNROLLED to closed
+    * forms (φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)
+    * / ((1−r₁²)(1−φ₂₂²)), φ₂₁ = r₁ − φ₂₂r₁) — a fixed arithmetic DAG over
+    * the already-quantized ACF values, so both engines replay it
+    * bit-for-bit with no fold or recursion; a degenerate prediction
+    * error (|r₁| = 1, or the lag-2 error zero) nulls the deeper lags,
+    * and a null r at any lag propagates. One lagCorrelation pass (all
+    * three lags share one phase and one scan — the ts_autocorr reuse
+    * shape) plus a metadata-scale pivot.
+    */
+  def pacf(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+           width: Long): DataFrame = {
+    val key = streamKey(streamCols)
+    val acf = lagCorrelation(points, points, streamCols, start, end, width,
+      Seq(width, 2 * width, 3 * width))
+    val piv = acf.groupBy(key: _*).agg(
+      max(when(col("lag") === width, col("r"))).as("r1"),
+      max(when(col("lag") === 2 * width, col("r"))).as("r2"),
+      max(when(col("lag") === 3 * width, col("r"))).as("r3"))
+    val e1 = lit(1d) - col("r1") * col("r1")
+    val phi22 = (col("r2") - col("r1") * col("r1")) / e1
+    val phi21 = col("r1") - phi22 * col("r1")
+    val e2 = e1 * (lit(1d) - phi22 * phi22)
+    val phi33 = (col("r3") - phi21 * col("r2") - phi22 * col("r1")) / e2
+    // ANSI: the φ divisions must stay INSIDE the e₁ guard — even the
+    // e₂ > 0 test divides by e₁ (φ₂₂ is part of e₂), so a flat
+    // conjunction would raise DIVIDE_BY_ZERO on an |r₁| = 1 stream
+    piv.select(key ++ Seq(
+      col("r1"), col("r2"), col("r3"),
+      col("r1").as("pacf1"),
+      when(e1 > 0, graft.Quant.q6(phi22)).as("pacf2"),
+      when(e1 > 0, when(e2 > 0, graft.Quant.q6(phi33))).as("pacf3")): _*)
+  }
+
   /** Time-series similarity search (the "which sensors behave like this
     * one" query, cf. distributed TS similarity search à la EDBT'19): rank
     * every stream by Pearson correlation of its aligned window-mean

@@ -239,6 +239,29 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("pacf unrolls Durbin-Levinson and nulls past a degenerate error") {
+    // perfectly alternating series: r1 = −1 exactly → e1 = 0, so pacf1
+    // = −1 and the deeper lags are null (no DIVIDE_BY_ZERO under ANSI)
+    val alt = pts((0 until 8).map(i => (i * 10L + 1L, if (i % 2 == 0) 1.0 else 3.0)): _*)
+    val a = TimeSeriesOps.pacf(alt, Seq("uuid"), 0L, 80L, 10L).collect().head
+    assert(a.getDouble(4) == -1.0 && a.isNullAt(5) && a.isNullAt(6), a)
+    // irregular series: pacf2/3 must equal the closed forms over the
+    // operator's own quantized ACF values (the exact wiring contract)
+    def q6(x: Double): Double = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue / 1e6 + 0.0
+    val vals = Seq(1.0, 4.0, 2.0, 8.0, 3.0, 9.0, 2.0, 7.0, 1.0, 6.0)
+    val irr = pts(vals.zipWithIndex.map { case (v, i) => (i * 10L + 1L, v) }: _*)
+    val r = TimeSeriesOps.pacf(irr, Seq("uuid"), 0L, 100L, 10L).collect().head
+    val (r1, r2, r3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val e1 = 1d - r1 * r1
+    val phi22 = (r2 - r1 * r1) / e1
+    val phi21 = r1 - phi22 * r1
+    val e2 = e1 * (1d - phi22 * phi22)
+    assert(r.getDouble(4) == r1, r)
+    assert(r.getDouble(5) == q6(phi22), r)
+    assert(r.getDouble(6) == q6((r3 - phi21 * r2 - phi22 * r1) / e2), r)
+  }
+
   test("motifs count sliding SAX subwords over complete windows only") {
     // streams A, B alternate 0/10 per bucket → symbols adadad: subword
     // 'adad' at positions 0 and 2, 'dada' at 1 → top motif (adad, 4, 2);
