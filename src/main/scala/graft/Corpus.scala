@@ -98,6 +98,8 @@ class Embeddings(val emb: DataFrame) {
   /** Dominant-direction anisotropy audit (power iteration, exact ints). */
   def pca(dim: Int, iters: Int = 5): DataFrame = Vectors.pcaPower(emb, dim, iters)
   def cosinePairs(tau: Double): DataFrame = Vectors.cosinePairs(emb, tau)
+  /** Corpus-size-adaptive LSH pairs (occupancy-bounded bitsPerTable). */
+  def cosinePairsAuto(tau: Double): DataFrame = Vectors.cosinePairsLshAuto(emb, tau)
   def knn(tau: Double, k: Int): DataFrame = Vectors.knnGraph(emb, tau, k)
   def annTopK(nQueries: Int, k: Int): DataFrame = Vectors.annTopK(emb, nQueries, k)
   def annLsh(nQueries: Int, k: Int): DataFrame = Vectors.annLsh(emb, nQueries, k)

@@ -247,31 +247,36 @@ object Vectors {
            |mu, (a, b) -> a - b)""".stripMargin).as("xq"))
     val dot = expr(
       "aggregate(zip_with(xq, v, (a, b) -> a * b), CAST(0 AS BIGINT), (s, p) -> s + p)")
-    // per-dim sums via posexplode + groupBy(dim) — the centroidSim shape:
-    // a single 64-column decimal projection would blow the codegen method
-    // limit (Janino falls back to interpreted); this stays narrow, with
-    // map-side partials bounding the shuffle at 64 partials per task. The
-    // max|s| rescale rides a 64-row global window (metadata-scale).
-    val allRows = org.apache.spark.sql.expressions.Window
-      .partitionBy()
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    var vFrame = session.range(1)
-      .select(expr(s"array_repeat(CAST(1000000 AS BIGINT), $dim)").as("v"))
+    // Iterations are EAGER, MLlib-style: the quantized frame persists
+    // once (a lazily-nested plan would rescan + recenter the corpus per
+    // broadcast subtree — 7 scans) and each step collects only the 64
+    // per-dim sums, re-emitting v as a literal — driver state is 64
+    // longs, never data. Per-dim sums via posexplode + groupBy(dim), the
+    // centroidSim shape: a single 64-column decimal projection would
+    // blow the codegen method limit (Janino falls back to interpreted);
+    // this stays narrow, map-side partials bounding the shuffle at 64
+    // partials per task. The driver rescale replays EXACTLY the engine
+    // float contract: BigDecimal.doubleValue is the DECIMAL→DOUBLE cast,
+    // the division and ×10⁶ are IEEE, and the scale-0 HALF_UP round is
+    // the graft.Quant rule — so the oracle's in-SQL iterations still
+    // match bit for bit.
+    val xqC = xq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rnd0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    var v: Seq[Long] = Seq.fill(dim)(1000000L)
     for (_ <- 0 until iters) {
-      vFrame = xq.crossJoin(broadcast(vFrame)).withColumn("dot", dot)
+      val sums = xqC.withColumn("v", typedLit(v)).withColumn("dot", dot)
         .select(col("dot"), posexplode(col("xq")).as(Seq("dim", "xv")))
         .groupBy(col("dim"))
         .agg(sum(expr("CAST(xv AS DECIMAL(38,0)) * dot")).as("s"))
-        .withColumn("ma", max(abs(col("s"))).over(allRows))
-        .select(col("dim"),
-          when(col("ma") === 0, 0L).otherwise(
-            round(col("s").cast("double") / col("ma").cast("double") * 1e6, 0)
-              .cast("long")).as("vk"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("vk")))),
-          p => p.getField("vk")).as("v"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1).map(_._2)
+      val ma = sums.map(_.abs).reduceOption(_ max _)
+      v =
+        if (ma.forall(_.signum == 0)) Seq.fill(dim)(0L)
+        else sums.map(s => rnd0(s.doubleValue / ma.get.doubleValue * 1e6)).toSeq
     }
-    val stats = xq.crossJoin(broadcast(vFrame)).withColumn("dot", dot)
+    val vFrame = session.range(1).select(typedLit(v).as("v"))
+    val stats = xqC.withColumn("v", typedLit(v)).withColumn("dot", dot)
       .agg(
         sum(expr("CAST(dot AS DECIMAL(38,0)) * dot")).as("num"),
         sum(expr("aggregate(transform(xq, a -> a * a), CAST(0 AS BIGINT), (s, p) -> s + p)")
@@ -442,6 +447,36 @@ object Vectors {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
       .distinct()
+  }
+
+  /** The bitsPerTable auto-scaling rule shared by cosinePairsLshAuto and
+    * its spec: enough bits that expected bucket occupancy stays ≤
+    * `targetOccupancy` (b = ⌈log₂(n / occ)⌉), floored at the default 8
+    * (below it recall rises but so does the n²/2^b candidate term — the
+    * documented quadratic) and capped at 24 (16M buckets; beyond that
+    * the probe fan-out costs more than it saves).
+    */
+  def autoBits(n: Long, targetOccupancy: Long = 32L): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be positive, got $targetOccupancy")
+    val cells = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+    val ceilLog2 =
+      if (cells <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
+    math.min(24, math.max(8, ceilLog2))
+  }
+
+  /** Corpus-size-adaptive cosinePairsLsh — the lttbAuto pattern on the
+    * dedup axis: ONE map-side count probe picks bitsPerTable via
+    * autoBits, so the fixed-b quadratic candidate term n²/2^b (§7d's
+    * documented knob, the 10×-run's worst ratios) turns into bounded
+    * expected occupancy at any corpus size — candidates ≈ n·occ·nTables,
+    * linear in n. The result is the same exact-verified subset contract
+    * as cosinePairsLsh at the chosen b; recall at larger b relies on the
+    * same per-table union bound, with nTables the recall knob.
+    */
+  def cosinePairsLshAuto(emb: DataFrame, tau: Double, nTables: Int = 16,
+                         targetOccupancy: Long = 32L, dim: Int = 64): DataFrame = {
+    val n = emb.agg(count(lit(1))).head.getLong(0)
+    cosinePairsLsh(emb, tau, nTables, autoBits(n, targetOccupancy), dim)
   }
 
   /** Cross-corpus cosine near-dup pairs via LSH buckets — the SEMANTIC

@@ -144,6 +144,35 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("auto LSH picks occupancy-bounded bits and keeps planted-dup recall") {
+    // the autoBits rule itself: floor 8, ceil(log2(n/occ)) above it, cap 24
+    assert(Vectors.autoBits(100) == 8)
+    assert(Vectors.autoBits(32L * 256) == 8)
+    assert(Vectors.autoBits(32L * 256 + 1) == 9)
+    assert(Vectors.autoBits(32L * (1L << 12)) == 12)
+    assert(Vectors.autoBits(Long.MaxValue / 2) == 24)
+    assert(Vectors.autoBits(1000, targetOccupancy = 4) == 8)
+    // a corpus big enough to push b to 9: planted near-dup pairs must
+    // still surface through the wider buckets (subset contract holds at
+    // any b; recall rides the per-table union bound)
+    val rnd = new scala.util.Random(991)
+    def unitish(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val planted = (0 until 30).flatMap { c =>
+      val base = unitish()
+      Seq((900000L + c * 2, base),
+        (900001L + c * 2, base.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)))
+    }
+    val filler = (0 until 8300).map(i => (i.toLong, unitish()))
+    val df = spark.createDataFrame(filler ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    assert(Vectors.autoBits(filler.size + planted.size) == 9, "corpus sized for b=9")
+    val auto = Vectors.cosinePairsLshAuto(df, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = (0 until 30).map(c => (900000L + c * 2, 900001L + c * 2)).toSet
+    val found = (auto intersect plantedPairs).size
+    assert(found >= 29, s"recall on planted dups at b=9: $found/30")
+  }
+
   test("LSH cosine pairs recall ~100% of true near-duplicates (cos >= 0.8)") {
     // planted clusters: base vectors plus small perturbations — the
     // actual near-dup workload shape (the real corpus tops out near
