@@ -449,6 +449,12 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("lag"))
     }),
 
+    // ordinal-pattern profile (Bandt-Pompe order 3): the exact-count
+    // face of permutation entropy, position-stable tie rule
+    "ts_ordpatterns" -> ((s, dir) =>
+      TS.ordinalPatterns(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("pattern"))),
+
     // partial autocorrelation (lags 1-3, Durbin-Levinson unrolled): the
     // AR-order cutoff diagnostic next to the ACF
     "ts_pacf" -> ((s, dir) =>
@@ -612,6 +618,28 @@ object SparkEntry {
               date_add(col("o_orderdate").cast("date"), 30), 1L).otherwise(0L))
             .as("n_late"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, one quarter —
+    // two fact joins narrowed by selective filters, nation broadcast,
+    // TakeOrdered top-20 under a (revenue desc, custkey) total order
+    "q10_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = Tables.load(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg((round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e4, 0)
+            .cast("long").cast("decimal(38,0)")).cast("double") / 100, 0) / 100 + lit(0d))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }),
 
     "q6_filter" -> ((s, dir) =>
@@ -2087,6 +2115,31 @@ object SparkEntry {
          |       END AS r
          |FROM m ORDER BY user_id, event_type, lag""".stripMargin,
 
+    // mirrors TimeSeriesOps.ordinalPatterns: same rounded-integer means,
+    // two leads, the same 6-way CASE over the three ≤-comparisons
+    "ts_ordpatterns" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS a
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |t AS (SELECT user_id, event_type, a,
+         |        lead(a, 1) OVER wo AS b, lead(a, 2) OVER wo AS c
+         |      FROM m
+         |      WINDOW wo AS (PARTITION BY user_id, event_type ORDER BY w_start)),
+         |p AS (SELECT user_id, event_type,
+         |        CASE WHEN a <= b AND a <= c AND b <= c THEN '012'
+         |             WHEN a <= b AND a <= c AND NOT b <= c THEN '021'
+         |             WHEN a <= b AND NOT a <= c THEN '201'
+         |             WHEN NOT a <= b AND a <= c THEN '102'
+         |             WHEN NOT a <= b AND NOT a <= c AND b <= c THEN '120'
+         |             ELSE '210' END AS pattern
+         |      FROM t WHERE b IS NOT NULL AND c IS NOT NULL)
+         |SELECT user_id, event_type, pattern, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, pattern""".stripMargin,
+
     // mirrors TimeSeriesOps.pacf: the ts_autocorr moment pipeline at lags
     // {1,2,3}·DAY, pivoted, then the SAME unrolled Durbin–Levinson DAG
     // over the Q6'd r values — identical doubles term for term
@@ -2414,6 +2467,20 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_join" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q6_filter" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue

@@ -1505,6 +1505,48 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Ordinal-pattern profile of the window-mean series (Bandt & Pompe
+    * 2002, order 3): each triple of consecutive window means maps to the
+    * permutation that sorts it — ties broken by POSITION (the standard
+    * stable rule: the earlier element ranks first on equal values) — and
+    * every stream reports its pattern counts. This is the exact-count
+    * face of permutation entropy (complexity vs determinism of the
+    * dynamics: white noise spreads mass over all six patterns, a
+    * monotone trend concentrates on one) — the log stays client-side,
+    * the text_entropy_freq recipe, so the gate is integer-exact.
+    *
+    * The permutation decodes from three ≤-comparisons on the
+    * rounded-integer means via a 6-way CASE (two of the eight combos are
+    * transitivity-impossible); triples come from two lead()s over
+    * grid-bounded per-stream groups — the rolling() scale shape, one
+    * map-side-partial exchange over raw points and nothing wider than
+    * the (stream, pattern) summary after it.
+    */
+  def ordinalPatterns(points: DataFrame, streamCols: Seq[String], start: Long,
+                      end: Long, width: Long,
+                      version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val means = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("a"))
+    val ord = Window.partitionBy(key: _*).orderBy(col("w_start"))
+    val (a, b, c) = (col("a"), col("b"), col("c"))
+    val (p1, p2, p3) = (a <= b, a <= c, b <= c)
+    means
+      .withColumn("b", lead(col("a"), 1).over(ord))
+      .withColumn("c", lead(col("a"), 2).over(ord))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .withColumn("pattern",
+        when(p1 && p2 && p3, "012").when(p1 && p2 && !p3, "021")
+          .when(p1 && !p2, "201").when(!p1 && p2, "102")
+          .when(!p1 && !p2 && p3, "120").otherwise("210"))
+      .groupBy(key :+ col("pattern"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Partial autocorrelation at lags 1–3 of the window-mean series — the
     * AR-order diagnostic read next to the ACF (ts_autocorr): pacf(m) is
     * the correlation at lag m with the shorter lags regressed out, so an

@@ -427,9 +427,19 @@ class PlanShapeSpec extends SparkSuite {
     // Cross BNLJ by construction — the emb_outliers stats-row shape —
     // so only true cartesians are banned there)
     for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords", "emb_pca",
-        "ts_motifs")) {
+        "ts_motifs", "ts_pacf", "ts_ordpatterns", "q10_join")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // q10's nation dim broadcasts; the top-20 is a TakeOrdered
+    val q10 = physical(SparkEntry.queries("q10_join")(spark, sfDir))
+    assert(q10.contains("BroadcastHashJoin") && q10.contains("TakeOrdered"),
+      s"q10_join:\n${q10.take(3000)}")
+    // pacf/ordpatterns push their raw ts bounds like every window op
+    for (q <- Seq("ts_pacf", "ts_ordpatterns")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts"),
+        s"$q time bound not pushed:\n${plan.take(3000)}")
     }
     // motifs: pushed ts bounds and a TakeOrdered top-k over the subword
     // aggregate — never a global sort of the symbol stream

@@ -239,6 +239,24 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("ordinal patterns rank ties by position and need full triples") {
+    // 1,2,3 → 012; 3,2,1 → 210; 2,1,3 → 102; constant plateau → ties
+    // rank by position → 012 (the Bandt-Pompe stable rule)
+    val p = pts((1L, 1.0), (11L, 2.0), (21L, 3.0), (31L, 2.0), (41L, 1.0),
+      (51L, 3.0))
+    val r = TimeSeriesOps.ordinalPatterns(p, Seq("uuid"), 0L, 60L, 10L)
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    // triples: (1,2,3)=012 (2,3,2)=021 (3,2,1)=210 (2,1,3)=102
+    assert(r == Map("012" -> 1L, "021" -> 1L, "210" -> 1L, "102" -> 1L), r)
+    val const = pts((1L, 5.0), (11L, 5.0), (21L, 5.0), (31L, 5.0))
+    val rc = TimeSeriesOps.ordinalPatterns(const, Seq("uuid"), 0L, 40L, 10L)
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(rc == Map("012" -> 2L), rc)
+    // two windows → no triple → empty
+    assert(TimeSeriesOps.ordinalPatterns(pts((1L, 1.0), (11L, 2.0)),
+      Seq("uuid"), 0L, 20L, 10L).count() == 0)
+  }
+
   test("pacf unrolls Durbin-Levinson and nulls past a degenerate error") {
     // perfectly alternating series: r1 = −1 exactly → e1 = 0, so pacf1
     // = −1 and the deeper lags are null (no DIVIDE_BY_ZERO under ANSI)
