@@ -134,4 +134,32 @@ class GraftDBSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(lc == Map(0L -> 1.0), s"$lc")
   }
+
+  test("round-9 facade surface: dtw, motifs, peaks, change points") {
+    val db = GraftDB(spark, tmpDir("graftdb_r9"))
+    // q and its time-warped copy w (same shape, one-window stall);
+    // f is flat — dtw must rank w above f
+    Seq("q" -> Seq(1.0, 9.0, 1.0, 1.0, 9.0, 1.0),
+        "w" -> Seq(1.0, 1.0, 9.0, 1.0, 9.0, 1.0),
+        "f" -> Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0)).foreach { case (u, vs) =>
+      val h = db.create(u, "r9/fleet")
+      h.insert(vs.zipWithIndex.map { case (v, i) => (i * 8L, v) }.toDF("time", "value"))
+    }
+    val dtw = db.similarDtw(db.stream("q"), 0L, 48L, 8L, 5)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(dtw == Seq(("w", 1L), ("f", 2L)), s"$dtw")
+    // motif discovery over the fleet symbol streams returns subwords
+    assert(db.motifs(0L, 48L, 8L, 3, 10).count() > 0)
+    // the spike window dominates its shoulders on q
+    val pk = db.stream("q").peaks(0L, 48L, 8L, 1, 0L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pk == Seq(8L, 32L), s"$pk")
+    // the step stream flags its level change exactly once
+    val st = db.create("s", "r9/fleet")
+    st.insert(Seq(1.0, 1.0, 1.0, 8.0, 8.0, 8.0).zipWithIndex
+      .map { case (v, i) => (i * 8L, v) }.toDF("time", "value"))
+    val cp = st.changePoints(0L, 48L, 8L, 1, 1000000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(cp == Seq((24L, 7.0)), s"$cp") // (w_start, shift = 8 − 1)
+  }
 }
