@@ -1015,6 +1015,13 @@ object SparkEntry {
           graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 4)
         .orderBy(col("asset_id"), col("frame_idx"))),
 
+    // fixed-window chunk manifest with content fingerprints — the
+    // storage-dedup / content-addressing primitive over binary assets
+    "mm_chunks" -> ((s, dir) =>
+      graft.mm.Multimodal.chunkManifest(
+          graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 64)
+        .orderBy(col("asset_id"), col("chunk_idx"))),
+
     // binary-asset exact dedup: payload-hash verdicts, no decode
     // perceptual near-dup over the binary assets (the recompressed-image
     // case byte-hash dedup misses): codegen PhashSig + pigeonhole join
@@ -3413,6 +3420,24 @@ object SparkEntry {
          |       ${MEAN6("sum(height * 1000000)", "count(*)")} AS avg_height,
          |       CAST(max(nb) AS BIGINT) AS max_bytes
          |FROM a GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // mirrors Multimodal.chunkManifest: hex is byte-exact and ASCII, so
+    // the VARCHAR substring slices bytes; fingerprint = md5(hex slice)
+    "mm_chunks" ->
+      s"""WITH a AS (SELECT doc_id AS asset_id,
+         |                  concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind,
+         |                  octet_length(encode(text)) AS n_bytes,
+         |                  hex(encode(text)) AS hexp
+         |           FROM documents),
+         |b AS (SELECT asset_id, kind, n_bytes, hexp,
+         |             unnest(generate_series(0, (n_bytes + 63) // 64 - 1)) AS chunk_idx
+         |      FROM a WHERE n_bytes > 0)
+         |SELECT asset_id, kind, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(chunk_idx * 64 AS BIGINT) AS chunk_offset,
+         |       CAST(least(64, n_bytes - chunk_idx * 64) AS BIGINT) AS chunk_bytes,
+         |       md5(substring(hexp, chunk_idx * 128 + 1,
+         |                     least(64, n_bytes - chunk_idx * 64) * 2)) AS chunk_md5
+         |FROM b ORDER BY asset_id, chunk_idx""".stripMargin,
 
     // md5 of the payload BYTES == md5 of the utf-8 text both engines hash
     "mm_dedup" ->

@@ -141,4 +141,37 @@ object Multimodal {
         (col("frame_idx") * greatest(length(col("payload")), lit(1))) / n)
       .select(col("asset_id"), col("kind"), col("frame_idx"),
         col("frame_offset").cast("long").as("frame_offset"))
+
+  /** Fixed-window chunk manifest for binary assets — the storage-dedup /
+    * content-addressing primitive (every chunk gets offset, size, and a
+    * content fingerprint; equal fingerprints across assets are the
+    * dedupable bytes). The fingerprint is md5 of the HEX ENCODING of the
+    * byte slice, not of the raw bytes: hex is byte-exact, ASCII, and
+    * sliceable as a plain string on BOTH engines (DuckDB 1.x has no BLOB
+    * substring), so the manifest is oracle-replayable bit for bit; as a
+    * content hash it is exactly as collision-resistant as hashing the
+    * raw bytes (hex is injective). Empty payloads emit no chunks — also
+    * load-bearing: a zero chunk count would make the index sequence
+    * descend, which Spark treats as a reversed range, not empty.
+    *
+    * Scale shape: one narrow codegen'd pass — hex + per-asset explode of
+    * ⌈bytes/chunk⌉ indices; no shuffle at all (the manifest inherits the
+    * scan's partitioning).
+    */
+  def chunkManifest(assets: Dataset[MediaRow], chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+    val c = chunkBytes.toLong
+    assets.toDF()
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("hexp", hex(col("payload")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(n_bytes + ${c - 1}) DIV $c - 1"))))
+      .withColumn("chunk_offset", col("chunk_idx") * c)
+      .withColumn("chunk_bytes", least(lit(c), col("n_bytes") - col("chunk_offset")))
+      .select(col("asset_id"), col("kind"), col("chunk_idx"),
+        col("chunk_offset"), col("chunk_bytes"),
+        md5(expr("substring(hexp, CAST(chunk_offset * 2 + 1 AS INT), CAST(chunk_bytes * 2 AS INT))"))
+          .as("chunk_md5"))
+  }
 }

@@ -61,6 +61,30 @@ class MultimodalSpec extends SparkSuite {
     assert(offs.head == 0L && offs.sameElements(offs.sorted))
   }
 
+  test("chunk manifest: sizes, offsets, shared fingerprints, empty assets") {
+    import Multimodal.MediaRow
+    import spark.implicits._
+    val p130 = Array.fill[Byte](130)(7)
+    val rows = Seq(
+      MediaRow(1L, "img/0", 8, 8, p130),
+      MediaRow(2L, "img/0", 8, 8, p130),            // identical payload
+      MediaRow(3L, "img/0", 8, 8, Array[Byte]()),   // empty → no chunks
+      MediaRow(4L, "img/0", 8, 8, Array.fill[Byte](130)(9)))
+    val m = Multimodal.chunkManifest(rows.toDS(), 64)
+      .orderBy("asset_id", "chunk_idx").collect()
+    // 130 bytes at 64 → chunks of 64, 64, 2; asset 3 absent
+    val a1 = m.filter(_.getLong(0) == 1L)
+    assert(a1.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 64L, 64L), (2L, 128L, 2L)), a1.toSeq)
+    assert(!m.exists(_.getLong(0) == 3L), "empty payload leaked a chunk")
+    // identical payloads share every fingerprint; a different payload none
+    val h = (id: Long) => m.filter(_.getLong(0) == id).map(_.getString(5)).toSeq
+    assert(h(1L) == h(2L))
+    assert(h(1L).intersect(h(4L)).isEmpty)
+    // constant filler: the two full chunks of one asset also collide
+    assert(h(1L).take(2).distinct.size == 1 && h(1L)(2) != h(1L)(0))
+  }
+
   test("perceptual near-dup pairs: exact copies, light retouch, no unrelated") {
     import Multimodal.MediaRow
     val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
