@@ -209,4 +209,30 @@ class OpsPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("peaks and change points are translation-invariant on random data") {
+    // shifting every value by a constant must leave peak windows,
+    // prominences, flagged boundaries, and shifts untouched (all the
+    // comparisons are on mean DIFFERENCES); a monotone series never peaks
+    for (_ <- 1 to 6) {
+      val data = randomSeries(4 + rnd.nextInt(30))
+      val c = (rnd.nextInt(11) - 5).toDouble // integral: keeps µ-units exact
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val dfShift = data.map { case (t, v) => (t, v + c) }
+        .toDF("t_us", "value").withColumn("uuid", lit("s"))
+      def pk(d: org.apache.spark.sql.DataFrame) =
+        TimeSeriesOps.peaks(d, Seq("uuid"), 0L, 40L, 10L, 1, 0L)
+          .orderBy("w_start").collect()
+          .map(r => (r.getLong(1), r.getDouble(3))).toSeq // (w, prominence)
+      def cp(d: org.apache.spark.sql.DataFrame) =
+        TimeSeriesOps.changePoints(d, Seq("uuid"), 0L, 40L, 10L, 1, 1L)
+          .orderBy("w_start").collect()
+          .map(r => (r.getLong(1), r.getDouble(4))).toSeq // (w, shift)
+      assert(pk(df) == pk(dfShift), s"peaks moved under +$c: $data")
+      assert(cp(df) == cp(dfShift), s"change points moved under +$c: $data")
+    }
+    val mono = (0 until 8).map(i => (i * 10L + 1L, i * 2.0))
+      .toDF("t_us", "value").withColumn("uuid", lit("s"))
+    assert(TimeSeriesOps.peaks(mono, Seq("uuid"), 0L, 80L, 10L, 2, 0L).count() == 0)
+  }
 }
