@@ -206,6 +206,54 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     }
   }
 
+  /** Per-window exact (sum_us, n) summaries re-aggregated from the
+    * coarsest usable level — the shared feed for the rollup-served
+    * detector paths below. Same usability rule as windows(): the window
+    * width must be a multiple of the level bucket and `start` must be
+    * bucket-aligned, else the caller falls back to raw.
+    */
+  private def windowSums(pw: Int, streamCols: Seq[String],
+                         start: Long, end: Long, width: Long): DataFrame = {
+    val completeEnd = start + ((end - start) / width) * width
+    val d = col("w_start") - start
+    level(pw)
+      .filter(col("w_start") >= start && col("w_start") < completeEnd)
+      .groupBy(streamCols.map(col)
+        :+ (lit(start) + d - pmod(d, lit(width))).as("w_win"): _*)
+      .agg(sum(col("v_sum_us")).as("sum_us"), sum(col("v_count")).as("n"))
+      .withColumnRenamed("w_win", "w_start")
+  }
+
+  /** Peak extraction served from the rollup hierarchy — the qtree
+    * promise applied to the detector: the window means come from the
+    * coarsest usable level's EXACT integer sums (identical to the raw
+    * path's, by the re-aggregation invariant), so the flags are
+    * bit-identical to TimeSeriesOps.peaks over raw points while reading
+    * only 2^-pw of the rows. Falls back to raw when no level is usable.
+    */
+  def peaks(raw: => DataFrame, streamCols: Seq[String], start: Long, end: Long,
+            width: Long, k: Int, minPromUs: Long): DataFrame = {
+    val usable = pointwidths.filter(l =>
+      width % (1L << l) == 0 && (start & ((1L << l) - 1)) == 0L)
+    if (usable.isEmpty)
+      TimeSeriesOps.peaks(raw, streamCols, start, end, width, k, minPromUs)
+    else TimeSeriesOps.peaksOfWindowSums(
+      windowSums(usable.max, streamCols, start, end, width), streamCols, k, minPromUs)
+  }
+
+  /** Change points served from the rollup hierarchy — same contract as
+    * peaks() above.
+    */
+  def changePoints(raw: => DataFrame, streamCols: Seq[String], start: Long,
+                   end: Long, width: Long, k: Int, minShiftUs: Long): DataFrame = {
+    val usable = pointwidths.filter(l =>
+      width % (1L << l) == 0 && (start & ((1L << l) - 1)) == 0L)
+    if (usable.isEmpty)
+      TimeSeriesOps.changePoints(raw, streamCols, start, end, width, k, minShiftUs)
+    else TimeSeriesOps.changePointsOfWindowSums(
+      windowSums(usable.max, streamCols, start, end, width), streamCols, k, minShiftUs)
+  }
+
   /** Serve depth-approximate Windows (TimeSeriesOps.windowsApprox — the
     * WindowsParams.depth semantics) from the coarsest level ≤ depth: merge
     * level buckets up to 2^depth, then assign each to the window containing

@@ -2084,16 +2084,28 @@ object TimeSeriesOps {
   def peaks(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
             width: Long, k: Int, minPromUs: Long,
             version: Option[Long] = None): DataFrame = {
+    val completeEnd = start + ((end - start) / width) * width
+    val sums = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(streamKey(streamCols) :+ widthBucket(start, width): _*)
+      .agg(sum(graft.Quant.us6(col("value"))).as("sum_us"), count(lit(1)).as("n"))
+    peaksOfWindowSums(sums, streamCols, k, minPromUs)
+  }
+
+  /** The peak logic over a precomputed per-window summary frame
+    * (key..., w_start, sum_us, n) — shared by the raw path above and the
+    * rollup-served path (Rollup.peaks), which re-aggregates its level
+    * buckets into the SAME exact integer sums, so the two serve
+    * bit-identical rows.
+    */
+  private[ts] def peaksOfWindowSums(sums: DataFrame, streamCols: Seq[String],
+                                    k: Int, minPromUs: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minPromUs >= 0, s"minPromUs must be non-negative, got $minPromUs")
     val key = streamKey(streamCols)
-    val completeEnd = start + ((end - start) / width) * width
-    val means = atVersion(points, version)
-      .filter(col("t_us") >= start && col("t_us") < completeEnd)
-      .groupBy(key :+ widthBucket(start, width): _*)
-      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
-        .cast("long").as("m_us"),
-        count(lit(1)).as("n_points"))
+    val means = sums.select(key ++ Seq(col("w_start"),
+      round(col("sum_us").cast("double") / col("n"), 0).cast("long").as("m_us"),
+      col("n").as("n_points")): _*)
     val ord = Window.partitionBy(key: _*).orderBy(col("w_start"))
     val lFrame = ord.rowsBetween(-k.toLong, -1L)
     val rFrame = ord.rowsBetween(1L, k.toLong)
@@ -2136,14 +2148,23 @@ object TimeSeriesOps {
   def changePoints(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
                    width: Long, k: Int, minShiftUs: Long,
                    version: Option[Long] = None): DataFrame = {
+    val completeEnd = start + ((end - start) / width) * width
+    val sums = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(streamKey(streamCols) :+ widthBucket(start, width): _*)
+      .agg(sum(graft.Quant.us6(col("value"))).as("sum_us"), count(lit(1)).as("n"))
+    changePointsOfWindowSums(sums, streamCols, k, minShiftUs)
+  }
+
+  /** The change-point logic over a precomputed per-window summary frame
+    * (key..., w_start, sum_us, n) — the peaksOfWindowSums contract, same
+    * rollup-served sharing (Rollup.changePoints).
+    */
+  private[ts] def changePointsOfWindowSums(base: DataFrame, streamCols: Seq[String],
+                                           k: Int, minShiftUs: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minShiftUs >= 0, s"minShiftUs must be non-negative, got $minShiftUs")
     val key = streamKey(streamCols)
-    val completeEnd = start + ((end - start) / width) * width
-    val base = atVersion(points, version)
-      .filter(col("t_us") >= start && col("t_us") < completeEnd)
-      .groupBy(key :+ widthBucket(start, width): _*)
-      .agg(sum(graft.Quant.us6(col("value"))).as("sum_us"), count(lit(1)).as("n"))
     val ord = Window.partitionBy(key: _*).orderBy(col("w_start"))
     val lFrame = ord.rowsBetween(-k.toLong, -1L)
     val rFrame = ord.rowsBetween(0L, (k - 1).toLong)

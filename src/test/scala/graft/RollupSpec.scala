@@ -185,6 +185,35 @@ class RollupSpec extends SparkSuite {
     fb.zip(fbDirect).foreach { case (d, r) => assert(d == r) }
   }
 
+  test("peaks and change points served from a level equal the raw path") {
+    // the detector paths inherit the re-aggregation invariant: level
+    // (sum_us, count) partials re-sum to the raw path's exact window
+    // sums, so flags, prominences, and shifts are bit-identical
+    val pts = Tables.points(spark, sfDir).cache()
+    val depth = 24
+    val start = (T0 >> depth) << depth
+    val w = 5120L << depth // ≈ 23.9 h: day-scale windows tiled by level-24 buckets
+    val end = start + 28 * w
+    val ru = Rollup(spark, tmpDir("rollup_det"), Seq(24, 30))
+    ru.build(pts, STREAM)
+    val pkRaw = TimeSeriesOps.peaks(pts, STREAM, start, end, w, 1, 0L)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val pkServed = ru.peaks(pts, STREAM, start, end, w, 1, 0L)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(pkRaw.length == pkServed.length && pkRaw.nonEmpty, s"${pkRaw.length}")
+    pkRaw.zip(pkServed).foreach { case (d, r) => assert(d == r) }
+    val cpRaw = TimeSeriesOps.changePoints(pts, STREAM, start, end, w, 1, 1L)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val cpServed = ru.changePoints(pts, STREAM, start, end, w, 1, 1L)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(cpRaw.length == cpServed.length && cpRaw.nonEmpty, s"${cpRaw.length}")
+    cpRaw.zip(cpServed).foreach { case (d, r) => assert(d == r) }
+    // unaligned start → raw fallback, still correct
+    val fb = ru.peaks(pts, STREAM, start + 7, end, w, 1, 0L).collect()
+    val fbRaw = TimeSeriesOps.peaks(pts, STREAM, start + 7, end, w, 1, 0L).collect()
+    assert(fb.toSet == fbRaw.toSet)
+  }
+
   test("queries below the finest level fall back to raw") {
     val pts = Tables.points(spark, sfDir)
     val ru = Rollup(spark, tmpDir("rollup"), Seq(30))
