@@ -449,6 +449,12 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("lag"))
     }),
 
+    // arrival burstiness: Fano factor of per-window counts over the full
+    // grid (empty windows count 0 — the sums make that free)
+    "ts_burstiness" -> ((s, dir) =>
+      TS.burstiness(Tables.points(s, dir), STREAM, T0, T29, HOUR)
+        .orderBy(col("user_id"), col("event_type"))),
+
     // ordinal-pattern profile (Bandt-Pompe order 3): the exact-count
     // face of permutation entropy, position-stable tie rule
     "ts_ordpatterns" -> ((s, dir) =>
@@ -940,6 +946,12 @@ object SparkEntry {
 
     "corpus_stats" -> ((s, dir) =>
       TextFunctions.corpusStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("lang"), col("source"))),
+
+    // tokenizer fertility per (lang, source): BPE-ish tokens per word,
+    // chars per token — the multilingual tokenizer-health report
+    "corpus_fertility" -> ((s, dir) =>
+      TextFunctions.fertility(Tables.load(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))),
 
     // dataset-card redundancy: per-source duplicate fraction
@@ -2122,6 +2134,27 @@ object SparkEntry {
          |       END AS r
          |FROM m ORDER BY user_id, event_type, lag""".stripMargin,
 
+    // mirrors TimeSeriesOps.burstiness: W·Σn²−(Σn)² over W·Σn, exact
+    // integer assembly (empty windows contribute zero to both sums)
+    "ts_burstiness" -> {
+      val w = (T29 - T0) / HOUR
+      s"""WITH pts AS ($PTS_SQL),
+         |c AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $HOUR) AS w_start,
+         |        count(*) AS n
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |a AS (SELECT user_id, event_type, count(*) AS nw, sum(n) AS sn,
+         |             sum(CAST(n AS HUGEINT) * n) AS sn2
+         |      FROM c GROUP BY 1, 2)
+         |SELECT user_id, event_type,
+         |       CAST(nw AS BIGINT) AS n_windows_nonempty,
+         |       CAST(sn AS BIGINT) AS n_events,
+         |       ${Q6(s"CAST($w * sn2 - CAST(sn AS HUGEINT) * sn AS DOUBLE) / CAST($w * CAST(sn AS HUGEINT) AS DOUBLE)")} AS fano,
+         |       ${MEAN6(s"sn * CAST(1000000 AS HUGEINT)", s"$w")} AS mean_per_window
+         |FROM a ORDER BY user_id, event_type""".stripMargin
+    },
+
     // mirrors TimeSeriesOps.ordinalPatterns: same rounded-integer means,
     // two leads, the same 6-way CASE over the three ≤-comparisons
     "ts_ordpatterns" ->
@@ -3298,6 +3331,21 @@ object SparkEntry {
          |       ${MEAN6("sum(n_words * 1000000)", "count(*)")} AS avg_words,
          |       ${MEAN6(s"sum(${US6("quality_score")})", "count(*)")} AS avg_quality
          |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
+    // mirrors TextFunctions.fertility: tokenStats' exact token defs,
+    // quantized integer-ratio means (HUGEINT ≡ the engine's DECIMAL)
+    "corpus_fertility" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $NORM_TEXT_SQL AS norm FROM documents),
+         |c AS (SELECT lang, source,
+         |        CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws,
+         |        CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+         |        CAST(length(norm) AS BIGINT) AS chars
+         |      FROM d)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(bpe) AS BIGINT) AS n_tokens,
+         |       ${MEAN6("sum(bpe) * CAST(1000000 AS HUGEINT)", "sum(ws)")} AS tokens_per_word,
+         |       ${MEAN6("sum(chars) * CAST(1000000 AS HUGEINT)", "sum(bpe)")} AS chars_per_token
+         |FROM c GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     "corpus_vocab" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),

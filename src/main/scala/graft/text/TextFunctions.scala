@@ -42,6 +42,33 @@ object TextFunctions {
       regexp_count(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"),
       length(col("norm")).cast("long").as("n_chars_norm"))
 
+  /** Tokenizer fertility by (lang, source): BPE-ish tokens per
+    * whitespace word and characters per token — the tokenizer-health
+    * report per language (high fertility = the vocabulary fragments that
+    * language; the first thing to check before fixing a multilingual
+    * data mix). Uses EXACTLY tokenStats' token definitions; ratios are
+    * quantized integer-ratio means (token and char sums are exact longs,
+    * one MEAN6-form round each), so the gate is bit-exact. One map-side
+    * partial aggregation over (lang, source) — metadata-scale output.
+    */
+  def fertility(docs: DataFrame): DataFrame =
+    withBase(docs)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("ws"),
+        sum(regexp_count(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+          .as("bpe"),
+        sum(length(col("norm")).cast("long")).as("chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("bpe").as("n_tokens"),
+        // ×10⁶ in DECIMAL: a long product wraps at ~9.2e12 group tokens
+        // (the Quant unbounded-group rule; DuckDB's sum is HUGEINT)
+        graft.Quant.mean6(col("bpe").cast("decimal(38,0)") * 1000000,
+          col("ws")).as("tokens_per_word"),
+        graft.Quant.mean6(col("chars").cast("decimal(38,0)") * 1000000,
+          col("bpe")).as("chars_per_token"))
+
   private val stopEn = Seq("the", "a", "is", "and", "of", "to", "in")
   private def countIn(words: Seq[String]): Column = {
     val set = words.map(w => s"'$w'").mkString("(", ", ", ")")

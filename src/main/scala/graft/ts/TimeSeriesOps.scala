@@ -1505,6 +1505,47 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Burstiness of the event-arrival process per stream: the index of
+    * dispersion (Fano factor) of per-window event counts over the
+    * COMPLETE grid — F = Var(n)/Mean(n) with empty windows counting 0,
+    * because a regular-but-sparse stream and a bursty one have identical
+    * non-empty-window statistics (F = 1 Poisson, < 1 regular, > 1
+    * bursty; the telemetry-health triage number next to ts_gaps).
+    *
+    * The zeros need no grid join: with W total grid windows, Σn and Σn²
+    * over the grid equal the sums over the non-empty windows, so
+    * F = (W·Σn² − (Σn)²) / (W·Σn) assembles EXACTLY from one window
+    * count aggregation — integers end to end (DECIMAL per the
+    * unbounded-group rule), one final division, Q6 emit. Streams with
+    * no in-range points emit nothing.
+    */
+  def burstiness(points: DataFrame, streamCols: Seq[String], start: Long,
+                 end: Long, width: Long,
+                 version: Option[Long] = None): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val key = streamKey(streamCols)
+    val w = (end - start) / width // complete windows only
+    require(w > 0, s"range [$start,$end) holds no complete window of $width")
+    val completeEnd = start + w * width
+    val counts = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(count(lit(1)).as("n"))
+    val nDec = col("n").cast("decimal(38,0)")
+    counts.groupBy(key: _*)
+      .agg(count(lit(1)).as("n_windows_nonempty"),
+        sum(col("n")).as("sn"),
+        sum(nDec * nDec).as("sn2"))
+      .select(key ++ Seq(
+        col("n_windows_nonempty"),
+        col("sn").as("n_events"),
+        graft.Quant.q6((lit(w).cast("decimal(38,0)") * col("sn2") -
+            col("sn").cast("decimal(38,0)") * col("sn")).cast("double") /
+          (lit(w).cast("decimal(38,0)") * col("sn")).cast("double")).as("fano"),
+        graft.Quant.mean6(col("sn").cast("decimal(38,0)") * 1000000, lit(w))
+          .as("mean_per_window")): _*)
+  }
+
   /** Ordinal-pattern profile of the window-mean series (Bandt & Pompe
     * 2002, order 3): each triple of consecutive window means maps to the
     * permutation that sorts it — ties broken by POSITION (the standard

@@ -309,6 +309,16 @@ class DedupSimSpec extends SparkSuite {
     assert(v == Seq(("b", 2L), ("a", 1L), ("c", 1L)))
   }
 
+  test("fertility reports tokens per word and chars per token exactly") {
+    import spark.implicits._
+    // norm "ab cd. e": 3 whitespace words, 4 BPE-ish tokens [ab][cd][.][e],
+    // 8 chars → 4/3 → 1.333333 (MEAN6 round), 8/4 = 2.0
+    val d = Seq((1L, "Ab  cd. e", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val r = graft.text.TextFunctions.fertility(d).collect().head
+    assert(r.getLong(2) == 1L && r.getLong(3) == 4L, r)
+    assert(r.getDouble(4) == 1.333333 && r.getDouble(5) == 2.0, r)
+  }
+
   test("keywords rank by tf times linear idf with total tiebreaks") {
     import spark.implicits._
     // N=3; doc 1: 'x' tf=2 df=1 → 6.0 beats 'a' tf=3 df=3 → 3.0;

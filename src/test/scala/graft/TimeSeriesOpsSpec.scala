@@ -239,6 +239,23 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("burstiness counts empty grid windows as zeros") {
+    // regular: one event in EVERY window → variance 0 → F = 0
+    val reg = pts((0 until 10).map(i => (i * 10L + 1L, 1.0)): _*)
+    val fr = TimeSeriesOps.burstiness(reg, Seq("uuid"), 0L, 100L, 10L).collect().head
+    assert(fr.getLong(1) == 10L && fr.getDouble(3) == 0.0, fr)
+    // bursty: all 10 events in one window of the 10-window grid →
+    // F = (W·N² − N²)/(W·N) = 9.0
+    val burst = pts((0 until 10).map(_ => (5L, 1.0)): _*)
+    val fb = TimeSeriesOps.burstiness(burst, Seq("uuid"), 0L, 100L, 10L).collect().head
+    assert(fb.getLong(1) == 1L && fb.getDouble(3) == 9.0, fb)
+    // sparse-but-regular: 1 event in half the windows — the zeros are
+    // what separates this from the all-full case: F = (50−25)/50 = 0.5
+    val sparse = pts((0 until 5).map(i => (i * 20L + 1L, 1.0)): _*)
+    val fs = TimeSeriesOps.burstiness(sparse, Seq("uuid"), 0L, 100L, 10L).collect().head
+    assert(fs.getDouble(3) == 0.5 && fs.getDouble(4) == 0.5, fs)
+  }
+
   test("ordinal patterns rank ties by position and need full triples") {
     // 1,2,3 → 012; 3,2,1 → 210; 2,1,3 → 102; constant plateau → ties
     // rank by position → 012 (the Bandt-Pompe stable rule)
