@@ -133,6 +133,13 @@ object SparkEntry {
       TS.changes(Tables.points(s, dir), STREAM, 100, 700, 32)
         .orderBy(col("user_id"), col("event_type"), col("c_start"))),
 
+    // the changed-ranges workflow end-to-end: stats at toVer for exactly
+    // the windows an insert in (fromVer, toVer] touched (the refresh
+    // feed for downstream materializations)
+    "ts_windows_delta" -> ((s, dir) =>
+      TS.windowsDelta(Tables.points(s, dir), STREAM, 100, 700, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     "ts_version_at" -> ((s, dir) =>
       TS.rawValues(Tables.points(s, dir), STREAM, T0, T31, version = Some(500))
         .orderBy(col("user_id"), col("event_type"), col("t_us"))),
@@ -1147,6 +1154,24 @@ object SparkEntry {
          |SELECT user_id, event_type, t_us, value FROM pts
          |WHERE ver <= 500 AND t_us >= $T0 AND t_us < $T31
          |ORDER BY user_id, event_type, t_us""".stripMargin,
+
+    // mirrors TimeSeriesOps.windowsDelta: stats at toVer joined to the
+    // delta's distinct (stream, window) set
+    "ts_windows_delta" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |ch AS (SELECT DISTINCT user_id, event_type,
+         |         $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |       FROM pts WHERE ver > 100 AND ver <= 700
+         |         AND t_us >= $T0 AND t_us < $T29),
+         |base AS (SELECT user_id, event_type,
+         |           $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start, value
+         |         FROM pts WHERE ver <= 700 AND t_us >= $T0 AND t_us < $T29)
+         |SELECT user_id, event_type, w_start,
+         |       min(value) AS v_min, $V_MEAN_SQL,
+         |       max(value) AS v_max, CAST(count(*) AS BIGINT) AS v_count
+         |FROM base JOIN ch USING (user_id, event_type, w_start)
+         |GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, w_start""".stripMargin,
 
     "ts_delete_range" ->
       s"""WITH pts AS ($PTS_SQL)

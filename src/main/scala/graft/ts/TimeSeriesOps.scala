@@ -210,6 +210,44 @@ object TimeSeriesOps {
     mergeRanges(aligned, streamCols)
   }
 
+  /** Version-diff-driven incremental recompute — the changed-ranges
+    * workflow BTrDB's GenerateCSV/changes API exists for (qtree version
+    * diff → refresh only what moved): the window statistics AT `toVer`
+    * for exactly the windows touched by an insert in (fromVer, toVer],
+    * i.e. the refresh feed a downstream materialization applies instead
+    * of recomputing the full range. Emits the standard windows() row
+    * per changed window.
+    *
+    * Scale shape: the changed-window set is bounded by the DELTA, not
+    * the history — a distinct over the delta's (stream, w_start) pairs —
+    * and it joins the at-version scan on (stream, w_start) equality
+    * (AQE broadcasts it when the delta is small), so only changed
+    * windows aggregate. Windows a delete emptied are a Store-level
+    * concern (tombstones live there, not in the raw frame); over the
+    * insert log this is exact.
+    */
+  def windowsDelta(points: DataFrame, streamCols: Seq[String], fromVer: Long,
+                   toVer: Long, start: Long, end: Long, width: Long): DataFrame = {
+    require(fromVer <= toVer, s"fromVer $fromVer must be <= toVer $toVer")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val inRange = col("t_us") >= start && col("t_us") < completeEnd
+    val changed = points
+      .filter(col("ver") > fromVer && col("ver") <= toVer && inRange)
+      .select(key :+ widthBucket(start, width): _*)
+      .distinct()
+    points
+      .filter(col("ver") <= toVer && inRange)
+      .select(key :+ widthBucket(start, width) :+ col("value"): _*)
+      .join(changed, streamCols :+ "w_start")
+      .groupBy(key :+ col("w_start"): _*)
+      .agg(
+        min(col("value")).as("v_min"),
+        graft.Quant.mean6(sum(graft.Quant.us6(col("value"))), count(lit(1))).as("v_mean"),
+        max(col("value")).as("v_max"),
+        count(lit(1)).as("v_count"))
+  }
+
   /** Coalesce overlapping/adjacent [r_start, r_end) ranges per key —
     * gaps-and-islands via lag + running sum.
     */

@@ -427,7 +427,8 @@ class PlanShapeSpec extends SparkSuite {
     // Cross BNLJ by construction — the emb_outliers stats-row shape —
     // so only true cartesians are banned there)
     for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords", "emb_pca",
-        "ts_motifs", "ts_pacf", "ts_ordpatterns", "q10_join")) {
+        "ts_motifs", "ts_pacf", "ts_ordpatterns", "q10_join", "ts_burstiness",
+        "corpus_fertility", "mm_chunks")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }

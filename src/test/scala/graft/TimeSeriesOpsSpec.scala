@@ -239,6 +239,25 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("windows delta refreshes exactly the touched windows at toVer") {
+    import org.apache.spark.sql.Row
+    // window [0,10): old point only; [10,20): old + NEW point (ver 5);
+    // [20,30): new point beyond toVer — invisible at toVer=5
+    val p = Seq((1L, 1.0, 1L), (11L, 2.0, 1L), (12L, 4.0, 5L), (21L, 9.0, 9L))
+      .toDF("t_us", "value", "ver").withColumn("uuid", lit("s"))
+    val d = TimeSeriesOps.windowsDelta(p, Seq("uuid"), 2L, 5L, 0L, 30L, 10L)
+      .collect()
+    // only [10,20) was touched in (2, 5]; its stats INCLUDE the old point
+    assert(d.toSeq == Seq(Row("s", 10L, 2.0, 3.0, 4.0, 2L)), d.toSeq)
+    // the full-refresh equivalence: delta over (0, toVer] == windows at
+    // toVer restricted to non-empty windows
+    val full = TimeSeriesOps.windowsDelta(p, Seq("uuid"), 0L, 5L, 0L, 30L, 10L)
+      .orderBy("w_start").collect().toSeq
+    val ref = TimeSeriesOps.windows(p, Seq("uuid"), 0L, 30L, 10L, version = Some(5L))
+      .orderBy("w_start").collect().toSeq
+    assert(full == ref, s"$full vs $ref")
+  }
+
   test("burstiness counts empty grid windows as zeros") {
     // regular: one event in EVERY window → variance 0 → F = 0
     val reg = pts((0 until 10).map(i => (i * 10L + 1L, 1.0)): _*)
