@@ -776,7 +776,7 @@ object SparkEntry {
     // and the exact quadratic generator survives only as the oracle/spec
     // mirror (Vectors.cosinePairs, DedupSimSpec recall floors)
     "emb_cosine_pairs" -> ((s, dir) =>
-      Vectors.cosinePairsLsh(Tables.load(s, dir, "embeddings"), 0.4)
+      Vectors.cosinePairsLshAuto(Tables.load(s, dir, "embeddings"), 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // semantic dedup: connected components over the cosine≥τ pair graph —
@@ -786,13 +786,13 @@ object SparkEntry {
       val emb = Tables.load(s, dir, "embeddings")
       Dedup.clusters(
           emb.select(col("vec_id").as("doc_id")),
-          Vectors.cosinePairsLsh(emb, 0.4).select(col("id_a"), col("id_b")))
+          Vectors.cosinePairsLshAuto(emb, 0.4).select(col("id_a"), col("id_b")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy(col("vec_id"))
     }),
 
     "emb_knn" -> ((s, dir) =>
-      Vectors.knnGraphLsh(Tables.load(s, dir, "embeddings"), 0.4, 3)
+      Vectors.knnGraphLshAuto(Tables.load(s, dir, "embeddings"), 0.4, 3)
         .orderBy(col("vec_id"), col("rank"))),
 
     // embedding hygiene: per-vector L2 norms (degenerate-vector audit)
@@ -3702,14 +3702,22 @@ object SparkEntry {
     */
   private val LSH_PAIR_CTES =
     s"""e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+       |bsel AS (SELECT coalesce(
+       |           (SELECT min(k)
+       |            FROM (SELECT unnest(generate_series(8, 24)) AS k) ks,
+       |                 (SELECT count(*) AS n FROM embeddings) n
+       |            WHERE (CAST(1 AS BIGINT) << k) >= (n.n + 31) // 32), 24) AS b),
        |bk AS (SELECT e.vec_id, t.t AS tbl,
-       |         CAST(list_sum(list_transform(generate_series(0, 7), bb ->
+       |         CAST(list_sum(list_transform(generate_series(0, bsel.b - 1), bb ->
        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
        |                  CAST(e.embedding[dd] AS DOUBLE) * ${PLANE_SQL("t.t", "bb", "dd - 1")})) > 0
-       |                THEN (1 << bb) ELSE 0 END)) AS BIGINT) AS bucket
-       |       FROM e, (SELECT unnest(generate_series(0, 15)) AS t) t),
+       |                THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS bucket
+       |       FROM e, (SELECT unnest(generate_series(0, 15)) AS t) t, bsel),
        |pp AS (SELECT b.vec_id, b.tbl, xor(b.bucket, f.f) AS bucket
-       |       FROM bk b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f),
+       |       FROM bk b, (SELECT unnest(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(generate_series(0, bsel.b - 1),
+       |                j -> CAST(1 AS BIGINT) << j))) AS f
+       |            FROM bsel) f),
        |cand AS (SELECT DISTINCT least(p.vec_id, q.vec_id) AS id_a,
        |                         greatest(p.vec_id, q.vec_id) AS id_b
        |         FROM pp p JOIN bk q ON p.tbl = q.tbl AND p.bucket = q.bucket

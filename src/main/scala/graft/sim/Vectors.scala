@@ -535,6 +535,11 @@ object Vectors {
                   nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame =
     knnFromPairs(cosinePairsLsh(emb, tau, nTables, bitsPerTable, dim), k)
 
+  /** knnGraphLsh over the corpus-size-adaptive pair generator. */
+  def knnGraphLshAuto(emb: DataFrame, tau: Double, k: Int, nTables: Int = 16,
+                      targetOccupancy: Long = 32L, dim: Int = 64): DataFrame =
+    knnFromPairs(cosinePairsLshAuto(emb, tau, nTables, targetOccupancy, dim), k)
+
   /** The symmetrize + per-vector top-k tail shared by both generators.
     * `pairs` carries (id_a, id_b, cos_sim) with id_a < id_b.
     */
