@@ -116,6 +116,17 @@ class Embeddings(val emb: DataFrame) {
         Vectors.cosinePairs(emb, tau).select(col("id_a"), col("id_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
+
+  /** clusters() with pairs from the corpus-size-adaptive LSH generator —
+    * the corpus-scale path (linear candidate work, LSH recall).
+    */
+  def clustersLsh(tau: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Dedup.clusters(
+        emb.select(col("vec_id").as("doc_id")),
+        Vectors.cosinePairsLshAuto(emb, tau).select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
 }
 
 object Embeddings {
