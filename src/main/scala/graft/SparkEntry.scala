@@ -310,6 +310,13 @@ object SparkEntry {
       TS.holtWinters(Tables.points(s, dir), STREAM, T0, T29, DAY, 7, 0.5, 0.3, 0.4)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // rolling-origin backtest: the model's own one-step forecasts vs the
+    // realized means — MAE / bias / RMSE per stream
+    "ts_forecast_eval" -> ((s, dir) =>
+      TS.holtWintersBacktest(Tables.points(s, dir), STREAM, T0, T29, DAY,
+          7, 0.5, 0.3, 0.4)
+        .orderBy(col("user_id"), col("event_type"))),
+
     // the "next week" serving query: h-step projections from the final
     // Holt-Winters state — no extra pass over points
     "ts_forecast" -> ((s, dir) =>
@@ -1604,6 +1611,47 @@ object SparkEntry {
          |SELECT user_id, event_type, w_start, v_mean,
          |       ${Q6("l")} AS level, ${Q6("b")} AS trend, ${Q6("s")} AS seasonal
          |FROM rec ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.holtWintersBacktest: the hw recursion's
+    // QUANTIZED emissions feed the same lag/lead forecast assembly;
+    // µ-unit errors, order-free sums, the same RMSE expression
+    "ts_forecast_eval" ->
+      s"""WITH RECURSIVE pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        $V_MEAN_SQL
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |n AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                   ORDER BY w_start) AS rn FROM w),
+         |rec AS (
+         |  SELECT user_id, event_type, w_start, v_mean, rn,
+         |         v_mean AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
+         |         [CAST(0.0 AS DOUBLE)] AS ring
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.event_type, n.w_start, n.v_mean, n.rn,
+         |         $HW_LNEW AS l,
+         |         $HW_B * (($HW_LNEW) - r.l) + $HW_IB * r.b AS b,
+         |         $HW_SNEW AS s,
+         |         list_append(r.ring, $HW_SNEW) AS ring
+         |  FROM n JOIN rec r ON n.user_id = r.user_id
+         |    AND n.event_type = r.event_type AND n.rn = r.rn + 1),
+         |hwq AS (SELECT user_id, event_type, w_start, v_mean,
+         |               ${Q6("l")} AS level, ${Q6("b")} AS trend, ${Q6("s")} AS seasonal
+         |        FROM rec),
+         |fe AS (SELECT user_id, event_type,
+         |         ${US6(s"""lead(v_mean, 1) OVER wo -
+               |           (level + trend + coalesce(lag(seasonal, ${HW_P - 1}) OVER wo,
+               |                                     CAST(0.0 AS DOUBLE)))""".stripMargin)} AS err_us
+         |       FROM hwq
+         |       WINDOW wo AS (PARTITION BY user_id, event_type ORDER BY w_start))
+         |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_evals,
+         |       ${MEAN6("sum(abs(err_us))", "count(*)")} AS mae,
+         |       ${MEAN6("sum(err_us)", "count(*)")} AS bias,
+         |       ${Q6("sqrt(CAST(sum(CAST(err_us AS HUGEINT) * err_us) AS DOUBLE) / count(*)) / 1000000.0")} AS rmse
+         |FROM fe WHERE err_us IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     // forecast: the last rec row per stream carries (l, b, ring); the
     // horizon explodes from generate_series with the identical seasonal

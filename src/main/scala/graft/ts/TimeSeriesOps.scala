@@ -1543,6 +1543,46 @@ object TimeSeriesOps {
       when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
   }
 
+  /** Rolling-origin backtest of the Holt-Winters one-step forecast — the
+    * forecast-accuracy report that decides whether the (α, β, γ, period)
+    * the dashboards run is actually predictive: at every window t the
+    * model's own next-window forecast f_t = level_t + trend_t +
+    * s_{t+1−p} (the seasonal emitted p−1 windows back; 0 until a full
+    * cycle is seen — the streaming Forecast's exact rule) is compared to
+    * the realized mean at t+1, and each stream reports n_evals, MAE,
+    * signed bias, and RMSE over its evaluation windows.
+    *
+    * Determinism: f assembles from holtWinters' EMITTED (quantized)
+    * columns, so both engines add the same doubles; errors quantize to
+    * integer µ-units before the order-free sums (MAE/bias via MEAN6;
+    * RMSE's squared µ-units accumulate in DECIMAL — ~4·10⁸ µ errors
+    * square past the long bound at grid scale), one sqrt + Q6 emit.
+    * Plan: the hw fold's output (grid-bounded per stream) + one lag/lead
+    * window + one aggregation — nothing touches raw points twice.
+    */
+  def holtWintersBacktest(points: DataFrame, streamCols: Seq[String], start: Long,
+                          end: Long, width: Long, period: Int, alpha: Double,
+                          beta: Double, gamma: Double,
+                          version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val w = Window.partitionBy(key: _*).orderBy(col("w_start"))
+    val sNext = coalesce(lag(col("seasonal"), period - 1).over(w), lit(0d))
+    val f = col("level") + col("trend") + sNext
+    val errUs = graft.Quant.us6(lead(col("v_mean"), 1).over(w) - f)
+    holtWinters(points, streamCols, start, end, width, period, alpha, beta,
+        gamma, version)
+      .withColumn("err_us", errUs)
+      .filter(col("err_us").isNotNull)
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n_evals"),
+        graft.Quant.mean6(sum(abs(col("err_us"))), count(lit(1))).as("mae"),
+        graft.Quant.mean6(sum(col("err_us")), count(lit(1))).as("bias"),
+        graft.Quant.q6(
+          sqrt(sum((col("err_us").cast("decimal(38,0)") * col("err_us"))
+            .cast("decimal(38,0)")).cast("double") / count(lit(1))) / 1e6)
+          .as("rmse"))
+  }
+
   /** Burstiness of the event-arrival process per stream: the index of
     * dispersion (Fano factor) of per-window event counts over the
     * COMPLETE grid — F = Var(n)/Mean(n) with empty windows counting 0,

@@ -239,6 +239,23 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("forecast backtest: zero error on constants, lagging bias on trends") {
+    // constant series: level locks to c, trend/seasonal 0 → every
+    // one-step forecast is exact → MAE = bias = RMSE = 0, windows−1 evals
+    val c = pts((0 until 8).map(i => (i * 10L + 1L, 5.0)): _*)
+    val r = TimeSeriesOps.holtWintersBacktest(c, Seq("uuid"), 0L, 80L, 10L,
+      2, 0.5, 0.3, 0.4).collect().head
+    assert(r.getLong(1) == 7L, r)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0, r)
+    // steadily rising series: smoothing lags, so realized > forecast →
+    // positive bias; and the power-mean ordering rmse ≥ mae ≥ |bias|
+    val up = pts((0 until 10).map(i => (i * 10L + 1L, i * 10.0)): _*)
+    val u = TimeSeriesOps.holtWintersBacktest(up, Seq("uuid"), 0L, 100L, 10L,
+      2, 0.5, 0.3, 0.4).collect().head
+    assert(u.getDouble(3) > 0, s"rising series must lag: $u")
+    assert(u.getDouble(4) >= u.getDouble(2) && u.getDouble(2) >= math.abs(u.getDouble(3)), u)
+  }
+
   test("windows delta refreshes exactly the touched windows at toVer") {
     import org.apache.spark.sql.Row
     // window [0,10): old point only; [10,20): old + NEW point (ver 5);
