@@ -968,6 +968,12 @@ object SparkEntry {
       TextFunctions.fertility(Tables.load(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))),
 
+    // doc-length histogram per source (64-token buckets): the packing
+    // planner's input
+    "corpus_len_hist" -> ((s, dir) =>
+      TextFunctions.lengthHistogram(Tables.load(s, dir, "documents"), 64)
+        .orderBy(col("source"), col("bucket_lo"))),
+
     // dataset-card redundancy: per-source duplicate fraction
     "corpus_dup_stats" -> ((s, dir) =>
       TextFunctions.dupStats(Tables.load(s, dir, "documents"))
@@ -1047,6 +1053,13 @@ object SparkEntry {
       graft.mm.Multimodal.chunkManifest(
           graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 64)
         .orderBy(col("asset_id"), col("chunk_idx"))),
+
+    // what content-addressed storage would save: chunk-level dedup
+    // bytes per kind over the manifest
+    "mm_dedup_ratio" -> ((s, dir) =>
+      graft.mm.Multimodal.chunkDedupStats(
+          graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 64)
+        .orderBy(col("kind"))),
 
     // binary-asset exact dedup: payload-hash verdicts, no decode
     // perceptual near-dup over the binary assets (the recompressed-image
@@ -3420,6 +3433,15 @@ object SparkEntry {
          |       ${MEAN6("sum(chars) * CAST(1000000 AS HUGEINT)", "sum(bpe)")} AS chars_per_token
          |FROM c GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
+    // mirrors TextFunctions.lengthHistogram: whitespace tokens DIV 64
+    "corpus_len_hist" ->
+      s"""WITH d AS (SELECT source, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT source, CAST(len(string_split(norm, ' ')) // 64 AS BIGINT) AS bucket FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(bucket * 64 AS BIGINT) AS bucket_lo
+         |FROM b GROUP BY source, bucket
+         |ORDER BY source, bucket_lo""".stripMargin,
+
     "corpus_vocab" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
          |w AS (SELECT unnest(list_distinct(string_split(norm, ' '))) AS word FROM d)
@@ -3559,6 +3581,31 @@ object SparkEntry {
          |       md5(substring(hexp, chunk_idx * 128 + 1,
          |                     least(64, n_bytes - chunk_idx * 64) * 2)) AS chunk_md5
          |FROM b ORDER BY asset_id, chunk_idx""".stripMargin,
+
+    // mirrors Multimodal.chunkDedupStats over the mm_chunks manifest
+    "mm_dedup_ratio" ->
+      s"""WITH a AS (SELECT doc_id AS asset_id,
+         |                  concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind,
+         |                  octet_length(encode(text)) AS n_bytes,
+         |                  hex(encode(text)) AS hexp
+         |           FROM documents),
+         |b AS (SELECT asset_id, kind, n_bytes, hexp,
+         |             unnest(generate_series(0, (n_bytes + 63) // 64 - 1)) AS chunk_idx
+         |      FROM a WHERE n_bytes > 0),
+         |m AS (SELECT kind,
+         |             CAST(least(64, n_bytes - chunk_idx * 64) AS BIGINT) AS chunk_bytes,
+         |             md5(substring(hexp, chunk_idx * 128 + 1,
+         |                           least(64, n_bytes - chunk_idx * 64) * 2)) AS chunk_md5
+         |      FROM b),
+         |dc AS (SELECT kind, chunk_md5, min(chunk_bytes) AS c_bytes, count(*) AS copies
+         |       FROM m GROUP BY 1, 2)
+         |SELECT kind,
+         |       CAST(sum(c_bytes * copies) AS BIGINT) AS total_bytes,
+         |       CAST(sum(c_bytes) AS BIGINT) AS unique_bytes,
+         |       CAST(sum(c_bytes * (copies - 1)) AS BIGINT) AS dup_bytes,
+         |       CAST(count(*) AS BIGINT) AS n_unique_chunks,
+         |       CAST(sum(copies) AS BIGINT) AS n_chunks
+         |FROM dc GROUP BY kind ORDER BY kind""".stripMargin,
 
     // md5 of the payload BYTES == md5 of the utf-8 text both engines hash
     "mm_dedup" ->

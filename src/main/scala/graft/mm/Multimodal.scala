@@ -174,4 +174,27 @@ object Multimodal {
         md5(expr("substring(hexp, CAST(chunk_offset * 2 + 1 AS INT), CAST(chunk_bytes * 2 AS INT))"))
           .as("chunk_md5"))
   }
+
+  /** Chunk-level dedup savings per kind — the "what would
+    * content-addressed storage save" report over chunkManifest: total
+    * bytes, bytes after keeping ONE copy of every distinct chunk
+    * (within the kind), and the duplicate-copy savings. Two exact-count
+    * aggregations over the manifest: distinct chunks first (min-size
+    * per (kind, md5) — identical fingerprints have identical sizes, the
+    * min is for determinism), then per kind.
+    */
+  def chunkDedupStats(assets: Dataset[MediaRow], chunkBytes: Int): DataFrame = {
+    val manifest = chunkManifest(assets, chunkBytes)
+    val distinctChunks = manifest
+      .groupBy(col("kind"), col("chunk_md5"))
+      .agg(min(col("chunk_bytes")).as("c_bytes"), count(lit(1)).as("copies"))
+    distinctChunks
+      .groupBy(col("kind"))
+      .agg(
+        sum(col("c_bytes") * col("copies")).as("total_bytes"),
+        sum(col("c_bytes")).as("unique_bytes"),
+        sum(col("c_bytes") * (col("copies") - 1)).as("dup_bytes"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("copies")).as("n_chunks"))
+  }
 }

@@ -69,6 +69,23 @@ object TextFunctions {
         graft.Quant.mean6(col("chars").cast("decimal(38,0)") * 1000000,
           col("bpe")).as("chars_per_token"))
 
+  /** Document-length histogram per source, in fixed token buckets — the
+    * input the packing planner (tokenPack) and max-seq-len choice read:
+    * how much of each source fits a context window whole, how much
+    * truncates. Bucket = whitespace-token count DIV `bucketTokens`;
+    * exact counts, one map-side-partial aggregation.
+    */
+  def lengthHistogram(docs: DataFrame, bucketTokens: Int = 64): DataFrame = {
+    require(bucketTokens > 0, s"bucketTokens must be positive, got $bucketTokens")
+    withBase(docs)
+      .select(col("source"),
+        expr(s"size(w) DIV $bucketTokens").cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_lo", col("bucket") * bucketTokens)
+      .drop("bucket")
+  }
+
   private val stopEn = Seq("the", "a", "is", "and", "of", "to", "in")
   private def countIn(words: Seq[String]): Column = {
     val set = words.map(w => s"'$w'").mkString("(", ", ", ")")

@@ -319,6 +319,17 @@ class DedupSimSpec extends SparkSuite {
     assert(r.getDouble(4) == 1.333333 && r.getDouble(5) == 2.0, r)
   }
 
+  test("length histogram buckets whitespace tokens by DIV") {
+    import spark.implicits._
+    val d = Seq((1L, ("x " * 3).trim, "a"), (2L, ("x " * 64).trim, "a"),
+      (3L, ("x " * 130).trim, "a"), (4L, "y", "b"))
+      .toDF("doc_id", "text", "source")
+    val h = graft.text.TextFunctions.lengthHistogram(d, 64)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSet
+    // 3 → bucket 0; 64 → bucket 64; 130 → bucket 128; b's 1-token doc → 0
+    assert(h == Set(("a", 0L, 1L), ("a", 64L, 1L), ("a", 128L, 1L), ("b", 0L, 1L)), h)
+  }
+
   test("keywords rank by tf times linear idf with total tiebreaks") {
     import spark.implicits._
     // N=3; doc 1: 'x' tf=2 df=1 → 6.0 beats 'a' tf=3 df=3 → 3.0;

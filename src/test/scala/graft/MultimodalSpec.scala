@@ -83,6 +83,11 @@ class MultimodalSpec extends SparkSuite {
     assert(h(1L).intersect(h(4L)).isEmpty)
     // constant filler: the two full chunks of one asset also collide
     assert(h(1L).take(2).distinct.size == 1 && h(1L)(2) != h(1L)(0))
+    // dedup stats over the same rows: 3×130 total bytes; distinct chunks
+    // = {7-filled 64, 7-tail 2, 9-filled 64, 9-tail 2} → 132 unique
+    val d = Multimodal.chunkDedupStats(rows.toDS(), 64).collect().head
+    assert((d.getLong(1), d.getLong(2), d.getLong(3), d.getLong(4), d.getLong(5)) ==
+      (390L, 132L, 258L, 4L, 9L), d)
   }
 
   test("perceptual near-dup pairs: exact copies, light retouch, no unrelated") {
