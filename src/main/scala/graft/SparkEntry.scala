@@ -463,6 +463,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("lag"))
     }),
 
+    // DAU + trailing-7 WAU per day: exact rolling distincts via the
+    // bounded k-fan explode (never a sum of daily distincts)
+    "ts_active_users" -> ((s, dir) =>
+      TS.activeUsers(Tables.points(s, dir), Seq("user_id"), T0, T29, DAY, 7)
+        .orderBy(col("w_start"))),
+
+    // cohort retention triangle: users by first active day, distinct
+    // actives per (cohort, k) — k=0 restates cohort sizes
+    "ts_retention" -> ((s, dir) =>
+      TS.retention(Tables.points(s, dir), Seq("user_id"), T0, T29, DAY)
+        .orderBy(col("cohort_w"), col("k"))),
+
     // arrival burstiness: Fano factor of per-window counts over the full
     // grid (empty windows count 0 — the sums make that free)
     "ts_burstiness" -> ((s, dir) =>
@@ -2219,6 +2231,40 @@ object SparkEntry {
                |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
          |       END AS r
          |FROM m ORDER BY user_id, event_type, lag""".stripMargin,
+
+    // mirrors TimeSeriesOps.activeUsers: the same k-fan explode and
+    // double distinct; right join (trailing ⊇ daily), dau 0 coalesced
+    "ts_active_users" -> {
+      val lastW = T29 - DAY
+      s"""WITH pts AS ($PTS_SQL),
+         |acts AS (SELECT DISTINCT user_id,
+         |           $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |         FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |dau AS (SELECT w_start, count(*) AS active FROM acts GROUP BY 1),
+         |fan AS (SELECT DISTINCT user_id, w_to FROM acts,
+         |          unnest(generate_series(w_start, least(w_start + ${6L * DAY}, $lastW),
+         |                                 $DAY)) AS t(w_to)),
+         |wau AS (SELECT w_to AS w_start, count(*) AS active_trailing
+         |        FROM fan GROUP BY 1)
+         |SELECT wau.w_start AS w_start, coalesce(dau.active, 0) AS active,
+         |       wau.active_trailing AS active_trailing
+         |FROM wau LEFT JOIN dau ON wau.w_start = dau.w_start
+         |ORDER BY w_start""".stripMargin
+    },
+
+    // mirrors TimeSeriesOps.retention: distinct (user, window) activity,
+    // min-window cohorts, exact triangle counts
+    "ts_retention" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |acts AS (SELECT DISTINCT user_id,
+         |           $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |         FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |coh AS (SELECT user_id, min(w_start) AS cohort_w FROM acts GROUP BY 1)
+         |SELECT coh.cohort_w AS cohort_w,
+         |       (acts.w_start - coh.cohort_w) // $DAY AS k,
+         |       CAST(count(*) AS BIGINT) AS n_active
+         |FROM acts JOIN coh USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_w, k""".stripMargin,
 
     // mirrors TimeSeriesOps.burstiness: W·Σn²−(Σn)² over W·Σn, exact
     // integer assembly (empty windows contribute zero to both sums)

@@ -2145,6 +2145,83 @@ object TimeSeriesOps {
             + lit(0d)).as("pct_change")): _*)
   }
 
+  /** Cohort retention triangle — the product-analytics classic over the
+    * event stream: users cohorted by their FIRST active window, and for
+    * each (cohort, k) the count of cohort members active k windows
+    * later. Exact by construction: the distinct (user, window) activity
+    * set has one row per user-window, so the per-(cohort, k) count IS
+    * the distinct-user count — no count-distinct shuffle. k = 0 rows
+    * restate cohort sizes (every member is active in their first
+    * window), the denominator a retention-rate report divides by.
+    *
+    * Scale shape: one groupBy(user) min for the cohort map and one
+    * distinct over (user, window) — both shuffle on the user axis, and
+    * the cohort map joins back user-keyed (AQE broadcasts it when
+    * small); the triangle aggregation is map-side-partial over
+    * grid-bounded (cohort, k) keys. Nothing stream-wide, nothing
+    * quadratic.
+    */
+  def retention(points: DataFrame, streamCols: Seq[String], start: Long,
+                end: Long, width: Long,
+                version: Option[Long] = None): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val acts = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key :+ widthBucket(start, width): _*)
+      .distinct()
+    val cohorts = acts.groupBy(key: _*).agg(min(col("w_start")).as("cohort_w"))
+    acts.join(cohorts, streamCols)
+      .withColumn("k", expr(s"(w_start - cohort_w) DIV $width"))
+      .groupBy(col("cohort_w"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Rolling distinct actives — DAU and trailing-k-window AU (the
+    * DAU/WAU/MAU dashboard row) per grid window: exact distinct counts,
+    * no approximate sketch. The trailing distinct is NOT a sum of daily
+    * distincts (users active twice in the lookback must count once), so
+    * each (user, window) activity CONTRIBUTES ITSELF to the k windows
+    * it keeps the user active in — a bounded k-fan explode — and a
+    * second distinct collapses multi-window users before the per-window
+    * count. Windows beyond completeEnd are clipped; windows with no
+    * active users in range emit nothing.
+    *
+    * Scale shape: distinct (user, window) [one user-axis shuffle], the
+    * k-fan explode (bounded multiplier), one more distinct + count —
+    * everything keyed, nothing stream-wide; the exact-distinct cost is
+    * the k× shuffle, the price of not sketching (ts_cardinality's HLL
+    * swap-in is the approximate alternative at extreme scale).
+    */
+  def activeUsers(points: DataFrame, streamCols: Seq[String], start: Long,
+                  end: Long, width: Long, k: Int,
+                  version: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val acts = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key :+ widthBucket(start, width): _*)
+      .distinct()
+    val dau = acts.groupBy(col("w_start")).agg(count(lit(1)).as("active"))
+    val wau = acts
+      .withColumn("w_to",
+        explode(sequence(col("w_start"),
+          least(col("w_start") + (k - 1).toLong * width, lit(completeEnd - width)),
+          lit(width))))
+      .select(key :+ col("w_to"): _*)
+      .distinct()
+      .groupBy(col("w_to").as("w_start"))
+      .agg(count(lit(1)).as("active_trailing"))
+    // right join: a window can have trailing actives but none today
+    // (dau 0); the converse is impossible (a window contributes to its
+    // own trailing range)
+    dau.join(wau, Seq("w_start"), "right")
+      .select(col("w_start"), coalesce(col("active"), lit(0L)).as("active"),
+        col("active_trailing"))
+  }
+
   /** Conversion funnel: for each base event (e.g. click), did a conversion
     * event (e.g. purchase) follow within `horizonUs`? Aggregated per
     * (key, window of the base event): base count, converted count, and the

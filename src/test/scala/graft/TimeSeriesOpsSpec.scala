@@ -239,6 +239,29 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("retention cohorts by first window; k=0 restates cohort sizes") {
+    import spark.implicits._
+    // A active d0,d1; B d0; C d1,d2 → cohorts A,B→0 and C→1
+    val p = Seq(("A", 1L), ("A", 11L), ("B", 2L), ("C", 15L), ("C", 25L),
+      ("A", 3L)) // A's second d0 event must not double-count
+      .toDF("uuid", "t_us").withColumn("value", lit(1.0)).withColumn("ver", lit(1L))
+    val r = TimeSeriesOps.retention(p, Seq("uuid"), 0L, 30L, 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((0L, 0L, 2L), (0L, 1L, 1L), (10L, 0L, 1L), (10L, 1L, 1L)), r)
+  }
+
+  test("active users: trailing distincts dedupe and cover quiet windows") {
+    import spark.implicits._
+    // A d0; B d0,d1 (counts ONCE in any trailing window); C d2
+    val p = Seq(("A", 1L), ("B", 2L), ("B", 12L), ("C", 25L))
+      .toDF("uuid", "t_us").withColumn("value", lit(1.0)).withColumn("ver", lit(1L))
+    val r = TimeSeriesOps.activeUsers(p, Seq("uuid"), 0L, 40L, 10L, 2)
+      .orderBy("w_start").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // d3 has no direct actives but C keeps the trailing window warm
+    assert(r == Seq((0L, 2L, 2L), (10L, 1L, 2L), (20L, 1L, 2L), (30L, 0L, 1L)), r)
+  }
+
   test("forecast backtest: zero error on constants, lagging bias on trends") {
     // constant series: level locks to c, trend/seasonal 0 → every
     // one-step forecast is exact → MAE = bias = RMSE = 0, windows−1 evals
