@@ -463,6 +463,13 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("lag"))
     }),
 
+    // first-order Markov journey matrix: within-day consecutive-event
+    // transition counts + row probabilities
+    "ts_transitions" -> ((s, dir) =>
+      TS.transitions(Tables.points(s, dir), Seq("user_id"), "event_type",
+          T0, T29, DAY)
+        .orderBy(col("from_type"), col("to_type"))),
+
     // DAU + trailing-7 WAU per day: exact rolling distincts via the
     // bounded k-fan explode (never a sum of daily distincts)
     "ts_active_users" -> ((s, dir) =>
@@ -2231,6 +2238,23 @@ object SparkEntry {
                |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
          |       END AS r
          |FROM m ORDER BY user_id, event_type, lag""".stripMargin,
+
+    // mirrors TimeSeriesOps.transitions: (t_us, event_type)-ordered lag
+    // within (user, day) groups, MEAN6 row probabilities
+    "ts_transitions" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type, t_us,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |l AS (SELECT event_type AS to_type,
+         |        lag(event_type, 1) OVER (PARTITION BY user_id, w_start
+         |                                 ORDER BY t_us, event_type) AS from_type
+         |      FROM w),
+         |c AS (SELECT from_type, to_type, count(*) AS n
+         |      FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+         |       ${MEAN6("n * 1000000", "sum(n) OVER (PARTITION BY from_type)")} AS prob
+         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // mirrors TimeSeriesOps.activeUsers: the same k-fan explode and
     // double distinct; right join (trailing ⊇ daily), dau 0 coalesced

@@ -2145,6 +2145,38 @@ object TimeSeriesOps {
             + lit(0d)).as("pct_change")): _*)
   }
 
+  /** User-journey transition matrix — consecutive-event (from → to)
+    * counts and row-normalized probabilities over the event stream (the
+    * funnel's generalization: the first-order Markov view of product
+    * flows). Transitions pair WITHIN each (user, window) group —
+    * window-bounded ordered groups, the percentileWindows pattern, so
+    * no stream-wide point sort; cross-window transitions are dropped by
+    * construction (a day boundary is a session boundary here,
+    * documented). Ordering ties break (t_us, event_type), so same-µs
+    * events pair deterministically on both engines; the probability is
+    * the MEAN6 integer ratio over the from-row total (the matrix is
+    * |types|² — metadata scale — so the row-total window is free).
+    */
+  def transitions(points: DataFrame, userCols: Seq[String], typeCol: String,
+                  start: Long, end: Long, width: Long,
+                  version: Option[Long] = None): DataFrame = {
+    val key = userCols.map(col)
+    val completeEnd = start + ((end - start) / width) * width
+    val ord = Window.partitionBy(key :+ col("w_start"): _*)
+      .orderBy(col("t_us"), col(typeCol))
+    val counts = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key ++ Seq(widthBucket(start, width), col("t_us"), col(typeCol)): _*)
+      .withColumn("from_type", lag(col(typeCol), 1).over(ord))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("prob",
+        graft.Quant.mean6(col("n") * 1000000L, sum(col("n")).over(rowTotal)))
+  }
+
   /** Cohort retention triangle — the product-analytics classic over the
     * event stream: users cohorted by their FIRST active window, and for
     * each (cohort, k) the count of cohort members active k windows

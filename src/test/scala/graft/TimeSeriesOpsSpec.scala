@@ -239,6 +239,22 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((20L, 2.5, 10.0)), cp2.toSeq)
   }
 
+  test("transitions pair within windows and normalize per from-row") {
+    import spark.implicits._
+    // user u, one day: a→b→a→c; user v: a→b; day boundary drops v's
+    // c (day 1) → a (day 2) pair
+    val p = Seq(("u", 1L, "a"), ("u", 2L, "b"), ("u", 3L, "a"), ("u", 4L, "c"),
+      ("v", 5L, "a"), ("v", 6L, "b"), ("v", 9L, "c"), ("v", 11L, "a"))
+      .toDF("user_id", "t_us", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("ver", lit(1L))
+    val r = TimeSeriesOps.transitions(p, Seq("user_id"), "event_type", 0L, 20L, 10L)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+      .toSet
+    // from a: a→b ×2, a→c ×1 → probs 2/3, 1/3 (MEAN6); b→a, b→c ×1 each
+    assert(r == Set(("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 0.5), ("b", "c", 1L, 0.5)), r)
+  }
+
   test("retention cohorts by first window; k=0 restates cohort sizes") {
     import spark.implicits._
     // A active d0,d1; B d0; C d1,d2 → cohorts A,B→0 and C→1
