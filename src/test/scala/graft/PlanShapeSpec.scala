@@ -428,7 +428,9 @@ class PlanShapeSpec extends SparkSuite {
     // so only true cartesians are banned there)
     for (q <- Seq("ts_peaks", "ts_changepoint", "text_keywords", "emb_pca",
         "ts_motifs", "ts_pacf", "ts_ordpatterns", "q10_join", "ts_burstiness",
-        "corpus_fertility", "mm_chunks")) {
+        "corpus_fertility", "mm_chunks", "ts_retention", "ts_active_users",
+        "ts_transitions", "ts_windows_delta", "ts_forecast_eval",
+        "corpus_len_hist", "mm_dedup_ratio")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
     }
