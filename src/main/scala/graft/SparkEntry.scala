@@ -403,6 +403,25 @@ object SparkEntry {
       TS.changePoints(Tables.points(s, dir), STREAM, T0, T29, DAY, 3, 15000000L)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // Savitzky–Golay quadratic 5-point smoothing of the day-mean series
+    // (preserves local extrema a moving average flattens)
+    "ts_savgol" -> ((s, dir) =>
+      TS.savgol(Tables.points(s, dir), STREAM, T0, T29, DAY)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // five-number boxplot + Tukey-fence outlier counts per week window
+    "ts_boxplot" -> ((s, dir) =>
+      TS.boxplotWindows(Tables.points(s, dir), STREAM, T0, T29, WEEK)
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
+    // pairwise Pearson matrix over the top-8 streams by volume — the
+    // fleet "what moves together" audit (ts_similar is 1×fleet; this is
+    // roster×roster, bounded by the TakeOrdered roster)
+    "ts_xcorr_matrix" -> ((s, dir) =>
+      TS.xcorrMatrix(Tables.points(s, dir), STREAM, T0, T29, DAY, 8)
+        .orderBy(col("user_id_a"), col("event_type_a"),
+          col("user_id_b"), col("event_type_b"))),
+
     "ts_percentile" -> ((s, dir) =>
       TS.percentileWindows(Tables.points(s, dir), STREAM, T0, T29, WEEK, Seq(0.5, 0.95))
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -679,6 +698,54 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // TPC-H Q4 shape: the EXISTS decorrelation — orders for one quarter
+    // with at least one late line (our late proxy: shipped > 30 days
+    // after the order date, the q12 rule), counted per priority. The
+    // semi-join keeps the probe side duplicate-free without a distinct:
+    // Catalyst plans LeftSemi on the orderkey equi-key with the
+    // late-ship residual, so each order tests lines once and never fans.
+    "q4_semi" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate").cast("date") > date_add(o("o_orderdate").cast("date"), 30),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q22 shape: the NOT-EXISTS anti-join + scalar-aggregate
+    // threshold — "above-average-balance customers with no RECENT
+    // order" (the lapsed-customer churn audit; every customer in this
+    // dataset has SOME order, so the recency filter is what gives the
+    // anti-join a non-empty answer to gate), per nation. The
+    // positive-balance mean arrives as ONE broadcast row of exact
+    // integer moments (Σbal_us, n) and the threshold comparison stays
+    // integer (bal·n > Σ — no division, no float), so the filter is
+    // engine-portable bit-for-bit; recent orders are eliminated by a
+    // left-anti equi-join on custkey (never a NOT IN materialization),
+    // with the date filter pushed below the join.
+    "q22_anti" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .withColumn("bal_us", round(col("c_acctbal") * 1e4, 0).cast("long"))
+      val stats = c.filter(col("bal_us") > 0)
+        .agg(sum(col("bal_us").cast("decimal(38,0)")).as("s_us"),
+          count(lit(1)).as("n_pos"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("2000-01-01").cast("date"))
+      c.crossJoin(broadcast(stats))
+        .filter(col("bal_us").cast("decimal(38,0)") * col("n_pos") > col("s_us"))
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          (round(sum(col("bal_us").cast("decimal(38,0)")).cast("double") / 100, 0) / 100
+            + lit(0d)).as("acctbal_sum"))
+        .orderBy(col("c_nationkey"))
     }),
 
     "q6_filter" -> ((s, dir) =>
@@ -1976,6 +2043,111 @@ object SparkEntry {
          |  AND (next_score IS NULL OR score >= next_score)
          |ORDER BY user_id, event_type, w_start""".stripMargin,
 
+    // mirrors TimeSeriesOps.savgol: rounded-µ-unit window means, the
+    // (−3,12,17,12,−3)/35 kernel as a long dot + ONE float division,
+    // NULL at incomplete frames (lag/lead NULL propagation)
+    "ts_savgol" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us,
+         |        count(*) AS n_points
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |x AS (SELECT *,
+         |        lag(m_us, 1) OVER w AS p1, lag(m_us, 2) OVER w AS p2,
+         |        lead(m_us, 1) OVER w AS f1, lead(m_us, 2) OVER w AS f2
+         |      FROM m
+         |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY w_start))
+         |SELECT user_id, event_type, w_start,
+         |       CAST(m_us AS DOUBLE) / 1000000.0 + 0 AS v_mean,
+         |       CAST(CAST(round(CAST(17 * m_us + 12 * (p1 + f1) - 3 * (p2 + f2) AS DOUBLE) / 35.0, 0) AS BIGINT) AS DOUBLE) / 1000000.0 + 0 AS sg_mean,
+         |       CAST(n_points AS BIGINT) AS n_points
+         |FROM x ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.boxplotWindows: raw type-7 quartiles (the
+    // ts_mad pctRaw machinery), float fences, Q6 on emit only
+    "ts_boxplot" -> {
+      def pctRaw(p: String) = {
+        val idx = s"$p * CAST(n - 1 AS DOUBLE)"
+        s"""max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1 THEN value END)
+           | + (max(CASE WHEN rn = CAST(ceil($idx) AS BIGINT) + 1 THEN value END)
+           |    - max(CASE WHEN rn = CAST(floor($idx) AS BIGINT) + 1 THEN value END))
+           |   * max($idx - floor($idx))""".stripMargin
+      }
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $WEEK) AS w_start, t_us, value
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY user_id, event_type, w_start
+         |                           ORDER BY value, t_us) AS rn,
+         |        count(*) OVER (PARTITION BY user_id, event_type, w_start) AS n
+         |      FROM w),
+         |q AS (SELECT user_id, event_type, w_start, count(*) AS n_points,
+         |        ${pctRaw("0.25")} AS q25,
+         |        ${pctRaw("0.5")} AS q50,
+         |        ${pctRaw("0.75")} AS q75
+         |      FROM r GROUP BY 1, 2, 3),
+         |f AS (SELECT *, q25 - 1.5 * (q75 - q25) AS f_lo,
+         |               q75 + 1.5 * (q75 - q25) AS f_hi
+         |      FROM q),
+         |o AS (SELECT w.user_id, w.event_type, w.w_start,
+         |        sum(CASE WHEN value < f_lo THEN 1 ELSE 0 END) AS n_out_lo,
+         |        sum(CASE WHEN value > f_hi THEN 1 ELSE 0 END) AS n_out_hi
+         |      FROM w JOIN f ON w.user_id = f.user_id
+         |        AND w.event_type = f.event_type AND w.w_start = f.w_start
+         |      GROUP BY 1, 2, 3)
+         |SELECT f.user_id, f.event_type, f.w_start,
+         |       CAST(n_points AS BIGINT) AS n_points,
+         |       ${Q6("q25")} AS p25, ${Q6("q50")} AS p50, ${Q6("q75")} AS p75,
+         |       ${Q6("q75 - q25")} AS iqr,
+         |       CAST(n_out_lo AS BIGINT) AS n_out_lo,
+         |       CAST(n_out_hi AS BIGINT) AS n_out_hi
+         |FROM f JOIN o ON f.user_id = o.user_id
+         |  AND f.event_type = o.event_type AND f.w_start = o.w_start
+         |ORDER BY f.user_id, f.event_type, f.w_start""".stripMargin
+    },
+
+    // mirrors TimeSeriesOps.xcorrMatrix: TakeOrdered roster, window
+    // equi-join with the strict lexicographic pair order, exact-HUGEINT
+    // moments, the correlation() float assembly
+    "ts_xcorr_matrix" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us,
+         |        count(*) AS n
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3),
+         |tot AS (SELECT user_id, event_type FROM m
+         |        GROUP BY 1, 2 ORDER BY sum(n) DESC, user_id, event_type LIMIT 8),
+         |mm AS (SELECT m.* FROM m JOIN tot USING (user_id, event_type)),
+         |j AS (SELECT a.user_id AS user_id_a, a.event_type AS event_type_a,
+         |             b.user_id AS user_id_b, b.event_type AS event_type_b,
+         |             a.m_us AS x, b.m_us AS y
+         |      FROM mm a JOIN mm b ON a.w_start = b.w_start
+         |        AND (a.user_id < b.user_id
+         |             OR (a.user_id = b.user_id AND a.event_type < b.event_type))),
+         |mo AS (SELECT user_id_a, event_type_a, user_id_b, event_type_b,
+         |             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |             sum(CAST(y AS HUGEINT) * y) AS syy,
+         |             sum(CAST(x AS HUGEINT) * y) AS sxy
+         |      FROM j GROUP BY 1, 2, 3, 4)
+         |SELECT user_id_a, event_type_a, user_id_b, event_type_b,
+         |       CAST(n AS BIGINT) AS n_windows,
+         |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |             AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |            THEN ${Q6(
+             """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin)}
+         |       END AS r
+         |FROM mo ORDER BY user_id_a, event_type_a, user_id_b, event_type_b""".stripMargin,
+
     "ts_percentile" ->
       s"""WITH pts AS ($PTS_SQL),
          |w AS (SELECT user_id, event_type,
@@ -2677,6 +2849,31 @@ object SparkEntry {
         |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q4_semi" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q22_anti" ->
+      """WITH cb AS (SELECT c_custkey, c_nationkey,
+        |                   CAST(round(c_acctbal * 10000.0, 0) AS BIGINT) AS bal_us
+        |            FROM customer),
+        |st AS (SELECT sum(bal_us) AS s_us, count(*) AS n_pos
+        |       FROM cb WHERE bal_us > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+        |       round(CAST(sum(bal_us) AS DOUBLE) / 100, 0) / 100 + 0 AS acctbal_sum
+        |FROM cb, st
+        |WHERE bal_us * n_pos > s_us
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q6_filter" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue

@@ -2420,4 +2420,155 @@ object TimeSeriesOps {
         ((col("r_mean_us") - col("l_mean_us")).cast("double") / 1e6 + lit(0d))
           .as("shift")): _*)
   }
+
+  /** Savitzky–Golay smoothing (Savitzky & Golay 1964) of the per-window
+    * mean series: the quadratic/cubic 5-point kernel (−3, 12, 17, 12,
+    * −3)/35 — the standard "smooth without flattening the peaks" filter
+    * (a moving average biases every local extremum toward its
+    * shoulders; the SG quadratic fit preserves second-order structure).
+    * Runs over each stream's OCCUPIED-window rounded-µ-unit mean series
+    * in w_start order (row adjacency, the rolling()/peaks() series
+    * contract); windows without the full 5-row frame emit a NULL smooth
+    * (the classical edge rule, matching decompose()'s full-frame trend).
+    *
+    * Determinism: window means are rounded integer micro-units (the
+    * peaks idiom), the kernel dot product is a pure long expression, and
+    * the single float step is one correctly-rounded division by 35
+    * before the µ-unit re-round — both engines replay it bit-for-bit.
+    *
+    * Scale shape: one map-side-partial groupBy to window means, then one
+    * rows-frame window over grid-bounded per-stream groups — raw points
+    * see only the partial-agg exchange, never a stream-wide sort.
+    */
+  def savgol(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+             width: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val means = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("m_us"),
+        count(lit(1)).as("n_points"))
+    val ord = Window.partitionBy(key: _*).orderBy(col("w_start"))
+    val sgNum = lit(17L) * col("m_us") +
+      lit(12L) * (lag(col("m_us"), 1).over(ord) + lead(col("m_us"), 1).over(ord)) -
+      lit(3L) * (lag(col("m_us"), 2).over(ord) + lead(col("m_us"), 2).over(ord))
+    means
+      .withColumn("sg_us", round(sgNum.cast("double") / 35.0, 0).cast("long"))
+      .select(key ++ Seq(col("w_start"),
+        (col("m_us").cast("double") / 1e6 + lit(0d)).as("v_mean"),
+        (col("sg_us").cast("double") / 1e6 + lit(0d)).as("sg_mean"),
+        col("n_points")): _*)
+  }
+
+  /** Per-window five-number summary + Tukey-fence outlier counts (the
+    * boxplot serving query): exact type-7 p25/p50/p75 via the
+    * percentileWindows rank-lookup (deterministic (value, t_us) order,
+    * conditional aggregation over row_number — no per-group sort
+    * materialization), IQR, and the counts of points beyond
+    * q1 − w·IQR / q3 + w·IQR. Fences are computed on the RAW
+    * interpolated quantiles (floats both engines assemble identically);
+    * Q6 quantization happens only on emit. The outlier count pass joins
+    * the points back on the same (stream, window) key — co-partitioned,
+    * no second shuffle key.
+    */
+  def boxplotWindows(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                     width: Long, whisker: Double = 1.5,
+                     version: Option[Long] = None): DataFrame = {
+    require(whisker > 0, s"whisker must be positive, got $whisker")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val grp = key :+ col("w_start")
+    val joinCols = streamCols :+ "w_start"
+    val base = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key :+ widthBucket(start, width) :+ col("t_us") :+ col("value"): _*)
+    val ord = Window.partitionBy(grp: _*).orderBy(col("value"), col("t_us"))
+    val ranked = base
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+    val qs = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75)
+    val aggs = qs.flatMap { case (t, p) =>
+      val idx = lit(p) * (col("n") - 1).cast("double")
+      Seq(
+        max(when(col("rn") === floor(idx).cast("long") + 1, col("value"))).as(s"lo_$t"),
+        max(when(col("rn") === ceil(idx).cast("long") + 1, col("value"))).as(s"hi_$t"),
+        max(idx - floor(idx)).as(s"frac_$t"))
+    } :+ count(lit(1)).as("n_points")
+    val quart = ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+      .select(grp ++ Seq(col("n_points")) ++ qs.map { case (t, _) =>
+        (col(s"lo_$t") + (col(s"hi_$t") - col(s"lo_$t")) * col(s"frac_$t")).as(s"q$t")
+      }: _*)
+      .withColumn("f_lo", col("q25") - lit(whisker) * (col("q75") - col("q25")))
+      .withColumn("f_hi", col("q75") + lit(whisker) * (col("q75") - col("q25")))
+    val outs = base.join(quart.select(grp ++ Seq(col("f_lo"), col("f_hi")): _*), joinCols)
+      .groupBy(grp: _*)
+      .agg(sum(when(col("value") < col("f_lo"), 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(col("value") > col("f_hi"), 1L).otherwise(0L)).as("n_out_hi"))
+    quart.join(outs, joinCols)
+      .select(key ++ Seq(col("w_start"), col("n_points"),
+        graft.Quant.q6(col("q25")).as("p25"),
+        graft.Quant.q6(col("q50")).as("p50"),
+        graft.Quant.q6(col("q75")).as("p75"),
+        graft.Quant.q6(col("q75") - col("q25")).as("iqr"),
+        col("n_out_lo"), col("n_out_hi")): _*)
+  }
+
+  /** Fleet cross-correlation matrix: pairwise Pearson r of the
+    * window-mean series across the top-N streams by point volume
+    * ("which signals in this fleet move together?" — ts_similar answers
+    * it against ONE query stream; this is the roster×roster audit).
+    * The N² blow-up is tamed by construction: the roster is a
+    * TakeOrdered top-N (deterministic ties by stream key), broadcast
+    * into the mean frame, so the self-join is (N · grid)×(N · grid) on
+    * the window equi-key — metadata scale, never fleet×fleet. Moments
+    * are the correlation() exact-DECIMAL forms over rounded-µ-unit
+    * means; each unordered pair appears once (strict lexicographic key
+    * order), diagonal excluded.
+    */
+  def xcorrMatrix(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                  width: Long, topN: Int, version: Option[Long] = None): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val key = streamKey(streamCols)
+    val completeEnd = start + ((end - start) / width) * width
+    val means = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ widthBucket(start, width): _*)
+      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
+        .cast("long").as("m_us"),
+        count(lit(1)).as("n"))
+    val roster = means.groupBy(key: _*).agg(sum(col("n")).as("n_points"))
+      .orderBy(col("n_points").desc +: key: _*)
+      .limit(topN)
+    val m = means.join(broadcast(roster.select(key: _*)), streamCols)
+    def side(suffix: String, v: String) = m.select(
+      streamCols.map(c => col(c).as(s"${c}_$suffix")) ++
+        Seq(col("w_start").as(s"w_$suffix"), col("m_us").as(v)): _*)
+    val a = side("a", "x")
+    val b = side("b", "y")
+    // strict lexicographic order on the composite stream key: each
+    // unordered pair once, no diagonal
+    val pairLt = streamCols.zipWithIndex.map { case (c, i) =>
+      val eqPrefix = streamCols.take(i)
+        .map(p => col(s"${p}_a") === col(s"${p}_b"))
+        .foldLeft(lit(true))(_ && _)
+      eqPrefix && col(s"${c}_a") < col(s"${c}_b")
+    }.reduce(_ || _)
+    val xd = col("x").cast("decimal(38,0)")
+    val yd = col("y").cast("decimal(38,0)")
+    val pairKey = streamCols.map(c => col(s"${c}_a")) ++ streamCols.map(c => col(s"${c}_b"))
+    val mom = a.join(b, col("w_a") === col("w_b") && pairLt)
+      .groupBy(pairKey: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"), sum(xd * yd).as("sxy"))
+    val nD = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val den1 = sqrt(nD * col("sxx").cast("double") - sx * sx)
+    val den2 = sqrt(nD * col("syy").cast("double") - sy * sy)
+    mom.select(pairKey ++ Seq(col("n").as("n_windows"),
+      when(den1 > 0 && den2 > 0, graft.Quant.q6(cov / (den1 * den2))).as("r")): _*)
+  }
 }

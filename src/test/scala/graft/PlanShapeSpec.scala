@@ -475,6 +475,22 @@ class PlanShapeSpec extends SparkSuite {
       s"ts_dtw top-k not TakeOrdered:\n${dtwPlan.take(3000)}")
   }
 
+  test("q4/q22: semi and anti joins plan as hash joins, never NOT-IN scans") {
+    // q4's EXISTS must plan as a LeftSemi equi-join on orderkey (the
+    // late-ship residual rides the join condition, not a fanning inner
+    // join + distinct); q22's NOT EXISTS as a LeftAnti equi-join. The
+    // one BNLJ allowed in q22 is the 1-row stats broadcast (the
+    // emb_outliers shape); true cartesians stay banned.
+    val q4 = physical(SparkEntry.queries("q4_semi")(spark, sfDir))
+    assert(q4.contains("LeftSemi"), s"q4_semi not a semi join:\n${q4.take(3000)}")
+    assert(!q4.contains("CartesianProduct"), s"q4_semi:\n${q4.take(3000)}")
+    val q22 = physical(SparkEntry.queries("q22_anti")(spark, sfDir))
+    assert(q22.contains("LeftAnti"), s"q22_anti not an anti join:\n${q22.take(3000)}")
+    assert(!q22.contains("CartesianProduct"), s"q22_anti:\n${q22.take(3000)}")
+    assert(q22.contains("BroadcastExchange") || q22.contains("BroadcastQueryStage"),
+      s"q22_anti stats row not broadcast:\n${q22.take(3000)}")
+  }
+
   test("round-5c ops: pushed bounds, no cartesians, funnel merges as-of") {
     for (q <- Seq("ts_stddev", "ts_deriv", "ts_wow", "ts_funnel",
         "emb_norms", "emb_dim_stats", "text_wordlen", "dedup_prefix")) {

@@ -890,4 +890,58 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(r.map(x => (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4))).toSeq ==
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
+
+  test("savgol passes a linear series through exactly and keeps peaks sharper than a 5-MA") {
+    // one point per window → m_us = value; linear in, linear out (the
+    // quadratic kernel reproduces polynomials up to degree 3 exactly)
+    val lin = pts((0L, 1.0), (10L, 2.0), (20L, 3.0), (30L, 4.0),
+      (40L, 5.0), (50L, 6.0), (60L, 7.0))
+    val sg = TimeSeriesOps.savgol(lin, Seq("uuid"), 0L, 70L, 10L)
+      .orderBy("w_start").collect()
+    // edges (incomplete 5-frames) are NULL
+    assert(sg(0).isNullAt(sg(0).fieldIndex("sg_mean")))
+    assert(sg(1).isNullAt(sg(1).fieldIndex("sg_mean")))
+    assert(sg(5).isNullAt(sg(5).fieldIndex("sg_mean")))
+    assert(sg(6).isNullAt(sg(6).fieldIndex("sg_mean")))
+    for (i <- 2 to 4)
+      assert(sg(i).getDouble(sg(i).fieldIndex("sg_mean")) == (i + 1).toDouble,
+        s"linear series distorted at $i: ${sg(i)}")
+    // isolated spike 0,0,7,0,0: SG keeps 17/35 of it; a 5-MA keeps 7/35
+    val spike = pts((0L, 0.0), (10L, 0.0), (20L, 7.0), (30L, 0.0), (40L, 0.0))
+    val s2 = TimeSeriesOps.savgol(spike, Seq("uuid"), 0L, 50L, 10L)
+      .orderBy("w_start").collect()
+    assert(s2(2).getDouble(s2(2).fieldIndex("sg_mean")) == 3.4) // 17*7/35
+  }
+
+  test("boxplot: exact type-7 quartiles and Tukey fences count the planted outlier") {
+    val p = pts((0L to 7L).map(i => (i, (i + 1).toDouble)) :+ ((8L, 100.0)): _*)
+    val b = TimeSeriesOps.boxplotWindows(p, Seq("uuid"), 0L, 10L, 10L).collect()
+    assert(b.length == 1)
+    val r = b.head
+    // n=9: q25 at idx 2 → 3.0 exact, q50 at idx 4 → 5.0, q75 at idx 6 → 7.0
+    assert(r.getDouble(r.fieldIndex("p25")) == 3.0)
+    assert(r.getDouble(r.fieldIndex("p50")) == 5.0)
+    assert(r.getDouble(r.fieldIndex("p75")) == 7.0)
+    assert(r.getDouble(r.fieldIndex("iqr")) == 4.0)
+    // fences [3-6, 7+6] = [-3, 13] → only the 100 is out, high side
+    assert(r.getLong(r.fieldIndex("n_out_lo")) == 0L)
+    assert(r.getLong(r.fieldIndex("n_out_hi")) == 1L)
+  }
+
+  test("xcorr matrix: each unordered roster pair once with the exact signs") {
+    import spark.implicits._
+    def stream(u: String, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (u, i * 10L, v) }
+        .toDF("uuid", "t_us", "value").withColumn("ver", lit(1L))
+    val p = stream("a", Seq(1, 2, 3, 4, 5).map(_.toDouble))
+      .union(stream("b", Seq(2, 4, 6, 8, 10).map(_.toDouble)))  // r(a,b)=+1
+      .union(stream("c", Seq(5, 4, 3, 2, 1).map(_.toDouble)))   // r(a,c)=-1
+      .union(stream("d", Seq(9.0)))                             // low volume
+    val m = TimeSeriesOps.xcorrMatrix(p, Seq("uuid"), 0L, 50L, 10L, topN = 3)
+      .orderBy("uuid_a", "uuid_b").collect()
+    // top-3 roster excludes d; 3 streams → 3 pairs, each once, a<b order
+    assert(m.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(m.map(_.getDouble(m.head.fieldIndex("r"))).toSeq == Seq(1.0, -1.0, -1.0))
+  }
 }
