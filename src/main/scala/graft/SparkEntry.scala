@@ -950,6 +950,13 @@ object SparkEntry {
       Vectors.pqAudit(Tables.load(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
 
+    // PQ-ADC serving on top of the codes: per-query m×k distance table
+    // (µ-unit-exact entries, broadcast), ADC = m table lookups per
+    // candidate, top-32 survivors exact-cosine re-ranked to top-10
+    "emb_ann_pq" -> ((s, dir) =>
+      Vectors.annPq(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("q_id"), col("rank"))),
+
     "emb_ann_ivf" -> ((s, dir) =>
       Vectors.annIvf(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
@@ -3275,6 +3282,50 @@ object SparkEntry {
          |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes,
          |       ${MEAN6(s"sum(${US6("sse")})", "64")} AS recon_mse
          |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // mirrors Vectors.annPq: seed codebook from the 16 lowest-id CORPUS
+    // vectors, codes by the direct SSE argmin, per-query µ-unit distance
+    // tables, ADC = exact long sum of m lookups, top-32 → exact-cosine
+    // top-10 re-rank — every stage a deterministic total order
+    "emb_ann_pq" -> {
+      val sseQ = "list_sum(list_transform(generate_series(1, 8), " +
+        "i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+      s"""WITH sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id - 5 AS INT) AS code, svec AS cvec
+         |       FROM sv WHERE vec_id >= 5 AND vec_id < 21),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub) WHERE v.vec_id >= 5),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id AS n_id, sub, code FROM r WHERE rn = 1),
+         |qd AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+         |         ${US6(sseQ)} AS dist_us
+         |       FROM sv v JOIN cb c USING (sub) WHERE v.vec_id < 5),
+         |adc AS (SELECT q_id, n_id, sum(dist_us) AS adc_us
+         |        FROM codes JOIN qd USING (sub, code) GROUP BY 1, 2),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_us, n_id) AS rn
+         |         FROM adc),
+         |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |x AS (SELECT c.q_id, c.n_id, c.adc_us,
+         |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM cand c JOIN e q ON q.vec_id = c.q_id
+         |                  JOIN e n ON n.vec_id = c.n_id
+         |      WHERE c.rn <= 32),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rank
+         |      FROM x)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc_us AS DOUBLE) / 1000000.0 + 0 AS adc_dist,
+         |       ${Q6("cos")} AS cos_sim
+         |FROM f WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
 
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),

@@ -388,6 +388,83 @@ object Vectors {
         graft.Quant.mean6(col("sse_us"), lit(dim)).as("recon_mse"))
   }
 
+  /** PQ-ADC ANN serving (Jégou et al. 2011 §IV) — the query path on top
+    * of pqAudit's codes, completing the serving triad next to annLsh
+    * (bucket pruning) and annIvf (cell pruning): each query builds an
+    * m×k DISTANCE TABLE against the codebook once, every corpus vector's
+    * approximate distance is then m table lookups summed (never a 64-dim
+    * dot per candidate), and the top-`rerank` ADC survivors are
+    * exact-cosine re-ranked to the final top-k.
+    *
+    * Determinism: the codebook is the seed quantizer over the `kCodes`
+    * lowest-id CORPUS vectors (the pqAudit / emb_ann_ivf_served
+    * zero-training rule); distance-table entries quantize to integer
+    * µ-units (one per (query, sub, code) — exact), so the ADC sum is an
+    * order-free long and both the ADC rank (adc_us asc, vec_id) and the
+    * re-rank (cos desc, vec_id) are total orders the oracle replays
+    * bit-for-bit.
+    *
+    * Scale shape: codebook and distance tables are metadata
+    * (m·kCodes / nQueries·m·kCodes rows) and BROADCAST; corpus codes are
+    * computed in one pass (the pqAudit shape) and the ADC lookup join
+    * fans m rows per (query, vector) that a map-side partial sum
+    * collapses before the (q, vec) shuffle; the exact re-rank touches
+    * only nQueries·rerank full vectors through a keyed equi-join. In a
+    * full deployment the corpus codes persist next to the IVF cells
+    * (IvfIndex) so ADC scans only probed cells — the kernel here is the
+    * same.
+    */
+  def annPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8, kCodes: Int = 16,
+            rerank: Int = 32, vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(rerank >= k, s"rerank=$rerank must cover k=$k")
+    val sub = dim / m
+    val subArrs = array((0 until m).map(j => slice(col(vecCol), j * sub + 1, sub)): _*)
+    def exploded(df: DataFrame) =
+      df.select(col("vec_id"), posexplode(subArrs).as(Seq("sub", "svec")))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val cb = exploded(corpus.filter(col("vec_id") < nQueries + kCodes))
+      .select(col("sub"), (col("vec_id") - nQueries).cast("int").as("code"),
+        col("svec").as("cvec"))
+    val sse = expr(
+      """aggregate(
+        |  zip_with(svec, cvec,
+        |    (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
+        |            * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
+        |  CAST(0 AS DOUBLE), (a, e) -> a + e)""".stripMargin)
+    val codes = exploded(graft.Tables.rebalance(corpus))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("sse", sse)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("sse"), col("code"))).as("best"))
+      .select(col("vec_id").as("n_id"), col("sub"), col("best.code").as("code"))
+    val dt = exploded(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("sub"), col("svec"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("dist_us", graft.Quant.us6(sse))
+      .select(col("q_id"), col("sub"), col("code"), col("dist_us"))
+    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dist_us")).as("adc_us"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_us"), col("n_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("n_id"), col("adc_us"))
+    val qv = withNorm(emb.filter(col("vec_id") < nQueries), vecCol)
+      .select(col("vec_id").as("q_id"), col(vecCol).as("va"), col("nrm").as("na"))
+    val cv = withNorm(corpus, vecCol)
+      .select(col("vec_id").as("n_id"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        (col("adc_us").cast("double") / 1e6 + lit(0d)).as("adc_dist"),
+        graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
+
   /** LSH-bucketed near-dup pair generation — the corpus-scale form of
     * cosinePairs, and the embedding-space analogue of text MinHash dedup
     * (Dedup.minhashPairs): candidates = vector pairs sharing a bucket in

@@ -126,6 +126,27 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("PQ-ADC ANN: recall vs brute force, contiguous ranks, exact re-rank order") {
+    val brute = Vectors.annTopK(emb, 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Vectors.annPq(emb, 5, 10)
+    val got = pq.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"PQ-ADC recall@10 was $recall")
+    val rows = pq.collect()
+    // ranks contiguous from 1 per query
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length),
+        s"query $q ranks ${rs.map(_.getLong(2)).toSeq}")
+    }
+    // within a query, rank order IS exact cosine order (re-rank contract)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(2)).map(_.getDouble(4)).toSeq
+      assert(byRank == byRank.sortBy(-_), s"query $q not cosine-ordered: $byRank")
+    }
+  }
+
   test("LSH cosine pairs are a subset of exact pairs with identical similarities") {
     val exact = Vectors.cosinePairs(emb, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

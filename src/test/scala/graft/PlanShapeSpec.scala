@@ -475,6 +475,17 @@ class PlanShapeSpec extends SparkSuite {
       s"ts_dtw top-k not TakeOrdered:\n${dtwPlan.take(3000)}")
   }
 
+  test("emb_ann_pq: broadcast codebook/dtable, no cartesian, TakeOrdered-free windows bounded") {
+    val plan = physical(SparkEntry.queries("emb_ann_pq")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"emb_ann_pq:\n${plan.take(3000)}")
+    // the codebook and per-query distance tables are metadata-scale
+    // broadcasts; the corpus is never nested-loop joined
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"emb_ann_pq codebook/dtable not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"emb_ann_pq degraded to a nested loop:\n${plan.take(3000)}")
+  }
+
   test("q4/q22: semi and anti joins plan as hash joins, never NOT-IN scans") {
     // q4's EXISTS must plan as a LeftSemi equi-join on orderkey (the
     // late-ship residual rides the join condition, not a fanning inner
