@@ -430,6 +430,16 @@ object SparkEntry {
       TS.anomalies(Tables.points(s, dir), STREAM, 2.0)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
+    // seasonal-aware anomalies: z against the stream's OWN time-of-day
+    // profile — normal-at-6pm vs incident-at-3am, which the global z
+    // above cannot distinguish. Quarter-day phases (6 h × 4): per-phase
+    // groups at the gate SFs are deep enough that z ≥ 2 is reachable
+    // (hour-of-day groups cap z at sqrt(n−1) ≈ 1.9 here)
+    "ts_anomaly_seasonal" -> ((s, dir) =>
+      TS.anomaliesSeasonal(Tables.points(s, dir), STREAM, 2.0,
+          bucketUs = 6 * HOUR, periodBuckets = 4)
+        .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
+
     // robust dispersion: median + MAD per window (outlier-proof bands)
     "ts_mad" -> ((s, dir) =>
       TS.madWindows(Tables.points(s, dir), STREAM, T0, T29, WEEK)
@@ -2230,6 +2240,29 @@ object SparkEntry {
          |SELECT user_id, event_type, t_us, value,
          |       ${Q6("(CAST(us AS DOUBLE) - mean) / std")} AS z_score
          |FROM j WHERE std > 0 AND abs((CAST(us AS DOUBLE) - mean) / std) >= 2.0
+         |ORDER BY user_id, event_type, t_us, value""".stripMargin,
+
+    // mirrors TimeSeriesOps.anomaliesSeasonal: per-(stream, hour-phase)
+    // streamStats moments, minN guard, identical float assembly
+    "ts_anomaly_seasonal" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |u AS (SELECT user_id, event_type, t_us,
+         |             (t_us // ${6 * HOUR}) % 4 AS phase, value, ${US6("value")} AS us
+         |      FROM pts),
+         |st AS (SELECT user_id, event_type, phase, sum(us) AS s1,
+         |              sum(CAST(us AS HUGEINT) * us) AS s2, count(*) AS n
+         |       FROM u GROUP BY 1, 2, 3),
+         |j AS (SELECT u.user_id AS user_id, u.event_type AS event_type,
+         |             u.t_us AS t_us, u.phase AS phase, u.value AS value, u.us AS us,
+         |             st.n AS n, CAST(st.s1 AS DOUBLE) / st.n AS mean,
+         |             sqrt(CAST(st.s2 AS DOUBLE) / st.n
+         |                  - (CAST(st.s1 AS DOUBLE) / st.n) * (CAST(st.s1 AS DOUBLE) / st.n)) AS std
+         |      FROM u JOIN st ON u.user_id = st.user_id
+         |        AND u.event_type = st.event_type AND u.phase = st.phase)
+         |SELECT user_id, event_type, t_us, phase, value,
+         |       ${Q6("(CAST(us AS DOUBLE) - mean) / std")} AS z_score
+         |FROM j WHERE n >= 2 AND std > 0
+         |  AND abs((CAST(us AS DOUBLE) - mean) / std) >= 2.0
          |ORDER BY user_id, event_type, t_us, value""".stripMargin,
 
     // mirrors TimeSeriesOps.correlation: exact integer µ-unit window means,

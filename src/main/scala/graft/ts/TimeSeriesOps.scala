@@ -1332,6 +1332,46 @@ object TimeSeriesOps {
         graft.Quant.q6(col("z")).as("z_score")): _*)
   }
 
+  /** Seasonal-aware anomaly detection: z-score against the stream's OWN
+    * per-phase profile — a 6pm load spike is normal AT 6pm and an
+    * incident at 3am, a distinction the global-profile z (anomalies())
+    * cannot make. Phase = position within a repeating period (hour of
+    * day at the defaults), pure epoch-µs integer arithmetic (the
+    * seasonalProfile rule — no calendar library on either engine).
+    * Profile moments per (stream, phase) follow the streamStats recipe
+    * exactly (µ-unit DECIMAL sums, one deterministic float assembly);
+    * phases with fewer than `minN` points never flag (one observation
+    * has σ = 0 and would divide by zero or flag everything).
+    *
+    * Scale shape: the profile is one map-side-partial groupBy bounded by
+    * streams × periodBuckets (metadata scale → broadcast back onto the
+    * scan, the anomalies() shape); the flagged output is filter-selective.
+    */
+  def anomaliesSeasonal(points: DataFrame, streamCols: Seq[String], zThresh: Double,
+                        bucketUs: Long = 3600000000L, periodBuckets: Int = 24,
+                        minN: Long = 2, version: Option[Long] = None): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    require(bucketUs > 0 && periodBuckets > 0, "bucketUs/periodBuckets must be positive")
+    val key = streamKey(streamCols)
+    val phase = pmod(expr(s"t_us div $bucketUs"), lit(periodBuckets.toLong)).as("phase")
+    val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
+    val mean = col("s1").cast("double") / col("n")
+    val profile = atVersion(points, version)
+      .groupBy(key :+ phase: _*)
+      .agg(sum(us).as("s1"), sum(us * us).as("s2"), count(lit(1)).as("n"))
+      .select(key ++ Seq(col("phase"),
+        mean.as("mean_us"),
+        sqrt(col("s2").cast("double") / col("n") - mean * mean).as("std_us"),
+        col("n")): _*)
+    atVersion(points, version)
+      .withColumn("phase", phase)
+      .join(broadcast(profile), streamCols :+ "phase")
+      .withColumn("z", zScore)
+      .filter(col("n") >= minN && col("std_us") > 0 && abs(col("z")) >= zThresh)
+      .select(key ++ Seq(col("t_us"), col("phase"), col("value"),
+        graft.Quant.q6(col("z")).as("z_score")): _*)
+  }
+
   /** Pearson correlation between two point sets (e.g. two sensor types)
     * per `keyCols`, computed over their aligned window-mean series: both
     * sides reduce to exact integer micro-unit window means, inner-join on

@@ -678,4 +678,57 @@ class IngestSpec extends SparkSuite {
     df.write.mode("overwrite").parquet(d)
     d
   }
+
+  test("streaming heavy hitters: exact at capacity, bracketed beyond it") {
+    import graft.streaming.{ItemEvent, TopK}
+    // -- exact regime: capacity covers the item universe ----------------
+    val src = tmpDir("hh_src")
+    val ckpt = tmpDir("hh_ckpt")
+    Seq(("g", 1L, "a"), ("g", 2L, "b"), ("g", 3L, "a"), ("g", 4L, "c"), ("g", 5L, "a"))
+      .toDF("group", "time", "item").write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("group STRING, time LONG, item STRING")
+      .parquet(src).as[ItemEvent]
+    val q = TopK.heavyHitters(stream, capacity = 8, k = 3).writeStream
+      .outputMode("update").format("memory").queryName("hh_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    Seq(("g", 6L, "b"), ("g", 7L, "a"), ("g", 8L, "b"), ("g", 9L, "c"), ("g", 10L, "a"))
+      .toDF("group", "time", "item").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    // the latest summary per group is the emission with max n_seen
+    val fin = spark.sql("SELECT item, est, err FROM hh_out WHERE n_seen = 10 ORDER BY est DESC, item")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // capacity ≥ distinct → exact counts, zero error, across batches
+    assert(fin == Seq(("a", 5L, 0L), ("b", 3L, 0L), ("c", 2L, 0L)), s"got $fin")
+
+    // -- lossy regime: capacity 2 over a skewed stream ------------------
+    val src2 = tmpDir("hh2_src")
+    val ckpt2 = tmpDir("hh2_ckpt")
+    // a×9, b×5, c/d/e×1 → n=16, n/capacity=8 < 9: 'a' MUST survive
+    val evs = (1 to 9).map(i => ("g", i.toLong, "a")) ++
+      (10 to 14).map(i => ("g", i.toLong, "b")) ++
+      Seq(("g", 15L, "c"), ("g", 16L, "d"), ("g", 17L, "e"))
+    evs.take(8).toDF("group", "time", "item").write.mode("append").parquet(src2)
+    val stream2 = spark.readStream.schema("group STRING, time LONG, item STRING")
+      .parquet(src2).as[ItemEvent]
+    val q2 = TopK.heavyHitters(stream2, capacity = 2, k = 2).writeStream
+      .outputMode("update").format("memory").queryName("hh2_out")
+      .option("checkpointLocation", ckpt2).start()
+    q2.processAllAvailable()
+    evs.drop(8).toDF("group", "time", "item").write.mode("append").parquet(src2)
+    q2.processAllAvailable()
+    q2.stop()
+    val truth = evs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val fin2 = spark.sql("SELECT item, est, err FROM hh2_out WHERE n_seen = 17")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fin2.size == 2)
+    // the Space-Saving bracket: true ≤ est and est − err ≤ true
+    fin2.foreach { case (i, est, err) =>
+      val t = truth(i)
+      assert(t <= est && est - err <= t, s"item $i: true=$t est=$est err=$err")
+    }
+    // the guaranteed heavy hitter is present
+    assert(fin2.exists(_._1 == "a"), s"heavy item evicted: $fin2")
+  }
 }

@@ -891,6 +891,28 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
 
+  test("seasonal anomalies flag per-phase outliers, not cross-phase baseline shifts") {
+    val H = 3600000000L
+    // hour-0 baseline 10 (one 20), hour-1 baseline 100 (one 110): each
+    // phase's outlier is z=3 against its OWN profile; the 100s are never
+    // flagged even though they are wild against the global mean
+    val p = pts(
+      ((0 until 9).map(i => (i * 1000L, 10.0)) :+ ((9 * 1000L, 20.0))) ++
+        ((0 until 9).map(i => (H + i * 1000L, 100.0)) :+ ((H + 9 * 1000L, 110.0))): _*)
+    val a = TimeSeriesOps.anomaliesSeasonal(p, Seq("uuid"), 2.0)
+      .orderBy("t_us").collect()
+    assert(a.length == 2, a.mkString("; "))
+    assert(a(0).getLong(a(0).fieldIndex("t_us")) == 9000L &&
+      a(0).getLong(a(0).fieldIndex("phase")) == 0L &&
+      a(0).getDouble(a(0).fieldIndex("z_score")) == 3.0)
+    assert(a(1).getLong(a(1).fieldIndex("t_us")) == H + 9000L &&
+      a(1).getLong(a(1).fieldIndex("phase")) == 1L &&
+      a(1).getDouble(a(1).fieldIndex("z_score")) == 3.0)
+    // the global-profile detector, by contrast, flags nothing here (the
+    // two-level mixture inflates sigma past both outliers)
+    assert(TimeSeriesOps.anomalies(p, Seq("uuid"), 2.0).count() == 0)
+  }
+
   test("savgol passes a linear series through exactly and keeps peaks sharper than a 5-MA") {
     // one point per window → m_us = value; linear in, linear out (the
     // quadratic kernel reproduces polynomials up to degree 3 exactly)
