@@ -403,6 +403,20 @@ object SparkEntry {
       TS.changePoints(Tables.points(s, dir), STREAM, T0, T29, DAY, 3, 15000000L)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // capacity forecast: one LSQ line per stream + the projected
+    // threshold-crossing time within a 1-year horizon (the "disk full
+    // in N days" SRE query)
+    "ts_capacity" -> ((s, dir) =>
+      TS.capacityForecast(Tables.points(s, dir), STREAM, T0, T29, 60.0, 365L * DAY)
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // multi-window SLO burn rate: day + week windows in one scan, bad =
+    // value > 150 (~p95 of this corpus), SLO 0.95 → budget 0.05
+    "ts_burnrate" -> ((s, dir) =>
+      TS.burnRate(Tables.points(s, dir), STREAM, T0, T29, Seq(DAY, WEEK),
+          col("value") > 150, 0.95)
+        .orderBy(col("user_id"), col("event_type"), col("width_us"), col("w_start"))),
+
     // Savitzky–Golay quadratic 5-point smoothing of the day-mean series
     // (preserves local extrema a moving average flattens)
     "ts_savgol" -> ((s, dir) =>
@@ -2059,6 +2073,54 @@ object SparkEntry {
          |  AND (prev_score IS NULL OR score > prev_score)
          |  AND (next_score IS NULL OR score >= next_score)
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.capacityForecast: exact HUGEINT moments per
+    // stream, one shared slope/intercept float assembly, the horizon
+    // guard applied on the raw double BEFORE the BIGINT cast
+    "ts_capacity" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type, count(*) AS n,
+         |        sum(CAST(t_us - $T0 AS HUGEINT)) AS st,
+         |        sum(CAST(${US6("value")} AS HUGEINT)) AS sv,
+         |        sum(CAST(t_us - $T0 AS HUGEINT) * (t_us - $T0)) AS stt,
+         |        sum(CAST(t_us - $T0 AS HUGEINT) * ${US6("value")}) AS stv
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |x AS (SELECT *, n * stv - st * sv AS num, n * stt - st * st AS den FROM m),
+         |y AS (SELECT *,
+         |        CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+         |        (CAST(sv AS DOUBLE)
+         |         - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * CAST(st AS DOUBLE))
+         |          / CAST(n AS DOUBLE) AS icept
+         |      FROM x)
+         |SELECT user_id, event_type, CAST(n AS BIGINT) AS n_points,
+         |       CASE WHEN den > 0 THEN ${Q6("slope")} END AS slope_per_s,
+         |       CASE WHEN den > 0 THEN ${Q6("icept / 1000000.0")} END AS intercept,
+         |       CASE WHEN den > 0 AND slope > 0 AND icept < 60000000.0
+         |             AND (60000000.0 - icept) / slope < 31536000000000.0
+         |            THEN $T0 + CAST(round((60000000.0 - icept) / slope, 0) AS BIGINT)
+         |       END AS t_cross_us
+         |FROM y ORDER BY user_id, event_type""".stripMargin,
+
+    // mirrors TimeSeriesOps.burnRate: widths unnested onto one scan,
+    // per-width complete-window cutoffs, exact counts, two float
+    // divisions replayed in the same order
+    "ts_burnrate" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |e AS (SELECT user_id, event_type, t_us, value, w.width_us AS width_us
+         |      FROM pts, (SELECT unnest([${DAY}, ${WEEK}]) AS width_us) w
+         |      WHERE t_us >= $T0 AND t_us < $T29
+         |        AND t_us < $T0 + (($T29 - $T0) // width_us) * width_us),
+         |g AS (SELECT user_id, event_type, width_us,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % width_us) AS w_start,
+         |        count(*) AS n_events,
+         |        sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS n_bad
+         |      FROM e GROUP BY 1, 2, 3, 4)
+         |SELECT user_id, event_type, width_us, w_start,
+         |       CAST(n_events AS BIGINT) AS n_events, CAST(n_bad AS BIGINT) AS n_bad,
+         |       ${Q6("CAST(n_bad AS DOUBLE) / CAST(n_events AS DOUBLE)")} AS bad_frac,
+         |       ${Q6("CAST(n_bad AS DOUBLE) / CAST(n_events AS DOUBLE) / (1.0 - 0.95)")} AS burn
+         |FROM g ORDER BY user_id, event_type, width_us, w_start""".stripMargin,
 
     // mirrors TimeSeriesOps.savgol: rounded-µ-unit window means, the
     // (−3,12,17,12,−3)/35 kernel as a long dot + ONE float division,

@@ -2149,6 +2149,88 @@ object TimeSeriesOps {
         .as("slope_per_s")): _*)
   }
 
+  /** Capacity forecast — the "disk full in N days" SRE projection: one
+    * least-squares line per STREAM over the whole range (the deriv()
+    * moment recipe without the window key — exact DECIMAL sums of
+    * µs-relative times × µ-unit values), plus the projected crossing
+    * time of `threshold`: t_cross = start + (thr − intercept)/slope.
+    * The crossing emits only for genuinely rising fits that are still
+    * below threshold and cross within `horizonUs` (a near-zero slope
+    * projects a crossing astronomically far out — past BIGINT in the
+    * oracle engine's strict cast, and useless operationally; the
+    * horizon comparison happens on the raw double, identically in both
+    * engines, before any cast).
+    *
+    * Scale shape: ONE map-side-partial aggregation to 5 moments per
+    * stream — the ts_stats_global cost class; nothing else touches the
+    * raw points.
+    */
+  def capacityForecast(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                       threshold: Double, horizonUs: Long,
+                       version: Option[Long] = None): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val key = streamKey(streamCols)
+    val d = col("t_us") - start
+    val mom = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < end)
+      .select(key ++ Seq(
+        d.cast("decimal(38,0)").as("tr"),
+        graft.Quant.us6(col("value")).cast("decimal(38,0)").as("vu")): _*)
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("tr")).as("st"), sum(col("vu")).as("sv"),
+        sum(col("tr") * col("tr")).as("stt"), sum(col("tr") * col("vu")).as("stv"))
+    val num = col("n") * col("stv") - col("st") * col("sv")
+    val den = col("n") * col("stt") - col("st") * col("st")
+    val slope = num.cast("double") / den.cast("double") // µ-units per µs ≡ units per s
+    val intercept = (col("sv").cast("double") - slope * col("st").cast("double")) /
+      col("n").cast("double")
+    val thrUs = threshold * 1e6
+    val rel = (lit(thrUs) - intercept) / slope
+    mom.select(key ++ Seq(col("n").as("n_points"),
+      when(den > 0, graft.Quant.q6(slope)).as("slope_per_s"),
+      when(den > 0, graft.Quant.q6(intercept / 1e6)).as("intercept"),
+      when(den > 0 && slope > 0 && intercept < thrUs && rel < horizonUs.toDouble,
+        lit(start) + round(rel, 0).cast("long")).as("t_cross_us")): _*)
+  }
+
+  /** Multi-window SLO burn rate (the Google SRE multi-window alert): per
+    * stream and window SIZE, each grid window's bad-event fraction
+    * divided by the error budget (1 − slo) — burn 1.0 consumes the
+    * budget exactly at window scale, 14.4 is the classic page threshold.
+    * All window sizes ride ONE scan: widths explode per point (a
+    * |widths|-fan of the filtered stream, the multires trade), each
+    * width bucketing on its own grid with its own complete-window
+    * cutoff; counts are exact longs and the fraction/burn are two float
+    * divisions both engines replay bit-for-bit.
+    */
+  def burnRate(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+               widths: Seq[Long], badPred: Column, slo: Double,
+               version: Option[Long] = None): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), s"widths must be positive: $widths")
+    require(slo > 0 && slo < 1, s"slo must be in (0,1), got $slo")
+    val key = streamKey(streamCols)
+    val exploded = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < end)
+      .select(key ++ Seq(col("t_us"), col("value"),
+        explode(array(widths.map(lit): _*)).as("width_us")): _*)
+      .filter(col("t_us") <
+        lit(start) + expr(s"(${end}L - ${start}L) div width_us") * col("width_us"))
+    val dRel = col("t_us") - start
+    val grp = key ++ Seq(col("width_us"),
+      (lit(start) + dRel - pmod(dRel, col("width_us"))).as("w_start"))
+    exploded
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(badPred, 1L).otherwise(0L)).as("n_bad"))
+      .select(key ++ Seq(col("width_us"), col("w_start"),
+        col("n_events"), col("n_bad"),
+        graft.Quant.q6(col("n_bad").cast("double") / col("n_events").cast("double"))
+          .as("bad_frac"),
+        graft.Quant.q6(col("n_bad").cast("double") / col("n_events").cast("double") /
+          (lit(1.0) - lit(slo))).as("burn")): _*)
+  }
+
   /** Offset comparison (PromQL `offset` / week-over-week): each window's
     * mean against the same stream's mean `offsetUs` earlier, with absolute
     * and percent change. Window means are rounded integer micro-units (the

@@ -475,6 +475,24 @@ class PlanShapeSpec extends SparkSuite {
       s"ts_dtw top-k not TakeOrdered:\n${dtwPlan.take(3000)}")
   }
 
+  test("continuation-wave ts ops: pushed bounds, no cartesians") {
+    for (q <- Seq("ts_savgol", "ts_boxplot", "ts_xcorr_matrix", "ts_capacity",
+        "ts_burnrate", "ts_anomaly_seasonal")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+      assert(plan.contains("GreaterThanOrEqual(ts") || q == "ts_anomaly_seasonal",
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+    }
+    // capacity is ONE aggregation over the scan — join-free
+    assert(!physical(SparkEntry.queries("ts_capacity")(spark, sfDir)).contains("Join"),
+      "ts_capacity should be join-free")
+    // the seasonal profile joins back as a broadcast, never a shuffle of
+    // the raw points against the profile
+    val sa = physical(SparkEntry.queries("ts_anomaly_seasonal")(spark, sfDir))
+    assert(sa.contains("BroadcastExchange") || sa.contains("BroadcastQueryStage"),
+      s"ts_anomaly_seasonal profile not broadcast:\n${sa.take(3000)}")
+  }
+
   test("emb_ann_pq: broadcast codebook/dtable, no cartesian, TakeOrdered-free windows bounded") {
     val plan = physical(SparkEntry.queries("emb_ann_pq")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), s"emb_ann_pq:\n${plan.take(3000)}")

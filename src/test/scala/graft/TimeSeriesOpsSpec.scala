@@ -891,6 +891,52 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
 
+  test("capacity forecast projects the exact crossing for a linear ramp, none when flat/falling") {
+    // value = t seconds: slope exactly 1/s, intercept 0 → threshold 10
+    // crosses at start + 10 s
+    val rise = pts((0 until 5).map(i => (i * 1000000L, i.toDouble)): _*)
+    val r = TimeSeriesOps.capacityForecast(rise, Seq("uuid"), 0L, 5000000L, 10.0,
+      3600000000L).collect().head
+    assert(r.getDouble(r.fieldIndex("slope_per_s")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("intercept")) == 0.0)
+    assert(r.getLong(r.fieldIndex("t_cross_us")) == 10000000L)
+    // flat stream: slope 0 → no crossing (already-below stays NULL)
+    val flat = pts((0 until 5).map(i => (i * 1000000L, 3.0)): _*)
+    val f = TimeSeriesOps.capacityForecast(flat, Seq("uuid"), 0L, 5000000L, 10.0,
+      3600000000L).collect().head
+    assert(f.getDouble(f.fieldIndex("slope_per_s")) == 0.0 &&
+      f.isNullAt(f.fieldIndex("t_cross_us")))
+    // falling stream: negative slope → no crossing
+    val fall = pts((0 until 5).map(i => (i * 1000000L, 10.0 - i)): _*)
+    val d = TimeSeriesOps.capacityForecast(fall, Seq("uuid"), 0L, 5000000L, 20.0,
+      3600000000L).collect().head
+    assert(d.getDouble(d.fieldIndex("slope_per_s")) == -1.0 &&
+      d.isNullAt(d.fieldIndex("t_cross_us")))
+    // a crossing beyond the horizon is suppressed, not overflowed
+    val slow = TimeSeriesOps.capacityForecast(rise, Seq("uuid"), 0L, 5000000L, 10.0,
+      horizonUs = 1000000L).collect().head
+    assert(slow.isNullAt(slow.fieldIndex("t_cross_us")))
+  }
+
+  test("burn rate counts bad fractions per width on its own complete grid") {
+    // [0, 40) at widths 10 and 20; bad = value > 5; plant 2 bad in
+    // [0,10), 1 bad in [10,20), 0 later
+    val p = pts((0L, 9.0), (1L, 9.0), (2L, 1.0), (3L, 1.0),
+      (12L, 9.0), (13L, 1.0), (25L, 1.0), (35L, 1.0))
+    val b = TimeSeriesOps.burnRate(p, Seq("uuid"), 0L, 40L, Seq(10L, 20L),
+        col("value") > 5, slo = 0.9)
+      .orderBy("width_us", "w_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(b.toSeq == Seq(
+      (10L, 0L, 4L, 2L, 0.5, 5.0),   // 2/4 bad / 0.1 budget
+      (10L, 10L, 2L, 1L, 0.5, 5.0),
+      (10L, 20L, 1L, 0L, 0.0, 0.0),
+      (10L, 30L, 1L, 0L, 0.0, 0.0),
+      (20L, 0L, 6L, 3L, 0.5, 5.0),
+      (20L, 20L, 2L, 0L, 0.0, 0.0)), b.mkString("; "))
+  }
+
   test("seasonal anomalies flag per-phase outliers, not cross-phase baseline shifts") {
     val H = 3600000000L
     // hour-0 baseline 10 (one 20), hour-1 baseline 100 (one 110): each
