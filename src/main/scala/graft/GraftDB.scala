@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ts.{MetaStore, Store, TimeSeriesOps => TS}
@@ -381,6 +381,29 @@ class GraftDB(val spark: SparkSession, val base: String) {
     def offsetCompare(start: Long, end: Long, width: Long, offsetUs: Long,
                       version: Option[Long] = None): DataFrame =
       TS.offsetCompare(points(version), K, start, end, width, offsetUs).drop("uuid")
+
+    def savgol(start: Long, end: Long, width: Long,
+               version: Option[Long] = None): DataFrame =
+      TS.savgol(points(version), K, start, end, width).drop("uuid")
+
+    def boxplot(start: Long, end: Long, width: Long, whisker: Double = 1.5,
+                version: Option[Long] = None): DataFrame =
+      TS.boxplotWindows(points(version), K, start, end, width, whisker).drop("uuid")
+
+    def capacityForecast(start: Long, end: Long, threshold: Double, horizonUs: Long,
+                         version: Option[Long] = None): DataFrame =
+      TS.capacityForecast(points(version), K, start, end, threshold, horizonUs)
+        .drop("uuid")
+
+    def burnRate(start: Long, end: Long, widths: Seq[Long], badPred: Column,
+                 slo: Double, version: Option[Long] = None): DataFrame =
+      TS.burnRate(points(version), K, start, end, widths, badPred, slo).drop("uuid")
+
+    def anomaliesSeasonal(zThresh: Double, bucketUs: Long = 3600000000L,
+                          periodBuckets: Int = 24, minN: Long = 2,
+                          version: Option[Long] = None): DataFrame =
+      TS.anomaliesSeasonal(points(version), K, zThresh, bucketUs, periodBuckets,
+        minN).drop("uuid")
 
     def annotations: Map[String, String] = {
       import spark.implicits._

@@ -162,4 +162,27 @@ class GraftDBSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     assert(cp == Seq((24L, 7.0)), s"$cp") // (w_start, shift = 8 − 1)
   }
+
+  test("continuation facade surface: savgol, boxplot, capacity, burn rate, seasonal z") {
+    val db = GraftDB(spark, tmpDir("graftdb_r9c"))
+    val h = db.create("c", "r9c/fleet")
+    // a rising ramp: one point per 8-µs window, values 1..6
+    h.insert((1 to 6).map(i => ((i - 1) * 8L, i.toDouble)).toDF("time", "value"))
+    // savgol of a linear series is the series (interior windows)
+    val sg = h.savgol(0L, 48L, 8L).orderBy("w_start").collect()
+    assert(sg.length == 6 && sg(2).getDouble(2) == 3.0 && sg(3).getDouble(2) == 4.0)
+    // boxplot of one window holding 1..6: q1=2.25, med=3.5, q3=4.75
+    val bp = h.boxplot(0L, 48L, 48L).collect().head
+    assert(bp.getDouble(bp.fieldIndex("p50")) == 3.5 &&
+      bp.getLong(bp.fieldIndex("n_out_hi")) == 0L)
+    // capacity: slope 1 per 8 µs = 125000/s; threshold 10 crossed at 72 µs
+    val cf = h.capacityForecast(0L, 48L, 10.0, 3600000000L).collect().head
+    assert(cf.getLong(cf.fieldIndex("t_cross_us")) == 72L, cf.toString)
+    // burn rate: bad = value > 4 → 2 bad of 6 in the one 48-µs window
+    val br = h.burnRate(0L, 48L, Seq(48L), col("value") > 4, 0.9).collect().head
+    assert(br.getLong(br.fieldIndex("n_bad")) == 2L)
+    // seasonal z on the per-phase profile runs end to end (no flags on a
+    // clean ramp at z ≥ 2 with singleton phases below minN)
+    assert(h.anomaliesSeasonal(2.0, bucketUs = 8L, periodBuckets = 2).count() == 0)
+  }
 }
