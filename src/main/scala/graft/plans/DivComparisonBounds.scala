@@ -337,6 +337,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           longLit(s0, "start"), longLit(e0, "end"), longLit(wd, "width"),
           intLit(sw, "w"), intLit(kk, "k")).queryExecution.logical
     })
+    ext.injectTableFunction(tfn("graft_savgol",
+      "graft_savgol(view, keys_csv, start, end, width) - " +
+        "Savitzky-Golay 5-point smoothing of the window-mean series") {
+      case Seq(v, kc, s0, e0, w) =>
+        TimeSeriesOps.savgol(view(v), keyCols(kc),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"))
+          .queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_boxplot",
+      "graft_boxplot(view, keys_csv, start, end, width, whisker) - " +
+        "five-number summary + Tukey-fence outlier counts per window") {
+      case Seq(v, kc, s0, e0, w, wh) =>
+        TimeSeriesOps.boxplotWindows(view(v), keyCols(kc),
+          longLit(s0, "start"), longLit(e0, "end"), longLit(w, "width"),
+          dblLit(wh, "whisker")).queryExecution.logical
+    })
+    ext.injectTableFunction(tfn("graft_burnrate",
+      "graft_burnrate(view, keys_csv, start, end, widths_csv, bad_gt, slo) - " +
+        "multi-window SLO burn rate; bad = value > bad_gt") {
+      case Seq(v, kc, s0, e0, ws, bg, sl) =>
+        val widths = strLit(ws, "widths").split(",").map(_.trim.toLong).toSeq
+        TimeSeriesOps.burnRate(view(v), keyCols(kc),
+          longLit(s0, "start"), longLit(e0, "end"), widths,
+          org.apache.spark.sql.functions.col("value") > dblLit(bg, "bad_gt"),
+          dblLit(sl, "slo")).queryExecution.logical
+    })
     ext.injectTableFunction(tfn("graft_dedup_exact",
       "graft_dedup_exact(view) - exact-dedup verdict per document of (doc_id, text)") {
       case Seq(v) =>

@@ -101,6 +101,27 @@ class TimeSeriesOpsSpec extends SparkSuite {
     val mDirect = graft.ts.Downsample.motifs(pk, Seq("uuid"), 0L, 70L, 10L, 4, 5)
       .orderBy("subword").collect().toSeq
     assert(mSql == mDirect && mSql.nonEmpty, s"$mSql vs $mDirect")
+    // continuation TVFs: savgol / boxplot / burn rate expand to their plans
+    val sgSql = spark.sql(
+        "SELECT * FROM graft_savgol('tvf_peaks', 'uuid', 0, 70, 10) ORDER BY w_start")
+      .collect().toSeq
+    val sgDirect = TimeSeriesOps.savgol(pk, Seq("uuid"), 0L, 70L, 10L)
+      .orderBy("w_start").collect().toSeq
+    assert(sgSql == sgDirect && sgSql.nonEmpty, s"$sgSql vs $sgDirect")
+    val bxSql = spark.sql(
+        "SELECT * FROM graft_boxplot('tvf_peaks', 'uuid', 0, 70, 70, 1.5) ORDER BY w_start")
+      .collect().toSeq
+    val bxDirect = TimeSeriesOps.boxplotWindows(pk, Seq("uuid"), 0L, 70L, 70L, 1.5)
+      .orderBy("w_start").collect().toSeq
+    assert(bxSql == bxDirect && bxSql.nonEmpty, s"$bxSql vs $bxDirect")
+    val brSql = spark.sql(
+        "SELECT * FROM graft_burnrate('tvf_peaks', 'uuid', 0, 70, '10,70', 1.5, 0.9) " +
+          "ORDER BY width_us, w_start")
+      .collect().toSeq
+    val brDirect = TimeSeriesOps.burnRate(pk, Seq("uuid"), 0L, 70L, Seq(10L, 70L),
+        col("value") > 1.5, 0.9)
+      .orderBy("width_us", "w_start").collect().toSeq
+    assert(brSql == brDirect && brSql.nonEmpty, s"$brSql vs $brDirect")
     // the two-table as-of TVF routes through the same merge operator
     import spark.implicits._
     Seq(("s", 5L, 9.0), ("s", 12L, 8.0)).toDF("uuid", "t_us", "value")
