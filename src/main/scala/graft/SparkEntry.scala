@@ -357,6 +357,20 @@ object SparkEntry {
       TS.m4(Tables.points(s, dir), STREAM, T0, T29, DAY)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // interval-containment join: purchases inside the same user's click
+    // sessions — intervals explode to grid buckets + hash join, never a
+    // range nested-loop (plan-shape-spec'd)
+    "ts_interval_join" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      val sessions = TS.sessionize(p.filter(col("event_type") === "click"),
+          Seq("user_id"), 2 * DAY)
+        .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"))
+      val purchases = p.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value"))
+      TS.intervalJoin(purchases, sessions, Seq("user_id"), "s_start", "s_end", 2 * DAY)
+        .orderBy(col("user_id"), col("t_us"), col("value"), col("s_start"))
+    }),
+
     // cross-stream aggregation: the SAME windows() plan keyed by collection
     // instead of stream — the composite stream key generalizes BTrDB's
     // per-uuid queries to cross-sectional rollups in one pass
@@ -1912,6 +1926,29 @@ object SparkEntry {
          |       max(t_us) - min(t_us) AS duration_us
          |FROM i GROUP BY user_id, event_type, session
          |ORDER BY user_id, event_type, s_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.intervalJoin's SEMANTICS through a different
+    // plan: the oracle runs the raw range join (DuckDB handles the
+    // inequality directly), the engine the bucketed hash join — row-set
+    // equality proves the bucket cover is exact, boundaries inclusive
+    "ts_interval_join" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |l AS (SELECT user_id, t_us, value, lag(t_us) OVER w AS prev_t
+         |      FROM pts WHERE event_type = 'click'
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, value)),
+         |f AS (SELECT *, CASE WHEN prev_t IS NULL OR t_us - prev_t > ${2 * DAY}
+         |                     THEN 1 ELSE 0 END AS is_new FROM l),
+         |i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |                                  ORDER BY t_us, value
+         |                                  ROWS UNBOUNDED PRECEDING) AS session FROM f),
+         |ses AS (SELECT user_id, min(t_us) AS s_start, max(t_us) AS s_end,
+         |          CAST(count(*) AS BIGINT) AS n_events
+         |        FROM i GROUP BY user_id, session)
+         |SELECT p.user_id, p.t_us, p.value, s.s_start, s.s_end, s.n_events
+         |FROM (SELECT user_id, t_us, value FROM pts WHERE event_type = 'purchase') p
+         |JOIN ses s ON p.user_id = s.user_id
+         |          AND p.t_us BETWEEN s.s_start AND s.s_end
+         |ORDER BY p.user_id, p.t_us, p.value, s.s_start""".stripMargin,
 
     // first/last tie rule mirrors the (t, value) struct order: first takes
     // the smaller value at the earliest t, last the larger at the latest

@@ -2231,6 +2231,30 @@ object TimeSeriesOps {
           (lit(1.0) - lit(slo))).as("burn")): _*)
   }
 
+  /** Interval-containment join (the temporal join): annotate each point
+    * with the enclosing interval from an interval table carrying
+    * INCLUSIVE [startCol, endCol] µs bounds per key — "purchases inside
+    * a click session", "events while the sensor was dark". A raw range
+    * predicate joins as a broadcast-nested-loop in Spark (quadratic per
+    * key); here each interval explodes to the fixed-width grid buckets
+    * it overlaps (fan = length/width + 1 — pick `width` near the typical
+    * interval length to bound it) and points equi-join on (key, bucket)
+    * with the containment residual, a plain hash join at any scale.
+    * Intervals are expected DISJOINT per key (sessions, outages — every
+    * producer in this library emits disjoint spans); overlapping
+    * intervals would multiply matching points, one row per cover.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                   startCol: String, endCol: String, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val iv = intervals.withColumn("i_bucket",
+      explode(sequence(expr(s"$startCol div ${width}L"), expr(s"$endCol div ${width}L"))))
+    val pt = points.withColumn("i_bucket", expr(s"t_us div ${width}L"))
+    pt.join(iv, keyCols :+ "i_bucket")
+      .filter(col("t_us") >= col(startCol) && col("t_us") <= col(endCol))
+      .drop("i_bucket")
+  }
+
   /** Offset comparison (PromQL `offset` / week-over-week): each window's
     * mean against the same stream's mean `offsetUs` earlier, with absolute
     * and percent change. Window means are rounded integer micro-units (the

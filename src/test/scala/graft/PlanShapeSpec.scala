@@ -476,6 +476,9 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("continuation-wave ts ops: pushed bounds, no cartesians") {
+    val ij = physical(SparkEntry.queries("ts_interval_join")(spark, sfDir))
+    assert(!ij.contains("BroadcastNestedLoopJoin") && !ij.contains("CartesianProduct"),
+      s"ts_interval_join degraded to a range nested-loop:\n${ij.take(3000)}")
     for (q <- Seq("ts_savgol", "ts_boxplot", "ts_xcorr_matrix", "ts_capacity",
         "ts_burnrate", "ts_anomaly_seasonal")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))

@@ -912,6 +912,25 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
 
+  test("interval join: inclusive bounds, bucket-crossing intervals, no range nested-loop") {
+    import spark.implicits._
+    // interval [5, 25] spans buckets 0..2 at width 10; points at the
+    // exact bounds are IN, 4 and 26 are OUT; key "t" has no intervals
+    val iv = Seq(("s", 5L, 25L, 3L), ("s", 40L, 41L, 1L))
+      .toDF("uuid", "s_start", "s_end", "n_events")
+    val p = Seq(("s", 4L, 1.0), ("s", 5L, 2.0), ("s", 17L, 3.0), ("s", 25L, 4.0),
+      ("s", 26L, 5.0), ("s", 40L, 6.0), ("t", 17L, 7.0))
+      .toDF("uuid", "t_us", "value")
+    val j = TimeSeriesOps.intervalJoin(p, iv, Seq("uuid"), "s_start", "s_end", 10L)
+    val got = j.orderBy("t_us").collect()
+      .map(r => (r.getLong(r.fieldIndex("t_us")), r.getLong(r.fieldIndex("s_start")))).toSeq
+    assert(got == Seq((5L, 5L), (17L, 5L), (25L, 5L), (40L, 40L)), s"$got")
+    // the plan is a hash join on (key, bucket) — never a nested loop
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
   test("capacity forecast projects the exact crossing for a linear ramp, none when flat/falling") {
     // value = t seconds: slope exactly 1/s, intercept 0 → threshold 10
     // crosses at start + 10 s
