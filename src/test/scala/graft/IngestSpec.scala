@@ -679,6 +679,40 @@ class IngestSpec extends SparkSuite {
     d
   }
 
+  test("streaming balanced sample is bit-identical to the batch hash cut, any chunking") {
+    import graft.streaming.{DocArrival, StreamSample}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batch = graft.text.TextFunctions.sampleBalanced(docs, "source", 7)
+      .collect().map(r => (r.getString(r.fieldIndex("stratum")),
+        r.getLong(r.fieldIndex("doc_id")))).toSet
+    def run(tag: String, chunks: Seq[org.apache.spark.sql.DataFrame]): Set[(String, Long)] = {
+      val src = tmpDir(s"ss_src_$tag")
+      val ckpt = tmpDir(s"ss_ckpt_$tag")
+      chunks.head.write.mode("append").parquet(src)
+      val stream = spark.readStream.schema("stratum STRING, docId LONG")
+        .parquet(src).as[DocArrival]
+      val q = StreamSample.balancedSample(stream, 7).writeStream
+        .outputMode("update").format("memory").queryName(s"ss_out_$tag")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      chunks.tail.foreach { c =>
+        c.write.mode("append").parquet(src); q.processAllAvailable()
+      }
+      q.stop()
+      // final sample per stratum = the emission at that stratum's max nSeen
+      spark.sql(s"""SELECT stratum, docId FROM ss_out_$tag o
+        WHERE nSeen = (SELECT max(nSeen) FROM ss_out_$tag i WHERE i.stratum = o.stratum)""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val arrivals = docs.select(col("source").as("stratum"), col("doc_id").as("docId"))
+    val even = arrivals.filter(col("docId") % 2 === 0)
+    val odd = arrivals.filter(col("docId") % 2 =!= 0)
+    val a = run("fwd", Seq(even, odd))
+    val b = run("rev", Seq(odd, even))
+    assert(a == batch, s"forward chunking diverged: ${a.size} vs ${batch.size}")
+    assert(b == batch, "reversed chunking diverged")
+  }
+
   test("streaming heavy hitters: exact at capacity, bracketed beyond it") {
     import graft.streaming.{ItemEvent, TopK}
     // -- exact regime: capacity covers the item universe ----------------
