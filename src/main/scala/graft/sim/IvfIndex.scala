@@ -28,6 +28,34 @@ class IvfIndex private[sim] (val spark: SparkSession, val dir: String) {
   def query(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
     Vectors.ivfQuery(broadcast(centroids), assigned,
       Vectors.withNorm(queries), k, nProbe)
+
+  def pqCodebook: DataFrame = spark.read.parquet(s"$dir/pq_codebook")
+  def pqCodes: DataFrame = spark.read.parquet(s"$dir/pq_codes")
+
+  /** Add the PQ layer (the faiss IVFPQ composition): a deterministic
+    * seed codebook over the kCodes lowest-id assigned vectors plus
+    * cell-PARTITIONED code files — a probed query reads m small ints
+    * per candidate from only its nProbe cell partitions, instead of the
+    * full vectors. The full vectors stay in `assigned/` for the exact
+    * re-rank tail.
+    */
+  def buildPq(m: Int = 8, kCodes: Int = 16): IvfIndex = {
+    val cb = Vectors.pqCodebook(assigned, m, kCodes)
+    cb.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codebook")
+    Vectors.pqAssign(assigned, spark.read.parquet(s"$dir/pq_codebook"), m)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/pq_codes")
+    this
+  }
+
+  /** IVF-PQ query: ADC over the probed cells' code partitions, exact
+    * cosine re-rank of the top `rerank` survivors.
+    */
+  def queryPq(queries: DataFrame, k: Int, nProbe: Int = 4,
+              rerank: Int = 32, m: Int = 8): DataFrame =
+    Vectors.ivfPqQuery(broadcast(centroids), broadcast(pqCodebook), pqCodes,
+      assigned, Vectors.withNorm(queries), k, nProbe, rerank, m)
 }
 
 object IvfIndex {

@@ -356,6 +356,63 @@ object Vectors {
     * per-vector word assembly over m-bounded groups. One corpus pass, no
     * shuffle wider than (vec_id, sub) summaries.
     */
+  /** The per-subspace squared reconstruction error Σ(x−c)² as the
+    * DIRECT index-ordered fold over (svec, cvec) columns — shared by
+    * every PQ stage so codes, MSEs, and ADC tables all add the same
+    * doubles.
+    */
+  private[sim] def pqSse: Column = expr(
+    """aggregate(
+      |  zip_with(svec, cvec,
+      |    (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
+      |            * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
+      |  CAST(0 AS DOUBLE), (a, e) -> a + e)""".stripMargin)
+
+  /** (vec_id, sub, svec): each vector exploded to its m subvectors. */
+  private[sim] def pqSubvectors(df: DataFrame, m: Int,
+                                vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val subArrs = array((0 until m).map(j => slice(col(vecCol), j * sub + 1, sub)): _*)
+    df.select(col("vec_id"), posexplode(subArrs).as(Seq("sub", "svec")))
+  }
+
+  /** Deterministic seed codebook (sub, code, cvec): the subvectors of
+    * the `kCodes` lowest-id vectors of `corpus`, codes densely numbered
+    * in vec_id order (the emb_ann_ivf_served zero-training rule).
+    */
+  private[sim] def pqCodebook(corpus: DataFrame, m: Int, kCodes: Int,
+                              vecCol: String = "embedding"): DataFrame = {
+    val seeds = corpus.select(col("vec_id"), col(vecCol)).orderBy(col("vec_id")).limit(kCodes)
+      .withColumn("code", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    pqSubvectors(seeds.drop("code"), m, vecCol)
+      .join(broadcast(seeds.select(col("vec_id"), col("code"))), Seq("vec_id"))
+      .select(col("sub"), col("code"), col("svec").as("cvec"))
+  }
+
+  /** Corpus PQ codes (vec_id, sub, code) by the direct SSE argmin with
+    * struct-min ties to the smallest code.
+    */
+  private[sim] def pqAssign(corpus: DataFrame, cb: DataFrame, m: Int,
+                            vecCol: String = "embedding"): DataFrame =
+    pqSubvectors(corpus, m, vecCol)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("sse", pqSse)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("sse"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+
+  /** Per-query ADC distance tables (q_id, sub, code, dist_us) with
+    * µ-unit-exact entries.
+    */
+  private[sim] def pqDistTable(queries: DataFrame, cb: DataFrame, m: Int,
+                               vecCol: String = "embedding"): DataFrame =
+    pqSubvectors(queries, m, vecCol)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("dist_us", graft.Quant.us6(pqSse))
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"), col("dist_us"))
+
   def pqAudit(emb: DataFrame, m: Int = 8, k: Int = 16,
               vecCol: String = "embedding"): DataFrame = {
     val dim = 64
@@ -367,12 +424,7 @@ object Vectors {
     val cb = exploded(emb.filter(col("vec_id") < k))
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("svec").as("cvec"))
-    val sse = expr(
-      """aggregate(
-        |  zip_with(svec, cvec,
-        |    (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
-        |            * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
-        |  CAST(0 AS DOUBLE), (a, e) -> a + e)""".stripMargin)
+    val sse = pqSse
     exploded(graft.Tables.rebalance(emb))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("sse", sse)
@@ -427,12 +479,7 @@ object Vectors {
     val cb = exploded(corpus.filter(col("vec_id") < nQueries + kCodes))
       .select(col("sub"), (col("vec_id") - nQueries).cast("int").as("code"),
         col("svec").as("cvec"))
-    val sse = expr(
-      """aggregate(
-        |  zip_with(svec, cvec,
-        |    (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
-        |            * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
-        |  CAST(0 AS DOUBLE), (a, e) -> a + e)""".stripMargin)
+    val sse = pqSse
     val codes = exploded(graft.Tables.rebalance(corpus))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("sse", sse)
@@ -718,6 +765,52 @@ object Vectors {
       .filter(col("rank") <= k)
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
+
+  /** The IVF-PQ query tail (the faiss-standard composition): probe the
+    * nProbe best cells exactly as ivfQuery does, but scan them through
+    * PQ CODES + per-query ADC distance tables instead of full vectors —
+    * the probed-cell scan touches m small ints per candidate — then
+    * exact-cosine re-rank the top `rerank` ADC survivors from the full
+    * vectors (a keyed equi-join bounded by nQueries·rerank rows). With
+    * nProbe = nCells this degenerates to exactly annPq's candidate set
+    * (spec-pinned bit-identical); with nProbe < nCells the cell pruning
+    * multiplies PQ's per-candidate savings.
+    */
+  private[sim] def ivfPqQuery(cents: DataFrame, cb: DataFrame, codes: DataFrame,
+                              assigned: DataFrame, queries: DataFrame,
+                              k: Int, nProbe: Int, rerank: Int,
+                              m: Int = 8): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must cover k=$k")
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    val probes = broadcast(queries
+      .join(cents)
+      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cell")))
+    val dt = broadcast(pqDistTable(queries, cb, m))
+    val adc = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"), col("cell"))
+      .join(probes, Seq("cell"))
+      .join(dt, Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dist_us")).as("adc_us"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_us"), col("n_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("n_id"), col("adc_us"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val cv = assigned.select(col("vec_id").as("n_id"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        (col("adc_us").cast("double") / 1e6 + lit(0d)).as("adc_dist"),
+        graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
   def annIvf(emb: DataFrame, nQueries: Int, k: Int,

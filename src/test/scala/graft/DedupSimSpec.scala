@@ -470,6 +470,29 @@ class DedupSimSpec extends SparkSuite {
     assert(rows(reopened.query(emb.filter(col("vec_id") < 5), 10)) == fused)
   }
 
+  test("IVF-PQ: full probe equals annPq bit-for-bit; pruned probe keeps recall") {
+    val emb2 = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb2.filter(col("vec_id") < 5)
+    val idx = graft.sim.IvfIndex.build(
+        emb2.filter(col("vec_id") >= 5), tmpDir("ivfpq_idx"), nCells = 16)
+      .buildPq()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // probing EVERY cell degenerates to the flat PQ-ADC scan: identical
+    // codebook (lowest-id seeds), codes, tables, and re-rank
+    val full = rows(idx.queryPq(queries, 10, nProbe = 16))
+    val flat = rows(graft.sim.Vectors.annPq(emb2, 5, 10))
+    assert(full.nonEmpty && full == flat)
+    // pruned probing still reaches usable recall vs brute force
+    val brute = graft.sim.Vectors.annTopK(emb2, 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = idx.queryPq(queries, 10, nProbe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pruned intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall@10 was $recall")
+  }
+
   test("centroid similarity flags the vector pointing away from the mass") {
     import spark.implicits._
     // three clustered vectors and one anti-aligned outlier
