@@ -332,6 +332,14 @@ object SparkEntry {
       TS.histogram(Tables.points(s, dir), STREAM, T0, T29, DAY, 50.0)
         .orderBy(col("user_id"), col("event_type"), col("w_start"), col("bin"))),
 
+    // the PromQL histogram_quantile estimator over the binned counts —
+    // the answer when only buckets survive (ts_percentile is the exact
+    // raw-rank answer; the spread between them is the binning error)
+    "ts_histogram_quantile" -> ((s, dir) =>
+      TS.histogramQuantile(Tables.points(s, dir), STREAM, T0, T29, DAY, 50.0,
+          Seq(0.5, 0.9))
+        .orderBy(col("user_id"), col("event_type"), col("w_start"))),
+
     // fleet-wide (time, value-bin) density — the Grafana-heatmap query;
     // histogram with an EMPTY stream key (same operator, fleet scope)
     "ts_heatmap" -> ((s, dir) =>
@@ -1872,6 +1880,33 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n
          |FROM pts WHERE t_us >= $T0 AND t_us < $T29
          |GROUP BY 1, 2, 3, 4 ORDER BY user_id, event_type, w_start, bin""".stripMargin,
+
+    // mirrors TimeSeriesOps.histogramQuantile: cumulative bin counts,
+    // first-bin-reaching-rank selection, uniform within-bin interpolation
+    "ts_histogram_quantile" -> {
+      def est(p: String) =
+        s"""max(CASE WHEN CAST(cum - n AS DOUBLE) < $p * CAST(total AS DOUBLE)
+           |           AND $p * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+           |         THEN CAST(bin AS DOUBLE) * 50.0
+           |              + 50.0 * ($p * CAST(total AS DOUBLE) - CAST(cum - n AS DOUBLE))
+           |                / CAST(n AS DOUBLE) END)""".stripMargin
+      s"""WITH pts AS ($PTS_SQL),
+         |h AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2, 3, 4),
+         |c AS (SELECT *,
+         |        sum(n) OVER (PARTITION BY user_id, event_type, w_start
+         |                     ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         |        sum(n) OVER (PARTITION BY user_id, event_type, w_start) AS total
+         |      FROM h)
+         |SELECT user_id, event_type, w_start, CAST(max(total) AS BIGINT) AS n_points,
+         |       ${Q6(est("0.5"))} AS p50_est,
+         |       ${Q6(est("0.9"))} AS p90_est
+         |FROM c GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, w_start""".stripMargin
+    },
 
     "ts_heatmap" ->
       s"""WITH pts AS ($PTS_SQL)

@@ -975,6 +975,48 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** histogram_quantile (the PromQL estimator): per-window quantile
+    * estimates FROM the binned counts — the query a metrics backend
+    * answers when only histogram buckets survive (raw samples long
+    * discarded). For each φ, rank = φ·N; the answering bin is the first
+    * whose cumulative count reaches the rank (cum_prev < rank ≤ cum —
+    * exactly one bin qualifies since cum strictly increases on present
+    * bins), and the estimate interpolates uniformly within it:
+    * bin·w + w·(rank − cum_prev)/n_bin. All counts are exact longs far
+    * below 2^53, so the one rank product and one interpolation divide
+    * are the only float ops and both engines replay them bit-for-bit.
+    * ts_percentile is the exact-rank answer from raw points; this is
+    * what you get when the bins are all you kept — the spread between
+    * them is the binning error, which is the operator's point.
+    */
+  def histogramQuantile(points: DataFrame, streamCols: Seq[String], start: Long,
+                        end: Long, width: Long, binWidth: Double, ps: Seq[Double],
+                        version: Option[Long] = None): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
+    val key = streamKey(streamCols)
+    val grp = key :+ col("w_start")
+    val ord = Window.partitionBy(grp: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val h = histogram(points, streamCols, start, end, width, binWidth, version)
+      .withColumn("cum", sum(col("n")).over(ord))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(grp: _*)))
+    def label(p: Double) =
+      "p" + (if (p * 100 == (p * 100).floor) (p * 100).toInt.toString
+             else java.lang.Double.toString(p).replace('.', '_').replace("0_", ""))
+    val aggs = ps.map { p =>
+      val rank = lit(p) * col("total").cast("double")
+      val cumPrev = (col("cum") - col("n")).cast("double")
+      val sel = cumPrev < rank && rank <= col("cum").cast("double")
+      max(when(sel,
+        col("bin").cast("double") * binWidth +
+          lit(binWidth) * (rank - cumPrev) / col("n").cast("double")))
+        .as(label(p) + "_est")
+    } :+ max(col("total")).as("n_points")
+    h.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+      .select(key ++ Seq(col("w_start"), col("n_points")) ++
+        ps.map(p => graft.Quant.q6(col(label(p) + "_est")).as(label(p) + "_est")): _*)
+  }
+
   /** Calendar profile: per (stream, day-of-week, hour-of-day) sample count,
     * exact mean, and min/max over [start, end) — the weekly-seasonality
     * fingerprint behind capacity dashboards (in the reference this takes

@@ -912,6 +912,18 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
 
+  test("histogram quantile interpolates within the first bin reaching the rank") {
+    // bins at width 10: {0: 2, 1: 1, 2: 1}, total 4
+    val p = pts((0L, 5.0), (1L, 5.0), (2L, 15.0), (3L, 25.0))
+    val q = TimeSeriesOps.histogramQuantile(p, Seq("uuid"), 0L, 10L, 10L, 10.0,
+      Seq(0.5, 0.75)).collect().head
+    // φ=0.5 → rank 2 lands in bin 0: 0 + 10·2/2 = 10
+    assert(q.getDouble(q.fieldIndex("p50_est")) == 10.0, q.toString)
+    // φ=0.75 → rank 3 lands in bin 1: 10 + 10·(3−2)/1 = 20
+    assert(q.getDouble(q.fieldIndex("p75_est")) == 20.0, q.toString)
+    assert(q.getLong(q.fieldIndex("n_points")) == 4L)
+  }
+
   test("interval join: inclusive bounds, bucket-crossing intervals, no range nested-loop") {
     import spark.implicits._
     // interval [5, 25] spans buckets 0..2 at width 10; points at the
