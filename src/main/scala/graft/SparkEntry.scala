@@ -1171,6 +1171,28 @@ object SparkEntry {
       TextFunctions.crossSourceOverlap(Tables.load(s, dir, "documents"))
         .orderBy(col("src_a"), col("src_b"))),
 
+    // cross-source NEAR-dup matrix — the paraphrase-level face of
+    // corpus_overlap ("which datasets share REWRITTEN docs"): pairs
+    // from the LSH-bucketed minhash generator (exact-Jaccard verified),
+    // sources keyed on, per-pair mean similarity from the quantized
+    // integer scores (order-free)
+    "corpus_overlap_near" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, 3, 64, 2, 0.8)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          graft.Quant.mean6(sum(graft.Quant.us6(col("jaccard"))), count(lit(1)))
+            .as("mean_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- LLM-pipeline: multimodal (binary columns) --------------------
     // the payload is an opaque BINARY column (synthesized deterministically
     // from the corpus — this container has no codecs); both queries
@@ -4034,6 +4056,28 @@ object SparkEntry {
          |       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_texts
          |FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // mirrors the registered near-overlap matrix: the exact-Jaccard
+    // pair set (the dedup_minhash oracle), sources joined, quantized
+    // integer mean per unordered source pair
+    "corpus_overlap_near" ->
+      s"""WITH docs AS (SELECT doc_id, source, string_split($NORM_TEXT_SQL, ' ') AS w
+         |              FROM documents),
+         |sh AS (SELECT doc_id, source, list_distinct(list_transform(
+         |               generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM docs WHERE len(w) >= 3),
+         |p AS (SELECT a.source AS sa, b.source AS sb,
+         |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |v AS (SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+         |             ${Q6("CAST(inter AS DOUBLE) / (la + lb - inter)")} AS jaccard
+         |      FROM p WHERE inter > 0
+         |        AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+         |        AND sa <> sb)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       ${MEAN6(s"sum(${US6("jaccard")})", "count(*)")} AS mean_jaccard
+         |FROM v GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // mirrors Multimodal.syntheticAssets + assetStats: payload bytes =
     // utf-8 of text (octet_length(BLOB) ≡ Spark length(binary))
