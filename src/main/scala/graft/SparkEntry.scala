@@ -622,6 +622,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
     // week-over-week window-mean comparison — the PromQL `offset` modifier
+    // fleet triage: top-20 week-over-week movers by exact-integer |Δmean|
+    "ts_topk_movers" -> ((s, dir) =>
+      TS.topMovers(Tables.points(s, dir), STREAM, T0, T29, DAY, WEEK, 20)
+        .orderBy(col("rank"))),
+
+    // PromQL-style series division: click value-sum over view value-sum
+    // per (user, day) on the shared grid
+    "ts_ratio" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      TS.ratio(p.filter(col("event_type") === "click"),
+          p.filter(col("event_type") === "view"), Seq("user_id"), T0, T29, DAY)
+        .orderBy(col("user_id"), col("w_start"))
+    }),
+
     "ts_wow" -> ((s, dir) =>
       TS.offsetCompare(Tables.points(s, dir), STREAM, T0, T29, DAY, WEEK)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
@@ -2967,6 +2981,49 @@ object SparkEntry {
          |FROM m c JOIN m p ON c.user_id = p.user_id AND c.event_type = p.event_type
          |  AND c.w_start = p.w_start + $WEEK
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.topMovers: the same self-join prior as ts_wow,
+    // exact-integer |diff| ranking under a total order, LIMIT top-20
+    "ts_topk_movers" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |m AS (SELECT user_id, event_type,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29 GROUP BY 1, 2, 3),
+         |j AS (SELECT c.user_id AS user_id, c.event_type AS event_type,
+         |             c.w_start AS w_start, c.m_us AS m_us, p.m_us AS prev_us
+         |      FROM m c JOIN m p ON c.user_id = p.user_id AND c.event_type = p.event_type
+         |        AND c.w_start = p.w_start + $WEEK),
+         |r AS (SELECT *, row_number() OVER (ORDER BY abs(m_us - prev_us) DESC,
+         |                 user_id, event_type, w_start) AS rank
+         |      FROM j)
+         |SELECT user_id, event_type, w_start, CAST(rank AS BIGINT) AS rank,
+         |       CAST(m_us AS DOUBLE) / 1000000.0 + 0 AS v_mean,
+         |       CAST(prev_us AS DOUBLE) / 1000000.0 + 0 AS prev_mean,
+         |       CAST(m_us - prev_us AS DOUBLE) / 1000000.0 + 0 AS diff
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // mirrors TimeSeriesOps.ratio: exact µ-unit window SUMS both sides,
+    // inner join on the shared grid, NULL on a zero denominator
+    "ts_ratio" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |l AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             sum(${US6("value")}) AS l_us, count(*) AS n_l
+         |      FROM pts WHERE event_type = 'click' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |r AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |             sum(${US6("value")}) AS r_us, count(*) AS n_r
+         |      FROM pts WHERE event_type = 'view' AND t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2)
+         |SELECT l.user_id AS user_id, l.w_start AS w_start,
+         |       CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r,
+         |       CAST(l_us AS DOUBLE) / 1000000.0 + 0 AS l_sum,
+         |       CAST(r_us AS DOUBLE) / 1000000.0 + 0 AS r_sum,
+         |       CASE WHEN r_us <> 0
+         |            THEN ${Q6("CAST(l_us AS DOUBLE) / CAST(r_us AS DOUBLE)")}
+         |       END AS ratio
+         |FROM l JOIN r ON l.user_id = r.user_id AND l.w_start = r.w_start
+         |ORDER BY user_id, w_start""".stripMargin,
 
     // conversion = earliest purchase at/after the click, within the
     // horizon; duplicate click rows keep their multiplicity (the verdict

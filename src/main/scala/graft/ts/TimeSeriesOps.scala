@@ -2308,8 +2308,13 @@ object TimeSeriesOps {
     * lag(k) would miscount across empty windows. Windows without a
     * comparator are dropped.
     */
-  def offsetCompare(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
-                    width: Long, offsetUs: Long, version: Option[Long] = None): DataFrame = {
+  /** The integer core shared by offsetCompare and topMovers: rounded
+    * µ-unit window means with the offset-prior mean via a range-frame
+    * window (one scan, no self-join), rows without a comparator dropped.
+    */
+  private def offsetFrame(points: DataFrame, streamCols: Seq[String], start: Long,
+                          end: Long, width: Long, offsetUs: Long,
+                          version: Option[Long]): DataFrame = {
     require(offsetUs > 0 && offsetUs % width == 0,
       s"offset must be a positive multiple of the window width, got $offsetUs / $width")
     val key = streamKey(streamCols)
@@ -2324,6 +2329,12 @@ object TimeSeriesOps {
     means
       .withColumn("prev_us", max(col("m_us")).over(w))
       .filter(col("prev_us").isNotNull)
+  }
+
+  def offsetCompare(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                    width: Long, offsetUs: Long, version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    offsetFrame(points, streamCols, start, end, width, offsetUs, version)
       .select(key ++ Seq(col("w_start"),
         (col("m_us").cast("double") / 1e6 + lit(0d)).as("v_mean"),
         (col("prev_us").cast("double") / 1e6 + lit(0d)).as("prev_mean"),
@@ -2331,6 +2342,60 @@ object TimeSeriesOps {
         when(col("prev_us") =!= 0,
           round((col("m_us") - col("prev_us")).cast("double") * 1e8 / col("prev_us"), 0) / 1e6
             + lit(0d)).as("pct_change")): _*)
+  }
+
+  /** Top-k movers: the fleet's biggest offset-window changes ("which
+    * streams moved the most week-over-week") — the triage entry point a
+    * dashboard renders before anyone knows which stream to look at.
+    * Ranks |Δmean| in exact integer µ-units (a float pct would rank
+    * nondeterministically on ties), deterministic total order
+    * (abs desc, stream key, w_start), TakeOrdered top-k — the fleet is
+    * never globally sorted; the rank window runs over k survivors.
+    */
+  def topMovers(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
+                width: Long, offsetUs: Long, k: Int,
+                version: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = streamKey(streamCols)
+    val ord = abs(col("m_us") - col("prev_us")).desc +:
+      (key :+ col("w_start")).map(_.asc)
+    offsetFrame(points, streamCols, start, end, width, offsetUs, version)
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(key ++ Seq(col("w_start"), col("rank"),
+        (col("m_us").cast("double") / 1e6 + lit(0d)).as("v_mean"),
+        (col("prev_us").cast("double") / 1e6 + lit(0d)).as("prev_mean"),
+        ((col("m_us") - col("prev_us")).cast("double") / 1e6 + lit(0d)).as("diff")): _*)
+  }
+
+  /** Aligned-series binary arithmetic (the PromQL vector-division class:
+    * error rate = errors / requests, cache hit ratio, ad CTR): per
+    * (key, window), the ratio of the two sides' exact µ-unit value SUMS
+    * over the shared grid — sums, not means, so the ratio weighs every
+    * event equally (a mean-of-means ratio would over-weight sparse
+    * windows). Inner join on (key, window): the ratio exists only where
+    * both sides observed data; a zero denominator yields NULL, never a
+    * float Inf. Two map-side-partial aggs + one co-partitioned join —
+    * the correlation() shape without the moment math.
+    */
+  def ratio(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+            start: Long, end: Long, width: Long): DataFrame = {
+    val key = keyCols.map(col)
+    def sums(df: DataFrame, tag: String): DataFrame = {
+      val d = col("t_us") - start
+      df.filter(col("t_us") >= start && col("t_us") < end)
+        .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+        .agg(sum(graft.Quant.us6(col("value"))).as(s"${tag}_us"),
+          count(lit(1)).as(s"n_$tag"))
+    }
+    sums(left, "l").join(sums(right, "r"), keyCols :+ "w_start")
+      .select(key ++ Seq(col("w_start"), col("n_l"), col("n_r"),
+        (col("l_us").cast("double") / 1e6 + lit(0d)).as("l_sum"),
+        (col("r_us").cast("double") / 1e6 + lit(0d)).as("r_sum"),
+        when(col("r_us") =!= 0,
+          graft.Quant.q6(col("l_us").cast("double") / col("r_us").cast("double")))
+          .as("ratio")): _*)
   }
 
   /** User-journey transition matrix — consecutive-event (from → to)

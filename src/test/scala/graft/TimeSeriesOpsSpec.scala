@@ -912,6 +912,35 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
 
+  test("top movers rank exact integer deltas under a total order") {
+    import spark.implicits._
+    val p = Seq(("a", 0L, 1.0), ("a", 10L, 9.0), ("b", 0L, 1.0), ("b", 10L, 2.0))
+      .toDF("uuid", "t_us", "value").withColumn("ver", lit(1L))
+    val m = TimeSeriesOps.topMovers(p, Seq("uuid"), 0L, 20L, 10L, 10L, 2).collect()
+    assert(m.map(r => (r.getString(0), r.getLong(2), r.getDouble(5))).toSeq ==
+      Seq(("a", 1L, 8.0), ("b", 2L, 1.0)), m.mkString("; "))
+    // k cuts the fleet deterministically
+    val one = TimeSeriesOps.topMovers(p, Seq("uuid"), 0L, 20L, 10L, 10L, 1).collect()
+    assert(one.length == 1 && one.head.getString(0) == "a")
+  }
+
+  test("ratio divides window sums on the shared grid, null on zero denominators") {
+    import spark.implicits._
+    def df(rows: (Long, Double)*) = rows.toDF("t_us", "value")
+      .withColumn("uuid", lit("s")).withColumn("ver", lit(1L))
+    val l = df((0L, 2.0), (5L, 4.0), (10L, 1.0), (25L, 7.0))
+    val r = df((1L, 3.0), (11L, 0.0), (35L, 5.0))
+    val out = TimeSeriesOps.ratio(l, r, Seq("uuid"), 0L, 40L, 10L)
+      .orderBy("w_start").collect()
+    // [0,10): 6/3 = 2; [10,20): denominator 0 → NULL; [20,30): right
+    // absent → no row; [30,40): left absent → no row
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getLong(out(0).fieldIndex("w_start")) == 0L &&
+      out(0).getDouble(out(0).fieldIndex("ratio")) == 2.0)
+    assert(out(1).getLong(out(1).fieldIndex("w_start")) == 10L &&
+      out(1).isNullAt(out(1).fieldIndex("ratio")))
+  }
+
   test("histogram quantile interpolates within the first bin reaching the rank") {
     // bins at width 10: {0: 2, 1: 1, 2: 1}, total 4
     val p = pts((0L, 5.0), (1L, 5.0), (2L, 15.0), (3L, 25.0))
