@@ -1040,6 +1040,12 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextFunctions.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // language-ID confusion matrix vs the declared lang column — the
+    // classifier-health audit (diagonal = agreement rate)
+    "text_langid_confusion" -> ((s, dir) =>
+      TextFunctions.langIdConfusion(Tables.load(s, dir, "documents"))
+        .orderBy(col("lang_decl"), col("lang_pred"))),
+
     // bigram-LM quality scoring, self-trained on the corpus; the exact
     // mean-inverse-probability score hash-gates where log-PPL could not
     "text_lm_score" -> ((s, dir) =>
@@ -3703,6 +3709,29 @@ object SparkEntry {
          |       ${Q6("CAST(n_alpha AS DOUBLE) / n_words")} AS avg_word_len,
          |       ${Q6(QSCORE_SQL)} AS quality_score
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextFunctions.langIdConfusion: the langid CTE + declared
+    // lang, metadata-scale matrix, per-declared-total window fraction
+    "text_langid_confusion" ->
+      s"""WITH d AS (SELECT doc_id, lang, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, lang, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id, lang,
+         |             len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and'))) AS n_en,
+         |             len(list_filter(w, x -> x IN ('el', 'la', 'los', 'que'))) AS n_es,
+         |             len(list_filter(w, x -> x IN ('der', 'die', 'und', 'das'))) AS n_de,
+         |             len(list_filter(w, x -> x IN ('le', 'les', 'et', 'une'))) AS n_fr
+         |      FROM b),
+         |p AS (SELECT lang AS lang_decl,
+         |        CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+         |             WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+         |             WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+         |             WHEN n_fr > 0 THEN 'fr'
+         |             ELSE 'unknown' END AS lang_pred
+         |      FROM c),
+         |g AS (SELECT lang_decl, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang_decl, lang_pred, CAST(n AS BIGINT) AS n_docs,
+         |       ${Q6("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang_decl) AS DOUBLE)")} AS frac
+         |FROM g ORDER BY lang_decl, lang_pred""".stripMargin,
 
     "text_langid" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),

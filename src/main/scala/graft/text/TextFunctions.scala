@@ -144,6 +144,29 @@ object TextFunctions {
       de.cast("long").as("n_de"), fr.cast("long").as("n_fr"))
   }
 
+  /** Language-ID confusion matrix — the classifier-health audit over
+    * the declared `lang` column: per (declared, predicted) pair, doc
+    * count and the fraction of the declared language's docs it
+    * represents (diagonal = agreement rate; a hot off-diagonal cell =
+    * a marker list that bleeds into a neighbor language). The matrix is
+    * ≤ langs² rows, so the per-declared-language total rides a
+    * metadata-scale window; the only corpus-scale work is langId's own
+    * one-projection pass plus one keyed doc_id join back to the
+    * declared label.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), col("lang").as("lang_decl"))
+      .join(langId(docs).select(col("doc_id"), col("lang_pred")), "doc_id")
+      .groupBy(col("lang_decl"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("decl_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang_decl"))))
+      .select(col("lang_decl"), col("lang_pred"), col("n_docs"),
+        graft.Quant.q6(col("n_docs").cast("double") / col("decl_total").cast("double"))
+          .as("frac"))
+  }
+
   /** PII surface detection: per-document counts of email-shaped, IPv4-
     * shaped, and phone-shaped spans plus digit runs, and a has_pii flag —
     * the filter signal a training-data pipeline applies before anything

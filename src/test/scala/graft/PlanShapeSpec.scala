@@ -489,6 +489,17 @@ class PlanShapeSpec extends SparkSuite {
     // capacity is ONE aggregation over the scan — join-free
     assert(!physical(SparkEntry.queries("ts_capacity")(spark, sfDir)).contains("Join"),
       "ts_capacity should be join-free")
+    // second continuation wave
+    for (q <- Seq("ts_histogram_quantile", "ts_topk_movers", "ts_ratio",
+        "corpus_overlap_near")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n${plan.take(3000)}")
+    }
+    // movers is a TakeOrdered over the offset frame, never a global sort
+    // of the fleet
+    assert(physical(SparkEntry.queries("ts_topk_movers")(spark, sfDir))
+      .contains("TakeOrdered"), "ts_topk_movers top-k not TakeOrdered")
     // the seasonal profile joins back as a broadcast, never a shuffle of
     // the raw points against the profile
     val sa = physical(SparkEntry.queries("ts_anomaly_seasonal")(spark, sfDir))
