@@ -622,6 +622,13 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
     // week-over-week window-mean comparison — the PromQL `offset` modifier
+    // N-step ordered funnel: click → view → purchase, each step within
+    // 3 days of the previous (first occurrence per user per step)
+    "ts_funnel_steps" -> ((s, dir) =>
+      TS.funnelSteps(Tables.points(s, dir), Seq("user_id"), "event_type",
+          Seq("click", "view", "purchase"), T0, T29, 3 * DAY)
+        .orderBy(col("step"))),
+
     // fleet triage: top-20 week-over-week movers by exact-integer |Δmean|
     "ts_topk_movers" -> ((s, dir) =>
       TS.topMovers(Tables.points(s, dir), STREAM, T0, T29, DAY, WEEK, 20)
@@ -2987,6 +2994,40 @@ object SparkEntry {
          |FROM m c JOIN m p ON c.user_id = p.user_id AND c.event_type = p.event_type
          |  AND c.w_start = p.w_start + $WEEK
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.funnelSteps: per-step first-occurrence joins,
+    // |steps|-row report with quantized integer rates
+    "ts_funnel_steps" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |u1 AS (SELECT user_id, min(t_us) AS t1 FROM pts
+         |       WHERE event_type = 'click' AND t_us >= $T0 AND t_us < $T29
+         |       GROUP BY 1),
+         |u2 AS (SELECT p.user_id, min(p.t_us) AS t2
+         |       FROM pts p JOIN u1 ON p.user_id = u1.user_id
+         |       WHERE p.event_type = 'view' AND p.t_us >= $T0 AND p.t_us < $T29
+         |         AND p.t_us >= u1.t1 AND p.t_us <= u1.t1 + ${3 * DAY}
+         |       GROUP BY 1),
+         |u3 AS (SELECT p.user_id, min(p.t_us) AS t3
+         |       FROM pts p JOIN u2 ON p.user_id = u2.user_id
+         |       WHERE p.event_type = 'purchase' AND p.t_us >= $T0 AND p.t_us < $T29
+         |         AND p.t_us >= u2.t2 AND p.t_us <= u2.t2 + ${3 * DAY}
+         |       GROUP BY 1),
+         |r AS (SELECT 1 AS step, 'click' AS event_type, (SELECT count(*) FROM u1) AS n_users
+         |      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM u2)
+         |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)),
+         |x AS (SELECT *, lag(n_users) OVER (ORDER BY step) AS n_prev,
+         |             first_value(n_users) OVER (ORDER BY step
+         |               ROWS UNBOUNDED PRECEDING) AS n_first
+         |      FROM r)
+         |SELECT CAST(step AS BIGINT) AS step, event_type,
+         |       CAST(n_users AS BIGINT) AS n_users,
+         |       CASE WHEN n_prev > 0
+         |            THEN ${MEAN6("CAST(n_users AS BIGINT) * 1000000", "n_prev")}
+         |       END AS cvr_step,
+         |       CASE WHEN n_first > 0
+         |            THEN ${MEAN6("CAST(n_users AS BIGINT) * 1000000", "n_first")}
+         |       END AS cvr_total
+         |FROM x ORDER BY step""".stripMargin,
 
     // mirrors TimeSeriesOps.topMovers: the same self-join prior as ts_wow,
     // exact-integer |diff| ranking under a total order, LIMIT top-20

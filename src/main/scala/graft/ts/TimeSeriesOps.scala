@@ -2540,6 +2540,55 @@ object TimeSeriesOps {
         graft.Quant.mean6(col("n_converted") * 1000000L, col("n_base")))
   }
 
+  /** Multi-step funnel — the N-step sequence report ("click → view →
+    * purchase, each within the horizon of the previous"): per user, the
+    * FIRST occurrence of each step at-or-after the previous step's
+    * time, the reached-user count per step, and step/overall conversion
+    * rates. funnel() answers the per-window 2-step question; this is
+    * the Amplitude/GA-class ordered-sequence report.
+    *
+    * Each step is one keyed equi-join (users who reached the previous
+    * step, a shrinking frame) + one min-aggregation — never an as-of
+    * buffer or a per-user event sort; the final report is |steps| rows
+    * assembled by a union of single-row aggregates with the rates from
+    * a |steps|-row window (metadata scale). Rates are the quantized
+    * integer ratios of funnel()'s cvr contract, NULL when the previous
+    * step converted nobody.
+    */
+  def funnelSteps(events: DataFrame, keyCols: Seq[String], typeCol: String,
+                  stepTypes: Seq[String], start: Long, end: Long, horizonUs: Long,
+                  version: Option[Long] = None): DataFrame = {
+    require(stepTypes.size >= 2, s"need at least 2 steps, got $stepTypes")
+    require(horizonUs > 0, s"horizon must be positive, got $horizonUs")
+    val key = keyCols.map(col)
+    val pts = atVersion(events, version)
+      .filter(col("t_us") >= start && col("t_us") < end)
+    val seed = pts.filter(col(typeCol) === stepTypes.head)
+      .groupBy(key: _*).agg(min(col("t_us")).as("t_step"))
+    val frames = stepTypes.tail.scanLeft(seed) { (prev, st) =>
+      pts.filter(col(typeCol) === st)
+        .join(prev.select(key :+ col("t_step").as("t_prev"): _*), keyCols)
+        .filter(col("t_us") >= col("t_prev") &&
+          col("t_us") <= col("t_prev") + horizonUs)
+        .groupBy(key: _*).agg(min(col("t_us")).as("t_step"))
+    }
+    val report = frames.zip(stepTypes).zipWithIndex.map { case ((f, st), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_ union _)
+    val w = Window.orderBy(col("step"))
+    report
+      .withColumn("n_prev", lag(col("n_users"), 1).over(w))
+      .withColumn("n_first", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("n_prev") > 0,
+          graft.Quant.mean6(col("n_users") * 1000000L, col("n_prev"))).as("cvr_step"),
+        when(col("n_first") > 0,
+          graft.Quant.mean6(col("n_users") * 1000000L, col("n_first"))).as("cvr_total"))
+  }
+
   /** Peak detection over the window-mean series: a window is a peak when
     * its mean strictly exceeds every neighbor within `k` non-empty
     * windows on BOTH sides and rises at least `minPromUs` micro-units

@@ -912,6 +912,24 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
 
+  test("funnel steps enforce order and horizon, first occurrence per user") {
+    import spark.implicits._
+    val evs = Seq(
+      (1L, 0L, "c"), (1L, 10L, "v"), (1L, 20L, "p"),   // full funnel
+      (2L, 0L, "c"), (2L, 10L, "v"), (2L, 200L, "p"),  // purchase beyond horizon
+      (3L, 5L, "v"),                                   // no first step
+      (4L, 0L, "v"), (4L, 5L, "c"))                    // view BEFORE click only
+      .toDF("user_id", "t_us", "event_type").withColumn("ver", lit(1L))
+    val f = TimeSeriesOps.funnelSteps(evs, Seq("user_id"), "event_type",
+      Seq("c", "v", "p"), 0L, 1000L, 50L).orderBy("step").collect()
+    assert(f.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 1L)), f.mkString("; "))
+    assert(f(0).isNullAt(f(0).fieldIndex("cvr_step")))
+    assert(f(1).getDouble(f(1).fieldIndex("cvr_step")) == 0.666667)
+    assert(f(2).getDouble(f(2).fieldIndex("cvr_step")) == 0.5)
+    assert(f(2).getDouble(f(2).fieldIndex("cvr_total")) == 0.333333)
+  }
+
   test("top movers rank exact integer deltas under a total order") {
     import spark.implicits._
     val p = Seq(("a", 0L, 1.0), ("a", 10L, 9.0), ("b", 0L, 1.0), ("b", 10L, 2.0))
