@@ -815,6 +815,27 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // TPC-H Q19 shape: the disjunction of brand/size/quantity conjuncts —
+    // Catalyst must push the part-only disjuncts (brand ∨ brand) below
+    // the join and keep the mixed residual on top; revenue per branch
+    // proves each disjunct matched
+    "q19_join" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val b1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 21)
+      val b2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(15, 35)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(b1 || b2)
+        .groupBy(when(b1, lit("b1")).otherwise(lit("b2")).as("branch"))
+        .agg(count(lit(1)).as("n_lines"),
+          (round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e4, 0)
+            .cast("long").cast("decimal(38,0)")).cast("double") / 100, 0) / 100 + lit(0d))
+            .as("revenue"))
+        .orderBy(col("branch"))
+    }),
+
     "q6_filter" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
@@ -3174,6 +3195,20 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q19_join" ->
+      """WITH j AS (SELECT p_brand, p_size, l_quantity, l_extendedprice, l_discount
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |                  AND l_quantity BETWEEN 1 AND 21)
+        |              OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+        |                  AND l_quantity BETWEEN 15 AND 35))
+        |SELECT CASE WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |                 AND l_quantity BETWEEN 1 AND 21
+        |            THEN 'b1' ELSE 'b2' END AS branch,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue
+        |FROM j GROUP BY 1 ORDER BY branch""".stripMargin,
 
     "q6_filter" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 + 0 AS revenue

@@ -527,6 +527,13 @@ class PlanShapeSpec extends SparkSuite {
     val q4 = physical(SparkEntry.queries("q4_semi")(spark, sfDir))
     assert(q4.contains("LeftSemi"), s"q4_semi not a semi join:\n${q4.take(3000)}")
     assert(!q4.contains("CartesianProduct"), s"q4_semi:\n${q4.take(3000)}")
+    // q19's disjunction must DECOMPOSE into per-side pushed OR filters:
+    // the brand/size OR reaches the part scan, the quantity OR the
+    // lineitem scan — not one residual filter above the join
+    val q19 = physical(SparkEntry.queries("q19_join")(spark, sfDir))
+    assert(q19.contains("Or(And(EqualTo(p_brand"), s"q19 part OR not pushed:\n${q19.take(3000)}")
+    assert(q19.contains("Or(And(GreaterThanOrEqual(l_quantity"),
+      s"q19 lineitem OR not pushed:\n${q19.take(3000)}")
     val q22 = physical(SparkEntry.queries("q22_anti")(spark, sfDir))
     assert(q22.contains("LeftAnti"), s"q22_anti not an anti join:\n${q22.take(3000)}")
     assert(!q22.contains("CartesianProduct"), s"q22_anti:\n${q22.take(3000)}")
