@@ -679,6 +679,39 @@ class IngestSpec extends SparkSuite {
     d
   }
 
+  test("streaming burn rate equals the batch operator on closed windows") {
+    import graft.streaming.{BurnRateMonitor, RawPoint}
+    val src = tmpDir("br_src")
+    val ckpt = tmpDir("br_ckpt")
+    Seq(RawPoint("s", 1, 9.0), RawPoint("s", 2, 1.0), RawPoint("s", 12, 9.0))
+      .toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("uuid STRING, time LONG, value DOUBLE")
+      .parquet(src).as[RawPoint]
+    val q = BurnRateMonitor.burn(stream, widthUs = 10L, badGt = 5.0, slo = 0.9)
+      .writeStream.outputMode("append").format("memory").queryName("br_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // second batch adds a window and a far-future flush point that
+    // advances the watermark past every real window
+    Seq(RawPoint("s", 25, 1.0), RawPoint("s", 1000, 0.0))
+      .toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    Seq(RawPoint("s", 2000, 0.0)).toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM br_out WHERE w_start < 100 ORDER BY w_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val batch = graft.ts.TimeSeriesOps.burnRate(
+        Seq(("s", 1L, 9.0), ("s", 2L, 1.0), ("s", 12L, 9.0), ("s", 25L, 1.0))
+          .toDF("uuid", "t_us", "value"), Seq("uuid"), 0L, 30L, Seq(10L),
+        col("value") > 5.0, slo = 0.9)
+      .orderBy("w_start").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == batch && got.length == 3, s"streaming $got vs batch $batch")
+  }
+
   test("streaming balanced sample is bit-identical to the batch hash cut, any chunking") {
     import graft.streaming.{DocArrival, StreamSample}
     val docs = Tables.load(spark, sfDir, "documents")
