@@ -493,6 +493,12 @@ object SparkEntry {
       TS.decompose(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
+    // Hyndman seasonality/trend strength per stream — the fleet triage
+    // before picking period-aware models or detectors
+    "ts_seasonal_strength" -> ((s, dir) =>
+      TS.seasonalStrength(Tables.points(s, dir), STREAM, T0, T29, DAY, 7)
+        .orderBy(col("user_id"), col("event_type"))),
+
     // even period → classical 2xMA trend (half-weight frame edges)
     "ts_decompose_even" -> ((s, dir) =>
       TS.decompose(Tables.points(s, dir), STREAM, T0, T29, DAY, 4)
@@ -2503,29 +2509,29 @@ object SparkEntry {
     // mirrors TimeSeriesOps.decompose: exact integer frame sums, the
     // seasonal mean expanded over integer sums, Q6 on emit only
     "ts_decompose" ->
-      s"""WITH pts AS ($PTS_SQL),
-         |w AS (SELECT user_id, event_type,
-         |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
-         |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
-         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
-         |      GROUP BY 1, 2, 3),
-         |fr AS (SELECT *, sum(m_us) OVER wfr AS s_f, count(*) OVER wfr AS n_f
-         |       FROM w WINDOW wfr AS (PARTITION BY user_id, event_type ORDER BY w_start
-         |                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         |ff AS (SELECT *, ((w_start - $T0) // $DAY) % 7 AS pos FROM fr WHERE n_f = 7),
-         |se AS (SELECT user_id, event_type, pos,
-         |              CAST(sum(m_us) AS DOUBLE) / count(*)
-         |                - CAST(sum(s_f) AS DOUBLE) / (count(*) * 7) AS seasonal_raw
-         |       FROM ff GROUP BY 1, 2, 3)
-         |SELECT ff.user_id AS user_id, ff.event_type AS event_type, ff.w_start AS w_start,
-         |       ${Q6("CAST(ff.m_us AS DOUBLE) / 1e6")} AS v_mean,
-         |       ${Q6("CAST(ff.s_f AS DOUBLE) / 7 / 1e6")} AS trend,
-         |       ${Q6("se.seasonal_raw / 1e6")} AS seasonal,
-         |       ${Q6("(CAST(ff.m_us AS DOUBLE) - CAST(ff.s_f AS DOUBLE) / 7 - se.seasonal_raw) / 1e6")}
-         |         AS residual
-         |FROM ff JOIN se ON ff.user_id = se.user_id AND ff.event_type = se.event_type
-         |                AND ff.pos = se.pos
+      s"""$DECOMP7_SQL
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.seasonalStrength: the decompose frame as a
+    // CTE, exact HUGEINT component moments, the two ratio divisions
+    "ts_seasonal_strength" -> {
+      def mom(x: String, s: String, ss: String) =
+        s"sum(${US6(x)}) AS $s, sum(CAST(${US6(x)} AS HUGEINT) * ${US6(x)}) AS $ss"
+      def strength(sv: String, ssv: String) =
+        s"""CASE WHEN n * $ssv - $sv * $sv > 0
+           |     THEN ${Q6(s"greatest(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / CAST(n * $ssv - $sv * $sv AS DOUBLE))")}
+           |END""".stripMargin
+      s"""WITH dc AS ($DECOMP7_SQL),
+         |m AS (SELECT user_id, event_type, count(*) AS n,
+         |        ${mom("residual", "sr", "srr")},
+         |        ${mom("residual + seasonal", "sd", "sdd")},
+         |        ${mom("residual + trend", "st", "stt")}
+         |      FROM dc GROUP BY 1, 2)
+         |SELECT user_id, event_type, CAST(n AS BIGINT) AS n_windows,
+         |       ${strength("sd", "sdd")} AS seasonal_strength,
+         |       ${strength("st", "stt")} AS trend_strength
+         |FROM m ORDER BY user_id, event_type""".stripMargin
+    },
 
     // even period: 2xMA — frame of period+1 windows, half weights at the
     // edges, folded into the exact integer s2 = 2*sum - first - last
@@ -4387,6 +4393,33 @@ object SparkEntry {
   // bit-identically. Any float column added to `queries` MUST use these.
   private def Q6(x: String) = s"round(($x) * 1000000.0, 0) / 1000000.0 + 0"
   private def US6(x: String) = s"CAST(round(($x) * 1000000.0, 0) AS BIGINT)"
+  /** The ts_decompose oracle body (period 7, no ORDER BY) — shared with
+    * the ts_seasonal_strength oracle, which consumes it as a CTE.
+    */
+  private lazy val DECOMP7_SQL: String =
+    s"""WITH pts AS ($PTS_SQL),
+       |w AS (SELECT user_id, event_type,
+       |             $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+       |             CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS m_us
+       |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+       |      GROUP BY 1, 2, 3),
+       |fr AS (SELECT *, sum(m_us) OVER wfr AS s_f, count(*) OVER wfr AS n_f
+       |       FROM w WINDOW wfr AS (PARTITION BY user_id, event_type ORDER BY w_start
+       |                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |ff AS (SELECT *, ((w_start - $T0) // $DAY) % 7 AS pos FROM fr WHERE n_f = 7),
+       |se AS (SELECT user_id, event_type, pos,
+       |              CAST(sum(m_us) AS DOUBLE) / count(*)
+       |                - CAST(sum(s_f) AS DOUBLE) / (count(*) * 7) AS seasonal_raw
+       |       FROM ff GROUP BY 1, 2, 3)
+       |SELECT ff.user_id AS user_id, ff.event_type AS event_type, ff.w_start AS w_start,
+       |       ${Q6("CAST(ff.m_us AS DOUBLE) / 1e6")} AS v_mean,
+       |       ${Q6("CAST(ff.s_f AS DOUBLE) / 7 / 1e6")} AS trend,
+       |       ${Q6("se.seasonal_raw / 1e6")} AS seasonal,
+       |       ${Q6("(CAST(ff.m_us AS DOUBLE) - CAST(ff.s_f AS DOUBLE) / 7 - se.seasonal_raw) / 1e6")}
+       |         AS residual
+       |FROM ff JOIN se ON ff.user_id = se.user_id AND ff.event_type = se.event_type
+       |                AND ff.pos = se.pos""".stripMargin
+
   private def MEAN6(sumUs: String, n: String) =
     s"round(CAST($sumUs AS DOUBLE) / $n, 0) / 1000000.0 + 0"
   private val V_MEAN_SQL = s"${MEAN6(s"sum(${US6("value")})", "count(*)")} AS v_mean"

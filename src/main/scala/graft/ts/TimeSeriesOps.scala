@@ -1852,6 +1852,46 @@ object TimeSeriesOps {
         count(lit(1)).as("v_count"))
   }
 
+  /** Seasonality / trend strength (Hyndman & Athanasopoulos, FPP §6.7)
+    * — the fleet ranking on top of decompose(): per stream,
+    * F_s = max(0, 1 − Var(residual)/Var(residual + seasonal)) and
+    * F_t = max(0, 1 − Var(residual)/Var(residual + trend)); ~1 = the
+    * component explains the series, ~0 = it is noise. The triage query
+    * before anyone picks a period-aware model (ts_holtwinters) or a
+    * seasonal-aware detector (ts_anomaly_seasonal) per stream.
+    *
+    * Determinism: decompose's components are already Q6-quantized, so
+    * their µ-unit integers are exact; variances assemble from exact
+    * DECIMAL moments (n·Σx² − (Σx)² — the ts_stddev rule) and the only
+    * float ops are the two ratio divisions. One metadata-scale
+    * aggregation over the grid-bounded decompose frame.
+    */
+  def seasonalStrength(points: DataFrame, streamCols: Seq[String], start: Long,
+                       end: Long, width: Long, period: Int,
+                       version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    def us(c: Column) = graft.Quant.us6(c).cast("decimal(38,0)")
+    val r = us(col("residual"))
+    val ds = us(col("residual") + col("seasonal"))
+    val dt = us(col("residual") + col("trend"))
+    val mom = decompose(points, streamCols, start, end, width, period, version)
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(r).as("sr"), sum(r * r).as("srr"),
+        sum(ds).as("sd"), sum(ds * ds).as("sdd"),
+        sum(dt).as("st"), sum(dt * dt).as("stt"))
+    def variance(s: Column, ss: Column) = col("n") * ss - s * s
+    val varR = variance(col("sr"), col("srr"))
+    val varS = variance(col("sd"), col("sdd"))
+    val varT = variance(col("st"), col("stt"))
+    def strength(denom: Column) = when(denom > 0,
+      graft.Quant.q6(greatest(lit(0d),
+        lit(1d) - varR.cast("double") / denom.cast("double"))))
+    mom.select(key ++ Seq(col("n").as("n_windows"),
+      strength(varS).as("seasonal_strength"),
+      strength(varT).as("trend_strength")): _*)
+  }
+
   /** Time-weighted average per stream over [start, end): each point's
     * value holds until the next sample (the step-function/last-observation
     * integral — the correct mean for irregularly sampled holdings, gauges,

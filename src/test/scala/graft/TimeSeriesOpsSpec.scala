@@ -912,6 +912,22 @@ class TimeSeriesOpsSpec extends SparkSuite {
       Seq((0L, 10L, 1.0, 2L), (20L, 20L, 2.0, 1L), (30L, 30L, 1.0, 1L)))
   }
 
+  test("seasonal strength is exactly 1 on pure periodic input, trend strength on pure linear") {
+    // one point per 10-µs window; period 2
+    val alt = pts((0 until 8).map(i => (i * 10L, if (i % 2 == 0) 1.0 else 9.0)): _*)
+    val a = TimeSeriesOps.seasonalStrength(alt, Seq("uuid"), 0L, 80L, 10L, 2)
+      .collect().head
+    // residual ≡ 0 → F_s = 1; trend is constant → Var(resid+trend) = 0 → NULL
+    assert(a.getDouble(a.fieldIndex("seasonal_strength")) == 1.0, a.toString)
+    assert(a.isNullAt(a.fieldIndex("trend_strength")), a.toString)
+    val lin = pts((0 until 8).map(i => (i * 10L, (i + 1).toDouble)): _*)
+    val l = TimeSeriesOps.seasonalStrength(lin, Seq("uuid"), 0L, 80L, 10L, 2)
+      .collect().head
+    // seasonal ≡ 0 → Var(resid+seasonal) = 0 → NULL; trend explains all
+    assert(l.isNullAt(l.fieldIndex("seasonal_strength")), l.toString)
+    assert(l.getDouble(l.fieldIndex("trend_strength")) == 1.0, l.toString)
+  }
+
   test("funnel steps enforce order and horizon, first occurrence per user") {
     import spark.implicits._
     val evs = Seq(
