@@ -613,6 +613,11 @@ object SparkEntry {
       TS.topKPerWindow(Tables.points(s, dir), STREAM, T0, T29, DAY, 3)
         .orderBy(col("w_start"), col("rnk"))),
 
+    // RLE/deadband savings audit per stream over the value-run table
+    "ts_compressibility" -> ((s, dir) =>
+      TS.compressibility(Tables.points(s, dir), STREAM)
+        .orderBy(col("user_id"), col("event_type"))),
+
     "ts_value_runs" -> ((s, dir) =>
       TS.valueRuns(Tables.points(s, dir), STREAM)
         .orderBy(col("user_id"), col("event_type"), col("r_start"))),
@@ -2950,6 +2955,27 @@ object SparkEntry {
 
     // mirrors TimeSeriesOps.valueRuns: same max(value) timestamp collapse,
     // same gaps-and-islands on value change
+    // mirrors TimeSeriesOps.compressibility: the value-runs CTE rolled
+    // up per stream, one float ratio
+    "ts_compressibility" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |d AS (SELECT user_id, event_type, t_us, max(value) AS value
+         |      FROM pts GROUP BY 1, 2, 3),
+         |l AS (SELECT *, lag(value) OVER (PARTITION BY user_id, event_type
+         |                                 ORDER BY t_us) AS prev_v FROM d),
+         |f AS (SELECT *, CASE WHEN prev_v IS NULL OR value <> prev_v
+         |                     THEN 1 ELSE 0 END AS is_new FROM l),
+         |i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type
+         |                                  ORDER BY t_us
+         |                                  ROWS UNBOUNDED PRECEDING) AS run FROM f),
+         |r AS (SELECT user_id, event_type, run, count(*) AS rn
+         |      FROM i GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, CAST(sum(rn) AS BIGINT) AS n_points,
+         |       CAST(count(*) AS BIGINT) AS n_runs,
+         |       CAST(max(rn) AS BIGINT) AS longest_run,
+         |       ${Q6("CAST(count(*) AS DOUBLE) / CAST(sum(rn) AS DOUBLE)")} AS run_ratio
+         |FROM r GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
     "ts_value_runs" ->
       s"""WITH pts AS ($PTS_SQL),
          |d AS (SELECT user_id, event_type, t_us, max(value) AS value

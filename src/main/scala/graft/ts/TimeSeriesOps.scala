@@ -2083,6 +2083,28 @@ object TimeSeriesOps {
       .drop("run")
   }
 
+  /** Compressibility audit — "what would run-length / deadband encoding
+    * save on this stream": per stream, point count, maximal-constant-run
+    * count (the row count RLE would store), the compression ratio, and
+    * the longest run. The capacity-planning complement of the streaming
+    * Deadband operator and of the reference's delta-encoded block store:
+    * streams with ratio ≪ 1 are the ones worth a deadband at the edge.
+    * One aggregation over valueRuns' grid-free run table (which itself
+    * never stream-wide-sorts — the sliced-islands shape).
+    */
+  def compressibility(points: DataFrame, streamCols: Seq[String],
+                      version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    valueRuns(points, streamCols, version)
+      .groupBy(key: _*)
+      .agg(sum(col("n_points")).as("n_points"),
+        count(lit(1)).as("n_runs"),
+        max(col("n_points")).as("longest_run"))
+      .select(key ++ Seq(col("n_points"), col("n_runs"), col("longest_run"),
+        graft.Quant.q6(col("n_runs").cast("double") / col("n_points").cast("double"))
+          .as("run_ratio")): _*)
+  }
+
   /** Resample onto a regular [start, end) grid with step `width`,
     * forward-filling the last observed value (gap fill). The grid is
     * generated distributed (per stream via sequence+explode), joined to the
