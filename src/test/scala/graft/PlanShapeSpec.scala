@@ -500,6 +500,17 @@ class PlanShapeSpec extends SparkSuite {
     // of the fleet
     assert(physical(SparkEntry.queries("ts_topk_movers")(spark, sfDir))
       .contains("TakeOrdered"), "ts_topk_movers top-k not TakeOrdered")
+    // third continuation wave
+    for (q <- Seq("ts_funnel_steps", "ts_seasonal_strength", "ts_compressibility",
+        "text_langid_confusion", "q19_join")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    for (q <- Seq("ts_seasonal_strength", "ts_compressibility")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("GreaterThanOrEqual(ts") || q == "ts_compressibility",
+        s"$q time bound not pushed:\n${plan.take(3000)}")
+    }
     // the seasonal profile joins back as a broadcast, never a shuffle of
     // the raw points against the profile
     val sa = physical(SparkEntry.queries("ts_anomaly_seasonal")(spark, sfDir))
