@@ -112,6 +112,42 @@ class GraftDB(val spark: SparkSession, val base: String) {
       a.points().withColumn("k", lit(1)),
       b.points().withColumn("k", lit(1)), Seq("k"), start, end, width, horizonUs).drop("k")
 
+  /** Fleet cross-correlation matrix: pairwise r over the store's top-N
+    * streams by volume (TimeSeriesOps.xcorrMatrix — roster-bounded).
+    */
+  def xcorrMatrix(start: Long, end: Long, width: Long, topN: Int): DataFrame =
+    TS.xcorrMatrix(store.pointsAt(None).withColumnRenamed("time", "t_us"),
+      Seq("uuid"), start, end, width, topN)
+
+  /** Fleet triage: the store's top-k biggest offset-window movers. */
+  def topMovers(start: Long, end: Long, width: Long, offsetUs: Long,
+                k: Int): DataFrame =
+    TS.topMovers(store.pointsAt(None).withColumnRenamed("time", "t_us"),
+      Seq("uuid"), start, end, width, offsetUs, k)
+
+  /** Aligned-series division of two handles (error rate, hit ratio):
+    * per shared window, a's value sum over b's (TimeSeriesOps.ratio).
+    */
+  def ratio(a: StreamHandle, b: StreamHandle, start: Long, end: Long,
+            width: Long): DataFrame =
+    TS.ratio(
+      a.points().withColumn("k", lit(1)),
+      b.points().withColumn("k", lit(1)), Seq("k"), start, end, width).drop("k")
+
+  /** N-step ordered funnel across handles: each handle is one step, a
+    * step counts when its FIRST point lands at-or-after the previous
+    * step's within the horizon (TimeSeriesOps.funnelSteps over the
+    * union of the handles' points tagged by step).
+    */
+  def funnelSteps(steps: Seq[StreamHandle], start: Long, end: Long,
+                  horizonUs: Long): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    val tagged = steps.map(h =>
+      h.points().withColumn("k", lit(1)).withColumn("step_tag", lit(h.uuid)))
+    TS.funnelSteps(tagged.reduce(_ union _), Seq("k"), "step_tag",
+      steps.map(_.uuid), start, end, horizonUs)
+  }
+
   /** Per-stream query/write surface. All reads take an optional
     * `version` (None = latest) like the RPCs' versionMajor.
     */

@@ -184,5 +184,21 @@ class GraftDBSpec extends SparkSuite {
     // seasonal z on the per-phase profile runs end to end (no flags on a
     // clean ramp at z ≥ 2 with singleton phases below minN)
     assert(h.anomaliesSeasonal(2.0, bucketUs = 8L, periodBuckets = 2).count() == 0)
+
+    // db-level fleet/two-stream surface
+    val h2 = db.create("c2", "r9c/fleet")
+    h2.insert((1 to 6).map(i => ((i - 1) * 8L, 2.0 * i)).toDF("time", "value"))
+    // c2 = 2·c: r(c, c2) = 1 in the matrix, exactly one pair row
+    val xm = db.xcorrMatrix(0L, 48L, 8L, topN = 2).collect()
+    assert(xm.length == 1 && xm.head.getDouble(xm.head.fieldIndex("r")) == 1.0)
+    // biggest mover at offset 8: c2 rises by 2 per window vs c's 1
+    val mv = db.topMovers(0L, 48L, 8L, 8L, k = 1).collect()
+    assert(mv.length == 1 && mv.head.getString(0) == "c2")
+    // ratio of the doubled stream over the base is exactly 2 everywhere
+    val rt = db.ratio(h2, h, 0L, 48L, 8L).collect()
+    assert(rt.length == 6 && rt.forall(_.getDouble(rt.head.fieldIndex("ratio")) == 2.0))
+    // sequence detection: c fires, then c2 within the horizon → 1, 1
+    val fs = db.funnelSteps(Seq(h, h2), 0L, 48L, 48L).orderBy("step").collect()
+    assert(fs.map(_.getLong(2)).toSeq == Seq(1L, 1L), fs.mkString("; "))
   }
 }

@@ -235,4 +235,76 @@ class OpsPropertySpec extends SparkSuite {
       .toDF("t_us", "value").withColumn("uuid", lit("s"))
     assert(TimeSeriesOps.peaks(mono, Seq("uuid"), 0L, 80L, 10L, 2, 0L).count() == 0)
   }
+
+  test("savgol matches the sequential kernel fold on random data") {
+    for (_ <- 1 to 12) {
+      val n = 5 + rnd.nextInt(20)
+      // one point per window so the mean series is the value series
+      val data = (0 until n).map(i => (i * 10L, (rnd.nextInt(2001) - 1000) / 100.0))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.savgol(df, Seq("uuid"), 0L, n * 10L, 10L)
+        .orderBy("w_start").collect()
+        .map(r => if (r.isNullAt(r.fieldIndex("sg_mean"))) None
+                  else Some(r.getDouble(r.fieldIndex("sg_mean"))))
+      val m = data.map(d => math.round(d._2 * 1e6)) // µ-unit integers
+      val want = m.indices.map { i =>
+        if (i < 2 || i > n - 3) None
+        else {
+          val num = 17L * m(i) + 12L * (m(i - 1) + m(i + 1)) - 3L * (m(i - 2) + m(i + 2))
+          Some(math.round(num.toDouble / 35.0) / 1e6)
+        }
+      }
+      assert(got.toSeq == want, s"data=$data")
+    }
+  }
+
+  test("boxplot outlier counts match the sorted-array Tukey reference on random data") {
+    for (_ <- 1 to 12) {
+      val data = randomSeries(4 + rnd.nextInt(25))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val got = TimeSeriesOps.boxplotWindows(df, Seq("uuid"), 0L, 40L, 40L)
+        .collect().head
+      val sorted = data.map(_._2).sorted
+      def pct(p: Double): Double = {
+        val idx = p * (sorted.length - 1)
+        val lo = math.floor(idx).toInt
+        val hi = math.ceil(idx).toInt
+        sorted(lo) + (sorted(hi) - sorted(lo)) * (idx - math.floor(idx))
+      }
+      val (q1, q3) = (pct(0.25), pct(0.75))
+      val (fl, fh) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      assert(got.getLong(got.fieldIndex("n_out_lo")) == sorted.count(_ < fl), s"$data")
+      assert(got.getLong(got.fieldIndex("n_out_hi")) == sorted.count(_ > fh), s"$data")
+      assert(math.abs(got.getDouble(got.fieldIndex("p50")) - pct(0.5)) < 1e-6)
+    }
+  }
+
+  test("histogram quantile matches the cumulative-walk reference on random data") {
+    for (_ <- 1 to 12) {
+      val data = randomSeries(1 + rnd.nextInt(30))
+      val df = data.toDF("t_us", "value").withColumn("uuid", lit("s"))
+      val binW = 2.0
+      val got = TimeSeriesOps.histogramQuantile(df, Seq("uuid"), 0L, 40L, 40L,
+        binW, Seq(0.5, 0.9)).collect().head
+      // reference: bin counts in bin order, first cum >= rank, interpolate
+      val bins = data.map(d => math.floor(d._2 / binW).toLong)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val total = data.size.toLong
+      def ref(p: Double): Double = {
+        val rank = p * total
+        var cum = 0L
+        var res = Double.NaN
+        var found = false
+        for ((b, c) <- bins if !found) {
+          if (cum < rank && rank <= cum + c) {
+            res = b * binW + binW * (rank - cum) / c
+            found = true
+          } else cum += c
+        }
+        res
+      }
+      assert(math.abs(got.getDouble(got.fieldIndex("p50_est")) - ref(0.5)) < 1e-6, s"$data")
+      assert(math.abs(got.getDouble(got.fieldIndex("p90_est")) - ref(0.9)) < 1e-6, s"$data")
+    }
+  }
 }
