@@ -241,6 +241,21 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
       windowSums(usable.max, streamCols, start, end, width), streamCols, k, minPromUs)
   }
 
+  /** Savitzky–Golay smoothing served from the rollup hierarchy — same
+    * contract as peaks(): the coarsest usable level's exact integer sums
+    * re-aggregate into the identical window means, so the kernel output
+    * is bit-identical to the raw path at 2^-pw of the rows read.
+    */
+  def savgol(raw: => DataFrame, streamCols: Seq[String], start: Long, end: Long,
+             width: Long): DataFrame = {
+    val usable = pointwidths.filter(l =>
+      width % (1L << l) == 0 && (start & ((1L << l) - 1)) == 0L)
+    if (usable.isEmpty)
+      TimeSeriesOps.savgol(raw, streamCols, start, end, width)
+    else TimeSeriesOps.savgolOfWindowSums(
+      windowSums(usable.max, streamCols, start, end, width), streamCols)
+  }
+
   /** Change points served from the rollup hierarchy — same contract as
     * peaks() above.
     */

@@ -2806,14 +2806,26 @@ object TimeSeriesOps {
     */
   def savgol(points: DataFrame, streamCols: Seq[String], start: Long, end: Long,
              width: Long, version: Option[Long] = None): DataFrame = {
-    val key = streamKey(streamCols)
     val completeEnd = start + ((end - start) / width) * width
-    val means = atVersion(points, version)
+    val sums = atVersion(points, version)
       .filter(col("t_us") >= start && col("t_us") < completeEnd)
-      .groupBy(key :+ widthBucket(start, width): _*)
-      .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
-        .cast("long").as("m_us"),
-        count(lit(1)).as("n_points"))
+      .groupBy(streamKey(streamCols) :+ widthBucket(start, width): _*)
+      .agg(sum(graft.Quant.us6(col("value"))).as("sum_us"), count(lit(1)).as("n"))
+    savgolOfWindowSums(sums, streamCols)
+  }
+
+  /** The SG kernel over a precomputed per-window summary frame
+    * (key..., w_start, sum_us, n) — the peaksOfWindowSums contract,
+    * shared by the raw path above and the rollup-served path
+    * (Rollup.savgol), which re-aggregates its level buckets into the
+    * SAME exact integer sums, so the two serve bit-identical rows.
+    */
+  private[ts] def savgolOfWindowSums(sums: DataFrame,
+                                     streamCols: Seq[String]): DataFrame = {
+    val key = streamKey(streamCols)
+    val means = sums.select(key ++ Seq(col("w_start"),
+      round(col("sum_us").cast("double") / col("n"), 0).cast("long").as("m_us"),
+      col("n").as("n_points")): _*)
     val ord = Window.partitionBy(key: _*).orderBy(col("w_start"))
     val sgNum = lit(17L) * col("m_us") +
       lit(12L) * (lag(col("m_us"), 1).over(ord) + lead(col("m_us"), 1).over(ord)) -

@@ -212,6 +212,13 @@ class RollupSpec extends SparkSuite {
     val fb = ru.peaks(pts, STREAM, start + 7, end, w, 1, 0L).collect()
     val fbRaw = TimeSeriesOps.peaks(pts, STREAM, start + 7, end, w, 1, 0L).collect()
     assert(fb.toSet == fbRaw.toSet)
+    // the SG smoother inherits the same invariant (incl. NULL edges)
+    val sgRaw = TimeSeriesOps.savgol(pts, STREAM, start, end, w)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val sgServed = ru.savgol(pts, STREAM, start, end, w)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(sgRaw.length == sgServed.length && sgRaw.nonEmpty)
+    sgRaw.zip(sgServed).foreach { case (d, r) => assert(d == r) }
   }
 
   test("queries below the finest level fall back to raw") {
