@@ -2914,7 +2914,14 @@ object TimeSeriesOps {
       .agg(round(sum(graft.Quant.us6(col("value"))).cast("double") / count(lit(1)), 0)
         .cast("long").as("m_us"),
         count(lit(1)).as("n"))
-    val roster = means.groupBy(key: _*).agg(sum(col("n")).as("n_points"))
+    // the roster needs only per-stream POINT counts — a count-only
+    // aggregate straight off the scan, so its second pass reads (key,
+    // ts) with the value column pruned instead of re-deriving the mean
+    // arithmetic (Catalyst reuses the means exchange across the two
+    // join sides but not across the differently-shaped roster branch)
+    val roster = atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key: _*).agg(count(lit(1)).as("n_points"))
       .orderBy(col("n_points").desc +: key: _*)
       .limit(topN)
     val m = means.join(broadcast(roster.select(key: _*)), streamCols)
