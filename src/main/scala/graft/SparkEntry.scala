@@ -1115,6 +1115,13 @@ object SparkEntry {
         .orderBy(col("rank_key"), col("doc_id"))),
 
     // importance sampling: keep-probability = rate × quality_score
+    // deterministic train/val/test assignment: 16-bit md5 fraction vs
+    // fixed hex cuts — 1% val, 1% test, the rest train; adding docs
+    // never moves an existing one between splits
+    "sample_split" -> ((s, dir) =>
+      TextFunctions.sampleSplit(Tables.load(s, dir, "documents"), 0.01, 0.01)
+        .orderBy(col("doc_id"))),
+
     "sample_weighted" -> ((s, dir) =>
       TextFunctions.sampleWeighted(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
@@ -3891,6 +3898,15 @@ object SparkEntry {
     "sample_fixed" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_key
         |FROM documents ORDER BY rank_key, doc_id LIMIT 100""".stripMargin,
+
+    // mirrors TextFunctions.sampleSplit at (0.01, 0.01): cuts 655 = 0x028f
+    // and 1310 = 0x051e on the domain-tagged 16-bit md5 fraction
+    "sample_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < '028f' THEN 'val'
+        |            WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < '051e' THEN 'test'
+        |            ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),

@@ -236,6 +236,29 @@ object TextFunctions {
       .select(col("doc_id"), col("quality_score"))
   }
 
+  /** Deterministic train/validation/test assignment — the split every
+    * training run needs, engine-portable and stable forever: each doc's
+    * 16-bit md5 fraction (domain-tagged so it is independent of the
+    * sampling hashes) lands it in [0, val) → "val", [val, val+test) →
+    * "test", else "train". Hex-string comparison ≡ numeric comparison
+    * (fixed-width lowercase hex), no RNG anywhere; adding documents
+    * NEVER moves an existing one between splits — the property a
+    * random split refreshed per run cannot give.
+    */
+  def sampleSplit(docs: DataFrame, valFrac: Double, testFrac: Double): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"need valFrac + testFrac < 1, got $valFrac + $testFrac")
+    val vCut = math.floor(valFrac * 65536).toInt
+    val tCut = math.floor((valFrac + testFrac) * 65536).toInt
+    docs
+      .withColumn("h",
+        substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4))
+      .select(col("doc_id"),
+        when(col("h") < format_string("%04x", lit(vCut)), "val")
+          .when(col("h") < format_string("%04x", lit(tCut)), "test")
+          .otherwise("train").as("split"))
+  }
+
   /** Deterministic fixed-SIZE sample: exactly n documents, selected by
     * md5(doc_id) order — the complement of the rate-based stratified
     * sampler (eval sets and ablations want "exactly N docs, stable across

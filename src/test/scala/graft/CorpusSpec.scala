@@ -167,4 +167,22 @@ class CorpusSpec extends SparkSuite {
     assert(e.clusters(0.4).count() == e.emb.count())
     assert(e.annTopK(5, 10).count() == 50)
   }
+
+  test("split assignment is stable under corpus growth and partitions everything") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val full = TF.sampleSplit(docs, 0.05, 0.1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc gets exactly one label; all three labels appear at these rates
+    assert(full.size == docs.count())
+    assert(Set("train", "val", "test").subsetOf(full.values.toSet))
+    // a HALF corpus assigns the same splits to its docs — growing the
+    // corpus later never moves an existing document between splits
+    val half = TF.sampleSplit(docs.filter(col("doc_id") % 2 === 0), 0.05, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved to $s") }
+    // independence from the sampling hashes: the split fraction of the
+    // weighted-sample survivors stays near the global cut (domain tag)
+    val nVal = full.count(_._2 == "val").toDouble / full.size
+    assert(nVal > 0.01 && nVal < 0.12, s"val fraction $nVal")
+  }
 }
