@@ -466,6 +466,13 @@ object SparkEntry {
       TS.anomalies(Tables.points(s, dir), STREAM, 2.0)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
+    // seasonal-profile drift: week 1 vs week 4 quarter-day shapes — the
+    // "did the load shape change" regression detector
+    "ts_profile_drift" -> ((s, dir) =>
+      TS.profileDrift(Tables.points(s, dir), STREAM, T0, T08, T22, T29,
+          6 * HOUR, 4)
+        .orderBy(col("user_id"), col("event_type"))),
+
     // seasonal-aware anomalies: z against the stream's OWN time-of-day
     // profile — normal-at-6pm vs incident-at-3am, which the global z
     // above cannot distinguish. Quarter-day phases (6 h × 4): per-phase
@@ -2476,6 +2483,24 @@ object SparkEntry {
          |       ${Q6("(CAST(us AS DOUBLE) - mean) / std")} AS z_score
          |FROM j WHERE std > 0 AND abs((CAST(us AS DOUBLE) - mean) / std) >= 2.0
          |ORDER BY user_id, event_type, t_us, value""".stripMargin,
+
+    // mirrors TimeSeriesOps.profileDrift: two per-phase profiles, joint
+    // phases only, exact integer differences, one division + sqrt
+    "ts_profile_drift" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |a AS (SELECT user_id, event_type, (t_us // ${6 * HOUR}) % 4 AS phase,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS ma
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T08 GROUP BY 1, 2, 3),
+         |b AS (SELECT user_id, event_type, (t_us // ${6 * HOUR}) % 4 AS phase,
+         |        CAST(round(CAST(sum(${US6("value")}) AS DOUBLE) / count(*), 0) AS BIGINT) AS mb
+         |      FROM pts WHERE t_us >= $T22 AND t_us < $T29 GROUP BY 1, 2, 3),
+         |j AS (SELECT a.user_id AS user_id, a.event_type AS event_type, ma - mb AS d
+         |      FROM a JOIN b ON a.user_id = b.user_id
+         |        AND a.event_type = b.event_type AND a.phase = b.phase)
+         |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_phases,
+         |       ${Q6("sqrt(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) / count(*)) / 1000000.0")} AS drift_rms,
+         |       CAST(max(abs(d)) AS DOUBLE) / 1000000.0 + 0 AS max_shift
+         |FROM j GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     // mirrors TimeSeriesOps.anomaliesSeasonal: per-(stream, hour-phase)
     // streamStats moments, minN guard, identical float assembly

@@ -1374,6 +1374,48 @@ object TimeSeriesOps {
         graft.Quant.q6(col("z")).as("z_score")): _*)
   }
 
+  /** Seasonal-profile drift — "did this stream's load SHAPE change
+    * between two periods" (deploy regressions, demand-pattern shifts a
+    * level-based detector misses when the daily total stays flat): per
+    * stream, the per-phase mean profile of [aStart, aEnd) vs
+    * [bStart, bEnd), compared as the RMS and max of the per-phase
+    * µ-unit mean differences over phases observed in BOTH periods.
+    * Phase = position in a repeating period (the anomaliesSeasonal
+    * rule, pure epoch-µs integer arithmetic).
+    *
+    * Determinism: phase means are rounded integer µ-units from exact
+    * DECIMAL sums; differences and their squares stay integer (DECIMAL
+    * for the square sum), with one division + sqrt at the end. Two
+    * map-side-partial aggregations (one per period — different filters,
+    * same shape) + a co-partitioned (stream, phase) join bounded by
+    * streams × periodBuckets.
+    */
+  def profileDrift(points: DataFrame, streamCols: Seq[String],
+                   aStart: Long, aEnd: Long, bStart: Long, bEnd: Long,
+                   bucketUs: Long, periodBuckets: Int,
+                   version: Option[Long] = None): DataFrame = {
+    require(bucketUs > 0 && periodBuckets > 0, "bucketUs/periodBuckets must be positive")
+    val key = streamKey(streamCols)
+    val phase = pmod(expr(s"t_us div $bucketUs"), lit(periodBuckets.toLong)).as("phase")
+    def profile(s: Long, e: Long, out: String): DataFrame =
+      atVersion(points, version)
+        .filter(col("t_us") >= s && col("t_us") < e)
+        .groupBy(key :+ phase: _*)
+        .agg(round(sum(graft.Quant.us6(col("value")).cast("decimal(38,0)")).cast("double") /
+          count(lit(1)), 0).cast("long").as(out))
+    val joined = profile(aStart, aEnd, "ma").join(profile(bStart, bEnd, "mb"),
+      streamCols :+ "phase")
+    val d = col("ma") - col("mb")
+    joined.groupBy(key: _*)
+      .agg(count(lit(1)).as("n_phases"),
+        sum((d * d).cast("decimal(38,0)")).as("ss"),
+        max(abs(d)).as("max_us"))
+      .select(key ++ Seq(col("n_phases"),
+        graft.Quant.q6(sqrt(col("ss").cast("double") / col("n_phases")) / 1e6)
+          .as("drift_rms"),
+        (col("max_us").cast("double") / 1e6 + lit(0d)).as("max_shift")): _*)
+  }
+
   /** Seasonal-aware anomaly detection: z-score against the stream's OWN
     * per-phase profile — a 6pm load spike is normal AT 6pm and an
     * incident at 3am, a distinction the global-profile z (anomalies())

@@ -1052,6 +1052,24 @@ class TimeSeriesOpsSpec extends SparkSuite {
       (20L, 20L, 2L, 0L, 0.0, 0.0)), b.mkString("; "))
   }
 
+  test("profile drift measures per-phase shape change, zero when shapes match") {
+    // period 2 × bucket 10: phase-0 stays 10, phase-1 shifts 20 → 26
+    val p = pts(
+      ((0 until 4).map(i => (i * 10L, if (i % 2 == 0) 10.0 else 20.0)) ++
+        (4 until 8).map(i => (i * 10L, if (i % 2 == 0) 10.0 else 26.0))): _*)
+    val d = TimeSeriesOps.profileDrift(p, Seq("uuid"), 0L, 40L, 40L, 80L, 10L, 2)
+      .collect().head
+    assert(d.getLong(d.fieldIndex("n_phases")) == 2L)
+    assert(d.getDouble(d.fieldIndex("max_shift")) == 6.0)
+    assert(d.getDouble(d.fieldIndex("drift_rms")) == 4.242641) // √(36/2) Q6
+    // identical periods → zero drift
+    val same = pts((0 until 8).map(i => (i * 10L, if (i % 2 == 0) 1.0 else 2.0)): _*)
+    val z = TimeSeriesOps.profileDrift(same, Seq("uuid"), 0L, 40L, 40L, 80L, 10L, 2)
+      .collect().head
+    assert(z.getDouble(z.fieldIndex("drift_rms")) == 0.0 &&
+      z.getDouble(z.fieldIndex("max_shift")) == 0.0)
+  }
+
   test("seasonal anomalies flag per-phase outliers, not cross-phase baseline shifts") {
     val H = 3600000000L
     // hour-0 baseline 10 (one 20), hour-1 baseline 100 (one 110): each
