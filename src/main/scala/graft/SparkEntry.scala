@@ -466,6 +466,12 @@ object SparkEntry {
       TS.anomalies(Tables.points(s, dir), STREAM, 2.0)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
+    // min-max feature scaling per stream (the training-export step);
+    // constant streams emit NULL, never a divide-by-zero artifact
+    "ts_normalize" -> ((s, dir) =>
+      TS.normalize(Tables.points(s, dir), STREAM)
+        .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
+
     // seasonal-profile drift: week 1 vs week 4 quarter-day shapes — the
     // "did the load shape change" regression detector
     "ts_profile_drift" -> ((s, dir) =>
@@ -2482,6 +2488,20 @@ object SparkEntry {
          |SELECT user_id, event_type, t_us, value,
          |       ${Q6("(CAST(us AS DOUBLE) - mean) / std")} AS z_score
          |FROM j WHERE std > 0 AND abs((CAST(us AS DOUBLE) - mean) / std) >= 2.0
+         |ORDER BY user_id, event_type, t_us, value""".stripMargin,
+
+    // mirrors TimeSeriesOps.normalize: unrounded min/max, one division,
+    // NULL on constant streams
+    "ts_normalize" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |st AS (SELECT user_id, event_type, min(value) AS v_min, max(value) AS v_max
+         |       FROM pts GROUP BY 1, 2)
+         |SELECT p.user_id AS user_id, p.event_type AS event_type,
+         |       p.t_us AS t_us, p.value AS value,
+         |       CASE WHEN v_max > v_min
+         |            THEN ${Q6("(p.value - v_min) / (v_max - v_min)")}
+         |       END AS norm01
+         |FROM pts p JOIN st ON p.user_id = st.user_id AND p.event_type = st.event_type
          |ORDER BY user_id, event_type, t_us, value""".stripMargin,
 
     // mirrors TimeSeriesOps.profileDrift: two per-phase profiles, joint

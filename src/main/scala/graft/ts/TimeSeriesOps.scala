@@ -1374,6 +1374,28 @@ object TimeSeriesOps {
         graft.Quant.q6(col("z")).as("z_score")): _*)
   }
 
+  /** Min-max normalization — the feature-scaling export step before a
+    * model consumes raw telemetry: every point rescaled to [0, 1] by
+    * its OWN stream's range ((v − min)/(max − min)); constant streams
+    * (max = min) emit NULL rather than a divide-by-zero artifact, and
+    * min/max are unrounded doubles (order-free, bit-exact on both
+    * engines) so the one division is the only float op. Plan: one
+    * map-side-partial stats pass broadcast back onto the scan — the
+    * anomalies() shape.
+    */
+  def normalize(points: DataFrame, streamCols: Seq[String],
+                version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val stats = atVersion(points, version).groupBy(key: _*)
+      .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+    atVersion(points, version)
+      .join(broadcast(stats), streamCols)
+      .select(key ++ Seq(col("t_us"), col("value"),
+        when(col("v_max") > col("v_min"),
+          graft.Quant.q6((col("value") - col("v_min")) /
+            (col("v_max") - col("v_min")))).as("norm01")): _*)
+  }
+
   /** Seasonal-profile drift — "did this stream's load SHAPE change
     * between two periods" (deploy regressions, demand-pattern shifts a
     * level-based detector misses when the daily total stays flat): per
