@@ -646,6 +646,13 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("w_start"))),
 
     // week-over-week window-mean comparison — the PromQL `offset` modifier
+    // top user journeys: per (user, day) event paths capped at 6 steps,
+    // top-20 fleet-wide — ts_transitions' full-order generalization
+    "ts_paths" -> ((s, dir) =>
+      TS.topPaths(Tables.points(s, dir), Seq("user_id"), "event_type",
+          T0, T29, DAY, maxLen = 6, k = 20)
+        .orderBy(col("rank"))),
+
     // N-step ordered funnel: click → view → purchase, each step within
     // 3 days of the previous (first occurrence per user per step)
     "ts_funnel_steps" -> ((s, dir) =>
@@ -3112,6 +3119,22 @@ object SparkEntry {
          |FROM m c JOIN m p ON c.user_id = p.user_id AND c.event_type = p.event_type
          |  AND c.w_start = p.w_start + $WEEK
          |ORDER BY user_id, event_type, w_start""".stripMargin,
+
+    // mirrors TimeSeriesOps.topPaths: (t, type)-ordered capped path per
+    // (user, day), census + deterministic top-20
+    "ts_paths" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |p AS (SELECT user_id, $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start,
+         |        array_to_string(list_slice(
+         |          list(event_type ORDER BY t_us, event_type), 1, 6), '>') AS path
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29
+         |      GROUP BY 1, 2),
+         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+         |      FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, path,
+         |       CAST(n_sessions AS BIGINT) AS n_sessions
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // mirrors TimeSeriesOps.funnelSteps: per-step first-occurrence joins,
     // |steps|-row report with quantized integer rates

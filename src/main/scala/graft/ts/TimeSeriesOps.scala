@@ -2666,6 +2666,44 @@ object TimeSeriesOps {
         graft.Quant.mean6(col("n_converted") * 1000000L, col("n_base")))
   }
 
+  /** Top user journeys — the Sankey/path-analysis feed ("what are the
+    * most common things users actually DO in a session"): per
+    * (user, window) the ordered event-type path capped at `maxLen`
+    * steps, then the top-k paths fleet-wide by occurrence.
+    * ts_transitions is this report's first-order marginal; the full
+    * path keeps order beyond adjacent pairs.
+    *
+    * Determinism: the in-group order is (t_us, event_type) —
+    * array_sort over (t, type) structs — so same-µs events order
+    * identically on both engines; the cap keeps the path string
+    * bounded regardless of session size. Paths build inside
+    * window-bounded groups (the percentileWindows pattern — no
+    * stream-wide sort; a collect_list per (user, window) group is
+    * bounded by per-session volume); the path census is one
+    * map-side-partial groupBy + TakeOrdered top-k.
+    */
+  def topPaths(events: DataFrame, keyCols: Seq[String], typeCol: String,
+               start: Long, end: Long, width: Long, maxLen: Int, k: Int,
+               version: Option[Long] = None): DataFrame = {
+    require(maxLen > 0 && k > 0, s"maxLen/k must be positive, got $maxLen/$k")
+    val key = keyCols.map(col)
+    val completeEnd = start + ((end - start) / width) * width
+    val d = col("t_us") - start
+    val paths = atVersion(events, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .groupBy(key :+ (lit(start) + d - pmod(d, lit(width))).as("w_start"): _*)
+      .agg(concat_ws(">", slice(
+        transform(array_sort(collect_list(struct(col("t_us"), col(typeCol).as("et")))),
+          x => x.getField("et")), 1, maxLen)).as("path"))
+    val ranked = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n_sessions"))
+  }
+
   /** Multi-step funnel — the N-step sequence report ("click → view →
     * purchase, each within the horizon of the previous"): per user, the
     * FIRST occurrence of each step at-or-after the previous step's

@@ -928,6 +928,21 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(l.getDouble(l.fieldIndex("trend_strength")) == 1.0, l.toString)
   }
 
+  test("top paths order within the window, cap the length, and rank deterministically") {
+    import spark.implicits._
+    val evs = (Seq((1L, 0L, "c"), (1L, 1L, "v"), (1L, 2L, "p"),
+      (2L, 0L, "c"), (2L, 1L, "v"), (2L, 2L, "p"),
+      (3L, 5L, "c"), (3L, 6L, "v")) ++
+      (0 until 8).map(i => (4L, i.toLong, "x")))
+      .toDF("user_id", "t_us", "event_type").withColumn("ver", lit(1L))
+    val p = TimeSeriesOps.topPaths(evs, Seq("user_id"), "event_type",
+      0L, 10L, 10L, maxLen = 6, k = 10).orderBy("rank").collect()
+    val got = p.map(r => (r.getString(1), r.getLong(2))).toSeq
+    // c>v>p twice, then the capped x-run and c>v once each (path tiebreak)
+    assert(got == Seq(("c>v>p", 2L), ("c>v", 1L),
+      (Seq.fill(6)("x").mkString(">"), 1L)), got.mkString("; "))
+  }
+
   test("funnel steps enforce order and horizon, first occurrence per user") {
     import spark.implicits._
     val evs = Seq(
