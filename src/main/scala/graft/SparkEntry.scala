@@ -554,6 +554,13 @@ object SparkEntry {
           T0, T29, DAY)
         .orderBy(col("from_type"), col("to_type"))),
 
+    // transition dwell: HOW LONG between event pairs (exact-µs gaps
+    // under the transitions pairing rules)
+    "ts_dwell" -> ((s, dir) =>
+      TS.transitionDwell(Tables.points(s, dir), Seq("user_id"), "event_type",
+          T0, T29, DAY)
+        .orderBy(col("from_type"), col("to_type"))),
+
     // DAU + trailing-7 WAU per day: exact rolling distincts via the
     // bounded k-fan explode (never a sum of daily distincts)
     "ts_active_users" -> ((s, dir) =>
@@ -2754,6 +2761,25 @@ object SparkEntry {
          |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
          |       ${MEAN6("n * 1000000", "sum(n) OVER (PARTITION BY from_type)")} AS prob
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // mirrors TimeSeriesOps.transitionDwell: the transitions pairing
+    // with the µs gap carried through, exact min/max + quantized mean
+    "ts_dwell" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |w AS (SELECT user_id, event_type, t_us,
+         |        $T0 + (t_us - $T0) - ((t_us - $T0) % $DAY) AS w_start
+         |      FROM pts WHERE t_us >= $T0 AND t_us < $T29),
+         |l AS (SELECT event_type AS to_type,
+         |        lag(event_type, 1) OVER wo AS from_type,
+         |        t_us - lag(t_us, 1) OVER wo AS dwell_us
+         |      FROM w WINDOW wo AS (PARTITION BY user_id, w_start
+         |                           ORDER BY t_us, event_type))
+         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(dwell_us) AS BIGINT) AS min_us,
+         |       CAST(max(dwell_us) AS BIGINT) AS max_us,
+         |       round(CAST(sum(dwell_us) AS DOUBLE) / count(*), 0) + 0 AS mean_us
+         |FROM l WHERE from_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // mirrors TimeSeriesOps.activeUsers: the same k-fan explode and
     // double distinct; right join (trailing ⊇ daily), dau 0 coalesced

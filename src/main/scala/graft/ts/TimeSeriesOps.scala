@@ -2556,6 +2556,39 @@ object TimeSeriesOps {
         graft.Quant.mean6(col("n") * 1000000L, sum(col("n")).over(rowTotal)))
   }
 
+  /** Transition dwell times — the duration face of the journey matrix
+    * ("HOW LONG between view and purchase", not just how often): per
+    * (from → to) event pair, the count plus exact-µs min / mean / max
+    * of the inter-event gap, paired under EXACTLY the transitions()
+    * rules (within (user, window) groups, (t_us, type) tie order, a
+    * window boundary is a session boundary). Gaps are integer µs, so
+    * min/max are exact and the mean is one quantized integer ratio.
+    * Same plan shape as transitions: window-bounded ordered groups →
+    * one map-side-partial aggregation over the |types|² matrix.
+    */
+  def transitionDwell(points: DataFrame, userCols: Seq[String], typeCol: String,
+                      start: Long, end: Long, width: Long,
+                      version: Option[Long] = None): DataFrame = {
+    val key = userCols.map(col)
+    val completeEnd = start + ((end - start) / width) * width
+    val ord = Window.partitionBy(key :+ col("w_start"): _*)
+      .orderBy(col("t_us"), col(typeCol))
+    atVersion(points, version)
+      .filter(col("t_us") >= start && col("t_us") < completeEnd)
+      .select(key ++ Seq(widthBucket(start, width), col("t_us"), col(typeCol)): _*)
+      .withColumn("from_type", lag(col(typeCol), 1).over(ord))
+      .withColumn("dwell_us", col("t_us") - lag(col("t_us"), 1).over(ord))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("dwell_us")).as("min_us"),
+        max(col("dwell_us")).as("max_us"),
+        sum(col("dwell_us").cast("decimal(38,0)")).as("s_us"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("min_us"), col("max_us"),
+        (round(col("s_us").cast("double") / col("n"), 0) + lit(0d)).as("mean_us"))
+  }
+
   /** Cohort retention triangle — the product-analytics classic over the
     * event stream: users cohorted by their FIRST active window, and for
     * each (cohort, k) the count of cohort members active k windows
