@@ -511,6 +511,19 @@ class PlanShapeSpec extends SparkSuite {
       assert(plan.contains("GreaterThanOrEqual(ts") || q == "ts_compressibility",
         s"$q time bound not pushed:\n${plan.take(3000)}")
     }
+    // fourth continuation wave
+    for (q <- Seq("ts_paths", "ts_dwell", "ts_profile_drift", "ts_normalize",
+        "sample_split", "mm_dedup_clusters")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+    // the path census ends in a TakeOrdered; normalize broadcasts its
+    // stream stats back onto the scan
+    assert(physical(SparkEntry.queries("ts_paths")(spark, sfDir)).contains("TakeOrdered"),
+      "ts_paths top-k not TakeOrdered")
+    val nz = physical(SparkEntry.queries("ts_normalize")(spark, sfDir))
+    assert(nz.contains("BroadcastExchange") || nz.contains("BroadcastQueryStage"),
+      s"ts_normalize stats not broadcast:\n${nz.take(3000)}")
     // the seasonal profile joins back as a broadcast, never a shuffle of
     // the raw points against the profile
     val sa = physical(SparkEntry.queries("ts_anomaly_seasonal")(spark, sfDir))
