@@ -1211,6 +1211,23 @@ object SparkEntry {
       TextFunctions.dupStats(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // per-source NEAR-dup rate: fraction of each source's docs that are
+    // non-representative members of a near-dup cluster — the dataset-card
+    // redundancy number the exact-fingerprint dup_rate understates
+    "corpus_dup_stats_near" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.clusters(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_near_dups"))
+        .select(col("source"), col("n_docs"), col("n_near_dups"),
+          graft.Quant.q6(col("n_near_dups").cast("double") / col("n_docs").cast("double"))
+            .as("near_dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     "corpus_vocab" -> ((s, dir) =>
       TextFunctions.vocab(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("doc_freq").desc, col("word"))),
@@ -4216,6 +4233,37 @@ object SparkEntry {
          |        FROM kept)
          |SELECT doc_id, stratum, n_tokens, cum_tokens
          |FROM cum WHERE cum_tokens <= 3000 ORDER BY doc_id""".stripMargin,
+
+    // mirrors the registered near-dup rate: the dedup_clusters recursive
+    // reachability, every doc labeled, per-source non-representative rate
+    "corpus_dup_stats_near" ->
+      s"""WITH RECURSIVE
+         |docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM docs WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |e AS (SELECT id_a, id_b FROM p
+         |      WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION ALL SELECT id_b, id_a FROM e),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |cl AS (SELECT d2.doc_id, d2.source,
+         |              coalesce(lbl.cluster_id, d2.doc_id) AS cluster_id
+         |       FROM documents d2 LEFT JOIN lbl ON d2.doc_id = lbl.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_near_dups,
+         |       ${Q6("CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+         |         AS near_dup_rate
+         |FROM cl GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_dup_stats" ->
       s"""WITH d AS (SELECT source, md5($NORM_TEXT_SQL) AS fp FROM documents)
