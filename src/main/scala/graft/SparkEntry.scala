@@ -633,6 +633,10 @@ object SparkEntry {
       TS.topKPerWindow(Tables.points(s, dir), STREAM, T0, T29, DAY, 3)
         .orderBy(col("w_start"), col("rnk"))),
 
+    // fleet volume skew: one-row Gini + hottest-stream share
+    "ts_load_gini" -> ((s, dir) =>
+      TS.loadGini(Tables.points(s, dir), STREAM)),
+
     // RLE/deadband savings audit per stream over the value-run table
     "ts_compressibility" -> ((s, dir) =>
       TS.compressibility(Tables.points(s, dir), STREAM)
@@ -1227,6 +1231,12 @@ object SparkEntry {
             .as("near_dup_rate"))
         .orderBy(col("source"))
     }),
+
+    // Heaps-law vocabulary growth: distinct types at 10%/50%/100%
+    // hash-order corpus prefixes, one pass via per-word min doc-hash
+    "corpus_vocab_growth" -> ((s, dir) =>
+      TextFunctions.vocabGrowth(Tables.load(s, dir, "documents"), Seq(0.1, 0.5, 1.0))
+        .orderBy(col("frac"))),
 
     "corpus_vocab" -> ((s, dir) =>
       TextFunctions.vocab(Tables.load(s, dir, "documents"), 100)
@@ -3070,6 +3080,20 @@ object SparkEntry {
 
     // mirrors TimeSeriesOps.valueRuns: same max(value) timestamp collapse,
     // same gaps-and-islands on value change
+    // mirrors TimeSeriesOps.loadGini: ascending (volume, key) ranks,
+    // exact Σ(2i−n−1)x numerator, two float ratios
+    "ts_load_gini" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |c AS (SELECT user_id, event_type, count(*) AS x FROM pts GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (ORDER BY x, user_id, event_type) AS rnk,
+         |             count(*) OVER () AS n, sum(x) OVER () AS total
+         |      FROM c)
+         |SELECT CAST(max(n) AS BIGINT) AS n_streams,
+         |       CAST(max(total) AS BIGINT) AS total_points,
+         |       ${Q6("CAST(sum((2 * rnk - n - 1) * CAST(x AS HUGEINT)) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * CAST(max(total) AS DOUBLE))")} AS gini,
+         |       ${Q6("CAST(max(x) AS DOUBLE) / CAST(max(total) AS DOUBLE)")} AS max_share
+         |FROM r""".stripMargin,
+
     // mirrors TimeSeriesOps.compressibility: the value-runs CTE rolled
     // up per stream, one float ratio
     "ts_compressibility" ->
@@ -4319,6 +4343,26 @@ object SparkEntry {
          |w AS (SELECT unnest(list_distinct(string_split(norm, ' '))) AS word FROM d)
          |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM w GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin,
+
+    // mirrors TextFunctions.vocabGrowth at (0.1, 0.5, 1.0): per-word min
+    // 4-hex doc hash, cuts 6553→'1999' and 32768→'8000'
+    "corpus_vocab_growth" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |h AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+         |             string_split(norm, ' ') AS w FROM d),
+         |wm AS (SELECT word, min(h) AS h_min
+         |       FROM (SELECT h, unnest(list_distinct(w)) AS word FROM h)
+         |       GROUP BY word),
+         |v AS (SELECT sum(CASE WHEN h_min < '1999' THEN 1 ELSE 0 END) AS v10,
+         |             sum(CASE WHEN h_min < '8000' THEN 1 ELSE 0 END) AS v50,
+         |             count(*) AS v100 FROM wm),
+         |dc AS (SELECT sum(CASE WHEN h < '1999' THEN 1 ELSE 0 END) AS d10,
+         |              sum(CASE WHEN h < '8000' THEN 1 ELSE 0 END) AS d50,
+         |              count(*) AS d100 FROM h)
+         |SELECT 0.1 AS frac, CAST(d10 AS BIGINT) AS n_docs, CAST(v10 AS BIGINT) AS n_types FROM v, dc
+         |UNION ALL SELECT 0.5, CAST(d50 AS BIGINT), CAST(v50 AS BIGINT) FROM v, dc
+         |UNION ALL SELECT 1.0, CAST(d100 AS BIGINT), CAST(v100 AS BIGINT) FROM v, dc
+         |ORDER BY frac""".stripMargin,
 
     "text_ttr" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),

@@ -661,6 +661,51 @@ object TextFunctions {
     * word key; the global top-k is a TakeOrdered, never a full sort. The
     * dataset-card / tokenizer-coverage query.
     */
+  /** Vocabulary growth curve (the Heaps-law audit: "will a bigger
+    * corpus keep minting new types, or is the vocabulary saturating") —
+    * distinct-type counts at deterministic md5-order corpus prefixes.
+    * ONE pass, no per-checkpoint re-aggregation: each word's FIRST
+    * appearance in hash order is its min doc-hash (groupBy(word) min),
+    * and the type count at a prefix cut is simply the number of words
+    * whose min-hash clears the cut — a metadata-scale conditional
+    * aggregation over the vocabulary table. Doc counts per prefix ride
+    * the same hash. Cuts are 16-bit hex thresholds (the sampling
+    * machinery's fraction rule), so the "prefix" is the same document
+    * set sampleFixed-style tools would select.
+    */
+  def vocabGrowth(docs: DataFrame, fracs: Seq[Double]): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(f => f > 0 && f <= 1),
+      s"fractions must be in (0,1]: $fracs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 16-bit prefix cut on the first 4 md5 hex chars (fixed-width hex:
+    // lexicographic == numeric); f = 1.0 is the whole corpus
+    def under(h: Column, f: Double): Column =
+      if (f >= 1.0) lit(true)
+      else h < f"${math.floor(f * 65536).toLong}%04x"
+    val hashed = withBase(docs)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+    val wordMin = hashed
+      .select(col("h"), explode(array_distinct(col("w"))).as("word"))
+      .groupBy(col("word")).agg(min(col("h")).as("h_min"))
+    val vocabCounts = wordMin.agg(
+      fracs.map(f => sum(when(under(col("h_min"), f), 1L).otherwise(0L))
+        .as(s"v_${(f * 100).toInt}")).head,
+      fracs.map(f => sum(when(under(col("h_min"), f), 1L).otherwise(0L))
+        .as(s"v_${(f * 100).toInt}")).tail: _*)
+    val docCounts = hashed.agg(
+      fracs.map(f => sum(when(under(col("h"), f), 1L).otherwise(0L))
+        .as(s"d_${(f * 100).toInt}")).head,
+      fracs.map(f => sum(when(under(col("h"), f), 1L).otherwise(0L))
+        .as(s"d_${(f * 100).toInt}")).tail: _*)
+    val wide = vocabCounts.crossJoin(broadcast(docCounts))
+    fracs.map { f =>
+      val tag = (f * 100).toInt
+      wide.select(lit(f).as("frac"), col(s"d_$tag").as("n_docs"),
+        col(s"v_$tag").as("n_types"))
+    }.reduce(_ union _).orderBy(col("frac"))
+  }
+
   def vocab(docs: DataFrame, k: Int): DataFrame =
     withBase(docs)
       .select(explode(array_distinct(col("w"))).as("word"))

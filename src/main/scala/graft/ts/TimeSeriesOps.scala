@@ -2147,6 +2147,43 @@ object TimeSeriesOps {
       .drop("run")
   }
 
+  /** Fleet load skew — the Gini coefficient of per-stream point volume
+    * ("is this fleet one hot stream and a long tail?" — the
+    * partitioning/salting decision input, and the capacity answer
+    * ts_top_streams' raw ranking doesn't summarize): one row with the
+    * stream count, total points, the exact-arithmetic Gini
+    * G = Σ(2i − n − 1)·x_i / (n·Σx) over volumes ranked ascending
+    * (deterministic ties by stream key), and the hottest stream's
+    * share. The rank window runs over PER-STREAM COUNTS — fleet-size
+    * rows, metadata scale (the similarStreams rank convention), never
+    * raw points; every product stays exact DECIMAL with one float
+    * division per emitted ratio.
+    */
+  def loadGini(points: DataFrame, streamCols: Seq[String],
+               version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    val counts = atVersion(points, version)
+      .groupBy(key: _*).agg(count(lit(1)).as("x"))
+    val ord = Window.orderBy(col("x") +: key: _*)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("total", sum(col("x")).over(all))
+      .withColumn("wgt",
+        ((lit(2L) * col("rnk") - col("n") - 1L) * col("x")).cast("decimal(38,0)"))
+      .agg(max(col("n")).as("n_streams"),
+        max(col("total")).as("total_points"),
+        sum(col("wgt")).as("num"),
+        max(col("x")).as("x_max"))
+      .select(col("n_streams"), col("total_points"),
+        graft.Quant.q6(col("num").cast("double") /
+          (col("n_streams").cast("double") * col("total_points").cast("double")))
+          .as("gini"),
+        graft.Quant.q6(col("x_max").cast("double") / col("total_points").cast("double"))
+          .as("max_share"))
+  }
+
   /** Compressibility audit — "what would run-length / deadband encoding
     * save on this stream": per stream, point count, maximal-constant-run
     * count (the row count RLE would store), the compression ratio, and
