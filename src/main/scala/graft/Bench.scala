@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,6 +13,17 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every remaining partition-less window in the library goes through
+    // graft.Bounded.window over a frame that is ≤k rows by construction
+    // (top-k survivors, strata, slices), audited in PlanShapeSpec /
+    // TimeSeriesOpsSpec; Catalyst's EliminateWindowPartitions folds the
+    // constant key back out, so WindowExec still logs its
+    // single-partition warning for each of them — dozens of times per
+    // sweep, burying real warnings in the bench tail. Demote exactly
+    // that one logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup at the smallest SF: JIT + codegen + parquet reader
     // init land here instead of inside the first timed query. Per-query
     // try so one failure can't silently strip warmup from the rest; the
@@ -21,21 +33,48 @@ object Bench {
       SparkEntry.queries.values.foreach { q =>
         try q(spark, warmupDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val first = SparkEntry.queries.map { case (name, fn) => name -> time(fn) }
+    // Steady-state re-measure: a single sample taken while the machine is
+    // loaded (another build, GC, the driver's own oracle run) can read
+    // 10-30× the query's real cost and make the suite total un-reviewable.
+    // Any query whose first sample exceeds 3× the suite median gets two
+    // more reps; `steady` (the min over all samples) is the number to
+    // trend round-over-round, `first` records what the cold sweep saw.
+    val sorted = first.values.toSeq.sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    val reps = first.collect {
+      case (name, t) if median > 0 && t > 3 * median =>
+        name -> Seq.fill(2)(time(SparkEntry.queries(name)))
+    }
+    val results = first.map { case (name, t) =>
+      name -> (t, (t +: reps.getOrElse(name, Nil)).min)
+    }
+    val totalFirst = results.values.map(_._1).sum
+    val totalSteady = results.values.map(_._2).sum
+    def fmt(d: Double) = f"$d%.3f"
+    // Per-query record, TRACKED (committed each round): one query per
+    // line so round-over-round diffs are reviewable from git alone.
+    val perQuery = results.toSeq.sortBy(_._1).map { case (name, (f, s)) =>
+      val rep = reps.get(name).map(r => r.map(fmt).mkString(",\"reps\":[", ",", "]")).getOrElse("")
+      s"""  "$name": {"first": ${fmt(f)}, "steady": ${fmt(s)}$rep}"""
+    }.mkString("{\n\"sf\": \"" + sfDir + s"""\", "n": ${results.size}, """ +
+      s""""total_first": ${fmt(totalFirst)}, "total_steady": ${fmt(totalSteady)},\n""" +
+      "\"queries\": {\n", ",\n", "\n}}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_queries.json"), perQuery)
+    val qs = results.map { case (k, (f, _)) => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$totalFirst,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The full per-query map only goes to the file: with 100+ queries the
     // single giant JSON line has exceeded every console tail capture to
     // date (rounds 1-6 all parsed null). Stdout gets ONE short
     // machine-parseable line, printed LAST.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalFirst,"unit":"sec","n":${results.size},"steady":$totalSteady,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

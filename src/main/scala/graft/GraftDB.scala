@@ -142,6 +142,10 @@ class GraftDB(val spark: SparkSession, val base: String) {
   def funnelSteps(steps: Seq[StreamHandle], start: Long, end: Long,
                   horizonUs: Long): DataFrame = {
     require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    // steps are tagged by uuid, so a repeated handle would silently
+    // conflate two steps into one typeCol value and report a wrong funnel
+    require(steps.map(_.uuid).distinct.size == steps.size,
+      s"funnel steps must be distinct streams: ${steps.map(_.uuid)}")
     val tagged = steps.map(h =>
       h.points().withColumn("k", lit(1)).withColumn("step_tag", lit(h.uuid)))
     TS.funnelSteps(tagged.reduce(_ union _), Seq("k"), "step_tag",

@@ -185,6 +185,16 @@ object SparkEntry {
           T0, T29)
         .orderBy(col("t_us"))),
 
+    // GenerateCSV raw mode at exact row fidelity: one row per POINT —
+    // same-stream duplicate timestamps stay separate rows (csv.go's
+    // rawBuffer), paired across streams by occurrence index
+    "ts_csv_export_raw_exact" -> ((s, dir) =>
+      TS.csvExportRawExact(
+          Tables.points(s, dir).filter(col("event_type") === "click"),
+          Seq(1, 2, 3).map(u => (s"u$u", col("user_id") === u, None: Option[Long])),
+          T0, T29)
+        .orderBy(col("t_us"), col("seq"))),
+
     // GenerateCSV with per-stream version pinning (csv.go:30-43 `ver`)
     "ts_csv_export_ver" -> ((s, dir) =>
       TS.csvExportStat(
@@ -1541,6 +1551,23 @@ object SparkEntry {
          |FROM pts
          |WHERE event_type = 'click' AND user_id IN (1, 2, 3) AND t_us >= $T0 AND t_us < $T29
          |GROUP BY t_us ORDER BY t_us""".stripMargin,
+
+    // mirrors TimeSeriesOps.csvExportRawExact: per-(stream, t_us)
+    // occurrence index by ascending value, pivot on (t_us, seq)
+    "ts_csv_export_raw_exact" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |e AS (SELECT t_us, user_id, value,
+         |             row_number() OVER (PARTITION BY user_id, t_us
+         |                                ORDER BY value) AS seq
+         |      FROM pts
+         |      WHERE event_type = 'click' AND user_id IN (1, 2, 3)
+         |        AND t_us >= $T0 AND t_us < $T29)
+         |SELECT t_us, CAST(seq AS BIGINT) AS seq,
+         |       max(CASE WHEN user_id = 1 THEN value END) AS u1,
+         |       max(CASE WHEN user_id = 2 THEN value END) AS u2,
+         |       max(CASE WHEN user_id = 3 THEN value END) AS u3
+         |FROM e
+         |GROUP BY t_us, seq ORDER BY t_us, seq""".stripMargin,
 
     "ts_csv_export_ver" ->
       s"""WITH pts AS ($PTS_SQL)

@@ -50,12 +50,19 @@ class IvfIndex private[sim] (val spark: SparkSession, val dir: String) {
   }
 
   /** IVF-PQ query: ADC over the probed cells' code partitions, exact
-    * cosine re-rank of the top `rerank` survivors.
+    * cosine re-rank of the top `rerank` survivors. `m` is a BUILD-time
+    * property, so it is derived from the persisted codebook (max sub + 1,
+    * one aggregate over an m·kCodes-row file) rather than taken as a
+    * parameter — a build/query m mismatch would otherwise silently join
+    * partial distance tables and mis-rank candidates with no error.
     */
   def queryPq(queries: DataFrame, k: Int, nProbe: Int = 4,
-              rerank: Int = 32, m: Int = 8): DataFrame =
-    Vectors.ivfPqQuery(broadcast(centroids), broadcast(pqCodebook), pqCodes,
+              rerank: Int = 32): DataFrame = {
+    val cb = pqCodebook
+    val m = cb.agg(max(col("sub"))).head.getInt(0) + 1
+    Vectors.ivfPqQuery(broadcast(centroids), broadcast(cb), pqCodes,
       assigned, Vectors.withNorm(queries), k, nProbe, rerank, m)
+  }
 }
 
 object IvfIndex {

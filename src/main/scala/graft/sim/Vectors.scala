@@ -385,7 +385,7 @@ object Vectors {
   private[sim] def pqCodebook(corpus: DataFrame, m: Int, kCodes: Int,
                               vecCol: String = "embedding"): DataFrame = {
     val seeds = corpus.select(col("vec_id"), col(vecCol)).orderBy(col("vec_id")).limit(kCodes)
-      .withColumn("code", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .withColumn("code", (row_number().over(graft.Bounded.window(col("vec_id"))) - 1).cast("int"))
     pqSubvectors(seeds.drop("code"), m, vecCol)
       .join(broadcast(seeds.select(col("vec_id"), col("code"))), Seq("vec_id"))
       .select(col("sub"), col("code"), col("svec").as("cvec"))

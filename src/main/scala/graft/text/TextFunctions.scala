@@ -431,7 +431,7 @@ object TextFunctions {
     val cum = stratumPrefixSum(sized)
     val mass = sized.groupBy(col("stratum"))
       .agg(sum(col("n_tokens")).as("stratum_tokens"))
-    val wCum = Window.orderBy(col("stratum")).rowsBetween(Window.unboundedPreceding, 0)
+    val wCum = graft.Bounded.window(col("stratum")).rowsBetween(Window.unboundedPreceding, 0)
     val weighted = mass
       .withColumn("wgt", sqrt(col("stratum_tokens").cast("double")))
       .withColumn("cum_w", sum(col("wgt")).over(wCum))
@@ -688,21 +688,24 @@ object TextFunctions {
     val wordMin = hashed
       .select(col("h"), explode(array_distinct(col("w"))).as("word"))
       .groupBy(col("word")).agg(min(col("h")).as("h_min"))
+    // per-fraction column tags are the POSITION in fracs, not a rounded
+    // percent: two fractions that floor to the same percent (0.125 vs
+    // 0.12, or anything below 1%) must not collide into one ambiguous
+    // alias
     val vocabCounts = wordMin.agg(
-      fracs.map(f => sum(when(under(col("h_min"), f), 1L).otherwise(0L))
-        .as(s"v_${(f * 100).toInt}")).head,
-      fracs.map(f => sum(when(under(col("h_min"), f), 1L).otherwise(0L))
-        .as(s"v_${(f * 100).toInt}")).tail: _*)
+      fracs.zipWithIndex.map { case (f, i) =>
+        sum(when(under(col("h_min"), f), 1L).otherwise(0L)).as(s"v_$i") }.head,
+      fracs.zipWithIndex.map { case (f, i) =>
+        sum(when(under(col("h_min"), f), 1L).otherwise(0L)).as(s"v_$i") }.tail: _*)
     val docCounts = hashed.agg(
-      fracs.map(f => sum(when(under(col("h"), f), 1L).otherwise(0L))
-        .as(s"d_${(f * 100).toInt}")).head,
-      fracs.map(f => sum(when(under(col("h"), f), 1L).otherwise(0L))
-        .as(s"d_${(f * 100).toInt}")).tail: _*)
+      fracs.zipWithIndex.map { case (f, i) =>
+        sum(when(under(col("h"), f), 1L).otherwise(0L)).as(s"d_$i") }.head,
+      fracs.zipWithIndex.map { case (f, i) =>
+        sum(when(under(col("h"), f), 1L).otherwise(0L)).as(s"d_$i") }.tail: _*)
     val wide = vocabCounts.crossJoin(broadcast(docCounts))
-    fracs.map { f =>
-      val tag = (f * 100).toInt
-      wide.select(lit(f).as("frac"), col(s"d_$tag").as("n_docs"),
-        col(s"v_$tag").as("n_types"))
+    fracs.zipWithIndex.map { case (f, i) =>
+      wide.select(lit(f).as("frac"), col(s"d_$i").as("n_docs"),
+        col(s"v_$i").as("n_types"))
     }.reduce(_ union _).orderBy(col("frac"))
   }
 

@@ -509,6 +509,6 @@ object Downsample {
         (col("dtw_us").cast("double") / 1e6 + lit(0d)).as("dtw")): _*)
     val ord = col("dtw").asc +: key.map(_.asc)
     scored.orderBy(ord: _*).limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .withColumn("rank", row_number().over(graft.Bounded.window(ord: _*)).cast("long"))
   }
 }

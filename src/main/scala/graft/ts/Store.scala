@@ -276,12 +276,21 @@ class Store(val spark: SparkSession, val base: String,
 
   /** (versionMajor, versionMinor) — the reference's two-part version:
     * committed version plus an unflushed component. The reference's
-    * minor counts journal inserts since the last flush; the proxy here
-    * is the buffered ROW count (documented deviation in the minor's
-    * unit, same zero/non-zero semantics).
+    * minor counts journal INSERTS since the last flush (quasar.go's
+    * PQM path, internal/jprovider) — and each insertBuffered call
+    * commits exactly one staged file into the stream's buffer
+    * partition (repartition(1) + one append job), so the file count IS
+    * the buffered-insert-call count: same unit as the reference, read
+    * from directory metadata without scanning a row.
     */
-  def versionMerged(uuid: String): (Long, Long) =
-    (version(uuid), bufferedPoints.filter($"uuid" === uuid).count())
+  def versionMerged(uuid: String): (Long, Long) = {
+    val p = hpath(s"$bufferDir/uuid=$uuid")
+    val minor =
+      if (!hfs.exists(p)) 0L
+      else hfs.listStatus(p).count(s =>
+        s.isFile && s.getPath.getName.startsWith("part-")).toLong
+    (version(uuid), minor)
+  }
 
   /** rawValues with the write buffer merged in — read-your-unflushed-
     * writes. Historical reads (`rawValues` with asOf) see only committed

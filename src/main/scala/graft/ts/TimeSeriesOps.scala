@@ -346,10 +346,11 @@ object TimeSeriesOps {
     * timestamp in [start, end), one VALUE column per stream (offset
     * "2 + i"), null where a stream has no point at that instant. Same
     * single-pass conditional-aggregation shape as the stat export, grouped
-    * on the raw timestamp instead of a window. Deviation from the
-    * reference's row-per-point merge: duplicate timestamps WITHIN one
-    * stream collapse to max(value) — a relational frame keys rows by
-    * (t_us), the streamed CSV can repeat it.
+    * on the raw timestamp instead of a window. Duplicate timestamps
+    * WITHIN one stream collapse to max(value) here — the compact
+    * relational frame keyed by (t_us); csvExportRawExact below is the
+    * row-per-point form that preserves them, matching the reference's
+    * merge exactly.
     */
   def csvExportRaw(points: DataFrame, streams: Seq[(String, Column, Option[Long])],
                    start: Long, end: Long): DataFrame = {
@@ -363,6 +364,44 @@ object TimeSeriesOps {
     points
       .filter(preds.reduce(_ || _) && col("t_us") >= start && col("t_us") < end)
       .groupBy(col("t_us"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** GenerateCSV raw mode at EXACT row fidelity (csv.go:109-143
+    * rawBuffer): the reference's merge loop emits one row per POINT, so
+    * a stream with two points at the same timestamp produces two output
+    * rows — csvExportRaw's relational collapse to max(value) is the one
+    * place a ported export silently loses data. Here each point gets an
+    * occurrence index `seq` within its (stream, timestamp) — duplicates
+    * ordered ascending by value, the deterministic stand-in for the
+    * reference's insertion order, which a relational frame doesn't
+    * carry — and rows group on (t_us, seq): the k-th duplicates of
+    * different streams share a row, exactly how the merge loop pairs
+    * them up, and a stream with fewer duplicates goes null in the
+    * overflow rows (writeEmptyPoint's empty cells). Still one pass: an
+    * inline posexplode of the matched stream indexes, a window whose
+    * partitions are single (stream, µs) instants — duplicate-count
+    * frames, never corpus scale — and the same conditional-aggregation
+    * pivot.
+    */
+  def csvExportRawExact(points: DataFrame, streams: Seq[(String, Column, Option[Long])],
+                        start: Long, end: Long): DataFrame = {
+    require(streams.nonEmpty, "csvExport needs at least one stream")
+    val preds = streams.map { case (_, p, ver) =>
+      ver.fold(p)(v => p && col("ver") <= v)
+    }
+    val matched = points
+      .filter(preds.reduce(_ || _) && col("t_us") >= start && col("t_us") < end)
+      .select(col("t_us"), col("value"),
+        posexplode(array(preds.map(p => when(p, lit(1))): _*)).as(Seq("sidx", "hit")))
+      .filter(col("hit").isNotNull)
+    val wOcc = Window.partitionBy(col("sidx"), col("t_us")).orderBy(col("value"))
+    val aggs = streams.zipWithIndex.map { case ((label, _, _), i) =>
+      max(when(col("sidx") === i, col("value"))).as(label)
+    }
+    matched
+      .withColumn("seq", row_number().over(wOcc).cast("long"))
+      .groupBy(col("t_us"), col("seq"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -1893,7 +1932,7 @@ object TimeSeriesOps {
     val ord = col("r").desc +: key.map(_.asc)
     scored.orderBy(ord: _*).limit(k)
       .withColumn("rank", row_number()
-        .over(Window.orderBy(ord: _*)).cast("long"))
+        .over(graft.Bounded.window(ord: _*)).cast("long"))
   }
 
   /** Seasonal profile: aggregate each stream's values by position within a
@@ -2154,30 +2193,51 @@ object TimeSeriesOps {
     * stream count, total points, the exact-arithmetic Gini
     * G = Σ(2i − n − 1)·x_i / (n·Σx) over volumes ranked ascending
     * (deterministic ties by stream key), and the hottest stream's
-    * share. The rank window runs over PER-STREAM COUNTS — fleet-size
-    * rows, metadata scale (the similarStreams rank convention), never
-    * raw points; every product stays exact DECIMAL with one float
-    * division per emitted ratio.
+    * share. The rank runs over PER-STREAM COUNTS — fleet-size rows,
+    * metadata scale — but "fleet-size" is millions of streams at the
+    * design point, so the global rank is TWO-PHASE (the stratumPrefixSum
+    * recipe on the volume axis), never one partition-less window:
+    * range-partition on (x, key) — RangePartitioner assigns partition
+    * ids in range order, so global rank = rows in earlier slices +
+    * local row_number — then the weighted sum collapses via
+    * Σ(2i − n − 1)·x = 2·Σ(i·x) − (n + 1)·Σx to plain map-side-partial
+    * aggregates over the ranked table. Every product stays exact
+    * DECIMAL with one float division per emitted ratio.
     */
   def loadGini(points: DataFrame, streamCols: Seq[String],
                version: Option[Long] = None): DataFrame = {
     val key = streamKey(streamCols)
     val counts = atVersion(points, version)
       .groupBy(key: _*).agg(count(lit(1)).as("x"))
-    val ord = Window.orderBy(col("x") +: key: _*)
-    val all = Window.partitionBy()
-    counts
-      .withColumn("rnk", row_number().over(ord))
-      .withColumn("n", count(lit(1)).over(all))
-      .withColumn("total", sum(col("x")).over(all))
-      .withColumn("wgt",
-        ((lit(2L) * col("rnk") - col("n") - 1L) * col("x")).cast("decimal(38,0)"))
-      .agg(max(col("n")).as("n_streams"),
-        max(col("total")).as("total_points"),
-        sum(col("wgt")).as("num"),
+    val parts = points.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counts
+      .repartitionByRange(parts, col("x") +: key: _*)
+      .withColumn("slice", spark_partition_id())
+    // ≤`parts` rows: the bounded offset table (empty slices are simply
+    // absent and contribute zero to the running count)
+    val offsets = ranged
+      .groupBy(col("slice")).agg(count(lit(1)).as("slice_n"))
+      .withColumn("offset", coalesce(
+        sum(col("slice_n")).over(graft.Bounded.window(col("slice"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("slice"), col("offset"))
+    val wLocal = Window.partitionBy(col("slice"))
+      .orderBy(col("x") +: key: _*)
+    ranged.join(broadcast(offsets), Seq("slice"))
+      .withColumn("rnk", col("offset") + row_number().over(wLocal))
+      .agg(count(lit(1)).as("n_streams"),
+        sum(col("x")).as("total_points"),
+        // decimal BEFORE the product: rank × volume (and below
+        // (n+1) × Σx) can overflow long at fleet scale
+        sum(col("rnk").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+          .as("s1"),
         max(col("x")).as("x_max"))
       .select(col("n_streams"), col("total_points"),
-        graft.Quant.q6(col("num").cast("double") /
+        graft.Quant.q6(
+          (lit(2).cast("decimal(38,0)") * col("s1")
+            - (col("n_streams") + 1L).cast("decimal(38,0)")
+              * col("total_points").cast("decimal(38,0)"))
+            .cast("double") /
           (col("n_streams").cast("double") * col("total_points").cast("double")))
           .as("gini"),
         graft.Quant.q6(col("x_max").cast("double") / col("total_points").cast("double"))
@@ -2525,7 +2585,7 @@ object TimeSeriesOps {
     offsetFrame(points, streamCols, start, end, width, offsetUs, version)
       .orderBy(ord: _*)
       .limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .withColumn("rank", row_number().over(graft.Bounded.window(ord: _*)).cast("long"))
       .select(key ++ Seq(col("w_start"), col("rank"),
         (col("m_us").cast("double") / 1e6 + lit(0d)).as("v_mean"),
         (col("prev_us").cast("double") / 1e6 + lit(0d)).as("prev_mean"),
@@ -2770,7 +2830,7 @@ object TimeSeriesOps {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
     ranked.withColumn("rank",
-      row_number().over(Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      row_number().over(graft.Bounded.window(col("n_sessions").desc, col("path"))).cast("long"))
       .select(col("rank"), col("path"), col("n_sessions"))
   }
 
@@ -2799,19 +2859,28 @@ object TimeSeriesOps {
       .filter(col("t_us") >= start && col("t_us") < end)
     val seed = pts.filter(col(typeCol) === stepTypes.head)
       .groupBy(key: _*).agg(min(col("t_us")).as("t_step"))
-    val frames = stepTypes.tail.scanLeft(seed) { (prev, st) =>
-      pts.filter(col(typeCol) === st)
-        .join(prev.select(key :+ col("t_step").as("t_prev"): _*), keyCols)
-        .filter(col("t_us") >= col("t_prev") &&
-          col("t_us") <= col("t_prev") + horizonUs)
-        .groupBy(key: _*).agg(min(col("t_us")).as("t_step"))
+    // Tie rule: a step at EXACTLY the previous step's time counts
+    // (at-or-after) — two different event types at the same µs are a
+    // legitimate simultaneous pair. EXCEPT when the step type repeats
+    // (click -> click): there `>=` would let the very same event satisfy
+    // both steps and inflate conversion, so a repeated type requires
+    // strictly-after.
+    val frames = stepTypes.tail.zip(stepTypes.init).scanLeft(seed) {
+      case (prev, (st, prevSt)) =>
+        val after =
+          if (st == prevSt) col("t_us") > col("t_prev")
+          else col("t_us") >= col("t_prev")
+        pts.filter(col(typeCol) === st)
+          .join(prev.select(key :+ col("t_step").as("t_prev"): _*), keyCols)
+          .filter(after && col("t_us") <= col("t_prev") + horizonUs)
+          .groupBy(key: _*).agg(min(col("t_us")).as("t_step"))
     }
     val report = frames.zip(stepTypes).zipWithIndex.map { case ((f, st), i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).cast("long").as("step"), lit(st).as("event_type"),
           col("n_users"))
     }.reduce(_ union _)
-    val w = Window.orderBy(col("step"))
+    val w = graft.Bounded.window(col("step"))
     report
       .withColumn("n_prev", lag(col("n_users"), 1).over(w))
       .withColumn("n_first", first(col("n_users")).over(

@@ -25,11 +25,14 @@ class StoreSpec extends SparkSuite {
   test("buffered writes are read-your-unflushed; flush promotes and clears") {
     val st = mkStore
     val v1 = st.insert("s1", Seq((10L, 1.0), (20L, 2.0)).toDF("time", "value"))
-    st.insertBuffered("s1", Seq((30L, 3.0), (40L, 4.0)).toDF("time", "value"))
+    st.insertBuffered("s1", Seq((30L, 3.0)).toDF("time", "value"))
+    st.insertBuffered("s1", Seq((40L, 4.0), (45L, 4.5)).toDF("time", "value"))
     // merged reads see the buffer immediately; committed reads do not
-    assert(st.rawValuesMerged("s1", 0, 100).count() == 4)
+    assert(st.rawValuesMerged("s1", 0, 100).count() == 5)
     assert(st.rawValues("s1", 0, 100).count() == 2)
-    // two-part version: major unchanged, minor counts the unflushed tail
+    // two-part version: major unchanged, minor counts buffered insert
+    // CALLS (the reference's journal-insert unit), not rows — two calls
+    // carrying three rows report minor = 2
     assert(st.version("s1") == v1)
     assert(st.versionMerged("s1") == (v1, 2L))
     // other streams see nothing
@@ -37,7 +40,7 @@ class StoreSpec extends SparkSuite {
     // flush promotes to ONE committed batch and empties the buffer
     val v2 = st.flush("s1")
     assert(v2 == v1 + 1)
-    assert(st.rawValues("s1", 0, 100).count() == 4)
+    assert(st.rawValues("s1", 0, 100).count() == 5)
     assert(st.versionMerged("s1") == (v2, 0L))
     // historical read at v1 excludes the promoted rows (version pinning
     // bypasses the buffer, like the reference's versioned queries)

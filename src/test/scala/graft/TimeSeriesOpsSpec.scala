@@ -785,6 +785,32 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(raw(1).getLong(0) == 3L && raw(1).isNullAt(1) && raw(1).getDouble(2) == 6.0)
   }
 
+  test("exact raw csv keeps same-stream duplicate timestamps as separate rows") {
+    // a has TWO points at t=1 (the case csvExportRaw collapses); b has
+    // one — the reference's rawBuffer emits both rows, pairing b's
+    // single point with a's first occurrence (csv.go:109-143)
+    val p = Seq(
+      ("a", 1L, 1.0, 1L), ("a", 1L, 9.0, 2L),
+      ("b", 1L, 4.0, 1L), ("b", 3L, 6.0, 1L))
+      .toDF("sid", "t_us", "value", "ver")
+    val out = TimeSeriesOps.csvExportRawExact(p,
+      Seq(("a", col("sid") === "a", None: Option[Long]),
+          ("b", col("sid") === "b", None: Option[Long])),
+      0L, 10L).orderBy("t_us", "seq").collect()
+    assert(out.length == 3, out.mkString(","))
+    // (t=1, seq=1): both streams' first occurrence, ascending-value order
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 1L &&
+      out(0).getDouble(2) == 1.0 && out(0).getDouble(3) == 4.0)
+    // (t=1, seq=2): a's duplicate survives; b has no second point → null
+    assert(out(1).getLong(0) == 1L && out(1).getLong(1) == 2L &&
+      out(1).getDouble(2) == 9.0 && out(1).isNullAt(3))
+    assert(out(2).getLong(0) == 3L && out(2).getLong(1) == 1L &&
+      out(2).isNullAt(2) && out(2).getDouble(3) == 6.0)
+    // row-per-point fidelity: total non-null cells == input points
+    val cells = out.map(r => Seq(2, 3).count(i => !r.isNullAt(i))).sum
+    assert(cells == 4)
+  }
+
   test("gaps chain with a metadata roster matches distinct-on-raw and adds silent streams") {
     val p = pts((1L, 1.0), (25L, 3.0)) // stream s: buckets 0, 2 of [0,40)/10
     val noRoster = TimeSeriesOps.gaps(p, Seq("uuid"), 0L, 40L, 10L)
@@ -1159,5 +1185,30 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(m.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("a", "b"), ("a", "c"), ("b", "c")))
     assert(m.map(_.getDouble(m.head.fieldIndex("r"))).toSeq == Seq(1.0, -1.0, -1.0))
+  }
+
+  test("load gini: exact two-phase rank matches the closed form, no fleet-wide window") {
+    // volumes 1/2/3/10 ascending: num = Σ(2i-n-1)x = -3-2+3+30 = 28,
+    // gini = 28/(4·16) = 0.4375, max_share = 10/16 = 0.625 — exercised
+    // at a partition count larger than the fleet so most range slices
+    // are EMPTY (the offset table must treat absent slices as zero)
+    val rows = Seq("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 10).flatMap {
+      case (sid, n) => (1 to n).map(i => (sid, i.toLong, i.toDouble))
+    }
+    val p = rows.toDF("sid", "t_us", "value")
+    val out = TimeSeriesOps.loadGini(p, Seq("sid")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 16L)
+    assert(r.getDouble(2) == 0.4375 && r.getDouble(3) == 0.625, r.toString)
+    // every rank window is slice-keyed (the two-phase contract): the
+    // only windowspecdefinitions are the per-slice local rank and the
+    // Bounded ≤numShufflePartitions offset fold
+    val plan = TimeSeriesOps.loadGini(p, Seq("sid"))
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]+)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.startsWith("slice#") || s == "0"),
+      s"non-slice-keyed window in loadGini:\n$specs\n${plan.take(3000)}")
   }
 }
