@@ -352,14 +352,37 @@ object TextFunctions {
     * doc_id) order. Shared by the budget cut and the sequence packer.
     */
   private[graft] def stratumPrefixSum(sized: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = sized.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = sized
-      .repartitionByRange(parts, col("stratum"), col("rank_key"), col("doc_id"))
+    val ranged = rangedBySlice(sized)
+    cumFromRanged(ranged, sliceTokenAgg(ranged))
+  }
+
+  /** Phase 1: range-exchange on (stratum, rank_key, doc_id) and tag each
+    * row with its physical slice — RangePartitioner assigns partition
+    * ids in range order, so slice order IS rank order.
+    */
+  private[graft] def rangedBySlice(sized: DataFrame): DataFrame =
+    sized
+      .repartitionByRange(sized.sparkSession.sessionState.conf.numShufflePartitions,
+        col("stratum"), col("rank_key"), col("doc_id"))
       .withColumn("slice", spark_partition_id())
-    val offsets = ranged
-      .groupBy(col("stratum"), col("slice"))
+
+  /** The per-(stratum, slice) token partials — metadata-scale, and the
+    * ONE aggregate every consumer of the exchange should derive from:
+    * identical subtrees over the same exchange let Catalyst reuse it
+    * (ReusedExchange), where a second aggregate over the pre-exchange
+    * frame would re-run the whole upstream scan (tokenMixture's mass
+    * table rides this).
+    */
+  private[graft] def sliceTokenAgg(ranged: DataFrame): DataFrame =
+    ranged.groupBy(col("stratum"), col("slice"))
       .agg(sum(col("n_tokens")).as("slice_tokens"))
+
+  /** Phase 2: broadcast the per-slice offsets back and add the
+    * slice-local running sum — global prefix = offset + local.
+    */
+  private[graft] def cumFromRanged(ranged: DataFrame, sliceAgg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val offsets = sliceAgg
       .withColumn("offset", coalesce(
         sum(col("slice_tokens")).over(Window.partitionBy(col("stratum"))
           .orderBy(col("slice")).rowsBetween(Window.unboundedPreceding, -1)),
@@ -422,15 +445,19 @@ object TextFunctions {
       .select(col("doc_id"), col(stratumCol).as("stratum"),
         size(col("w")).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string")).as("rank_key"))
-    // the mass table aggregates the UN-exchanged frame map-side (the
-    // sliced-scan carry rule): deriving it from the prefix-sum output
-    // would replay the range exchange + window per consumer (measured
-    // 1.3× slower — Catalyst does not reuse the exchange across the
-    // differently-pruned branches), while this branch is one narrow
-    // partial-agg pass whose shuffle is stratum-cardinality rows
-    val cum = stratumPrefixSum(sized)
-    val mass = sized.groupBy(col("stratum"))
-      .agg(sum(col("n_tokens")).as("stratum_tokens"))
+    // the mass table folds OVER the prefix sum's own per-slice partials:
+    // all three consumers (the fill, the offsets, the mass) read the ONE
+    // range exchange, which Catalyst de-duplicates (ReusedExchange), so
+    // the expensive withBase tokenization runs once. (Two earlier shapes
+    // both lost: mass from the prefix-sum OUTPUT replays the window per
+    // consumer — measured 1.3× slower; mass from the un-exchanged
+    // `sized` re-runs the whole scan+split a second time.) Summing slice
+    // partials is exact: longs, no float re-association.
+    val ranged = rangedBySlice(sized)
+    val sliceAgg = sliceTokenAgg(ranged)
+    val cum = cumFromRanged(ranged, sliceAgg)
+    val mass = sliceAgg.groupBy(col("stratum"))
+      .agg(sum(col("slice_tokens")).as("stratum_tokens"))
     val wCum = graft.Bounded.window(col("stratum")).rowsBetween(Window.unboundedPreceding, 0)
     val weighted = mass
       .withColumn("wgt", sqrt(col("stratum_tokens").cast("double")))

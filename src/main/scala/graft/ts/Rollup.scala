@@ -269,6 +269,33 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
       windowSums(usable.max, streamCols, start, end, width), streamCols, k, minShiftUs)
   }
 
+  /** The quantile family — boxplot quartiles, percentileWindows' type-7
+    * quantiles — is where the qtree promise STOPS, and this pair of
+    * methods makes that boundary executable instead of a survey
+    * footnote. A rollup level stores (min, sum, max, count) per bucket;
+    * order statistics do NOT re-aggregate from those moments — two
+    * buckets with identical statpoints can hold different medians — so
+    * there is no "usable level" for this family at ANY width/alignment:
+    * these always read raw points, exactly and deliberately, rather
+    * than serve a silently-wrong moment-based approximation. What the
+    * hierarchy CAN serve is windows()/alignedWindows (min/mean/max/
+    * count), the window-MEAN detector family (peaks/savgol/
+    * changePoints — means re-aggregate exactly), and windowsApprox's
+    * whole-bucket depth forms. Serving quantiles from a hierarchy would
+    * require a mergeable sketch column (t-digest/KLL) added at build
+    * time — a different storage contract than the reference's statpoint
+    * node (qtree.go's min/mean/max/count), kept out so the rollup stays
+    * bit-exact for everything it claims.
+    */
+  def boxplot(raw: => DataFrame, streamCols: Seq[String], start: Long,
+              end: Long, width: Long, whisker: Double = 1.5): DataFrame =
+    TimeSeriesOps.boxplotWindows(raw, streamCols, start, end, width, whisker)
+
+  /** See boxplot: quantiles never rollup-serve; always the raw path. */
+  def percentile(raw: => DataFrame, streamCols: Seq[String], start: Long,
+                 end: Long, width: Long, ps: Seq[Double]): DataFrame =
+    TimeSeriesOps.percentileWindows(raw, streamCols, start, end, width, ps)
+
   /** Serve depth-approximate Windows (TimeSeriesOps.windowsApprox — the
     * WindowsParams.depth semantics) from the coarsest level ≤ depth: merge
     * level buckets up to 2^depth, then assign each to the window containing
