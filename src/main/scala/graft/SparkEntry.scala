@@ -209,6 +209,12 @@ object SparkEntry {
       TS.delta(Tables.points(s, dir), STREAM)
         .orderBy(col("user_id"), col("event_type"), col("t_us"), col("value"))),
 
+    // ingest health: inter-arrival gaps in power-of-two buckets
+    // (bit-length bucketing — no libm log), bucket 0 = equal-µs ties
+    "ts_gap_histogram" -> ((s, dir) =>
+      TS.gapHistogram(Tables.points(s, dir), STREAM)
+        .orderBy(col("user_id"), col("event_type"), col("bucket"))),
+
     "ts_gaps" -> ((s, dir) =>
       TS.gaps(Tables.points(s, dir)
           .filter(!(col("t_us") >= T08 && col("t_us") < T15) || col("user_id") =!= 1),
@@ -952,6 +958,12 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // sketch calibration: every SimHash pair re-scored with its exact
+    // trigram Jaccard (NULL when a side has no shingles)
+    "dedup_simhash_audit" -> ((s, dir) =>
+      Dedup.simhashAudit(Tables.load(s, dir, "documents"), 3, 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_shared_ngram" -> ((s, dir) =>
       Dedup.sharedNgramPairs(Tables.load(s, dir, "documents"), 20)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1011,6 +1023,16 @@ object SparkEntry {
     "emb_cosine_pairs" -> ((s, dir) =>
       Vectors.cosinePairsLshAuto(Tables.load(s, dir, "embeddings"), 0.4)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // dedup-threshold tuning: near-dup pair counts at τ ∈ {.8,.9,.95,.99}
+    // from ONE pass of the LSH pair graph (base filter raw cos ≥ 0.8;
+    // higher cuts applied to the quantized similarity, mirrored in SQL)
+    "emb_dup_sweep" -> ((s, dir) =>
+      Vectors.cosinePairsLshAuto(Tables.load(s, dir, "embeddings"), 0.8)
+        .agg(count(lit(1)).as("n_80"),
+          sum(when(col("cos_sim") >= 0.9, 1L).otherwise(0L)).as("n_90"),
+          sum(when(col("cos_sim") >= 0.95, 1L).otherwise(0L)).as("n_95"),
+          sum(when(col("cos_sim") >= 0.99, 1L).otherwise(0L)).as("n_99"))),
 
     // semantic dedup: connected components over the cosine≥τ pair graph —
     // the same clustering operator driving token-level dedup, applied to
@@ -1594,6 +1616,25 @@ object SparkEntry {
          |            THEN ${Q6("(value - prev_v) / (t_us - prev_t) * 1e6")} END AS rate_per_s
          |FROM l WHERE prev_t IS NOT NULL
          |ORDER BY user_id, event_type, t_us, value""".stripMargin,
+
+    // mirrors TimeSeriesOps.gapHistogram: same lag ordering as ts_delta,
+    // bit-length buckets (length of the binary string — libm-free)
+    "ts_gap_histogram" ->
+      s"""WITH pts AS ($PTS_SQL),
+         |l AS (SELECT user_id, event_type, t_us - lag(t_us) OVER w AS dt
+         |      FROM pts
+         |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_us, value)),
+         |g AS (SELECT user_id, event_type,
+         |             CASE WHEN dt = 0 THEN 0 ELSE length(bin(dt)) END AS bucket, dt
+         |      FROM l WHERE dt IS NOT NULL),
+         |a AS (SELECT user_id, event_type, bucket, count(*) AS n_gaps,
+         |             min(dt) AS dt_min, max(dt) AS dt_max
+         |      FROM g GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, CAST(bucket AS BIGINT) AS bucket,
+         |       CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS bucket_lo,
+         |       CAST(n_gaps AS BIGINT) AS n_gaps, dt_min, dt_max
+         |FROM a ORDER BY user_id, event_type, bucket""".stripMargin,
 
     "ts_gaps" ->
       s"""WITH pts AS ($PTS_SQL),
@@ -3507,6 +3548,34 @@ object SparkEntry {
          |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // mirrors Dedup.simhashAudit: the simhash pair CTE joined to exact
+    // trigram Jaccard; docs with < 3 words carry NULL shingle sets and
+    // score NULL (the pair row itself is kept)
+    "dedup_simhash_audit" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM d),
+         |h AS (SELECT doc_id, md5_number_lower(word) AS h FROM w),
+         |sig AS (SELECT doc_id, $SIMHASH_SIG_SQL AS sig FROM h GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |dw AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |              CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |                generate_series(1, greatest(len(w) - 2, 0)),
+         |                i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) END AS s
+         |       FROM dw),
+         |j AS (SELECT p.id_a, p.id_b, p.hamming,
+         |             len(list_intersect(a.s, b.s)) AS inter,
+         |             len(a.s) AS la, len(b.s) AS lb
+         |      FROM p JOIN sh a ON a.doc_id = p.id_a
+         |             JOIN sh b ON b.doc_id = p.id_b)
+         |SELECT id_a, id_b, hamming,
+         |       CASE WHEN la IS NOT NULL AND lb IS NOT NULL AND la + lb - inter > 0
+         |            THEN ${Q6("CAST(inter AS DOUBLE) / (la + lb - inter)")} END AS jaccard
+         |FROM j ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_shared_ngram" ->
       s"""WITH docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -3616,6 +3685,18 @@ object SparkEntry {
       s"""WITH $LSH_PAIR_CTES
          |SELECT id_a, id_b, ${Q6("cos")} AS cos_sim
          |FROM pr ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors the emb_dup_sweep registration: base inclusion on RAW
+    // cos ≥ 0.8 (the operator's tau filter), higher cuts on the
+    // quantized value — exactly the engine's arithmetic
+    "emb_dup_sweep" ->
+      s"""WITH $LSH_PAIR_CTES,
+         |sw AS (SELECT ${Q6("cos")} AS c FROM pr WHERE cos >= 0.8)
+         |SELECT CAST(count(*) AS BIGINT) AS n_80,
+         |       CAST(sum(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_90,
+         |       CAST(sum(CASE WHEN c >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_95,
+         |       CAST(sum(CASE WHEN c >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_99
+         |FROM sw""".stripMargin,
 
     "emb_clusters" ->
       s"""WITH RECURSIVE

@@ -366,6 +366,34 @@ object Dedup {
     hammingPairs(signed, maxHamming)
   }
 
+  /** Sketch-accuracy audit: every SimHash candidate pair (hamming ≤
+    * `maxHamming`) re-scored with its EXACT word-n-gram Jaccard — the
+    * calibration table ("what does a bit distance mean in token space")
+    * a fingerprint-dedup deployment reads before committing to a
+    * hamming threshold, and the quantified form of the usual
+    * low-hamming-but-dissimilar false-positive worry. Pairs ride the
+    * pigeonhole join; the exact score is the hashed-shingle merge walk.
+    * A doc shorter than n words has no shingles: its pairs KEEP their
+    * hamming row and score NULL (nothing to overlap on) — trivial docs
+    * colliding at distance 0 is precisely what the audit must surface,
+    * not drop.
+    */
+  def simhashAudit(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val hs = hashedShingled(docs, n)
+    val union = when(col("ha").isNull || col("hb").isNull, lit(0L))
+      .otherwise((size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
+    simhashPairs(docs, maxHamming)
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"), "left")
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"), "left")
+      .withColumn("inter",
+        when(col("ha").isNull || col("hb").isNull, lit(0L))
+          .otherwise(TextHashes.intersectCount(col("ha"), col("hb")).cast("long")))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        when(union > 0,
+          graft.Quant.q6(col("inter").cast("double") / union.cast("double")))
+          .as("jaccard"))
+  }
+
   /** The pigeonhole Hamming join over any (doc_id, sig: long) frame —
     * shared by text SimHash and the multimodal perceptual hash. Recall
     * 1.0 by construction per signature family; precision restored by the

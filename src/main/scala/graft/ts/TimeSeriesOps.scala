@@ -293,6 +293,40 @@ object TimeSeriesOps {
           .as("rate_per_s")): _*)
   }
 
+  /** Inter-arrival histogram — per stream, consecutive-gap counts in
+    * power-of-two µs buckets: bucket = the BIT LENGTH of dt
+    * (length(bin(dt)) = floor(log2 dt) + 1 — exact integer string
+    * arithmetic, no libm log for engines to disagree on), bucket 0 =
+    * equal-µs ties (the duplicate-burst signal). The ingest-health
+    * diagnostic gaps()'s fixed grid can't see: sampling-rate drift shows
+    * as mass migrating buckets, jitter as a widening spread, and a
+    * bimodal histogram as two interleaved regimes. Rides the same
+    * two-phase sliced lag pass as delta(); the histogram itself is a
+    * map-side-partial (stream, bucket) aggregate at metadata scale.
+    */
+  def gapHistogram(points: DataFrame, streamCols: Seq[String],
+                   version: Option[Long] = None): DataFrame = {
+    val key = streamKey(streamCols)
+    slicedPrev(
+        timeSliced(
+          atVersion(points, version).select(key :+ col("t_us") :+ col("value"): _*),
+          streamCols),
+        streamCols)
+      .filter(col("prev_t").isNotNull)
+      .withColumn("dt_us", col("t_us") - col("prev_t"))
+      .withColumn("bucket",
+        when(col("dt_us") === 0, 0L).otherwise(length(bin(col("dt_us"))).cast("long")))
+      .groupBy(key :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("dt_us")).as("dt_min"),
+        max(col("dt_us")).as("dt_max"))
+      .withColumn("bucket_lo",
+        when(col("bucket") === 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))")))
+      .select(key ++ Seq(col("bucket"), col("bucket_lo"), col("n_gaps"),
+        col("dt_min"), col("dt_max")): _*)
+  }
+
   /** GenerateCSV: one row per window, one mean column per requested
     * stream (grpcinterface/csv.go — the reference streams an aligned CSV
     * of N streams side by side). `streams` is (label, membership

@@ -67,6 +67,37 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.5, s"simhash recall $recall on planted dups")
   }
 
+  test("simhash audit scores identical docs 1.0 and shingle-less pairs NULL") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "hi there"),                                    // < 3 words: no shingles
+      (4L, "hi there"))                                    // identical short doc
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashAudit(planted, 3, 3)
+      .orderBy("id_a", "id_b").collect()
+    val byPair = out.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // identical long docs: distance 0, exact Jaccard 1.0
+    assert(byPair((1L, 2L)) == (0L, Some(1.0)))
+    // identical short docs collide at distance 0 but have nothing to
+    // overlap on — the audit surfaces them with a NULL score, not 1.0
+    assert(byPair((3L, 4L)) == (0L, None))
+    // pair counts on the real corpus match the raw pair generator: the
+    // audit annotates, never filters
+    assert(Dedup.simhashAudit(docs).count() == Dedup.simhashPairs(docs, 3).count())
+  }
+
+  test("dup sweep counts are threshold-monotone and anchored at the pair graph") {
+    val r = SparkEntry.queries("emb_dup_sweep")(spark, sfDir).collect()(0)
+    // the conditional sums are NULL (not 0) over an empty pair graph
+    val Seq(n80, n90, n95, n99) =
+      (0 until 4).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    assert(n80 >= n90 && n90 >= n95 && n95 >= n99, r.toString)
+    assert(n80 == Vectors.cosinePairsLshAuto(emb, 0.8).count())
+  }
+
   test("LSH ANN reaches usable recall vs brute force at equal k") {
     val brute = Vectors.annTopK(emb, 5, 10)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

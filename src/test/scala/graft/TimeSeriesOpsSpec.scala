@@ -1187,6 +1187,22 @@ class TimeSeriesOpsSpec extends SparkSuite {
     assert(m.map(_.getDouble(m.head.fieldIndex("r"))).toSeq == Seq(1.0, -1.0, -1.0))
   }
 
+  test("gap histogram buckets by bit length with equal-µs ties in bucket 0") {
+    // gaps of the series 0,1,2,4,8,8,1000: dt = 1,1,2,4,0,992 →
+    // buckets 1,1,2,3,0,10 (992 = 0b1111100000, 10 bits)
+    val p = pts((0L, 1.0), (1L, 2.0), (2L, 3.0), (4L, 4.0),
+      (8L, 5.0), (8L, 6.0), (1000L, 7.0))
+    val out = TimeSeriesOps.gapHistogram(p, Seq("uuid"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L, 0L, 0L),     // the duplicate-timestamp tie
+      (1L, 1L, 2L, 1L, 1L),
+      (2L, 2L, 1L, 2L, 2L),
+      (3L, 4L, 1L, 4L, 4L),
+      (10L, 512L, 1L, 992L, 992L)), out.mkString(","))
+  }
+
   test("load gini: exact two-phase rank matches the closed form, no fleet-wide window") {
     // volumes 1/2/3/10 ascending: num = Σ(2i-n-1)x = -3-2+3+30 = 28,
     // gini = 28/(4·16) = 0.4375, max_share = 10/16 = 0.625 — exercised
