@@ -66,13 +66,27 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")))
     }, "documents")
 
+    // rotation alone stops distinguishing copies once copies > dim (i=64
+    // would alias back to i=0 on a 64-lane vector, fabricating exact
+    // duplicate vectors and quadratic pair counts); compose rotation
+    // (i mod dim) with a per-copy hash-derived sign flip — both are
+    // orthogonal transforms, so norms are preserved and cross-copy
+    // cosines stay unstructured for any copy count
+    val embDim = tbl("embeddings")
+      .selectExpr("size(embedding) d").limit(1).head.getInt(0)
     write(replicate(tbl("embeddings")) { (d, i) =>
       if (i == 0) d
-      else d
-        .withColumn("vec_id", col("vec_id") + i * 10000000L)
-        .withColumn("embedding", expr(
-          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-            s"slice(embedding, 1, $i))"))
+      else {
+        val r = i % embDim
+        val rotSql =
+          if (r == 0) "embedding"
+          else s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+            s"slice(embedding, 1, $r))"
+        d.withColumn("vec_id", col("vec_id") + i * 10000000L)
+          .withColumn("embedding", expr(
+            s"transform($rotSql, (x, l) -> " +
+              s"CASE WHEN (hash($i, l) % 2) != 0 THEN -x ELSE x END)"))
+      }
     }, "embeddings")
 
     write(replicate(tbl("lineitem")) { (d, i) =>

@@ -1014,6 +1014,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-doc duplicated-passage mass: fraction of 8-gram positions whose
+    // gram appears in ≥2 docs — the span-removal decision signal, pure
+    // inverted-index aggregates (never pairwise)
+    "dedup_span_stats" -> ((s, dir) =>
+      Dedup.dupSpanStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // survivor selection: the keep/drop decision a dedup pipeline ships —
+    // longest doc per near-dup cluster survives, ties to lowest doc_id
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.keepBest(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline: similarity search ------------------------------
     // LSH-bucketed candidates + exact cosine verify — the corpus-scale
     // generator (equality join on (table, bucket), never all-pairs); the
@@ -1104,6 +1119,25 @@ object SparkEntry {
     "emb_ann_lsh" -> ((s, dir) =>
       Vectors.annLsh(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
+
+    // binary-quantization ANN: sign-bit codes (two 32-bit words), integer
+    // Hamming prescreen over a codes-only projection, exact re-rank of the
+    // top-50 survivors — the 1-bit/lane point of the compression family
+    "emb_ann_bitq" -> ((s, dir) =>
+      Vectors.annBitq(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // Matryoshka/truncation audit: per-dim-prefix energy fraction stats —
+    // the dim-vs-recall evidence read before building a truncated index
+    "emb_mrl" -> ((s, dir) =>
+      Vectors.mrlAudit(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("dim"))),
+
+    // IVF cell-balance audit: per-cell load of the inverted file — the
+    // serving-skew report (a hot cell = an unprunable partition at 100 TB)
+    "emb_ivf_balance" -> ((s, dir) =>
+      Vectors.ivfBalance(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("cell"))),
 
     // product-quantization audit: 8×16 seed codebook (the served-IVF
     // zero-training trick), per-vector code word + exact-µ-unit MSE —
@@ -3631,27 +3665,41 @@ object SparkEntry {
     // (UNION dedupes states, so the recursion terminates despite cycles),
     // cluster_id = min reachable doc_id; singletons keep their own id.
     "dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
-         |       FROM docs WHERE len(w) >= 3),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-         |e AS (SELECT id_a, id_b FROM p
-         |      WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
-         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
-         |        UNION ALL SELECT id_b, id_a FROM e),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-         |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |        FROM reach GROUP BY src)
+      s"""$DEDUP_CLUSTER_CTES
          |SELECT d.doc_id AS doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors Dedup.dupSpanStats: positional 8-grams (multiplicity kept),
+    // doc-frequency from the per-(doc, gram) table, duplicated mass =
+    // positions whose gram occurs in ≥ 2 docs. Grouping is by gram TEXT
+    // where the engine groups by xxhash64(gram) — identical arithmetic
+    // barring a 2⁻⁶⁴ collision.
+    "dedup_span_stats" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |               generate_series(1, greatest(len(w) - 7, 0)),
+         |               i -> array_to_string(w[i:i+7], ' '))) AS gram
+         |      FROM d WHERE len(w) >= 8),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |df AS (SELECT gram, count(*) AS df FROM pg GROUP BY 1)
+         |SELECT p.doc_id,
+         |       CAST(sum(p.cnt) AS BIGINT) AS n_ngrams,
+         |       CAST(sum(CASE WHEN f.df >= 2 THEN p.cnt ELSE 0 END) AS BIGINT) AS n_dup,
+         |       ${Q6("CAST(sum(CASE WHEN f.df >= 2 THEN p.cnt ELSE 0 END) AS DOUBLE) / sum(p.cnt)")} AS dup_frac
+         |FROM pg p JOIN df f USING (gram)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // Mirrors Dedup.keepBest: same reachability clusters, survivor =
+    // longest text per cluster (ties → lowest doc_id).
+    "dedup_keep_best" ->
+      s"""$DEDUP_CLUSTER_CTES,
+         |cl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |       FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id) = 1) AS kept
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // Mirrors Vectors.crossCosinePairsLsh: buckets for BOTH sides from
     // the shared md5 planes, 1-bit multiprobe on the benchmark (src0)
@@ -3988,6 +4036,68 @@ object SparkEntry {
          |       FROM r)
          |SELECT id_a AS q_id, id_b AS n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
          |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Vectors.annBitq: sign-bit codes as two 32-bit words folded
+    // MSB-first (Σ b_i·2^(32−i) — the sum form of the engine's acc*2+b
+    // fold, never overflowing signed 64-bit), integer Hamming prescreen
+    // keeps the top 50 per query (ties → lowest n_id), exact cosine in
+    // DOT_SQL's index order re-ranks the survivors.
+    "emb_ann_bitq" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |c AS (SELECT vec_id,
+         |        list_sum(list_transform(generate_series(1, 32), i ->
+         |          CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END)) AS lo,
+         |        list_sum(list_transform(generate_series(1, 32), i ->
+         |          CASE WHEN embedding[i + 32] > 0 THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END)) AS hi
+         |      FROM e),
+         |h AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |             CAST(bit_count(xor(q.lo, n.lo)) + bit_count(xor(q.hi, n.hi)) AS BIGINT) AS hamming
+         |      FROM c q JOIN c n ON q.vec_id < 5 AND n.vec_id >= 5),
+         |pre AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hr FROM h),
+         |r AS (SELECT p.q_id, p.n_id, p.hamming,
+         |             ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM pre p JOIN e q ON q.vec_id = p.q_id JOIN e n ON n.vec_id = p.n_id
+         |      WHERE p.hr <= 50),
+         |rk AS (SELECT q_id, n_id, hamming, cos,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM r)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, hamming, ${Q6("cos")} AS cos_sim
+         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Vectors.mrlAudit: prefix-energy fraction per truncation dim,
+    // index-ordered prefix sums of squares, micro-unit mean per the Quant
+    // contract (sum(BIGINT) → HUGEINT → DOUBLE rounds nearest like the
+    // engine's DECIMAL(38,0) → DOUBLE cast).
+    "emb_mrl" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |x AS (SELECT CAST(d.d AS BIGINT) AS dim,
+         |             sqrt(list_sum(list_transform(generate_series(1, d.d), i ->
+         |               CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) / e.nrm AS frac
+         |      FROM e, (SELECT unnest([8, 16, 32, 48]) AS d) d)
+         |SELECT dim, count(*) AS n_vecs,
+         |       round(CAST(sum(CAST(round(frac * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / count(*), 0) / 1000000.0 + 0 AS mean_frac,
+         |       min(round(frac * 1000000.0, 0) / 1000000.0 + 0) AS min_frac,
+         |       CAST(sum(CASE WHEN round(frac * 1000000.0, 0) / 1000000.0 < 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_lossy
+         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // Mirrors Vectors.ivfBalance: the zero-Lloyd deterministic quantizer
+    // (seeds = 16 lowest-id vectors over the WHOLE corpus — no query
+    // split here), assignment argmax(2·v·c − |c|²) with ties → max cell,
+    // per-cell counts + corpus share.
+    "emb_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, c.cell
+         |      FROM e, c
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |g AS (SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell),
+         |t AS (SELECT count(*) AS total FROM e)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |       ${Q6("CAST(n_vecs AS DOUBLE) / total")} AS share
+         |FROM g, t ORDER BY cell""".stripMargin,
 
     // Mirrors Vectors.annIvf(lloydIters = 0) — the serving path with the
     // deterministic seed quantizer: centroids = the 16 lowest-id corpus
@@ -4873,6 +4983,30 @@ object SparkEntry {
       |              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3""".stripMargin
 
   private val NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Shared by dedup_clusters / dedup_keep_best: exact-Jaccard ≥ 0.8
+    * 3-shingle edges closed into components via recursive reachability;
+    * `lbl` maps every non-singleton doc to min reachable doc_id.
+    */
+  private val DEDUP_CLUSTER_CTES =
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+       |       FROM docs WHERE len(w) >= 3),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |e AS (SELECT id_a, id_b FROM p
+       |      WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+       |        UNION ALL SELECT id_b, id_a FROM e),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |        FROM reach GROUP BY src)""".stripMargin
 
   /** 64-bit SimHash signature as a UBIGINT aggregate over per-word hashes
     * `h` — one OR-term per bit, set iff the ±1 vote sum is positive.

@@ -956,4 +956,111 @@ object Vectors {
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
+
+  /** IVF cell-balance audit: the load profile of the inverted file the
+    * cell-pruned ANN serves from — per cell, vector count and corpus
+    * share. Skew here IS serving skew (a hot cell makes every probe that
+    * touches it scan a corpus-scale partition, and at 100 TB decides
+    * whether partition pruning actually bounds query cost), so this is
+    * the report read before shipping an IVF index. Zero Lloyd rounds
+    * keeps the quantizer the deterministic lowest-id seed set, making
+    * the whole audit oracle-replayable; assignment is the same broadcast
+    * argmax pass the serving path uses, the profile one |cells|-row agg.
+    */
+  def ivfBalance(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    val corpus = withNorm(emb)
+    val cents = centDf(spark, trainCentroids(corpus, nCells, 0, nCells.toLong))
+    val total = corpus.agg(count(lit(1)).as("total"))
+    assignTo(corpus, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        graft.Quant.q6(col("n_vecs").cast("double") / col("total")))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"), col("share"))
+  }
+
+  /** Matryoshka / truncation audit: the energy fraction of each vector
+    * that survives truncation to its first `d` lanes —
+    * sqrt(Σ_{i≤d} x_i²) / ‖v‖, which IS the cosine between v and its
+    * zero-padded d-lane prefix, i.e. exactly the similarity distortion a
+    * d-dim serving index would introduce for that vector. The audit a
+    * pipeline runs before choosing the dim-vs-recall point of a truncated
+    * ANN index. One narrow codegen pass (prefix dots are index-ordered
+    * FloatVectorDot reductions, mirrored term-for-term by the oracle);
+    * the only shuffle is the |dims|-row final aggregate, and the mean
+    * uses exact micro-unit sums per the Quant contract so it is
+    * independent of partial-aggregation order.
+    */
+  def mrlAudit(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 48)): DataFrame = {
+    val e = withNorm(emb)
+    val entries = dims.map { d =>
+      val pre = slice(col("embedding"), 1, d)
+      struct(lit(d).cast("long").as("dim"),
+        (sqrt(dot(pre, pre)) / col("nrm")).as("frac"))
+    }
+    e.select(explode(array(entries: _*)).as("x"))
+      .select(col("x.dim").as("dim"), col("x.frac").as("frac"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.Quant.mean6(graft.Quant.sumUs6Unbounded(col("frac")),
+          count(lit(1))).as("mean_frac"),
+        min(graft.Quant.q6(col("frac"))).as("min_frac"),
+        sum(when(graft.Quant.q6(col("frac")) < 0.95, 1L).otherwise(0L))
+          .as("n_lossy"))
+  }
+
+  /** MSB-first fold of the sign bits of `len` lanes starting at 1-based
+    * `start` into one non-negative long (≤ 32 lanes per word, so the sum
+    * formulation the oracle uses — Σ b_i·2^(len−i) — never overflows a
+    * signed 64-bit in either engine).
+    */
+  private def signWord(start: Int, len: Int): Column =
+    expr(s"aggregate(slice(embedding, $start, $len), CAST(0 AS BIGINT), " +
+      "(acc, x) -> acc * 2 + IF(x > CAST(0 AS FLOAT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
+
+  /** Binary-quantization ANN — the memory-extreme point of the
+    * compression family (SQ8 = 8 bits/lane, PQ ≈ 1 bit/lane with a
+    * codebook, BITQ = 1 sign bit/lane with a FREE distance): 64 lanes
+    * become two 32-bit sign words, candidate generation is Hamming
+    * distance (XOR + popcount — pure integer codegen, no float math, no
+    * codebook), and exact cosine re-ranks only the top-`cand` survivors
+    * per query.
+    *
+    * Scale shape: codes are folded in ONE narrow codegen pass over the
+    * corpus (at 100 TB they would be persisted like IvfIndex, making the
+    * prescreen scan dim/8 bytes per vector); the prescreen joins a
+    * (vec_id, lo, hi) projection against a broadcast nQueries-row probe
+    * table — no float math until the re-rank, which fetches vectors for
+    * only the ≤ nQueries×cand survivors.
+    */
+  def annBitq(emb: DataFrame, nQueries: Int, k: Int, cand: Int = 50): DataFrame = {
+    val coded = withNorm(emb)
+      .withColumn("lo", signWord(1, 32))
+      .withColumn("hi", signWord(33, 32))
+    val q = broadcast(coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("lo").as("qlo"), col("hi").as("qhi")))
+    val codes = coded.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("id_b"), col("lo"), col("hi"))
+    val wh = Window.partitionBy(col("id_a")).orderBy(col("hamming"), col("id_b"))
+    val pres = q.join(codes)
+      .withColumn("hamming",
+        (bit_count(expr("qlo ^ lo")) + bit_count(expr("qhi ^ hi"))).cast("long"))
+      .withColumn("hr", row_number().over(wh))
+      .filter(col("hr") <= cand)
+      .select(col("id_a"), col("va"), col("na"), col("id_b"), col("hamming"))
+    val fetch = withNorm(emb)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    pres.join(fetch, Seq("id_b"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        col("rank").cast("long").as("rank"), col("hamming"),
+        graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
 }

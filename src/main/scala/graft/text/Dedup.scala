@@ -241,6 +241,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document duplicated-passage mass — the exact-substring-dedup
+    * decision signal: what fraction of this document's n-gram positions
+    * is verbatim text that also appears in ANOTHER document? (Long n —
+    * default 8 words — so a hit means a copied passage, not a common
+    * phrase.) Docs under n words have no positions and are exempt.
+    *
+    * Scale shape: pure inverted-index aggregates — positions exploded
+    * once (Σ tokens rows, 8-byte xxhash64 shuffle keys), per-(doc, gram)
+    * counts, gram doc-frequency from that same table, one join back.
+    * Nothing pairwise ever materializes: cost is Σ positions + Σ distinct
+    * grams, not Σ df² — this is what lets the span audit run on the
+    * corpus the pair-based dedups sample from. (Gram identity is the
+    * 64-bit hash: the 2⁻⁶⁴ collision caveat of hashedShingles applies.)
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val pos = TextFunctions.withBase(docs)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingleSeq(n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val perDocGram = pos.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = perDocGram.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    perDocGram.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+        sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        graft.Quant.q6(col("n_dup").cast("double") / col("n_ngrams")))
+  }
+
   /** Cross-corpus contamination: training documents sharing at least
     * `minShared` exact `n`-word runs with any benchmark document — the
     * decontamination primitive of a training pipeline (benchmark answers
@@ -392,6 +422,27 @@ object Dedup {
         when(union > 0,
           graft.Quant.q6(col("inter").cast("double") / union.cast("double")))
           .as("jaccard"))
+  }
+
+  /** Dedup survivor selection — the decision a pipeline actually ships:
+    * which document of each near-dup cluster to KEEP. Policy: longest
+    * text wins (more content survives the cut), ties broken by lowest
+    * doc_id for determinism. Output keeps every document with its cluster
+    * label and a `kept` flag, so it is directly joinable as the dedup
+    * mask AND auditable (dropped docs stay visible with their reason).
+    *
+    * Scale shape: clusters() provides the labels (bounded-edge driver
+    * union-find or distributed label propagation); the argmax is a
+    * per-cluster window — partitioned by cluster_id, so the frame is one
+    * near-dup group, never the corpus.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters(docs, pairs)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("kept"))
   }
 
   /** The pigeonhole Hamming join over any (doc_id, sig: long) frame —

@@ -32,6 +32,16 @@ object TextFunctions {
       s"array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> $gram)) END")
   }
 
+  /** Like wordShingles but POSITIONAL — one entry per n-gram start with
+    * multiplicity kept, for duplicated-mass metrics where a passage
+    * repeated inside one doc must count every occurrence.
+    */
+  def wordShingleSeq(n: Int): Column = {
+    val gram = (0 until n).map(j => s"element_at(w, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
+    expr(s"CASE WHEN size(w) < $n THEN array() ELSE " +
+      s"transform(sequence(1, size(w) - ${n - 1}), i -> $gram) END")
+  }
+
   /** Per-document token statistics: whitespace tokens, BPE-ish regex tokens
     * (letter runs / digit runs / single punctuation), character count.
     */

@@ -648,4 +648,83 @@ class DedupSimSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
     assert(g == Seq((1L, 1L, 2L), (2L, 1L, 2L)))
   }
+
+  test("dupSpanStats counts every duplicated position, within- and cross-doc") {
+    import spark.implicits._
+    val run = "p1 p2 p3 p4 p5 p6 p7 p8" // the shared 8-gram
+    val d = Seq(
+      (1L, run + " a1 a2 a3"),            // 4 positions, 1 duplicated
+      (2L, "b1 b2 " + run),               // 3 positions, 1 duplicated
+      (3L, run + " " + run),              // the run repeated: inner grams
+                                          // duplicate ONLY via doc 1/2
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), // unique grams only
+      (5L, "tiny doc"))                   // < 8 words → exempt
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanStats(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // doc 3: 16 words → 9 positions; positions 1 and 9 are `run`
+    // (cnt 2, df 3); the 7 straddling grams are unique to doc 3
+    assert(r == Seq((1L, 4L, 1L), (2L, 3L, 1L), (3L, 9L, 2L), (4L, 2L, 0L)))
+  }
+
+  test("keepBest keeps the longest doc per cluster, singletons keep themselves") {
+    import spark.implicits._
+    // docs 1 & 2: doc 2 extends doc 1 by one word → Jaccard 8/9 ≥ 0.8,
+    // doc 2 longer → doc 2 survives; doc 3 is an unrelated singleton
+    val t1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val d = Seq(
+      (1L, t1), (2L, t1 + " w11"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val r = Dedup.keepBest(d, Dedup.minhashPairs(d, 3, 64, 2, 0.8))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    assert(r == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, true)))
+  }
+
+  test("mrlAudit measures the exact prefix-energy fractions") {
+    import spark.implicits._
+    // vec 0: 3 in lane 1, 4 in lane 9 → ‖v‖=5, frac(8)=0.6, frac(16..)=1
+    // vec 1: all energy in lane 1 → every prefix fraction is 1.0
+    val e = Seq(
+      (0L, Seq.tabulate(64)(d => if (d == 0) 3f else if (d == 8) 4f else 0f)),
+      (1L, Seq.tabulate(64)(d => if (d == 0) 2f else 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.mrlAudit(e).orderBy("dim").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))
+    assert(r(0) == ((8L, 2L, 0.8, 0.6, 1L)))   // mean (0.6+1)/2, one lossy
+    assert(r.drop(1).forall(x => x._3 == 1.0 && x._4 == 1.0 && x._5 == 0L))
+  }
+
+  test("ivfBalance reports the planted cell loads and shares") {
+    import spark.implicits._
+    def axis(d: Int, v: Float) = Seq.tabulate(64)(i => if (i == d) v else 0f)
+    // seeds (2 lowest ids) define the cells; 2–4 sit on seed 0's axis,
+    // 5 on seed 1's → loads 4 and 2 of 6
+    val e = Seq(
+      (0L, axis(0, 1f)), (1L, axis(1, 1f)),
+      (2L, axis(0, 2f)), (3L, axis(0, 3f)), (4L, axis(0, 0.5f)),
+      (5L, axis(1, 4f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.ivfBalance(e, 2).orderBy("cell").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(r == Seq((0L, 4L, 0.666667), (1L, 2L, 0.333333)))
+  }
+
+  test("bitq hamming prescreen ranks sign-identical before sign-flipped") {
+    import spark.implicits._
+    val alt = Seq.tabulate(64)(d => if (d % 2 == 0) 1f else -1f)
+    val e = Seq(
+      (0L, alt),                      // the query (nQueries = 1)
+      (5L, alt.map(_ * 2f)),          // same signs → hamming 0, cos 1
+      (6L, alt.map(-_)),              // all flipped → hamming 64, cos −1
+      (7L, alt.updated(0, -1f)))      // one flipped lane → hamming 1
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annBitq(e, 1, 3).orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getLong(3), x.getDouble(4)))
+    assert(r(0) == ((5L, 0L, 1.0)))
+    assert(r(1)._1 == 7L && r(1)._2 == 1L)
+    assert(r(2) == ((6L, 64L, -1.0)))
+  }
 }
