@@ -242,6 +242,17 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("span-mass and survivor selection stay inverted-index / keyed — never pairwise") {
+    // dedup_span_stats is the operator whose whole point is Σ-positions
+    // cost (it must run where the pair dedups can't); keepBest adds only
+    // keyed joins + a per-cluster window on top of the cluster labels
+    for (q <- Seq("dedup_span_stats", "dedup_keep_best")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
   test("embedding audits broadcast their metadata-scale stats row") {
     // centroid/range tables are 1-row aggregates: they must reach the
     // corpus pass as a broadcast, never shuffle the corpus against them
