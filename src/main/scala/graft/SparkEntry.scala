@@ -972,6 +972,12 @@ object SparkEntry {
       TextFunctions.corpusFilter(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
 
+    // quality-threshold tuning: surviving docs + word mass at cuts
+    // {.2,.4,.6,.8} from ONE scored pass — the table read before
+    // corpus_filter ships a threshold
+    "corpus_quality_sweep" -> ((s, dir) =>
+      TextFunctions.qualitySweep(Tables.load(s, dir, "documents"))),
+
     // decontamination: src0 plays the held-out benchmark, the rest the
     // training corpus — training docs sharing a verbatim 8-word run with
     // any benchmark doc are contamination hits
@@ -1019,6 +1025,13 @@ object SparkEntry {
     // inverted-index aggregates (never pairwise)
     "dedup_span_stats" -> ((s, dir) =>
       Dedup.dupSpanStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // novel-content mass under in-order admission: fraction of a doc's
+    // 8-gram positions whose gram no earlier doc_id contributed — the
+    // marginal mass a greedy incremental dedup keeps per doc
+    "dedup_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
     // survivor selection: the keep/drop decision a dedup pipeline ships —
@@ -1307,6 +1320,12 @@ object SparkEntry {
     "corpus_vocab" -> ((s, dir) =>
       TextFunctions.vocab(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("doc_freq").desc, col("word"))),
+
+    // Zipf rank-frequency curve at power-of-two ranks — the corpus-health
+    // fingerprint in exact integers (successive halvings ≈ Zipfian)
+    "text_zipf_curve" -> ((s, dir) =>
+      TextFunctions.zipfCurve(Tables.load(s, dir, "documents"))
+        .orderBy(col("rank"))),
 
     "text_ttr" -> ((s, dir) =>
       TextFunctions.lexicalDiversity(Tables.load(s, dir, "documents"))
@@ -3690,6 +3709,25 @@ object SparkEntry {
          |FROM pg p JOIN df f USING (gram)
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
+    // Mirrors Dedup.ngramNovelty: same positional-8-gram table as the
+    // span-stats oracle, gram ownership = min(doc_id), novel mass =
+    // positions whose doc owns the gram. Gram identity by TEXT where the
+    // engine uses xxhash64 (2⁻⁶⁴ collision caveat).
+    "dedup_ngram_novelty" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |               generate_series(1, greatest(len(w) - 7, 0)),
+         |               i -> array_to_string(w[i:i+7], ' '))) AS gram
+         |      FROM d WHERE len(w) >= 8),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |own AS (SELECT gram, min(doc_id) AS owner FROM pg GROUP BY 1)
+         |SELECT p.doc_id,
+         |       CAST(sum(p.cnt) AS BIGINT) AS n_ngrams,
+         |       CAST(sum(CASE WHEN o.owner = p.doc_id THEN p.cnt ELSE 0 END) AS BIGINT) AS n_novel,
+         |       ${Q6("CAST(sum(CASE WHEN o.owner = p.doc_id THEN p.cnt ELSE 0 END) AS DOUBLE) / sum(p.cnt)")} AS novel_frac
+         |FROM pg p JOIN own o USING (gram)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
     // Mirrors Dedup.keepBest: same reachability clusters, survivor =
     // longest text per cluster (ties → lowest doc_id).
     "dedup_keep_best" ->
@@ -4274,6 +4312,29 @@ object SparkEntry {
         |            ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextFunctions.qualitySweep: the quality CTE, one wide
+    // aggregate; cuts compare against the 6-dp-quantized score so both
+    // engines make the identical keep/drop decision at each threshold.
+    "corpus_quality_sweep" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |b AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d),
+         |c AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(length(norm) AS BIGINT) AS n_chars,
+         |        len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |        len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
+         |      FROM b),
+         |q AS (SELECT doc_id, n_words, ${Q6(QSCORE_SQL)} AS quality_score FROM c)
+         |SELECT CAST(sum(CASE WHEN quality_score >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_0,
+         |       CAST(sum(CASE WHEN quality_score >= 0.2 THEN n_words ELSE 0 END) AS BIGINT) AS words_0,
+         |       CAST(sum(CASE WHEN quality_score >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS docs_1,
+         |       CAST(sum(CASE WHEN quality_score >= 0.4 THEN n_words ELSE 0 END) AS BIGINT) AS words_1,
+         |       CAST(sum(CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS docs_2,
+         |       CAST(sum(CASE WHEN quality_score >= 0.6 THEN n_words ELSE 0 END) AS BIGINT) AS words_2,
+         |       CAST(sum(CASE WHEN quality_score >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS docs_3,
+         |       CAST(sum(CASE WHEN quality_score >= 0.8 THEN n_words ELSE 0 END) AS BIGINT) AS words_3
+         |FROM q""".stripMargin,
+
     "sample_weighted" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
          |b AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d),
@@ -4561,6 +4622,19 @@ object SparkEntry {
          |w AS (SELECT unnest(list_distinct(string_split(norm, ' '))) AS word FROM d)
          |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM w GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin,
+
+    // Mirrors TextFunctions.zipfCurve: token frequencies, rank by
+    // (tf DESC, word), keep power-of-two ranks ≤ 1024.
+    "text_zipf_curve" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |w AS (SELECT unnest(string_split(norm, ' ')) AS word FROM d),
+         |tf AS (SELECT word, count(*) AS tf FROM w GROUP BY word
+         |       ORDER BY tf DESC, word LIMIT 1024),
+         |r AS (SELECT word, tf,
+         |             row_number() OVER (ORDER BY tf DESC, word) AS rank
+         |      FROM tf)
+         |SELECT CAST(rank AS BIGINT) AS rank, word, CAST(tf AS BIGINT) AS tf
+         |FROM r WHERE (rank & (rank - 1)) = 0 ORDER BY rank""".stripMargin,
 
     // mirrors TextFunctions.vocabGrowth at (0.1, 0.5, 1.0): per-word min
     // 4-hex doc hash, cuts 6553→'1999' and 32768→'8000'

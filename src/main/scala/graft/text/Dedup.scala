@@ -271,6 +271,39 @@ object Dedup {
         graft.Quant.q6(col("n_dup").cast("double") / col("n_ngrams")))
   }
 
+  /** Per-document NOVEL-content mass — the incremental-dedup admission
+    * signal dupSpanStats' symmetric view can't give: processing docs in
+    * doc_id order, what fraction of this document's n-gram positions is
+    * text no EARLIER document already contributed? Every gram is "owned"
+    * by the minimum doc_id containing it; a position is novel iff its doc
+    * owns the gram. The first copy of a passage scores it, every later
+    * copy scores 0 for those positions — so novelty_frac is exactly the
+    * marginal n-gram mass a greedy in-order dedup would keep from each
+    * doc (docs under n words have no positions and are exempt).
+    *
+    * Scale shape: identical to dupSpanStats — positions exploded once,
+    * per-(doc, gram) counts, gram ownership (min doc_id) from that same
+    * table, one join back. Σ positions cost, never pairwise; the 2⁻⁶⁴
+    * xxhash64 collision caveat applies.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val pos = TextFunctions.withBase(docs)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingleSeq(n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val perDocGram = pos.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val owner = perDocGram.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("owner"))
+    perDocGram.join(owner, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+        sum(when(col("owner") === col("doc_id"), col("cnt")).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_frac",
+        graft.Quant.q6(col("n_novel").cast("double") / col("n_ngrams")))
+  }
+
   /** Cross-corpus contamination: training documents sharing at least
     * `minShared` exact `n`-word runs with any benchmark document — the
     * decontamination primitive of a training pipeline (benchmark answers

@@ -126,6 +126,28 @@ object TextFunctions {
           + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3
           + least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.3).as("quality_score"))
 
+  /** Quality-threshold tuning curve: surviving doc count and surviving
+    * word mass at each candidate cut, from ONE pass over the scored
+    * corpus — the "how aggressive can the quality filter be before it
+    * eats the token budget" table read before corpus_filter ships a
+    * threshold. Cuts apply to the quantized (6 dp) composite score, so
+    * the oracle replays the decision bit-exactly. Wide one-row output
+    * (metadata scale); column tags are the cut's position in `cuts`,
+    * never a rounded value that could collide.
+    */
+  def qualitySweep(docs: DataFrame,
+                   cuts: Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8)): DataFrame = {
+    require(cuts.nonEmpty, "need at least one cut")
+    val scored = quality(docs)
+    val aggs = cuts.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(col("quality_score") >= c, 1L).otherwise(0L)).as(s"docs_$i"),
+        sum(when(col("quality_score") >= c, col("n_words")).otherwise(0L))
+          .as(s"words_$i"))
+    }
+    scored.agg(aggs.head, aggs.tail: _*)
+  }
+
   private val langMarkers = Seq(
     "en" -> Seq("the", "a", "is", "and"),
     "es" -> Seq("el", "la", "los", "que"),
@@ -744,6 +766,34 @@ object TextFunctions {
       wide.select(lit(f).as("frac"), col(s"d_$i").as("n_docs"),
         col(s"v_$i").as("n_types"))
     }.reduce(_ union _).orderBy(col("frac"))
+  }
+
+  /** Zipf rank-frequency curve: token frequency of the rank-2^i word,
+    * i = 0 .. log2(maxRank) — the corpus-health fingerprint (natural text
+    * tracks freq ∝ 1/rank; template spam bulges the head, gibberish
+    * flattens the tail). Read as successive halvings: each row's freq
+    * should be ≈ half the previous — no libm log fit needed, the curve
+    * IS the evidence, in exact integers.
+    *
+    * Scale shape: Σ tokens explode → map-side-partial groupBy(word) →
+    * TakeOrdered(maxRank) — the global sort never materializes — then a
+    * rank over the ≤maxRank survivors (Bounded.window) and the
+    * power-of-two filter. Vocabulary never shuffles raw text, only
+    * (word, count) pairs.
+    */
+  def zipfCurve(docs: DataFrame, maxRank: Int = 1024): DataFrame = {
+    require(maxRank >= 1, s"maxRank must be positive, got $maxRank")
+    val tf = withBase(docs)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(maxRank)
+    tf.withColumn("rank",
+        row_number().over(graft.Bounded.window(col("tf").desc, col("word")))
+          .cast("long"))
+      .filter(col("rank").bitwiseAND(col("rank") - 1) === 0)
+      .select(col("rank"), col("word"), col("tf"))
   }
 
   def vocab(docs: DataFrame, k: Int): DataFrame =

@@ -19,6 +19,28 @@ class CorpusSpec extends SparkSuite {
     assert(p(1).getString(0) == "y" && p(1).getDouble(5) == 1.0)
   }
 
+  test("zipfCurve emits exactly the power-of-two ranks with exact counts") {
+    import spark.implicits._
+    // frequencies: w1×8, w2×5, w3×3, w4×2, w5×1 → ranks 1,2,4 survive
+    val text = (Seq.fill(8)("w1") ++ Seq.fill(5)("w2") ++ Seq.fill(3)("w3")
+      ++ Seq.fill(2)("w4") ++ Seq("w5")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TF.zipfCurve(d, maxRank = 4).orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, "w1", 8L), (2L, "w2", 5L), (4L, "w4", 2L)))
+  }
+
+  test("qualitySweep counts survivors and word mass per cut in one row") {
+    import spark.implicits._
+    // stopword-free short docs score 0.3·(1 − punct) + 0.3·min(n/100, 1):
+    // both docs land strictly between 0.3 and 0.4 → survive the 0.2
+    // cut only; cuts at 0.4+ keep nothing
+    val d = Seq((1L, "aa bb cc"), (2L, "dd ee")).toDF("doc_id", "text")
+    val r = TF.qualitySweep(d, Seq(0.2, 0.4)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 5L, 0L, 0L)))
+  }
+
   test("every oracle entry names a real query (driver-contract guard)") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs

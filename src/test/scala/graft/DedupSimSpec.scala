@@ -667,6 +667,23 @@ class DedupSimSpec extends SparkSuite {
     assert(r == Seq((1L, 4L, 1L), (2L, 3L, 1L), (3L, 9L, 2L), (4L, 2L, 0L)))
   }
 
+  test("ngramNovelty credits each gram's positions to the minimum doc_id") {
+    import spark.implicits._
+    val run = "p1 p2 p3 p4 p5 p6 p7 p8" // the shared 8-gram
+    val d = Seq(
+      (1L, run + " a1 a2 a3"),            // 4 positions, all first-seen → novel
+      (2L, "b1 b2 " + run),               // 3 positions, `run` owned by doc 1
+      (3L, run + " " + run),              // both copies of `run` owned by doc 1;
+                                          // the 7 straddling grams are doc 3's own
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), // unique grams → fully novel
+      (5L, "tiny doc"))                   // < 8 words → exempt
+      .toDF("doc_id", "text")
+    val r = Dedup.ngramNovelty(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // doc 3: 9 positions; the 2 `run` positions belong to doc 1 → 7 novel
+    assert(r == Seq((1L, 4L, 4L), (2L, 3L, 2L), (3L, 9L, 7L), (4L, 2L, 2L)))
+  }
+
   test("keepBest keeps the longest doc per cluster, singletons keep themselves") {
     import spark.implicits._
     // docs 1 & 2: doc 2 extends doc 1 by one word → Jaccard 8/9 ≥ 0.8,
