@@ -968,6 +968,13 @@ object SparkEntry {
       Dedup.sharedNgramPairs(Tables.load(s, dir, "documents"), 20)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LSH banding sweep: candidate cost + true-pair recall at rows-per-
+    // band ∈ {1,2,4} from ONE md5-signature pass — the (b, r) config
+    // decision table; recall vs the exact inverted-index pair set
+    "dedup_minhash_tune" -> ((s, dir) =>
+      Dedup.minhashTune(Tables.load(s, dir, "documents"))
+        .orderBy(col("rows_per_band"))),
+
     "corpus_filter" -> ((s, dir) =>
       TextFunctions.corpusFilter(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
@@ -1132,6 +1139,13 @@ object SparkEntry {
     "emb_ann_lsh" -> ((s, dir) =>
       Vectors.annLsh(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
+
+    // recall@k acceptance gate: fraction of the exact top-k the LSH ANN's
+    // top-k contains, per cutoff — the number that justifies turning the
+    // brute-force path off; exact side costs nQueries·corpus (the probe
+    // sample), never corpus²
+    "emb_ann_recall" -> ((s, dir) =>
+      Vectors.annRecall(Tables.load(s, dir, "embeddings"), 5, 10)),
 
     // binary-quantization ANN: sign-bit codes (two 32-bit words), integer
     // Hamming prescreen over a codes-only projection, exact re-rank of the
@@ -3570,6 +3584,52 @@ object SparkEntry {
 
     "dedup_minhash" -> jaccardSql(0.8, None),
 
+    // Mirrors Dedup.minhashTune: md5-derived signatures (sig[k] = min
+    // 16-hex md5 prefix of "k|gram" over the doc's distinct trigrams),
+    // per-config band buckets, distinct candidate pairs, recall vs the
+    // exact Jaccard ≥ 0.5 pair set.
+    "dedup_minhash_tune" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM d WHERE len(w) >= 3),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, 63), k ->
+         |          list_min(list_transform(s, g ->
+         |            substring(md5(CAST(k AS VARCHAR) || '|' || g), 1, 16)))) AS sig
+         |        FROM sh),
+         |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE len(list_intersect(a.s, b.s)) > 0
+         |         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+         |bk1 AS (SELECT doc_id, k AS band, sig[k + 1] AS bv FROM sig, ks WHERE k < 64),
+         |bk2 AS (SELECT doc_id, k AS band, array_to_string(sig[2*k + 1 : 2*k + 2], '#') AS bv FROM sig, ks WHERE k < 32),
+         |bk4 AS (SELECT doc_id, k AS band, array_to_string(sig[4*k + 1 : 4*k + 4], '#') AS bv FROM sig, ks WHERE k < 16),
+         |c1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk1 a JOIN bk1 b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk2 a JOIN bk2 b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |c4 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk4 a JOIN bk4 b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |st AS (SELECT 1 AS rows_per_band, 64 AS n_bands, count(*) AS n_cand,
+         |              sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_true_cand
+         |       FROM c1 c LEFT JOIN tp t ON c.id_a = t.id_a AND c.id_b = t.id_b
+         |       UNION ALL
+         |       SELECT 2, 32, count(*),
+         |              sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |       FROM c2 c LEFT JOIN tp t ON c.id_a = t.id_a AND c.id_b = t.id_b
+         |       UNION ALL
+         |       SELECT 4, 16, count(*),
+         |              sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |       FROM c4 c LEFT JOIN tp t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+         |tot AS (SELECT count(*) AS n_true_total FROM tp)
+         |SELECT CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |       CAST(n_bands AS BIGINT) AS n_bands,
+         |       CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_true_cand AS BIGINT) AS n_true_cand,
+         |       CAST(n_true_total AS BIGINT) AS n_true_total,
+         |       CASE WHEN n_true_total = 0 THEN NULL
+         |            ELSE ${Q6("CAST(n_true_cand AS DOUBLE) / n_true_total")} END AS recall
+         |FROM st, tot ORDER BY rows_per_band""".stripMargin,
+
     "corpus_contamination_near" ->
       s"""WITH docs AS (SELECT doc_id, source, string_split($NORM_TEXT_SQL, ' ') AS w
          |              FROM documents),
@@ -4074,6 +4134,53 @@ object SparkEntry {
          |       FROM r)
          |SELECT id_a AS q_id, id_b AS n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
          |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Vectors.annRecall: the exact-top-10 and LSH-top-10 CTEs
+    // (the emb_ann_topk / emb_ann_lsh oracles verbatim), one left join on
+    // (q_id, n_id), conditional hit sums at cutoffs 1/5/10.
+    "emb_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM p),
+         |bk AS (SELECT e.vec_id, t.t AS tbl,
+         |         CAST(list_sum(list_transform(generate_series(0, 3), bb ->
+         |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
+         |                  CAST(e.embedding[dd] AS DOUBLE) * ${PLANE_SQL("t.t", "bb", "dd - 1")})) > 0
+         |                THEN (1 << bb) ELSE 0 END)) AS BIGINT) AS bucket
+         |       FROM e, (SELECT unnest(generate_series(0, 7)) AS t) t),
+         |qp AS (SELECT b.vec_id, b.tbl, xor(b.bucket, f.f) AS bucket
+         |       FROM bk b, (SELECT unnest([0, 1, 2, 4, 8]) AS f) f
+         |       WHERE b.vec_id < 5),
+         |cand AS (SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+         |         FROM qp q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |         WHERE c.vec_id >= 5),
+         |r AS (SELECT id_a, id_b,
+         |             ${DOT_SQL("qa.embedding", "cb.embedding")} / (qa.nrm * cb.nrm) AS cos
+         |      FROM cand JOIN e qa ON qa.vec_id = id_a JOIN e cb ON cb.vec_id = id_b),
+         |lshr AS (SELECT id_a AS q_id, id_b AS n_id,
+         |              row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank
+         |       FROM r),
+         |jx AS (SELECT x.q_id, x.rank AS rank_exact, l.rank AS rank_lsh
+         |       FROM (SELECT * FROM exr WHERE rank <= 10) x
+         |       LEFT JOIN (SELECT * FROM lshr WHERE rank <= 10) l
+         |         ON x.q_id = l.q_id AND x.n_id = l.n_id),
+         |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_lsh <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_lsh <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_lsh <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx)
+         |SELECT CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM h""".stripMargin,
 
     // Mirrors Vectors.annBitq: sign-bit codes as two 32-bit words folded
     // MSB-first (Σ b_i·2^(32−i) — the sum form of the engine's acc*2+b

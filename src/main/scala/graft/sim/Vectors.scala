@@ -957,6 +957,43 @@ object Vectors {
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
+  /** ANN recall audit — the number that justifies serving from the LSH
+    * path at all: for each cutoff in `ks`, what fraction of the EXACT
+    * top-k neighbors does the bucketed ANN's top-k contain (recall@k,
+    * averaged over the probe queries)? Run on a bounded probe sample (the
+    * same nQueries bound both serving paths take), it's the acceptance
+    * gate a serving config must pass before the brute-force path is
+    * turned off — and the exact side's cost is nQueries·corpus, the
+    * audit-on-a-sample price, never corpus².
+    *
+    * One left join of the two already-ranked top-k frames on
+    * (q_id, n_id); every cutoff is a conditional sum over that |q|·k-row
+    * frame — metadata scale. NULL recall never occurs (the exact side
+    * always has k rows per query when the corpus has ≥ k vectors).
+    */
+  def annRecall(emb: DataFrame, nQueries: Int, k: Int,
+                ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    val exact = annTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_exact"))
+    val approx = annLsh(emb, nQueries, k)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_lsh"))
+    val j = exact.join(approx, Seq("q_id", "n_id"), "left")
+    val nq = j.agg(countDistinct(col("q_id")).as("n_q"))
+    val hitCols = ks.map { c =>
+      sum(when(col("rank_exact") <= c && col("rank_lsh") <= c, 1L)
+        .otherwise(0L)).as(s"hits_$c")
+    }
+    j.agg(hitCols.head, hitCols.tail: _*)
+      .crossJoin(broadcast(nq))
+      .select(col("n_q") +: ks.flatMap { c =>
+        Seq(col(s"hits_$c"),
+          graft.Quant.q6(col(s"hits_$c").cast("double") / (col("n_q") * c))
+            .as(s"recall_$c"))
+      }: _*)
+  }
+
   /** IVF cell-balance audit: the load profile of the inverted file the
     * cell-pruned ANN serves from — per cell, vector count and corpus
     * share. Skew here IS serving skew (a hot cell makes every probe that

@@ -271,6 +271,74 @@ object Dedup {
         graft.Quant.q6(col("n_dup").cast("double") / col("n_ngrams")))
   }
 
+  /** LSH band-configuration sweep — the (bands × rows) tuning table read
+    * before minhashPairs ships a config: for each rows-per-band r over
+    * the same `numHashes` signatures, the candidate-pair count (the cost
+    * a production run would pay at that setting) and how many of the
+    * exact near-dup pairs (n-gram Jaccard ≥ tau) the candidates cover
+    * (the recall the setting buys). r=1 is the expensive/high-recall
+    * extreme, r=4 the cheap/low-recall one; the knee of this curve is
+    * the config decision.
+    *
+    * Signatures here are md5-derived (sig[k] = min over the doc's
+    * distinct shingles of the 16-hex md5 prefix of "k|gram") so EVERY
+    * number in the sweep — signatures, buckets, candidates, recall — is
+    * replayable in the SQL oracle; the production pair path
+    * (minhashPairs) keeps its faster codegen'd xxhash64 signatures, and
+    * the banding probability curve is identical under any uniform hash.
+    * The true-pair reference comes from the inverted-index exact
+    * generator (ngramJaccardPairs — Σ df², never pairwise). One
+    * signature pass (localCheckpoint) feeds all |rowsList| band joins;
+    * per-config cost is that config's real candidate generation, which
+    * is exactly what the audit must measure — at corpus scale this runs
+    * on a sample (idLimit on the exact generator, a doc_id cut on docs),
+    * like every calibration audit in this file.
+    */
+  def minhashTune(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+                  rowsList: Seq[Int] = Seq(1, 2, 4),
+                  tau: Double = 0.5): DataFrame = {
+    require(rowsList.nonEmpty && rowsList.forall(r => r > 0 && numHashes % r == 0),
+      s"every rows-per-band must divide numHashes=$numHashes: $rowsList")
+    val base = TextFunctions.withBase(docs)
+      .withColumn("sh", TextFunctions.wordShingles(n))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${numHashes - 1}), k -> " +
+          "array_min(transform(sh, g -> " +
+          "substring(md5(concat(cast(k as string), '|', g)), 1, 16))))")
+          .as("sig"))
+      .localCheckpoint()
+    val truePairs = ngramJaccardPairs(docs, n, tau)
+      .select(col("id_a"), col("id_b"), lit(true).as("is_true"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true_total"))
+    rowsList.map { r =>
+      val nb = numHashes / r
+      val bands = (0 until nb).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("#", (0 until r).map(i => col("sig")(b * r + i)): _*)
+            .as("bv"))
+      }
+      val buckets = base
+        .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      buckets.select(col("doc_id").as("id_a"), col("band"), col("bv"))
+        .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .join(truePairs, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_cand"))
+        .select(lit(r.toLong).as("rows_per_band"), lit(nb.toLong).as("n_bands"),
+          col("n_cand"), col("n_true_cand"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(nTrue))
+      .withColumn("recall",
+        when(col("n_true_total") === 0, lit(null).cast("double"))
+          .otherwise(graft.Quant.q6(
+            col("n_true_cand").cast("double") / col("n_true_total"))))
+  }
+
   /** Per-document NOVEL-content mass — the incremental-dedup admission
     * signal dupSpanStats' symmetric view can't give: processing docs in
     * doc_id order, what fraction of this document's n-gram positions is

@@ -107,6 +107,24 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.3, s"ANN recall@10 was $recall")
   }
 
+  test("annRecall counts exactly the exact-top-k neighbors the LSH path misses") {
+    import spark.implicits._
+    val ones = Array.fill(64)(1.0f)
+    val e = Seq(
+      (0L, ones),                    // the probe query
+      (1L, ones.map(_ * 2)),         // same direction → same buckets, cos 1
+      (2L, ones.map(_ * 3)),         // same direction, cos 1
+      (3L, ones.map(-_)))            // NEGATED: every plane sign flips, so its
+                                     // bucket differs in all 4 bits of every
+                                     // table — 1-bit multiprobe can't reach it
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annRecall(e, 1, 3, ks = Seq(1, 3)).collect().head
+    // exact top-3 = {1, 2, 3} (cos 1, 1, −1); LSH candidates = {1, 2}
+    assert(r.getLong(0) == 1L)                       // n_q
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 1.0)  // hits_1, recall_1
+    assert(r.getLong(3) == 2L && r.getDouble(4) == 0.666667) // hits_3, recall_3
+  }
+
   test("clusters: driver union-find and distributed propagation agree") {
     import spark.implicits._
     val pairs = Dedup.minhashPairs(docs, 3, 64, 2, 0.8).cache()
@@ -665,6 +683,28 @@ class DedupSimSpec extends SparkSuite {
     // doc 3: 16 words → 9 positions; positions 1 and 9 are `run`
     // (cnt 2, df 3); the 7 straddling grams are unique to doc 3
     assert(r == Seq((1L, 4L, 1L), (2L, 3L, 1L), (3L, 9L, 2L), (4L, 2L, 0L)))
+  }
+
+  test("minhashTune: nested candidate sets, identical docs survive every config") {
+    import spark.implicits._
+    val t1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq(
+      (1L, t1), (2L, t1),                       // identical → J=1 true pair,
+                                                // all 64 signatures equal
+      (3L, "w1 w2 w3 x4 x5 x6 x7 x8"),          // shares a prefix with doc 1
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"))          // unrelated
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashTune(d).orderBy("rows_per_band").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 4L))
+    assert(r.map(_._2) == Seq(64L, 32L, 16L))
+    // r-row bands nest: a matching 4-row band implies its 2-row halves
+    // match, which imply their single rows match → candidates shrink
+    assert(r(0)._3 >= r(1)._3 && r(1)._3 >= r(2)._3)
+    // the identical pair has equal signatures → candidate at EVERY r,
+    // and it is the only Jaccard ≥ 0.5 pair
+    assert(r.forall(_._4 == 1L) && r.forall(_._5 == 1L))
   }
 
   test("ngramNovelty credits each gram's positions to the minimum doc_id") {
