@@ -623,6 +623,33 @@ object TextFunctions {
           .as("keep"))
   }
 
+  /** The full curation verdict — corpusFilter extended with the NEAR-dup
+    * stage, emitting one audited drop REASON per document (the record a
+    * 100 TB curation run must keep to be debuggable: "why did doc X
+    * disappear"). Reason precedence mirrors pipeline stage order: an
+    * exact duplicate is dropped before near-dup clustering would see it,
+    * a near-dup cluster loser before the content gates, then PII, then
+    * quality; survivors read 'kept'. Every stage is one of the
+    * individually oracle-gated operators (quality / piiScan /
+    * Dedup.exact / Dedup.keepBest over the minhash pair graph), composed
+    * by keyed doc_id joins — no shuffle wider than the corpus.
+    */
+  def corpusVerdict(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality_score"))
+    val pii = piiScan(docs).select(col("doc_id"), col("has_pii"))
+    val exact = Dedup.exact(docs).select(col("doc_id"), col("is_dup"))
+    val near = Dedup.keepBest(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
+      .select(col("doc_id"), col("kept"))
+    val verdict = when(col("is_dup"), "exact_dup")
+      .when(!col("kept"), "near_dup")
+      .when(col("has_pii"), "pii")
+      .when(col("quality_score") < minQuality, "low_quality")
+      .otherwise("kept")
+    q.join(pii, "doc_id").join(exact, "doc_id").join(near, "doc_id")
+      .select(col("doc_id"), verdict.as("verdict"),
+        (verdict === "kept").as("keep"))
+  }
+
   /** The end-to-end training-shard builder — the composition a pipeline
     * actually ships: language gate (en), quality gate, PII gate, exact
     * dedup (first occurrence survives), then per-source token-budget fill
