@@ -73,7 +73,11 @@ object ScaleUp {
     // orthogonal transforms, so norms are preserved and cross-copy
     // cosines stay unstructured for any copy count
     val embDim = tbl("embeddings")
-      .selectExpr("size(embedding) d").limit(1).head.getInt(0)
+      .selectExpr("size(embedding) d").limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(sys.error(
+        s"$src/embeddings.parquet is empty — cannot derive the embedding " +
+          "dim the rotation transform needs"))
     write(replicate(tbl("embeddings")) { (d, i) =>
       if (i == 0) d
       else {

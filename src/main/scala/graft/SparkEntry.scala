@@ -970,13 +970,25 @@ object SparkEntry {
 
     // LSH banding sweep: candidate cost + true-pair recall at rows-per-
     // band ∈ {1,2,4} from ONE md5-signature pass — the (b, r) config
-    // decision table; recall vs the exact inverted-index pair set
+    // decision table; recall vs the exact inverted-index pair set.
+    // SAMPLED (doc_id < 1000, the audit's own scale doctrine): the md5
+    // oracle-replay signatures and the exact Σ df² truth set are the
+    // audit-only price, paid on a slice — the banding curve the sweep
+    // measures is a property of the Jaccard distribution, not corpus
+    // size. The oracle takes the identical cut.
     "dedup_minhash_tune" -> ((s, dir) =>
-      Dedup.minhashTune(Tables.load(s, dir, "documents"))
+      Dedup.minhashTune(Tables.load(s, dir, "documents"), idLimit = Some(1000L))
         .orderBy(col("rows_per_band"))),
 
     "corpus_filter" -> ((s, dir) =>
       TextFunctions.corpusFilter(Tables.load(s, dir, "documents"), 0.5)
+        .orderBy(col("doc_id"))),
+
+    // the full curation verdict — one audited drop REASON per document
+    // (exact_dup > near_dup cluster loser > pii > low_quality > kept),
+    // composing four individually-oracled operators by doc_id joins
+    "corpus_verdict" -> ((s, dir) =>
+      TextFunctions.corpusVerdict(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
 
     // quality-threshold tuning: surviving docs + word mass at cuts
@@ -3587,9 +3599,10 @@ object SparkEntry {
     // Mirrors Dedup.minhashTune: md5-derived signatures (sig[k] = min
     // 16-hex md5 prefix of "k|gram" over the doc's distinct trigrams),
     // per-config band buckets, distinct candidate pairs, recall vs the
-    // exact Jaccard ≥ 0.5 pair set.
+    // exact Jaccard ≥ 0.5 pair set — on the registration's identical
+    // doc_id < 1000 sample cut.
     "dedup_minhash_tune" ->
-      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents WHERE doc_id < 1000),
          |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
          |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
          |       FROM d WHERE len(w) >= 3),
@@ -3726,6 +3739,46 @@ object SparkEntry {
          |       (q.quality_score >= 0.5 AND NOT pii.has_pii AND NOT k.is_dup) AS keep
          |FROM q JOIN pii ON q.doc_id = pii.doc_id JOIN k ON q.doc_id = k.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.corpusVerdict: the keep-best survivor CTEs
+    // (same reachability clusters as dedup_keep_best) composed with the
+    // corpus_filter quality/pii/exact CTEs; verdict CASE in pipeline
+    // stage order. NULL quality (empty norm) falls through to 'kept',
+    // matching Spark's NULL-is-false `when`.
+    "corpus_verdict" ->
+      s"""$DEDUP_CLUSTER_CTES,
+         |cl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |       FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |kb AS (SELECT doc_id, (row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id) = 1) AS kept
+         |       FROM cl),
+         |vd AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |vb AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM vd),
+         |vc AS (SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n_words,
+         |         CAST(length(norm) AS BIGINT) AS n_chars,
+         |         len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |         len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
+         |       FROM vb),
+         |vq AS (SELECT doc_id, ${Q6(QSCORE_SQL)} AS quality_score FROM vc),
+         |vp AS (SELECT doc_id,
+         |         (len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |          + len(regexp_extract_all(norm, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |          + len(regexp_extract_all(norm, '\\d{3}[- ]\\d{3,4}[- ]\\d{4}'))) > 0 AS has_pii
+         |       FROM vd),
+         |vx AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(norm)) AS is_dup
+         |       FROM vd),
+         |vv AS (SELECT vq.doc_id AS doc_id,
+         |         CASE WHEN vx.is_dup THEN 'exact_dup'
+         |              WHEN NOT kb.kept THEN 'near_dup'
+         |              WHEN vp.has_pii THEN 'pii'
+         |              WHEN vq.quality_score < 0.5 THEN 'low_quality'
+         |              ELSE 'kept' END AS verdict
+         |       FROM vq JOIN vp ON vq.doc_id = vp.doc_id
+         |              JOIN vx ON vq.doc_id = vx.doc_id
+         |              JOIN kb ON vq.doc_id = kb.doc_id)
+         |SELECT doc_id, verdict, verdict = 'kept' AS keep
+         |FROM vv ORDER BY doc_id""".stripMargin,
 
     "corpus_contamination" ->
       s"""WITH docs AS (SELECT doc_id, source, string_split($NORM_TEXT_SQL, ' ') AS w

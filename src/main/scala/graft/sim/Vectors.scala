@@ -682,20 +682,42 @@ object Vectors {
       .select(col("vec_id"), col("nbr_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Bounded two-phase per-query top-k — the ts_topk_windows recipe on
+    * the similarity axis. A single `row_number PARTITION BY id_a` over a
+    * query×corpus frame funnels EVERY corpus row for a query through one
+    * task's sort: at 10^9 vectors that is nQueries single-partition
+    * billion-row sorts. Instead the local phase ranks within (id_a,
+    * aggregation slice) — groups are partition-sized — and only each
+    * slice's top k survive to the final per-query rank, whose input is
+    * ≤ k × #slices rows per query regardless of corpus size. Any row in
+    * the global top k is in its slice's top k, so the cut is exact; `ord`
+    * must end in a deterministic tiebreaker (both phases order
+    * identically), so the result is hash-identical to the naive rank.
+    * Shared by annTopK (and through it annRecall's exact side) and
+    * annBitq's Hamming prescreen.
+    */
+  private[sim] def rankPerQuery(df: DataFrame, ord: Seq[Column], k: Int): DataFrame = {
+    val local = Window.partitionBy(col("id_a"), col("slice")).orderBy(ord: _*)
+    val global = Window.partitionBy(col("id_a")).orderBy(ord: _*)
+    df.withColumn("slice", spark_partition_id())
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .drop("slice", "lrnk")
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors (vec_id >= nQueries) with rank. The
     * query side is tiny → broadcast, so the "cross join" is a single
-    * pass over the corpus with no shuffle.
+    * pass over the corpus with no shuffle; the rank is the bounded
+    * two-phase cut (rankPerQuery) so no task ever sorts the corpus for
+    * one query.
     */
   def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val (a, b) = pairBase(emb)
     val q = broadcast(a.filter(col("id_a") < nQueries))
     val corpus = b.filter(col("id_b") >= nQueries)
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    q.join(corpus)
-      .withColumn("cos", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankPerQuery(q.join(corpus).withColumn("cos", cosine),
+        Seq(col("cos").desc, col("id_b")), k)
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
@@ -1074,6 +1096,16 @@ object Vectors {
     * only the ≤ nQueries×cand survivors.
     */
   def annBitq(emb: DataFrame, nQueries: Int, k: Int, cand: Int = 50): DataFrame = {
+    // The sign-word fold packs bits MSB-first assuming exactly 64 lanes;
+    // a shorter vector would land its bits in the LOW positions of the lo
+    // word while the oracle's fixed Σ b_i·2^(32−i) layout leaves HIGH
+    // positions zero — silently divergent Hamming distances. Probe the
+    // first row's dim (bounded: limit(1) on a narrow projection) and fail
+    // loudly instead.
+    val dimProbe = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(dimProbe.headOption.forall(_.getInt(0) == 64),
+      s"annBitq packs sign bits into two 32-bit words and requires 64-dim " +
+        s"embeddings; got dim=${dimProbe.headOption.map(_.getInt(0)).orNull}")
     val coded = withNorm(emb)
       .withColumn("lo", signWord(1, 32))
       .withColumn("hi", signWord(33, 32))
@@ -1082,12 +1114,13 @@ object Vectors {
         col("nrm").as("na"), col("lo").as("qlo"), col("hi").as("qhi")))
     val codes = coded.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("id_b"), col("lo"), col("hi"))
-    val wh = Window.partitionBy(col("id_a")).orderBy(col("hamming"), col("id_b"))
-    val pres = q.join(codes)
-      .withColumn("hamming",
-        (bit_count(expr("qlo ^ lo")) + bit_count(expr("qhi ^ hi"))).cast("long"))
-      .withColumn("hr", row_number().over(wh))
-      .filter(col("hr") <= cand)
+    // bounded two-phase top-cand cut (rankPerQuery): the prescreen's
+    // linear Hamming scan is the operator's honest price, but its rank
+    // must never funnel the whole corpus through one task's sort
+    val pres = rankPerQuery(
+        q.join(codes).withColumn("hamming",
+          (bit_count(expr("qlo ^ lo")) + bit_count(expr("qhi ^ hi"))).cast("long")),
+        Seq(col("hamming"), col("id_b")), cand)
       .select(col("id_a"), col("va"), col("na"), col("id_b"), col("hamming"))
     val fetch = withNorm(emb)
       .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))

@@ -291,15 +291,20 @@ object Dedup {
     * signature pass (localCheckpoint) feeds all |rowsList| band joins;
     * per-config cost is that config's real candidate generation, which
     * is exactly what the audit must measure — at corpus scale this runs
-    * on a sample (idLimit on the exact generator, a doc_id cut on docs),
-    * like every calibration audit in this file.
+    * on a SAMPLE (`idLimit` cuts docs to doc_id < limit, scoping the
+    * signature pass, every band join, AND the exact truth set to the
+    * same slice), like every calibration audit in this file: the
+    * banding probability curve is a property of the Jaccard
+    * distribution, not the corpus size, so the sampled knee is the
+    * production knee.
     */
   def minhashTune(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
                   rowsList: Seq[Int] = Seq(1, 2, 4),
-                  tau: Double = 0.5): DataFrame = {
+                  tau: Double = 0.5, idLimit: Option[Long] = None): DataFrame = {
     require(rowsList.nonEmpty && rowsList.forall(r => r > 0 && numHashes % r == 0),
       s"every rows-per-band must divide numHashes=$numHashes: $rowsList")
-    val base = TextFunctions.withBase(docs)
+    val scoped = idLimit.fold(docs)(l => docs.filter(col("doc_id") < l))
+    val base = TextFunctions.withBase(scoped)
       .withColumn("sh", TextFunctions.wordShingles(n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
@@ -308,7 +313,7 @@ object Dedup {
           "substring(md5(concat(cast(k as string), '|', g)), 1, 16))))")
           .as("sig"))
       .localCheckpoint()
-    val truePairs = ngramJaccardPairs(docs, n, tau)
+    val truePairs = ngramJaccardPairs(scoped, n, tau)
       .select(col("id_a"), col("id_b"), lit(true).as("is_true"))
     val nTrue = truePairs.agg(count(lit(1)).as("n_true_total"))
     rowsList.map { r =>
@@ -540,8 +545,13 @@ object Dedup {
   def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
+    // n_chars is the documents table's materialized length; a bare
+    // (doc_id, text) frame derives it, so both shapes are accepted
+    val len =
+      if (docs.columns.contains("n_chars")) docs.select(col("doc_id"), col("n_chars"))
+      else docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
     clusters(docs, pairs)
-      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .join(len, Seq("doc_id"))
       .withColumn("kept", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_id"), col("kept"))
   }

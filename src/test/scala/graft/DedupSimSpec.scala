@@ -707,6 +707,25 @@ class DedupSimSpec extends SparkSuite {
     assert(r.forall(_._4 == 1L) && r.forall(_._5 == 1L))
   }
 
+  test("minhashTune idLimit scopes signatures, candidates, and the truth set") {
+    import spark.implicits._
+    val t1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq(
+      (1L, t1), (2L, t1),                       // identical pair inside the cut
+      (3L, "w1 w2 w3 x4 x5 x6 x7 x8"),          // shares a prefix with doc 1 —
+                                                // r=1 band-collides when unscoped
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+    // unscoped: the doc-1/doc-3 prefix makes r=1 see >1 candidate
+    val full = Dedup.minhashTune(d).orderBy("rows_per_band").collect()
+    assert(full(0).getLong(2) > 1L)
+    // doc_id < 3 cut: only the identical pair exists anywhere — candidate
+    // set AND exact truth set both scoped to the slice
+    val r = Dedup.minhashTune(d, idLimit = Some(3L)).orderBy("rows_per_band").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq((1L, 1L, 1L, 1L), (2L, 1L, 1L, 1L), (4L, 1L, 1L, 1L)))
+  }
+
   test("ngramNovelty credits each gram's positions to the minimum doc_id") {
     import spark.implicits._
     val run = "p1 p2 p3 p4 p5 p6 p7 p8" // the shared 8-gram
@@ -738,6 +757,31 @@ class DedupSimSpec extends SparkSuite {
       .orderBy("doc_id").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
     assert(r == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, true)))
+    // a bare (doc_id, text) frame derives n_chars — same answer
+    val bare = Dedup.keepBest(d.drop("n_chars"), Dedup.minhashPairs(d, 3, 64, 2, 0.8))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    assert(bare == r)
+  }
+
+  test("corpusVerdict assigns drop reasons in pipeline precedence order") {
+    import spark.implicits._
+    // 18 stopword-rich words → quality ≈ 0.58 (kept-eligible); trigram
+    // Jaccard doc1↔doc3 = 16/19 ≈ 0.84 ≥ 0.8 → one cluster {1,2,3}
+    val t = "the cat is on the mat and the dog is in the den of the big red barn"
+    val d = Seq(
+      (1L, t),          // cluster loser (doc 3 longer) → near_dup
+      (2L, t),          // exact copy AND cluster loser → exact_dup wins
+      (3L, t + " now"), // longest of the cluster, quality ok → kept
+      (4L, "contact john@example.com about more of the offer and the deal is in it"), // pii
+      (5L, "xx1 yy2 zz3 @@@@ #### $$$$"), // no stopwords, punct-heavy → low_quality
+      (6L, "the house is in the town and a tree is of note by the road to it")) // kept
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val r = graft.text.TextFunctions.corpusVerdict(d, 0.5).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getBoolean(2))).toSeq
+    assert(r == Seq(
+      (1L, "near_dup", false), (2L, "exact_dup", false), (3L, "kept", true),
+      (4L, "pii", false), (5L, "low_quality", false), (6L, "kept", true)))
   }
 
   test("mrlAudit measures the exact prefix-energy fractions") {

@@ -542,6 +542,20 @@ class PlanShapeSpec extends SparkSuite {
       s"ts_anomaly_seasonal profile not broadcast:\n${sa.take(3000)}")
   }
 
+  test("ann ranks are bounded two-phase: no corpus-wide per-query sort") {
+    // a single row_number PARTITION BY id_a over the query×corpus frame
+    // funnels every corpus row for a query through ONE task's sort — at
+    // 10^9 vectors that is nQueries single-partition billion-row sorts.
+    // rankPerQuery's local phase must rank within (id_a, slice) so the
+    // final per-query rank sees ≤ k × #slices rows (the ts_topk_windows
+    // recipe on the similarity axis).
+    for (q <- Seq("emb_ann_topk", "emb_ann_bitq", "emb_ann_recall")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("windowspecdefinition(id_a#") && plan.contains(", slice#"),
+        s"$q rank not two-phase (no (id_a, slice) local window):\n${plan.take(3000)}")
+    }
+  }
+
   test("emb_ann_pq: broadcast codebook/dtable, no cartesian, TakeOrdered-free windows bounded") {
     val plan = physical(SparkEntry.queries("emb_ann_pq")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), s"emb_ann_pq:\n${plan.take(3000)}")
