@@ -28,9 +28,15 @@ object Bench {
     // init land here instead of inside the first timed query. Per-query
     // try so one failure can't silently strip warmup from the rest; the
     // dir is overridable for machines without the default layout.
+    // Optional subset (comma-separated names) — scaling studies run the
+    // heavy tail at 10×/100× without paying the full 197-query sweep;
+    // the driver never sets it, so round benches stay full-suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmupDir).exists())
-      SparkEntry.queries.values.foreach { q =>
+      queries.values.foreach { q =>
         try q(spark, warmupDir).count() catch { case _: Throwable => () }
       }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -38,7 +44,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val first = SparkEntry.queries.map { case (name, fn) => name -> time(fn) }
+    val first = queries.map { case (name, fn) => name -> time(fn) }
     // Steady-state re-measure: a single sample taken while the machine is
     // loaded (another build, GC, the driver's own oracle run) can read
     // 10-30× the query's real cost and make the suite total un-reviewable.
@@ -49,7 +55,7 @@ object Bench {
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
     val reps = first.collect {
       case (name, t) if median > 0 && t > 3 * median =>
-        name -> Seq.fill(2)(time(SparkEntry.queries(name)))
+        name -> Seq.fill(2)(time(queries(name)))
     }
     val results = first.map { case (name, t) =>
       name -> (t, (t +: reps.getOrElse(name, Nil)).min)
@@ -65,7 +71,10 @@ object Bench {
     }.mkString("{\n\"sf\": \"" + sfDir + s"""\", "n": ${results.size}, """ +
       s""""total_first": ${fmt(totalFirst)}, "total_steady": ${fmt(totalSteady)},\n""" +
       "\"queries\": {\n", ",\n", "\n}}\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_queries.json"), perQuery)
+    // subset runs must not clobber the tracked full-suite record
+    val perQueryPath =
+      if (only.isDefined) "BENCH_queries_subset.json" else "BENCH_queries.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryPath), perQuery)
     // STEADY is the headline metric: `first` mixes in one-shot planning/
     // IO and whatever load the machine was under during the cold sweep
     // (r10: 505.8 s first vs 217.3 s steady over the same queries) —

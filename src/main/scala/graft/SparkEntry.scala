@@ -1046,6 +1046,13 @@ object SparkEntry {
       Dedup.dupSpanStats(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // exact-substring span REMOVAL: the dedup rewrite itself — word
+    // positions covered by an 8-gram some earlier doc contributed are
+    // excised, first copy survives; output includes the cleaned text
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.spanRemoval(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // novel-content mass under in-order admission: fraction of a doc's
     // 8-gram positions whose gram no earlier doc_id contributed — the
     // marginal mass a greedy incremental dedup keeps per doc
@@ -1158,6 +1165,13 @@ object SparkEntry {
     // sample), never corpus²
     "emb_ann_recall" -> ((s, dir) =>
       Vectors.annRecall(Tables.load(s, dir, "embeddings"), 5, 10)),
+
+    // the IVF acceptance gate: recall@{1,5,10} of the cell-pruned path
+    // (zero-training seeds, nProbe=4 of 16 cells) vs the exact top-k —
+    // the LSH gate's sibling, so BOTH serving paths carry a measured
+    // recall before brute force is turned off
+    "emb_ann_ivf_recall" -> ((s, dir) =>
+      Vectors.annRecallIvf(Tables.load(s, dir, "embeddings"), 5, 10)),
 
     // binary-quantization ANN: sign-bit codes (two 32-bit words), integer
     // Hamming prescreen over a codes-only projection, exact re-rank of the
@@ -3822,6 +3836,31 @@ object SparkEntry {
          |FROM pg p JOIN df f USING (gram)
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
+    // Mirrors Dedup.spanRemoval: positional 8-grams with start index,
+    // gram ownership = min(doc_id), covered indices = i..i+7 of every
+    // occurrence whose owner is an earlier doc; rebuild replays the
+    // engine's index-grid CASE/filter/join arithmetic verbatim. Gram
+    // identity by TEXT where the engine uses xxhash64 (2⁻⁶⁴ caveat).
+    "dedup_span_removal" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |gp AS (SELECT doc_id, u.i AS i, u.gram AS gram
+         |       FROM (SELECT doc_id, unnest(list_transform(
+         |                generate_series(1, greatest(len(w) - 7, 0)),
+         |                i -> struct_pack(i := i, gram := array_to_string(w[i:i+7], ' ')))) AS u
+         |             FROM d WHERE len(w) >= 8)),
+         |own AS (SELECT gram, min(doc_id) AS owner FROM gp GROUP BY 1),
+         |cpos AS (SELECT DISTINCT doc_id, idx FROM
+         |           (SELECT gp.doc_id, unnest(generate_series(gp.i, gp.i + 7)) AS idx
+         |            FROM gp JOIN own USING (gram) WHERE own.owner < gp.doc_id)),
+         |cv AS (SELECT doc_id, list(idx) AS cov FROM cpos GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(len(d.w) AS BIGINT) AS n_words,
+         |       CAST(coalesce(len(cv.cov), 0) AS BIGINT) AS n_removed,
+         |       coalesce(array_to_string(list_filter(list_transform(generate_series(1, len(d.w)),
+         |         i -> CASE WHEN list_contains(coalesce(cv.cov, []), i) THEN NULL ELSE d.w[i] END),
+         |         x -> x IS NOT NULL), ' '), '') AS text_clean
+         |FROM d LEFT JOIN cv USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     // Mirrors Dedup.ngramNovelty: same positional-8-gram table as the
     // span-stats oracle, gram ownership = min(doc_id), novel mass =
     // positions whose doc owns the gram. Gram identity by TEXT where the
@@ -4224,6 +4263,53 @@ object SparkEntry {
          |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_lsh <= 1 THEN 1 ELSE 0 END) AS hits_1,
          |             sum(CASE WHEN rank_exact <= 5 AND rank_lsh <= 5 THEN 1 ELSE 0 END) AS hits_5,
          |             sum(CASE WHEN rank_exact <= 10 AND rank_lsh <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx)
+         |SELECT CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM h""".stripMargin,
+
+    // Mirrors Vectors.annRecallIvf: the exact-top-k CTE from the LSH
+    // recall oracle joined against the emb_ann_ivf_served CTEs (probe
+    // CTE renamed iq to avoid the exact-pair alias), same hit sums.
+    "emb_ann_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM p),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |      FROM e, c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |iq AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |       FROM e, c WHERE e.vec_id < 5
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |r AS (SELECT iq.vec_id AS q_id, a.vec_id AS n_id,
+         |             ${DOT_SQL("iq.embedding", "a.embedding")} / (iq.nrm * a.nrm) AS cos
+         |      FROM iq JOIN a ON iq.cell = a.cell),
+         |ivfr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM r),
+         |jx AS (SELECT x.q_id, x.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM (SELECT * FROM exr WHERE rank <= 10) x
+         |       LEFT JOIN (SELECT * FROM ivfr WHERE rank <= 10) l
+         |         ON x.q_id = l.q_id AND x.n_id = l.n_id),
+         |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
          |             count(DISTINCT q_id) AS n_q
          |      FROM jx)
          |SELECT CAST(n_q AS BIGINT) AS n_q,

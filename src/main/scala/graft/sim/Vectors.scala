@@ -276,11 +276,24 @@ object Vectors {
         else sums.map(s => rnd0(s.doubleValue / ma.get.doubleValue * 1e6)).toSeq
     }
     val vFrame = session.range(1).select(typedLit(v).as("v"))
-    val stats = xqC.withColumn("v", typedLit(v)).withColumn("dot", dot)
+    // The Rayleigh stats are ONE row — collect them eagerly (like every
+    // iteration step) so xqC can unpersist HERE. Returning a lazy plan
+    // over the persisted frame leaked one cached corpus-derived RDD per
+    // call (the bench re-measure showed it: reps ran SLOWER than first
+    // as storage eviction churned); the stats re-enter the plan as
+    // literals, identical decimal→double arithmetic.
+    val statsRow = xqC.withColumn("v", typedLit(v)).withColumn("dot", dot)
       .agg(
         sum(expr("CAST(dot AS DECIMAL(38,0)) * dot")).as("num"),
         sum(expr("aggregate(transform(xq, a -> a * a), CAST(0 AS BIGINT), (s, p) -> s + p)")
           .cast("decimal(38,0)")).as("trace"))
+      .collect()(0)
+    xqC.unpersist()
+    def decLit(i: Int): Column =
+      Option(statsRow.getDecimal(i)).map(d => lit(d).cast("decimal(38,0)"))
+        .getOrElse(lit(null).cast("decimal(38,0)"))
+    val stats = session.range(1)
+      .select(decLit(0).as("num"), decLit(1).as("trace"))
     vFrame
       .withColumn("den",
         expr("aggregate(transform(v, a -> a * a), CAST(0 AS BIGINT), (s, p) -> s + p)"))
@@ -997,14 +1010,38 @@ object Vectors {
                 ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
     require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
       s"every cutoff must be in [1, $k]: $ks")
-    val exact = annTopK(emb, nQueries, k)
-      .select(col("q_id"), col("n_id"), col("rank").as("rank_exact"))
-    val approx = annLsh(emb, nQueries, k)
-      .select(col("q_id"), col("n_id"), col("rank").as("rank_lsh"))
-    val j = exact.join(approx, Seq("q_id", "n_id"), "left")
+    recallFrom(annTopK(emb, nQueries, k), annLsh(emb, nQueries, k), ks)
+  }
+
+  /** The IVF member of the acceptance-gate pair: recall@k of the
+    * cell-pruned serving path (annIvf at the oracle-replayable
+    * zero-training configuration) vs the exact top-k — the number that
+    * justifies an (nCells, nProbe) config before the brute-force path is
+    * turned off, exactly as annRecall does for the LSH path. Same
+    * audit-on-a-sample price (the exact side is nQueries·corpus through
+    * the bounded two-phase rank), same metadata-scale join.
+    */
+  def annRecallIvf(emb: DataFrame, nQueries: Int, k: Int,
+                   ks: Seq[Int] = Seq(1, 5, 10),
+                   nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    recallFrom(annTopK(emb, nQueries, k),
+      annIvf(emb, nQueries, k, nCells, nProbe, lloydIters = 0), ks)
+  }
+
+  /** The recall join shared by the serving-path acceptance gates: one
+    * left join of two already-ranked top-k frames on (q_id, n_id), every
+    * cutoff a conditional sum over that |q|·k-row frame — metadata scale.
+    */
+  private def recallFrom(exact: DataFrame, approx: DataFrame,
+                         ks: Seq[Int]): DataFrame = {
+    val ex = exact.select(col("q_id"), col("n_id"), col("rank").as("rank_exact"))
+    val ap = approx.select(col("q_id"), col("n_id"), col("rank").as("rank_approx"))
+    val j = ex.join(ap, Seq("q_id", "n_id"), "left")
     val nq = j.agg(countDistinct(col("q_id")).as("n_q"))
     val hitCols = ks.map { c =>
-      sum(when(col("rank_exact") <= c && col("rank_lsh") <= c, 1L)
+      sum(when(col("rank_exact") <= c && col("rank_approx") <= c, 1L)
         .otherwise(0L)).as(s"hits_$c")
     }
     j.agg(hitCols.head, hitCols.tail: _*)

@@ -377,6 +377,49 @@ object Dedup {
         graft.Quant.q6(col("n_novel").cast("double") / col("n_ngrams")))
   }
 
+  /** Exact-substring span REMOVAL — the rewrite a corpus dedup actually
+    * ships (dupSpanStats measures the mass; this excises it): processing
+    * docs in doc_id order, every word position covered by an n-gram
+    * occurrence whose gram some EARLIER doc already contributed is
+    * removed; the first copy of a passage survives intact (gram
+    * ownership = min doc_id, the ngramNovelty rule, so internal repeats
+    * inside the owning doc survive too). Output per doc: word count,
+    * removed-position count, and the cleaned text — directly writable as
+    * the deduplicated corpus. Docs under n words carry no grams and pass
+    * through whole.
+    *
+    * Scale shape: positions exploded once (Σ positions), ownership from
+    * the per-(doc, gram) distinct table (one shuffle on the 8-byte
+    * xxhash64 gram key), coverage = n-wide sequence explode per NON-OWNED
+    * occurrence only, covered-index set re-aggregated per doc (bounded by
+    * the doc's own length — row-sized, like the doc itself), one keyed
+    * join back. Never pairwise, never Σ df²; the 2⁻⁶⁴ hash-collision
+    * caveat applies. The rebuild arithmetic (index grid → CASE → filter
+    * nulls → join with ' ') is replayed verbatim by the SQL oracle.
+    */
+  def spanRemoval(docs: DataFrame, n: Int = 8): DataFrame = {
+    val base = TextFunctions.withBase(docs).select(col("doc_id"), col("w"))
+    val pos = base
+      .select(col("doc_id"),
+        posexplode(TextFunctions.wordShingleSeq(n)).as(Seq("p", "gram")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), xxhash64(col("gram")).as("g"))
+    val owner = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
+    val cov = pos.join(owner, Seq("g"))
+      .filter(col("owner") < col("doc_id"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("idx")).as("cov"))
+    base.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), typedlit(Seq.empty[Int])))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("cov")).cast("long").as("n_removed"),
+        expr("array_join(filter(transform(sequence(1, size(w)), i -> " +
+          "CASE WHEN array_contains(cov, i) THEN NULL ELSE element_at(w, i) END), " +
+          "x -> x IS NOT NULL), ' ')").as("text_clean"))
+  }
+
   /** Cross-corpus contamination: training documents sharing at least
     * `minShared` exact `n`-word runs with any benchmark document — the
     * decontamination primitive of a training pipeline (benchmark answers

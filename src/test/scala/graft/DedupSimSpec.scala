@@ -743,6 +743,24 @@ class DedupSimSpec extends SparkSuite {
     assert(r == Seq((1L, 4L, 4L), (2L, 3L, 2L), (3L, 9L, 7L), (4L, 2L, 2L)))
   }
 
+  test("spanRemoval excises later copies of owned spans, first copy intact") {
+    import spark.implicits._
+    val run = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val d = Seq(
+      (1L, run + " a1 a2"),   // owns every gram → passes through whole
+      (2L, "b1 b2 " + run),   // the copied run covers positions 3..10
+      (3L, run + " a1 a2"),   // exact copy of doc 1 → fully excised
+      (4L, "tiny doc"))       // < 8 words → no grams, passes whole
+      .toDF("doc_id", "text")
+    val r = Dedup.spanRemoval(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq
+    assert(r == Seq(
+      (1L, 10L, 0L, run + " a1 a2"),
+      (2L, 10L, 8L, "b1 b2"),
+      (3L, 10L, 10L, ""),
+      (4L, 2L, 0L, "tiny doc")))
+  }
+
   test("keepBest keeps the longest doc per cluster, singletons keep themselves") {
     import spark.implicits._
     // docs 1 & 2: doc 2 extends doc 1 by one word → Jaccard 8/9 ≥ 0.8,
@@ -796,6 +814,20 @@ class DedupSimSpec extends SparkSuite {
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))
     assert(r(0) == ((8L, 2L, 0.8, 0.6, 1L)))   // mean (0.6+1)/2, one lossy
     assert(r.drop(1).forall(x => x._3 == 1.0 && x._4 == 1.0 && x._5 == 0L))
+  }
+
+  test("annRecallIvf reads exactly 1.0 when every cell is probed") {
+    import spark.implicits._
+    // nProbe = nCells ⇒ the cell-pruned path scans the whole corpus and
+    // both sides rank by the identical (cos DESC, n_id) order — recall
+    // must be exactly 1.0 at every cutoff
+    val e = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annRecallIvf(e, 3, 5, Seq(1, 5), nCells = 4, nProbe = 4)
+      .collect()(0)
+    assert(r.getLong(0) == 3L)                       // n_q
+    assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
   }
 
   test("ivfBalance reports the planted cell loads and shares") {
