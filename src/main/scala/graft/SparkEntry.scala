@@ -1039,6 +1039,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC survivor selection — keepBest over the embedding-cosine
+    // cluster graph instead of the token-level one: per semantic
+    // near-dup cluster the longest document survives; the mask an
+    // embedding-side dedup ships (reuses the shared clusters/keepBest
+    // machinery and the emb_clusters pair graph at τ = 0.4)
+    "emb_keep_best" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.keepBest(
+          docs.join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id")),
+          Vectors.cosinePairsLshAuto(emb, 0.4).select(col("id_a"), col("id_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // per-doc duplicated-passage mass: fraction of 8-gram positions whose
     // gram appears in ≥2 docs — the span-removal decision signal, pure
     // inverted-index aggregates (never pairwise)
@@ -1052,6 +1067,13 @@ object SparkEntry {
     "dedup_span_removal" -> ((s, dir) =>
       Dedup.spanRemoval(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+
+    // per-source span-dedup recovery: where does the duplication LIVE —
+    // one row per source with surviving/removed word mass over the
+    // span_removal rewrite
+    "dedup_span_profile" -> ((s, dir) =>
+      Dedup.spanProfile(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
 
     // novel-content mass under in-order admission: fraction of a doc's
     // 8-gram positions whose gram no earlier doc_id contributed — the
@@ -1172,6 +1194,12 @@ object SparkEntry {
     // recall before brute force is turned off
     "emb_ann_ivf_recall" -> ((s, dir) =>
       Vectors.annRecallIvf(Tables.load(s, dir, "embeddings"), 5, 10)),
+
+    // the PQ acceptance gate: with the LSH and IVF gates, all three
+    // serving families (bucketed, cell-pruned, compressed-code) carry a
+    // measured recall before brute force is turned off
+    "emb_ann_pq_recall" -> ((s, dir) =>
+      Vectors.annRecallPq(Tables.load(s, dir, "embeddings"), 5, 10)),
 
     // binary-quantization ANN: sign-bit codes (two 32-bit words), integer
     // Hamming prescreen over a codes-only projection, exact re-rank of the
@@ -1472,6 +1500,15 @@ object SparkEntry {
     // case byte-hash dedup misses): codegen PhashSig + pigeonhole join
     "mm_phash" -> ((s, dir) =>
       graft.mm.Multimodal.phashPairs(
+          graft.mm.Multimodal.syntheticAssets(s,
+            Tables.rebalance(Tables.load(s, dir, "documents"))))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // perceptual-pair audit: every phash pair re-scored with the exact
+    // byte-identity verdict — splits "exact dup the fingerprint path
+    // catches" from "genuine near-dup only the perceptual hash finds"
+    "mm_phash_audit" -> ((s, dir) =>
+      graft.mm.Multimodal.phashAudit(
           graft.mm.Multimodal.syntheticAssets(s,
             Tables.rebalance(Tables.load(s, dir, "documents"))))
         .orderBy(col("id_a"), col("id_b"))),
@@ -3861,6 +3898,32 @@ object SparkEntry {
          |         x -> x IS NOT NULL), ' '), '') AS text_clean
          |FROM d LEFT JOIN cv USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // Mirrors Dedup.spanProfile: the span_removal coverage CTEs rolled
+    // up per source (coalesce(0) for cover-free docs, count of touched
+    // docs, removed fraction of the source's word mass).
+    "dedup_span_profile" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |gp AS (SELECT doc_id, u.i AS i, u.gram AS gram
+         |       FROM (SELECT doc_id, unnest(list_transform(
+         |                generate_series(1, greatest(len(w) - 7, 0)),
+         |                i -> struct_pack(i := i, gram := array_to_string(w[i:i+7], ' ')))) AS u
+         |             FROM d WHERE len(w) >= 8)),
+         |own AS (SELECT gram, min(doc_id) AS owner FROM gp GROUP BY 1),
+         |cpos AS (SELECT DISTINCT doc_id, idx FROM
+         |           (SELECT gp.doc_id, unnest(generate_series(gp.i, gp.i + 7)) AS idx
+         |            FROM gp JOIN own USING (gram) WHERE own.owner < gp.doc_id)),
+         |cv AS (SELECT doc_id, count(*) AS n_cov FROM cpos GROUP BY 1),
+         |per AS (SELECT d.doc_id, len(d.w) AS n_words, coalesce(cv.n_cov, 0) AS n_removed
+         |        FROM d LEFT JOIN cv USING (doc_id))
+         |SELECT doc.source AS source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(per.n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(per.n_removed) AS BIGINT) AS n_removed,
+         |       CAST(sum(CASE WHEN per.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+         |       ${Q6("CAST(sum(per.n_removed) AS DOUBLE) / sum(per.n_words)")} AS removed_frac
+         |FROM per JOIN documents doc USING (doc_id)
+         |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
+
     // Mirrors Dedup.ngramNovelty: same positional-8-gram table as the
     // span-stats oracle, gram ownership = min(doc_id), novel mass =
     // positions whose doc owns the gram. Gram identity by TEXT where the
@@ -3950,6 +4013,28 @@ object SparkEntry {
          |SELECT v.vec_id AS vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id
          |FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+
+    // Mirrors the emb_keep_best registration: the emb_clusters
+    // reachability labels + the keep-best argmax (longest document text,
+    // ties → lowest vec_id) with n_chars joined from documents.
+    "emb_keep_best" ->
+      s"""WITH RECURSIVE
+         |$LSH_PAIR_CTES,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |        UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |lbl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |cl AS (SELECT v.vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id, d.n_chars
+         |       FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id
+         |            LEFT JOIN lbl l ON v.vec_id = l.vec_id)
+         |SELECT vec_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, vec_id) = 1) AS kept
+         |FROM cl ORDER BY vec_id""".stripMargin,
 
     "emb_knn" ->
       s"""WITH $LSH_PAIR_CTES,
@@ -4186,6 +4271,68 @@ object SparkEntry {
          |       CAST(adc_us AS DOUBLE) / 1000000.0 + 0 AS adc_dist,
          |       ${Q6("cos")} AS cos_sim
          |FROM f WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // Mirrors Vectors.annRecallPq: the emb_ann_pq CTE chain verbatim,
+    // the exact-top-k pair CTE (fresh names xp/exr beside the PQ chain's
+    // e), and the shared hit sums.
+    "emb_ann_pq_recall" -> {
+      val sseQ = "list_sum(list_transform(generate_series(1, 8), " +
+        "i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+      s"""WITH sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id - 5 AS INT) AS code, svec AS cvec
+         |       FROM sv WHERE vec_id >= 5 AND vec_id < 21),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub) WHERE v.vec_id >= 5),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id AS n_id, sub, code FROM r WHERE rn = 1),
+         |qd AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+         |         ${US6(sseQ)} AS dist_us
+         |       FROM sv v JOIN cb c USING (sub) WHERE v.vec_id < 5),
+         |adc AS (SELECT q_id, n_id, sum(dist_us) AS adc_us
+         |        FROM codes JOIN qd USING (sub, code) GROUP BY 1, 2),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_us, n_id) AS rn
+         |         FROM adc),
+         |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |x AS (SELECT c.q_id, c.n_id,
+         |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM cand c JOIN e q ON q.vec_id = c.q_id
+         |                  JOIN e n ON n.vec_id = c.n_id
+         |      WHERE c.rn <= 32),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rank
+         |      FROM x),
+         |xp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |       FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |        FROM xp),
+         |jx AS (SELECT x2.q_id, x2.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM (SELECT * FROM exr WHERE rank <= 10) x2
+         |       LEFT JOIN (SELECT q_id, n_id, rank FROM f WHERE rank <= 10) l
+         |         ON x2.q_id = l.q_id AND x2.n_id = l.n_id),
+         |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx)
+         |SELECT CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM h""".stripMargin
     },
 
     "emb_ann_topk" ->
@@ -5125,6 +5272,35 @@ object SparkEntry {
          |      FROM p)
          |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Multimodal.phashAudit: the mm_phash pair CTEs + the exact
+    // md5 fingerprint equality verdict per pair.
+    "mm_phash_audit" ->
+      s"""WITH b AS (SELECT doc_id,
+         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
+         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
+         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
+         |             length(text) - 1 AS total
+         |           FROM documents WHERE length(text) >= 2),
+         |s AS (SELECT doc_id,
+         |        list_transform(generate_series(0, 63),
+         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
+         |      FROM b),
+         |ck AS (SELECT doc_id, bits, c.c AS ci,
+         |              bits[c.c * 16 + 1 : c.c * 16 + 16] AS cv
+         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |             a.bits AS ba, b2.bits AS bb
+         |      FROM ck a JOIN ck b2 ON a.ci = b2.ci AND a.cv = b2.cv
+         |        AND a.doc_id < b2.doc_id),
+         |h AS (SELECT DISTINCT id_a, id_b,
+         |        CAST(len(list_filter(generate_series(1, 64),
+         |          i -> ba[CAST(i AS INT)] <> bb[CAST(i AS INT)])) AS BIGINT) AS hamming
+         |      FROM p),
+         |f AS (SELECT doc_id, md5(text) AS fp FROM documents)
+         |SELECT h.id_a, h.id_b, h.hamming, fa.fp = fb.fp AS byte_identical
+         |FROM h JOIN f fa ON fa.doc_id = h.id_a JOIN f fb ON fb.doc_id = h.id_b
+         |WHERE h.hamming <= 3 ORDER BY h.id_a, h.id_b""".stripMargin,
 
     // mirrors the registered clusters: the mm_phash pair CTEs + the
     // dedup_clusters recursive reachability, singletons labeled by a

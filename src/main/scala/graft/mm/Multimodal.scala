@@ -130,6 +130,25 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Perceptual-pair calibration audit — dedup_simhashAudit's multimodal
+    * sibling: every phash pair re-scored with the exact byte-identity
+    * verdict (md5 fingerprint equality). byte_identical = true means the
+    * perceptual match is really an exact dup the cheap fingerprint path
+    * would have caught; false is the genuine near-dup signal (recompressed
+    * / retouched asset) only the perceptual hash finds — the split that
+    * decides whether a fleet needs the decode-side dedup at all. Pair
+    * graph cost unchanged (pigeonhole join); the re-score is two keyed
+    * joins against the narrow fingerprint projection.
+    */
+  def phashAudit(assets: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val fp = assets.toDF().select(col("asset_id"), md5(col("payload")).as("fp"))
+    phashPairs(assets, maxHamming)
+      .join(fp.select(col("asset_id").as("id_a"), col("fp").as("fa")), Seq("id_a"))
+      .join(fp.select(col("asset_id").as("id_b"), col("fp").as("fb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("fa") === col("fb")).as("byte_identical"))
+  }
+
   /** Frame-sampling shape for video-like assets: explode n evenly-spaced
     * byte offsets per asset (stand-in for frame indices), keeping the
     * plumbing for a one-to-many decode stage honest.

@@ -1030,6 +1030,20 @@ object Vectors {
       annIvf(emb, nQueries, k, nCells, nProbe, lloydIters = 0), ks)
   }
 
+  /** The PQ member — recall@k of the ADC-prescreened product-quantization
+    * path (annPq: per-subspace codebooks, integer-µs ADC distances, exact
+    * re-rank of the top-`rerank` survivors) vs the exact top-k. With the
+    * LSH and IVF gates, every serving family the engine ships (bucketed,
+    * cell-pruned, compressed-code) now carries a measured recall.
+    */
+  def annRecallPq(emb: DataFrame, nQueries: Int, k: Int,
+                  ks: Seq[Int] = Seq(1, 5, 10), rerank: Int = 32): DataFrame = {
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    recallFrom(annTopK(emb, nQueries, k),
+      annPq(emb, nQueries, k, rerank = rerank), ks)
+  }
+
   /** The recall join shared by the serving-path acceptance gates: one
     * left join of two already-ranked top-k frames on (q_id, n_id), every
     * cutoff a conditional sum over that |q|·k-row frame — metadata scale.

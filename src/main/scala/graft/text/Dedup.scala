@@ -420,6 +420,27 @@ object Dedup {
           "x -> x IS NOT NULL), ' ')").as("text_clean"))
   }
 
+  /** Per-source span-dedup recovery profile — the budget decision table
+    * over spanRemoval's rewrite: for each source, how many word
+    * positions survive the excision and what fraction the dedup
+    * recovers. This is the number a 100 TB curation run reads to decide
+    * WHERE the duplication lives (a mirrored crawl shows up as one
+    * source's recovered_frac, not a corpus-wide average). One |sources|-
+    * row aggregate over the span table — spanRemoval's Σ-positions cost
+    * dominates; this adds a keyed join and a map-side-partial rollup.
+    */
+  def spanProfile(docs: DataFrame, n: Int = 8): DataFrame =
+    spanRemoval(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_removed")).as("n_removed"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("n_docs_touched"))
+      .withColumn("removed_frac",
+        graft.Quant.q6(col("n_removed").cast("double") / col("n_words")))
+
   /** Cross-corpus contamination: training documents sharing at least
     * `minShared` exact `n`-word runs with any benchmark document — the
     * decontamination primitive of a training pipeline (benchmark answers

@@ -830,6 +830,17 @@ class DedupSimSpec extends SparkSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
   }
 
+  test("annRecallPq reads exactly 1.0 when rerank covers the corpus") {
+    import spark.implicits._
+    // rerank = corpus size ⇒ the ADC prescreen drops nothing and the
+    // exact re-rank IS the exact top-k — recall must be exactly 1.0
+    val e = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annRecallPq(e, 3, 5, Seq(1, 5), rerank = 37).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
   test("ivfBalance reports the planted cell loads and shares") {
     import spark.implicits._
     def axis(d: Int, v: Float) = Seq.tabulate(64)(i => if (i == d) v else 0f)

@@ -119,6 +119,22 @@ class MultimodalSpec extends SparkSuite {
     assert(sig == ref, s"engine $sig vs replay $ref")
   }
 
+  test("phashAudit splits exact copies from genuine perceptual near-dups") {
+    import Multimodal.MediaRow
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val retouched = base.updated(10, 'X').toString
+    val crafted = Seq(
+      MediaRow(1L, "img/0", 64, 64, base.getBytes("UTF-8")),
+      MediaRow(2L, "img/0", 64, 64, base.getBytes("UTF-8")),      // exact copy
+      MediaRow(3L, "img/0", 64, 64, retouched.getBytes("UTF-8"))) // retouch
+      .toDS()
+    val audit = Multimodal.phashAudit(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(audit((1L, 2L)))                       // byte-identical pair
+    audit.get((1L, 3L)).foreach(v => assert(!v))  // retouch: perceptual-only
+    audit.get((2L, 3L)).foreach(v => assert(!v))
+  }
+
   test("decoded features feed the similarity stack unchanged") {
     // decode → featurize → k-NN graph: the media features ARE an embedding
     // column, so the whole graft.sim surface composes onto binary assets
