@@ -1075,6 +1075,14 @@ object SparkEntry {
       Dedup.spanProfile(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // cross-source near-duplication matrix: verified near-dup pairs
+    // rolled up per unordered source pair — where a source's other copy
+    // CAME FROM, the table that decides whether dedup must cross source
+    // boundaries or can shard by source
+    "dedup_source_matrix" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.load(s, dir, "documents"))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // novel-content mass under in-order admission: fraction of a doc's
     // 8-gram positions whose gram no earlier doc_id contributed — the
     // marginal mass a greedy incremental dedup keeps per doc
@@ -1201,6 +1209,14 @@ object SparkEntry {
     "emb_ann_pq_recall" -> ((s, dir) =>
       Vectors.annRecallPq(Tables.load(s, dir, "embeddings"), 5, 10)),
 
+    // probe-depth tuning curve: recall@{1,5,10} at nProbe ∈ {1,2,4,8,16}
+    // from ONE candidate pass (shallower probes are filters over the
+    // deepest probe's materialized candidates) — the probe-budget curve
+    // read next to the single-config acceptance gates
+    "emb_ivf_probe_curve" -> ((s, dir) =>
+      Vectors.ivfProbeCurve(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("n_probe"))),
+
     // binary-quantization ANN: sign-bit codes (two 32-bit words), integer
     // Hamming prescreen over a codes-only projection, exact re-rank of the
     // top-50 survivors — the 1-bit/lane point of the compression family
@@ -1325,6 +1341,13 @@ object SparkEntry {
     "corpus_mix" -> ((s, dir) =>
       TextFunctions.tokenMixture(Tables.load(s, dir, "documents"), "source", 10000L)
         .orderBy(col("doc_id"))),
+
+    // per-source epoch planning: the repeats-per-source table a token
+    // budget implies under the sqrt-weighted mixture — epochs > 1 is the
+    // data-constrained multi-epoch regime, < 1 is subsampling
+    "corpus_epochs" -> ((s, dir) =>
+      TextFunctions.tokenEpochs(Tables.load(s, dir, "documents"), "source", 10000L)
+        .orderBy(col("source"))),
 
     // the end-to-end shard build: lang+quality+PII+dedup gates, then
     // token-budget fill per source — every stage an oracle-gated operator
@@ -3924,6 +3947,28 @@ object SparkEntry {
          |FROM per JOIN documents doc USING (doc_id)
          |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
 
+    // Mirrors Dedup.sourceOverlap: the exact trigram-Jaccard pair set
+    // (the minhash oracle's CTEs), each pair labeled with its unordered
+    // source pair, rolled up with the HUGEINT micro-unit mean.
+    "dedup_source_matrix" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM docs WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pr AS (SELECT id_a, id_b, ${Q6("CAST(inter AS DOUBLE) / (la + lb - inter)")} AS jaccard
+         |       FROM p WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+         |j AS (SELECT least(da.source, db.source) AS source_a,
+         |             greatest(da.source, db.source) AS source_b, pr.jaccard
+         |      FROM pr JOIN documents da ON da.doc_id = pr.id_a
+         |              JOIN documents db ON db.doc_id = pr.id_b)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       max(jaccard) AS max_jaccard,
+         |       ${MEAN6(s"sum(${US6("jaccard")})", "count(*)")} AS mean_jaccard
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Mirrors Dedup.ngramNovelty: same positional-8-gram table as the
     // span-stats oracle, gram ownership = min(doc_id), novel mass =
     // positions whose doc owns the gram. Gram identity by TEXT where the
@@ -4468,6 +4513,59 @@ object SparkEntry {
          |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
          |FROM h""".stripMargin,
 
+    // Mirrors Vectors.ivfProbeCurve: the ivf_recall CTEs with the probe
+    // rank kept per candidate (pr), a probe-depth values table, per-depth
+    // approx ranks as filters over the ONE candidate set, and the recall
+    // sums grouped by depth. Assignment ties → cell DESC (engine argmax
+    // via max(struct)), probe ranking ties → cell ASC (engine window).
+    "emb_ivf_probe_curve" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |p0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM p0),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |      FROM e, c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |iq AS (SELECT * FROM (
+         |         SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+         |                row_number() OVER (PARTITION BY e.vec_id
+         |                  ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) AS pr
+         |         FROM e, c WHERE e.vec_id < 5) WHERE pr <= 16),
+         |cand AS (SELECT iq.vec_id AS q_id, a.vec_id AS n_id, iq.pr,
+         |              ${DOT_SQL("iq.embedding", "a.embedding")} / (iq.nrm * a.nrm) AS cos
+         |         FROM iq JOIN a ON iq.cell = a.cell),
+         |pv AS (SELECT unnest([1, 2, 4, 8, 16]) AS p),
+         |ar AS (SELECT pv.p, cand.q_id, cand.n_id,
+         |              row_number() OVER (PARTITION BY pv.p, cand.q_id
+         |                ORDER BY cand.cos DESC, cand.n_id) AS rank
+         |       FROM cand JOIN pv ON cand.pr <= pv.p),
+         |jx AS (SELECT pv.p, x.q_id, x.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM pv CROSS JOIN (SELECT * FROM exr WHERE rank <= 10) x
+         |       LEFT JOIN (SELECT * FROM ar WHERE rank <= 10) l
+         |         ON l.p = pv.p AND x.q_id = l.q_id AND x.n_id = l.n_id),
+         |h AS (SELECT p,
+         |             sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx GROUP BY p)
+         |SELECT CAST(p AS BIGINT) AS n_probe, CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM h ORDER BY n_probe""".stripMargin,
+
     // Mirrors Vectors.annBitq: sign-bit codes as two 32-bit words folded
     // MSB-first (Σ b_i·2^(32−i) — the sum form of the engine's acc*2+b
     // fold, never overflowing signed 64-bit), integer Hamming prescreen
@@ -4813,6 +4911,26 @@ object SparkEntry {
          |       c.cum_tokens AS cum_tokens, b.stratum_budget AS stratum_budget
          |FROM c JOIN b ON c.stratum = b.stratum
          |WHERE c.cum_tokens <= b.stratum_budget ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.tokenEpochs: the corpus_mix mass + sqrt-share
+    // CTEs rolled up at stratum cardinality, epochs = one IEEE division
+    // of the floored target by the integer mass.
+    "corpus_epochs" ->
+      s"""WITH d AS (SELECT source AS stratum,
+         |                  len(string_split($NORM_TEXT_SQL, ' ')) AS n_tokens
+         |           FROM documents),
+         |m AS (SELECT stratum, count(*) AS n_docs, sum(n_tokens) AS st FROM d GROUP BY 1),
+         |w AS (SELECT stratum, n_docs, st, sqrt(CAST(st AS DOUBLE)) AS wgt,
+         |             sum(sqrt(CAST(st AS DOUBLE))) OVER (ORDER BY stratum
+         |               ROWS UNBOUNDED PRECEDING) AS cum_w
+         |      FROM m),
+         |den AS (SELECT max(cum_w) AS denom FROM w)
+         |SELECT stratum AS source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(st AS BIGINT) AS n_tokens,
+         |       ${Q6("wgt / denom")} AS budget_share,
+         |       CAST(floor(10000 * wgt / denom) AS BIGINT) AS target_tokens,
+         |       ${Q6("CAST(floor(10000 * wgt / denom) AS DOUBLE) / st")} AS epochs
+         |FROM w CROSS JOIN den ORDER BY source""".stripMargin,
 
     "corpus_shard" ->
       s"""WITH d AS (SELECT doc_id, source, $NORM_TEXT_SQL AS norm FROM documents),

@@ -1067,6 +1067,65 @@ object Vectors {
       }: _*)
   }
 
+  /** IVF probe-depth tuning curve: recall@k of the cell-pruned serving
+    * path at EVERY candidate nProbe in one audit — the "how many probes
+    * do I actually need" decision table read next to ivfBalance before
+    * an (nCells, nProbe) config ships. The acceptance gates
+    * (annRecallIvf) measure ONE config; this sweeps the whole axis so
+    * the probe budget is chosen from a curve, not a guess.
+    *
+    * Scale shape: the candidate join runs ONCE at the DEEPEST probe
+    * (each candidate carries `pr`, its cell's probe rank for that
+    * query); every shallower probe's ranking is a filter over that same
+    * materialized frame (localCheckpoint — the minhashTune recipe), so
+    * the sweep costs one candidate pass + |probes| bounded two-phase
+    * ranks, never |probes| corpus scans. With probes.last = nCells the
+    * deepest pass degenerates to the brute-force audit price — the same
+    * audit-on-a-sample stance as annRecall's exact side (nQueries is
+    * the sampled probe set, not production traffic). Both rank cuts ride
+    * rankPerQuery, so no task ever sorts the corpus for one query.
+    * Zero Lloyd rounds keeps the quantizer the deterministic lowest-id
+    * seed set, so the whole curve is oracle-replayable.
+    */
+  def ivfProbeCurve(emb: DataFrame, nQueries: Int, k: Int,
+                    nCells: Int = 16,
+                    probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                    ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted &&
+      probes.head >= 1 && probes.last <= nCells,
+      s"probes must be ascending within [1, $nCells]: $probes")
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    val spark = emb.sparkSession
+    val all = withNorm(emb)
+    val corpus = all.filter(col("vec_id") >= nQueries)
+    val cents = centDf(spark, trainCentroids(corpus, nCells, 0, nCells.toLong))
+    val assigned = assignTo(corpus, cents)
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    val qcells = broadcast(all.filter(col("vec_id") < nQueries)
+      .join(cents)
+      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= probes.last)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("cell"), col("pr")))
+    val cand = qcells
+      .join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("cell")), Seq("cell"))
+      .withColumn("cos", cosine)
+      .select(col("id_a"), col("id_b"), col("pr"), col("cos"))
+      .localCheckpoint()
+    val exact = annTopK(emb, nQueries, k).localCheckpoint()
+    probes.map { p =>
+      val ap = rankPerQuery(cand.filter(col("pr") <= p),
+          Seq(col("cos").desc, col("id_b")), k)
+        .select(col("id_a").as("q_id"), col("id_b").as("n_id"), col("rank"))
+      recallFrom(exact, ap, ks).withColumn("n_probe", lit(p.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("n_probe") +: (col("n_q") +: ks.flatMap(c =>
+        Seq(col(s"hits_$c"), col(s"recall_$c")))): _*)
+  }
+
   /** IVF cell-balance audit: the load profile of the inverted file the
     * cell-pruned ANN serves from — per cell, vector count and corpus
     * share. Skew here IS serving skew (a hot cell makes every probe that

@@ -441,6 +441,37 @@ object Dedup {
       .withColumn("removed_frac",
         graft.Quant.q6(col("n_removed").cast("double") / col("n_words")))
 
+  /** Cross-source near-duplication matrix: for every unordered source
+    * pair, the count and similarity profile of verified near-dup pairs
+    * whose members live in those sources — the "which crawls mirror each
+    * other" table. spanProfile says how much duplication each source
+    * carries; this says where its other copy CAME FROM (an aggregator
+    * re-hosting another crawl shows up as one off-diagonal cell, the
+    * diagonal is within-source duplication), which decides whether dedup
+    * must run across source boundaries or can shard by source — at
+    * 100 TB the difference between a global shuffle and an embarrassing
+    * parallel per-source pass. Rides the full minhashPairs machinery
+    * (LSH banding, exact-Jaccard verify — never pairwise); on top of the
+    * pair graph this is two keyed joins and a |sources|²-bounded rollup.
+    * Mean Jaccard uses the unbounded-group decimal micro-unit sum (a
+    * hot source pair can exceed the long-sum point bound).
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3, tau: Double = 0.8): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashPairs(docs, n, 64, 2, tau)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .withColumn("source_a", least(col("sa"), col("sb")))
+      .withColumn("source_b", greatest(col("sa"), col("sb")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        graft.Quant.sumUs6Unbounded(col("jaccard")).as("jus"),
+        max(col("jaccard")).as("max_jaccard"))
+      .withColumn("mean_jaccard", graft.Quant.mean6(col("jus"), col("n_pairs")))
+      .drop("jus")
+  }
+
   /** Cross-corpus contamination: training documents sharing at least
     * `minShared` exact `n`-word runs with any benchmark document — the
     * decontamination primitive of a training pipeline (benchmark answers

@@ -507,6 +507,42 @@ object TextFunctions {
         col("cum_tokens"), col("stratum_budget"))
   }
 
+  /** Per-source epoch-planning table — the data-constrained-scaling
+    * decision (how many REPEATS of each source a token budget implies)
+    * read before committing to a mixture: for each stratum its document
+    * count, token mass, sqrt-weighted budget share (the same
+    * low-resource-upweighting allocator tokenMixture fills docs under),
+    * allocated target tokens, and `epochs` = target / mass — >1 means
+    * the source must repeat to meet its allocation (the multi-epoch
+    * regime where marginal value decays), <1 means the budget subsamples
+    * it. Pure metadata scale: one map-side-partial mass aggregate at
+    * stratum cardinality, the single-association-order sqrt-share fold
+    * over that tiny table (the tokenMixture denominator, exactly), and
+    * per-stratum integer/IEEE arithmetic the oracle replays bit-for-bit.
+    */
+  def tokenEpochs(docs: DataFrame, stratumCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    import org.apache.spark.sql.expressions.Window
+    val mass = withBase(docs)
+      .select(col(stratumCol).as("stratum"), size(col("w")).cast("long").as("n_tokens"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("stratum_tokens"))
+    val wCum = graft.Bounded.window(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val weighted = mass
+      .withColumn("wgt", sqrt(col("stratum_tokens").cast("double")))
+      .withColumn("cum_w", sum(col("wgt")).over(wCum))
+    val denom = weighted.agg(max(col("cum_w")).as("denom"))
+    weighted.crossJoin(broadcast(denom))
+      .withColumn("target_tokens",
+        floor(lit(totalBudget).cast("double") * col("wgt") / col("denom")).cast("long"))
+      .select(col("stratum").as("source"), col("n_docs"), col("stratum_tokens").as("n_tokens"),
+        graft.Quant.q6(col("wgt") / col("denom")).as("budget_share"),
+        col("target_tokens"),
+        graft.Quant.q6(col("target_tokens").cast("double") / col("stratum_tokens"))
+          .as("epochs"))
+  }
+
   /** Bigram language-model quality scoring — the CCNet-style "how
     * LM-plausible is this document" filter, self-trained on the corpus:
     * top-`vocab` words (rest collapse to one OOV token), corpus bigram /

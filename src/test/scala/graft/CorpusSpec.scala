@@ -172,6 +172,21 @@ class CorpusSpec extends SparkSuite {
     assert(byStratum("a").map(_.getLong(0)).toSet == expA)
   }
 
+  test("token epochs reports shares, targets, and the repeat factor") {
+    import spark.implicits._
+    // same masses as the mixture test: a = 36 tokens (9 docs), b = 4
+    // tokens (1 doc); sqrt shares 6/8 and 2/8 → targets 24 and 8;
+    // epochs 24/36 (subsampled) and 8/4 = 2.0 (two repeats needed)
+    val docs = ((1 to 9).map(i => (i.toLong, "a", "w x y z")) :+
+      (10L, "b", "w x y z")).toDF("doc_id", "source", "text")
+    val got = TF.tokenEpochs(docs, "source", 32L).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 9L, 36L, 0.75, 24L, 0.666667),
+      ("b", 1L, 4L, 0.25, 8L, 2.0)), s"${got.toSeq}")
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())

@@ -830,6 +830,40 @@ class DedupSimSpec extends SparkSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
   }
 
+  test("ivfProbeCurve is monotone in probe depth and exact at full probe") {
+    import spark.implicits._
+    val e = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.ivfProbeCurve(e, 3, 5, nCells = 4,
+        probes = Seq(1, 2, 4), ks = Seq(1, 5))
+      .orderBy("n_probe").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(3), x.getDouble(5)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(r.forall(_._2 == 3L))                     // n_q at every depth
+    // recall never decreases as more cells are probed (candidate sets
+    // are nested), and probing every cell IS the exact top-k
+    assert(r.sliding(2).forall(p => p(0)._3 <= p(1)._3 && p(0)._4 <= p(1)._4))
+    assert(r.last._3 == 1.0 && r.last._4 == 1.0)
+  }
+
+  test("sourceOverlap pins near-dup pairs to unordered source cells") {
+    import spark.implicits._
+    // near-identical long docs: 1≈2 crosses crawlB→crawlA (one off-
+    // diagonal cell), 3≈4 stays inside crawlB (one diagonal cell);
+    // doc 5 is unrelated and must appear nowhere
+    val baseW = (1 to 40).map(i => s"w$i").mkString(" ")
+    val baseY = (1 to 40).map(i => s"y$i").mkString(" ")
+    val d = Seq(
+      (1L, baseW, "crawlA"), (2L, baseW + " tail", "crawlB"),
+      (3L, baseY, "crawlB"), (4L, baseY + " end", "crawlB"),
+      (5L, (100 to 160).map(i => s"z$i").mkString(" "), "crawlA"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(d).orderBy("source_a", "source_b").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(m.toSeq == Seq(("crawlA", "crawlB", 1L), ("crawlB", "crawlB", 1L)))
+  }
+
   test("annRecallPq reads exactly 1.0 when rerank covers the corpus") {
     import spark.implicits._
     // rerank = corpus size ⇒ the ADC prescreen drops nothing and the
