@@ -991,6 +991,13 @@ object SparkEntry {
       TextFunctions.corpusVerdict(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
 
+    // the curation funnel: the verdict's drop reasons rolled up with doc
+    // and token mass per pipeline stage — the one-page "where did the
+    // corpus go" report
+    "corpus_funnel" -> ((s, dir) =>
+      TextFunctions.corpusFunnel(Tables.load(s, dir, "documents"), 0.5)
+        .orderBy(col("stage"))),
+
     // quality-threshold tuning: surviving docs + word mass at cuts
     // {.2,.4,.6,.8} from ONE scored pass — the table read before
     // corpus_filter ships a threshold
@@ -3853,6 +3860,54 @@ object SparkEntry {
          |              JOIN kb ON vq.doc_id = kb.doc_id)
          |SELECT doc_id, verdict, verdict = 'kept' AS keep
          |FROM vv ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.corpusFunnel: the corpus_verdict CTE chain
+    // joined with per-doc token counts, rolled up per reason with stage
+    // numbers in pipeline order and exact-integer mass fractions.
+    "corpus_funnel" ->
+      s"""$DEDUP_CLUSTER_CTES,
+         |cl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |       FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |kb AS (SELECT doc_id, (row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id) = 1) AS kept
+         |       FROM cl),
+         |vd AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |vb AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM vd),
+         |vc AS (SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n_words,
+         |         CAST(length(norm) AS BIGINT) AS n_chars,
+         |         len(list_filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of', 'to', 'in'))) AS n_stop,
+         |         len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS n_punct
+         |       FROM vb),
+         |vq AS (SELECT doc_id, ${Q6(QSCORE_SQL)} AS quality_score FROM vc),
+         |vp AS (SELECT doc_id,
+         |         (len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |          + len(regexp_extract_all(norm, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |          + len(regexp_extract_all(norm, '\\d{3}[- ]\\d{3,4}[- ]\\d{4}'))) > 0 AS has_pii
+         |       FROM vd),
+         |vx AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(norm)) AS is_dup
+         |       FROM vd),
+         |vv AS (SELECT vq.doc_id AS doc_id,
+         |         CASE WHEN vx.is_dup THEN 'exact_dup'
+         |              WHEN NOT kb.kept THEN 'near_dup'
+         |              WHEN vp.has_pii THEN 'pii'
+         |              WHEN vq.quality_score < 0.5 THEN 'low_quality'
+         |              ELSE 'kept' END AS verdict
+         |       FROM vq JOIN vp ON vq.doc_id = vp.doc_id
+         |              JOIN vx ON vq.doc_id = vx.doc_id
+         |              JOIN kb ON vq.doc_id = kb.doc_id),
+         |vt AS (SELECT vv.doc_id, vv.verdict, CAST(len(vb.w) AS BIGINT) AS n_tokens
+         |       FROM vv JOIN vb ON vv.doc_id = vb.doc_id),
+         |tt AS (SELECT count(*) AS t_docs, sum(n_tokens) AS t_tokens FROM vt),
+         |g AS (SELECT verdict, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         |      FROM vt GROUP BY verdict)
+         |SELECT CASE verdict WHEN 'exact_dup' THEN 1 WHEN 'near_dup' THEN 2
+         |            WHEN 'pii' THEN 3 WHEN 'low_quality' THEN 4 ELSE 5 END::BIGINT AS stage,
+         |       verdict, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       ${Q6("CAST(n_docs AS DOUBLE) / t_docs")} AS doc_frac,
+         |       ${Q6("CAST(n_tokens AS DOUBLE) / t_tokens")} AS token_frac
+         |FROM g CROSS JOIN tt ORDER BY stage""".stripMargin,
 
     "corpus_contamination" ->
       s"""WITH docs AS (SELECT doc_id, source, string_split($NORM_TEXT_SQL, ' ') AS w

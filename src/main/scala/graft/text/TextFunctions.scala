@@ -686,6 +686,34 @@ object TextFunctions {
         (verdict === "kept").as("keep"))
   }
 
+  /** The curation FUNNEL — corpusVerdict's drop reasons rolled up with
+    * document and token mass per stage: the one-page "where did the
+    * corpus go" report (raw → exact dedup → near dedup → PII → quality →
+    * kept) a 100 TB run publishes next to its shard manifest. Stage
+    * numbers encode the pipeline order so the funnel reads top-to-bottom
+    * as data flows. Cost on top of the verdict is one keyed token join
+    * and a ≤5-row aggregate; fracs are single IEEE divisions of exact
+    * long masses (token totals stay far under the long bound at any
+    * realistic corpus — 100 TB ≈ 2e13 tokens vs 9.2e18).
+    */
+  def corpusFunnel(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val toks = withBase(docs)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    val v = corpusVerdict(docs, minQuality).join(toks, Seq("doc_id"))
+    val tot = v.agg(count(lit(1)).as("t_docs"), sum(col("n_tokens")).as("t_tokens"))
+    val stage = when(col("verdict") === "exact_dup", 1L)
+      .when(col("verdict") === "near_dup", 2L)
+      .when(col("verdict") === "pii", 3L)
+      .when(col("verdict") === "low_quality", 4L)
+      .otherwise(5L)
+    v.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(stage.as("stage"), col("verdict"), col("n_docs"), col("n_tokens"),
+        graft.Quant.q6(col("n_docs").cast("double") / col("t_docs")).as("doc_frac"),
+        graft.Quant.q6(col("n_tokens").cast("double") / col("t_tokens")).as("token_frac"))
+  }
+
   /** The end-to-end training-shard builder — the composition a pipeline
     * actually ships: language gate (en), quality gate, PII gate, exact
     * dedup (first occurrence survives), then per-source token-budget fill

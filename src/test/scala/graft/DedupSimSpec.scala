@@ -802,6 +802,26 @@ class DedupSimSpec extends SparkSuite {
       (4L, "pii", false), (5L, "low_quality", false), (6L, "kept", true)))
   }
 
+  test("corpusFunnel rolls the verdict into staged doc and token mass") {
+    import spark.implicits._
+    // the corpusVerdict plant: one doc per reason (plus two kept), so
+    // every funnel row is pinned — stage order, masses, and fractions
+    val t = "the cat is on the mat and the dog is in the den of the big red barn"
+    val d = Seq(
+      (1L, t), (2L, t), (3L, t + " now"),
+      (4L, "contact john@example.com about more of the offer and the deal is in it"),
+      (5L, "xx1 yy2 zz3 @@@@ #### $$$$"),
+      (6L, "the house is in the town and a tree is of note by the road to it"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val r = graft.text.TextFunctions.corpusFunnel(d, 0.5).orderBy("stage").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    // tokens: t=18, t+now=19, pii=13, junk=6, kept6=17
+    assert(r == Seq(
+      (1L, "exact_dup", 1L, 18L), (2L, "near_dup", 1L, 18L),
+      (3L, "pii", 1L, 13L), (4L, "low_quality", 1L, 6L),
+      (5L, "kept", 2L, 36L)))
+  }
+
   test("mrlAudit measures the exact prefix-energy fractions") {
     import spark.implicits._
     // vec 0: 3 in lane 1, 4 in lane 9 → ‖v‖=5, frac(8)=0.6, frac(16..)=1
