@@ -1546,6 +1546,14 @@ object SparkEntry {
     // visual near-dup clusters: the SAME connected-components operator as
     // text/embedding dedup over the perceptual-hash pair graph — every
     // asset labeled with the min reachable asset_id
+    // asset survivor selection: largest payload per perceptual near-dup
+    // cluster survives — the shared keepBest operator's third modality
+    "mm_keep_best" -> ((s, dir) =>
+      graft.mm.Multimodal.keepBestAssets(
+          graft.mm.Multimodal.syntheticAssets(s,
+            Tables.rebalance(Tables.load(s, dir, "documents"))))
+        .orderBy(col("asset_id"))),
+
     "mm_dedup_clusters" -> ((s, dir) => {
       val assets = graft.mm.Multimodal.syntheticAssets(s,
         Tables.rebalance(Tables.load(s, dir, "documents")))
@@ -5513,6 +5521,49 @@ object SparkEntry {
          |SELECT d.doc_id AS asset_id, coalesce(lbl.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
          |ORDER BY asset_id""".stripMargin,
+
+    // Mirrors Multimodal.keepBestAssets: the mm_dedup_clusters phash +
+    // reachability CTEs with the keep-best argmax over payload bytes
+    // (ties → lowest asset_id).
+    "mm_keep_best" ->
+      s"""WITH RECURSIVE
+         |b AS (SELECT doc_id,
+         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
+         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
+         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
+         |             length(text) - 1 AS total
+         |           FROM documents WHERE length(text) >= 2),
+         |s AS (SELECT doc_id,
+         |        list_transform(generate_series(0, 63),
+         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
+         |      FROM b),
+         |ck AS (SELECT doc_id, bits, c.c AS ci,
+         |              bits[c.c * 16 + 1 : c.c * 16 + 16] AS cv
+         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |             a.bits AS ba, b2.bits AS bb
+         |      FROM ck a JOIN ck b2 ON a.ci = b2.ci AND a.cv = b2.cv
+         |        AND a.doc_id < b2.doc_id),
+         |h AS (SELECT DISTINCT id_a, id_b,
+         |        CAST(len(list_filter(generate_series(1, 64),
+         |          i -> ba[CAST(i AS INT)] <> bb[CAST(i AS INT)])) AS BIGINT) AS hamming
+         |      FROM p),
+         |e AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION ALL SELECT id_b, id_a FROM e),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+         |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |cl AS (SELECT d.doc_id, coalesce(lbl.cluster_id, d.doc_id) AS cluster_id,
+         |              octet_length(CAST(d.text AS BLOB)) AS nb
+         |       FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id)
+         |SELECT doc_id AS asset_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY nb DESC, doc_id) = 1) AS kept
+         |FROM cl ORDER BY asset_id""".stripMargin,
 
     "mm_frames" ->
       s"""WITH a AS (SELECT doc_id AS asset_id,

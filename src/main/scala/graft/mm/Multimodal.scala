@@ -149,6 +149,20 @@ object Multimodal {
         (col("fa") === col("fb")).as("byte_identical"))
   }
 
+  /** Asset survivor selection — the mask an asset dedup ships: per
+    * perceptual near-dup cluster the LARGEST payload survives (ties →
+    * lowest asset_id), every asset emitted with its cluster label and
+    * kept flag. The SAME shared keepBest/clusters machinery as text and
+    * embedding dedup (Dedup.keepBest ranking by payload bytes), over the
+    * pigeonhole phash pair graph — the third modality on one operator.
+    */
+  def keepBestAssets(assets: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    graft.text.Dedup.keepBest(
+        assets.toDF().select(col("asset_id").as("doc_id"),
+          length(col("payload")).cast("long").as("n_chars")),
+        phashPairs(assets, maxHamming).select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("asset_id"), col("cluster_id"), col("kept"))
+
   /** Frame-sampling shape for video-like assets: explode n evenly-spaced
     * byte offsets per asset (stand-in for frame indices), keeping the
     * plumbing for a one-to-many decode stage honest.

@@ -135,6 +135,23 @@ class MultimodalSpec extends SparkSuite {
     audit.get((2L, 3L)).foreach(v => assert(!v))
   }
 
+  test("keepBestAssets keeps the largest payload per perceptual cluster") {
+    import Multimodal.MediaRow
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val crafted = Seq(
+      MediaRow(1L, "img/0", 64, 64, base.getBytes("UTF-8")),
+      MediaRow(2L, "img/0", 64, 64, (base + "!!").getBytes("UTF-8")), // largest
+      MediaRow(3L, "img/0", 64, 64, base.updated(10, 'X').getBytes("UTF-8")),
+      MediaRow(4L, "img/1", 64, 64, "zz 123 456 789 000 111".getBytes("UTF-8")))
+      .toDS()
+    val r = Multimodal.keepBestAssets(crafted).orderBy("asset_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    // 1,2,3 cluster together (min id label); only the +2-byte copy keeps;
+    // the unrelated asset is its own kept singleton
+    assert(r == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true)))
+  }
+
   test("decoded features feed the similarity stack unchanged") {
     // decode → featurize → k-NN graph: the media features ARE an embedding
     // column, so the whole graft.sim surface composes onto binary assets
