@@ -1327,6 +1327,13 @@ object SparkEntry {
       TextFunctions.sampleWeighted(Tables.load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id"))),
 
+    // eval-integrity audit: per eval split, how many documents have a
+    // verified near-dup in train (leaked — the model has effectively
+    // seen them) — decides whether the split must re-draw on clusters
+    "split_leakage" -> ((s, dir) =>
+      TextFunctions.splitLeakage(Tables.load(s, dir, "documents"), 0.2, 0.1)
+        .orderBy(col("split"))),
+
     // class balancing: exactly n docs per source, two-phase bounded rank
     "sample_balanced" -> ((s, dir) =>
       TextFunctions.sampleBalanced(Tables.load(s, dir, "documents"), "source", 10)
@@ -4865,6 +4872,35 @@ object SparkEntry {
         |            WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < '051e' THEN 'test'
         |            ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.splitLeakage: the frozen md5 split at
+    // (0.2, 0.1) — cuts floor(0.2·65536) = 0x3333, floor(0.3·65536) =
+    // 0x4ccc — the exact trigram-Jaccard pair set, symmetrized, and the
+    // per-eval-split leaked rollup.
+    "split_leakage" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |               i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS s
+         |       FROM docs WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pr AS (SELECT id_a, id_b FROM p
+         |       WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 'val'
+         |              WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc' THEN 'test'
+         |              ELSE 'train' END AS split
+         |       FROM documents),
+         |sym AS (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |lk AS (SELECT DISTINCT s.id_a AS doc_id FROM sym s
+         |       JOIN sp a ON a.doc_id = s.id_a JOIN sp b ON b.doc_id = s.id_b
+         |       WHERE a.split <> 'train' AND b.split = 'train')
+         |SELECT sp.split AS split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |       ${Q6("CAST(sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS leak_frac
+         |FROM sp LEFT JOIN lk USING (doc_id) WHERE sp.split <> 'train'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mirrors TextFunctions.qualitySweep: the quality CTE, one wide
     // aggregate; cuts compare against the 6-dp-quantized score so both

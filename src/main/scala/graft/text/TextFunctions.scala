@@ -291,6 +291,41 @@ object TextFunctions {
           .otherwise("train").as("split"))
   }
 
+  /** Split-leakage audit — the eval-integrity check run after any
+    * train/val/test split: an eval document whose NEAR-DUPLICATE sits in
+    * train is leaked (the model has effectively seen it), which inflates
+    * eval scores exactly like benchmark contamination inflates external
+    * ones. Per eval split: document count, leaked count (≥1 verified
+    * near-dup neighbor in train), and the leak fraction — the number
+    * that decides whether the split must be re-drawn on CLUSTERS (keep
+    * whole near-dup clusters on one side) instead of documents. Rides
+    * sampleSplit's frozen md5 assignment and the full minhashPairs
+    * machinery (LSH banding + exact verify, never pairwise); on top of
+    * the pair graph: two keyed split joins, a distinct over the ≤|eval|
+    * leaked ids, and a 2-row aggregate.
+    */
+  def splitLeakage(docs: DataFrame, valFrac: Double, testFrac: Double,
+                   tau: Double = 0.8): DataFrame = {
+    val sp = sampleSplit(docs, valFrac, testFrac)
+    val pairs = Dedup.minhashPairs(docs, 3, 64, 2, tau)
+      .select(col("id_a"), col("id_b"))
+    val sym = pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val leaked = sym
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= "train" && col("split_b") === "train")
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("leak", lit(true))
+    sp.filter(col("split") =!= "train")
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("leak"), 1L).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_frac",
+        graft.Quant.q6(col("n_leaked").cast("double") / col("n_docs")))
+  }
+
   /** Deterministic fixed-SIZE sample: exactly n documents, selected by
     * md5(doc_id) order — the complement of the rate-based stratified
     * sampler (eval sets and ablations want "exactly N docs, stable across

@@ -187,6 +187,22 @@ class CorpusSpec extends SparkSuite {
       ("b", 1L, 4L, 0.25, 8L, 2.0)), s"${got.toSeq}")
   }
 
+  test("splitLeakage counts eval docs with a near-dup in train") {
+    import spark.implicits._
+    // at valFrac = 0.5 the frozen md5 split puts ids 1,2 in train and
+    // 5,6 in val (md5("split|id")[0:4] < '8000' → val). 5 ≈ 1 (train
+    // neighbor → leaked); 6 ≈ nothing (clean); 2 ≈ 1 is train-internal
+    // and must not count
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    val b = (1 to 40).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, a), (2L, a + " x"), (5L, a + " y"), (6L, b))
+      .toDF("doc_id", "text")
+    val r = TF.splitLeakage(d, 0.5, 0.0).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(("val", 2L, 1L, 0.5)))
+  }
+
   test("facades expose the stacks over the real tables") {
     val c = Corpus(Tables.load(spark, sfDir, "documents"))
     assert(c.quality().count() == c.docs.count())
