@@ -1261,6 +1261,13 @@ object SparkEntry {
       Vectors.annIvf(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
 
+    // the faiss IVF-PQ composition under an exact oracle: cell pruning ×
+    // ADC code scan × exact re-rank in ONE hash-gated plan (zero-training
+    // quantizer + seed codebook, shared kernels with IvfIndex.queryPq)
+    "emb_ann_ivfpq" -> ((s, dir) =>
+      Vectors.annIvfPq(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("q_id"), col("rank"))),
+
     // the IVF SERVING path under an exact oracle: zero Lloyd rounds means
     // the quantizer is the deterministic lowest-id seed vectors, so DuckDB
     // replays assignment + nProbe probe ranking + exact re-rank
@@ -4374,6 +4381,66 @@ object SparkEntry {
          |                     ORDER BY adc_us, n_id) AS rn
          |         FROM adc),
          |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |x AS (SELECT c.q_id, c.n_id, c.adc_us,
+         |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM cand c JOIN e q ON q.vec_id = c.q_id
+         |                  JOIN e n ON n.vec_id = c.n_id
+         |      WHERE c.rn <= 32),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rank
+         |      FROM x)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc_us AS DOUBLE) / 1000000.0 + 0 AS adc_dist,
+         |       ${Q6("cos")} AS cos_sim
+         |FROM f WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // Mirrors Vectors.annIvfPq: the emb_ann_ivf_served cell CTEs (cells,
+    // assignment ties cell DESC, probe ranking ties cell ASC) composed
+    // with the emb_ann_pq code chain — the ADC sum restricted to
+    // candidates whose cell is probed by the query.
+    "emb_ann_ivfpq" -> {
+      val sseQ = "list_sum(list_transform(generate_series(1, 8), " +
+        "i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |aa AS (SELECT e.vec_id, c.cell
+         |      FROM e, cc c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |iq AS (SELECT e.vec_id AS q_id, c.cell
+         |       FROM e, cc c WHERE e.vec_id < 5
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id - 5 AS INT) AS code, svec AS cvec
+         |       FROM sv WHERE vec_id >= 5 AND vec_id < 21),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub) WHERE v.vec_id >= 5),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id AS n_id, sub, code FROM r WHERE rn = 1),
+         |nc AS (SELECT codes.n_id, codes.sub, codes.code, aa.cell
+         |       FROM codes JOIN aa ON aa.vec_id = codes.n_id),
+         |qd AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+         |         ${US6(sseQ)} AS dist_us
+         |       FROM sv v JOIN cb c USING (sub) WHERE v.vec_id < 5),
+         |adc AS (SELECT qd.q_id, nc.n_id, sum(qd.dist_us) AS adc_us
+         |        FROM nc JOIN qd USING (sub, code)
+         |             JOIN iq ON iq.q_id = qd.q_id AND iq.cell = nc.cell
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_us, n_id) AS rn
+         |         FROM adc),
          |x AS (SELECT c.q_id, c.n_id, c.adc_us,
          |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
          |      FROM cand c JOIN e q ON q.vec_id = c.q_id

@@ -864,6 +864,37 @@ object Vectors {
       all.filter(col("vec_id") < nQueries), k, nProbe)
   }
 
+  /** Fused IVF-PQ ANN — the faiss-standard composition (cell pruning ×
+    * compressed-code scan × exact re-rank) as ONE oracle-gated plan, the
+    * direct analogue of annIvf for the persisted IvfIndex.queryPq path
+    * (shared kernels: trainCentroids / assignTo / pqCodebook / pqAssign /
+    * ivfPqQuery — the spec pins the persisted path equal to annPq's
+    * candidates at nProbe = nCells). Zero Lloyd rounds + the
+    * deterministic lowest-id seed codebook keep every stage
+    * DuckDB-replayable, so the full composition hash-gates: assignment
+    * argmax, probe ranking, per-cell ADC sums in exact µ-units, and the
+    * bounded re-rank join of nQueries·rerank full vectors.
+    */
+  def annIvfPq(emb: DataFrame, nQueries: Int, k: Int,
+               nCells: Int = 16, nProbe: Int = 4, rerank: Int = 32,
+               m: Int = 8, kCodes: Int = 16, lloydIters: Int = 0,
+               trainLimit: Long = 200000L): DataFrame = {
+    val spark = emb.sparkSession
+    val all = withNorm(emb)
+    val corpus = all.filter(col("vec_id") >= nQueries).cache()
+    val cents = trainCentroids(corpus, nCells, lloydIters, trainLimit)
+    val cd = centDf(spark, cents)
+    val assigned = assignTo(corpus, cd)
+    val cb = pqCodebook(assigned, m, kCodes)
+    val codes = pqAssign(assigned, cb, m)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // quantizer training's driver-side collects are done — release the
+    // cache (the returned plan rescans once; same stance as annIvf)
+    corpus.unpersist()
+    ivfPqQuery(cd, broadcast(cb), codes, assigned,
+      all.filter(col("vec_id") < nQueries), k, nProbe, rerank, m)
+  }
+
   /** Train the coarse quantizer over an already-normed (and ideally
     * cached) corpus — shared by annIvf and IvfIndex.build.
     */

@@ -850,6 +850,21 @@ class DedupSimSpec extends SparkSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
   }
 
+  test("fused annIvfPq with every cell probed equals annPq exactly") {
+    import spark.implicits._
+    // nProbe = nCells ⇒ cell pruning drops nothing, so the fused IVF-PQ
+    // composition must reproduce the pure-PQ path row-for-row
+    val e = Seq.tabulate(45)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4))).toSeq
+    assert(rows(Vectors.annIvfPq(e, 3, 5, nCells = 4, nProbe = 4)) ==
+      rows(Vectors.annPq(e, 3, 5)))
+  }
+
   test("ivfProbeCurve is monotone in probe depth and exact at full probe") {
     import spark.implicits._
     val e = Seq.tabulate(40)(i =>
