@@ -1216,6 +1216,14 @@ object SparkEntry {
     "emb_ann_pq_recall" -> ((s, dir) =>
       Vectors.annRecallPq(Tables.load(s, dir, "embeddings"), 5, 10)),
 
+    // the BITQ acceptance gate: recall@{1,5,10} of the sign-bit Hamming
+    // prescreen path vs the exact top-k — closes the gate family (all
+    // FOUR serving configs measured); the 1-bit extreme is where recall
+    // damage is most likely, so this is the first gate a capacity-driven
+    // compression change reads
+    "emb_ann_bitq_recall" -> ((s, dir) =>
+      Vectors.annRecallBitq(Tables.load(s, dir, "embeddings"), 5, 10)),
+
     // probe-depth tuning curve: recall@{1,5,10} at nProbe ∈ {1,2,4,8,16}
     // from ONE candidate pass (shallower probes are filters over the
     // deepest probe's materialized candidates) — the probe-budget curve
@@ -1223,6 +1231,15 @@ object SparkEntry {
     "emb_ivf_probe_curve" -> ((s, dir) =>
       Vectors.ivfProbeCurve(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("n_probe"))),
+
+    // rerank-depth tuning curve, the probe curve's sibling on the
+    // compressed-code axis: recall@{1,5,10} at rerank ∈ {8,16,32,64}
+    // from ONE ADC pass (shallower depths filter the deepest depth's
+    // materialized, cosine-scored survivors) — the exact-fetch budget
+    // chosen from a curve, not a guess
+    "emb_pq_rerank_curve" -> ((s, dir) =>
+      Vectors.pqRerankCurve(Tables.load(s, dir, "embeddings"), 5, 10)
+        .orderBy(col("rerank"))),
 
     // binary-quantization ANN: sign-bit codes (two 32-bit words), integer
     // Hamming prescreen over a codes-only projection, exact re-rank of the
@@ -1314,6 +1331,12 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextFunctions.repetition(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // Gopher-style repetition profile: per doc and per n ∈ {2,3,4}, the
+    // top-n-gram position fraction and the duplicate-n-gram position
+    // fraction — all widths exploded from ONE tokenization pass
+    "text_rep_profile" -> ((s, dir) =>
+      TextFunctions.repProfile(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+
     "sample_stratified" -> ((s, dir) =>
       TextFunctions.sampleStratified(Tables.load(s, dir, "documents"), "source", 0.3)
         .orderBy(col("doc_id"))),
@@ -1340,6 +1363,15 @@ object SparkEntry {
     "split_leakage" -> ((s, dir) =>
       TextFunctions.splitLeakage(Tables.load(s, dir, "documents"), 0.2, 0.1)
         .orderBy(col("split"))),
+
+    // the remediation split_leakage points at: split hash computed on
+    // the near-dup CLUSTER id (shared clusters() labels), so a whole
+    // duplicate group lands on one side — cross-split near-dup leakage
+    // structurally zero at the pair threshold; singletons split exactly
+    // like sample_split with cluster_id = doc_id
+    "sample_split_clustered" -> ((s, dir) =>
+      TextFunctions.sampleSplitClustered(Tables.load(s, dir, "documents"), 0.2, 0.1)
+        .orderBy(col("doc_id"))),
 
     // class balancing: exactly n docs per source, two-phase bounded rank
     "sample_balanced" -> ((s, dir) =>
@@ -1538,6 +1570,15 @@ object SparkEntry {
       graft.mm.Multimodal.chunkDedupStats(
           graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 64)
         .orderBy(col("kind"))),
+
+    // WebDataset-style byte-budget shard manifest: per kind, the
+    // md5-order concatenated byte stream cut at exact capacity
+    // multiples — pure arithmetic over the shared two-phase prefix sum
+    // (corpus_pack's contract, bytes for tokens)
+    "mm_shard" -> ((s, dir) =>
+      graft.mm.Multimodal.byteShard(
+          graft.mm.Multimodal.syntheticAssets(s, Tables.load(s, dir, "documents")), 4096L)
+        .orderBy(col("asset_id"))),
 
     // binary-asset exact dedup: payload-hash verdicts, no decode
     // perceptual near-dup over the binary assets (the recompressed-image
@@ -4517,6 +4558,52 @@ object SparkEntry {
          |FROM h""".stripMargin
     },
 
+    // Mirrors Vectors.annRecallBitq: the emb_ann_bitq CTE chain verbatim
+    // (sign-word fold, Hamming prescreen row_number ≤ 50, exact re-rank)
+    // beside the exact-top-k pair CTE, and the shared hit sums (named hh
+    // — the bitq chain already uses h for its Hamming pairs).
+    "emb_ann_bitq_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM p),
+         |c AS (SELECT vec_id,
+         |        list_sum(list_transform(generate_series(1, 32), i ->
+         |          CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END)) AS lo,
+         |        list_sum(list_transform(generate_series(1, 32), i ->
+         |          CASE WHEN embedding[i + 32] > 0 THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END)) AS hi
+         |      FROM e),
+         |h AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |             CAST(bit_count(xor(q.lo, n.lo)) + bit_count(xor(q.hi, n.hi)) AS BIGINT) AS hamming
+         |      FROM c q JOIN c n ON q.vec_id < 5 AND n.vec_id >= 5),
+         |pre AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hr FROM h),
+         |r AS (SELECT p.q_id, p.n_id,
+         |             ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM pre p JOIN e q ON q.vec_id = p.q_id JOIN e n ON n.vec_id = p.n_id
+         |      WHERE p.hr <= 50),
+         |bqr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM r),
+         |jx AS (SELECT x.q_id, x.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM (SELECT * FROM exr WHERE rank <= 10) x
+         |       LEFT JOIN (SELECT * FROM bqr WHERE rank <= 10) l
+         |         ON x.q_id = l.q_id AND x.n_id = l.n_id),
+         |hh AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx)
+         |SELECT CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM hh""".stripMargin,
+
     "emb_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -4702,6 +4789,72 @@ object SparkEntry {
          |       CAST(hits_10 AS BIGINT) AS hits_10,
          |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
          |FROM h ORDER BY n_probe""".stripMargin,
+
+    // Mirrors Vectors.pqRerankCurve: the emb_ann_pq CTE chain down to
+    // the ADC sums, one ADC rank at the deepest depth (64), cosine on
+    // those survivors only, then a rerank values table — every shallower
+    // depth re-ranks the same candidate frame, recall sums per depth.
+    "emb_pq_rerank_curve" -> {
+      val sseQ = "list_sum(list_transform(generate_series(1, 8), " +
+        "i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+      s"""WITH sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id - 5 AS INT) AS code, svec AS cvec
+         |       FROM sv WHERE vec_id >= 5 AND vec_id < 21),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub) WHERE v.vec_id >= 5),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id AS n_id, sub, code FROM r WHERE rn = 1),
+         |qd AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+         |         ${US6(sseQ)} AS dist_us
+         |       FROM sv v JOIN cb c USING (sub) WHERE v.vec_id < 5),
+         |adc AS (SELECT q_id, n_id, sum(dist_us) AS adc_us
+         |        FROM codes JOIN qd USING (sub, code) GROUP BY 1, 2),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_us, n_id) AS ar
+         |         FROM adc),
+         |e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |x AS (SELECT c.q_id, c.n_id, c.ar,
+         |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM cand c JOIN e q ON q.vec_id = c.q_id
+         |                  JOIN e n ON n.vec_id = c.n_id
+         |      WHERE c.ar <= 64),
+         |p0 AS (SELECT q.vec_id AS q_id, c2.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c2.embedding")} / (q.nrm * c2.nrm) AS cos
+         |      FROM e q JOIN e c2 ON q.vec_id < 5 AND c2.vec_id >= 5),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM p0),
+         |rv AS (SELECT unnest([8, 16, 32, 64]) AS rr),
+         |apr AS (SELECT rv.rr, x.q_id, x.n_id,
+         |              row_number() OVER (PARTITION BY rv.rr, x.q_id
+         |                ORDER BY x.cos DESC, x.n_id) AS rank
+         |       FROM x JOIN rv ON x.ar <= rv.rr),
+         |jx AS (SELECT rv.rr, ex.q_id, ex.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM rv CROSS JOIN (SELECT * FROM exr WHERE rank <= 10) ex
+         |       LEFT JOIN (SELECT * FROM apr WHERE rank <= 10) l
+         |         ON l.rr = rv.rr AND ex.q_id = l.q_id AND ex.n_id = l.n_id),
+         |hh AS (SELECT rr,
+         |             sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx GROUP BY rr)
+         |SELECT CAST(rr AS BIGINT) AS rerank, CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM hh ORDER BY rerank""".stripMargin
+    },
 
     // Mirrors Vectors.annBitq: sign-bit codes as two 32-bit words folded
     // MSB-first (Σ b_i·2^(32−i) — the sum form of the engine's acc*2+b
@@ -4922,6 +5075,37 @@ object SparkEntry {
          |       ${Q6("CAST(max(c) AS DOUBLE) / sum(c)")} AS rep_ratio
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextFunctions.repProfile: the three gram widths from one
+    // values-table cross join, per-(doc, n, gram) counts, per-(doc, n)
+    // totals/top/dup sums, pivoted wide; fracs Q6-quantized at the
+    // (doc, n) level exactly like the engine.
+    "text_rep_profile" ->
+      s"""WITH d AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |g AS (SELECT d.doc_id, n.n AS n,
+         |             unnest(list_transform(generate_series(1, len(w) - n.n + 1),
+         |               i -> array_to_string(w[i:i+n.n-1], ' '))) AS g
+         |      FROM d, (SELECT unnest([2, 3, 4]) AS n) n
+         |      WHERE len(w) >= n.n),
+         |pg AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |pn AS (SELECT doc_id, n, sum(c) AS total, max(c) AS topc,
+         |              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+         |       FROM pg GROUP BY 1, 2),
+         |pq AS (SELECT doc_id, n, total,
+         |              ${Q6("CAST(topc AS DOUBLE) / total")} AS top_frac,
+         |              ${Q6("CAST(dupc AS DOUBLE) / total")} AS dup_frac
+         |       FROM pn)
+         |SELECT doc_id,
+         |       CAST(max(CASE WHEN n = 2 THEN total END) AS BIGINT) AS n2_grams,
+         |       max(CASE WHEN n = 2 THEN top_frac END) AS top2_frac,
+         |       max(CASE WHEN n = 2 THEN dup_frac END) AS dup2_frac,
+         |       CAST(max(CASE WHEN n = 3 THEN total END) AS BIGINT) AS n3_grams,
+         |       max(CASE WHEN n = 3 THEN top_frac END) AS top3_frac,
+         |       max(CASE WHEN n = 3 THEN dup_frac END) AS dup3_frac,
+         |       CAST(max(CASE WHEN n = 4 THEN total END) AS BIGINT) AS n4_grams,
+         |       max(CASE WHEN n = 4 THEN top_frac END) AS top4_frac,
+         |       max(CASE WHEN n = 4 THEN dup_frac END) AS dup4_frac
+         |FROM pq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, source AS stratum FROM documents
         |WHERE substring(md5(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 2) < '4d'
@@ -4968,6 +5152,22 @@ object SparkEntry {
          |       ${Q6("CAST(sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS leak_frac
          |FROM sp LEFT JOIN lk USING (doc_id) WHERE sp.split <> 'train'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors TextFunctions.sampleSplitClustered at (0.2, 0.1): the
+    // shared exact-Jaccard reachability CTEs label every doc with its
+    // near-dup cluster (singletons = own id), then the sample_split hex
+    // cuts (floor(0.2·65536) = 0x3333, floor(0.3·65536) = 0x4ccc) apply
+    // to the CLUSTER id — the whole duplicate group co-splits.
+    "sample_split_clustered" ->
+      s"""$DEDUP_CLUSTER_CTES,
+         |cl AS (SELECT d.doc_id AS doc_id,
+         |              coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN substring(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 4) < '3333' THEN 'val'
+         |            WHEN substring(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 4) < '4ccc' THEN 'test'
+         |            ELSE 'train' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextFunctions.qualitySweep: the quality CTE, one wide
     // aggregate; cuts compare against the 6-dp-quantized score so both
@@ -5513,6 +5713,25 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_unique_chunks,
          |       CAST(sum(copies) AS BIGINT) AS n_chunks
          |FROM dc GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Mirrors Multimodal.byteShard at 4096 B: the corpus_pack running-sum
+    // arithmetic with bytes for tokens and kind for stratum — start =
+    // cum − n in (md5(asset_id), asset_id) order, shard = start div cap.
+    "mm_shard" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |                  concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind,
+        |                  octet_length(encode(text)) AS nb,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS rank_key
+        |           FROM documents),
+        |c AS (SELECT asset_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+        |             CAST(sum(nb) OVER (PARTITION BY kind
+        |                                ORDER BY rank_key, asset_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |               - CAST(nb AS BIGINT) AS start_byte
+        |      FROM a)
+        |SELECT asset_id, kind, n_bytes,
+        |       start_byte // 4096 AS shard_id, start_byte % 4096 AS shard_offset
+        |FROM c ORDER BY asset_id""".stripMargin,
 
     // md5 of the payload BYTES == md5 of the utf-8 text both engines hash
     "mm_dedup" ->

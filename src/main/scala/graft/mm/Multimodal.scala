@@ -230,4 +230,36 @@ object Multimodal {
         count(lit(1)).as("n_unique_chunks"),
         sum(col("copies")).as("n_chunks"))
   }
+
+  /** Byte-budget shard manifest — the WebDataset-style builder that turns
+    * a binary-asset table into training shards: per kind, assets line up
+    * in the deterministic md5(asset_id) order (stable across runs,
+    * engines, and corpus growth — the same order contract as every
+    * sampler here) and the concatenated byte stream is cut into shards
+    * of `shardBytes`. Each asset reports the shard its FIRST byte lands
+    * in and its offset there (streaming cut: shard boundaries are exact
+    * capacity multiples of the concatenated stream, an asset crossing
+    * one continues into the next shard — the contiguous-packing contract
+    * corpus_pack ships for tokens, here for bytes; a loader wanting
+    * atomic assets reads `shard_offset + n_bytes` to know the tail spans
+    * into `shard_id + 1`).
+    *
+    * Scale shape: pure arithmetic on the shared two-phase distributed
+    * prefix sum (range-exchange on (kind, rank_key), per-slice byte
+    * totals offset at metadata scale) — no per-shard state, no driver
+    * loop, no task ever sorts a whole kind.
+    */
+  def byteShard(assets: Dataset[MediaRow], shardBytes: Long): DataFrame = {
+    require(shardBytes > 0, s"shardBytes must be positive, got $shardBytes")
+    val sized = assets.toDF().select(
+      col("asset_id").as("doc_id"), col("kind").as("stratum"),
+      length(col("payload")).cast("long").as("n_tokens"),
+      md5(col("asset_id").cast("string")).as("rank_key"))
+    graft.text.TextFunctions.stratumPrefixSum(sized)
+      .withColumn("start_byte", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id").as("asset_id"), col("stratum").as("kind"),
+        col("n_tokens").as("n_bytes"),
+        expr(s"start_byte div ${shardBytes}L").as("shard_id"),
+        (col("start_byte") % shardBytes).as("shard_offset"))
+  }
 }

@@ -477,13 +477,19 @@ object Vectors {
     * only nQueries·rerank full vectors through a keyed equi-join. In a
     * full deployment the corpus codes persist next to the IVF cells
     * (IvfIndex) so ADC scans only probed cells — the kernel here is the
-    * same.
+    * same. (The serving entry point is annPq below; the ADC frame is
+    * shared with pqRerankCurve through pqAdcDistances.)
     */
-  def annPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8, kCodes: Int = 16,
-            rerank: Int = 32, vecCol: String = "embedding"): DataFrame = {
+  /** The PQ-ADC distance table shared by annPq and pqRerankCurve:
+    * codebook assignment (one corpus pass, broadcast codebook, map-side-
+    * partial argmin), per-query broadcast distance tables, ADC = m table
+    * lookups summed as an order-free long — (id_a = query, id_b = corpus
+    * vector, adc_us), the frame every ADC rank cut reads.
+    */
+  private def pqAdcDistances(emb: DataFrame, nQueries: Int, m: Int,
+                             kCodes: Int, vecCol: String): DataFrame = {
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    require(rerank >= k, s"rerank=$rerank must cover k=$k")
     val sub = dim / m
     val subArrs = array((0 until m).map(j => slice(col(vecCol), j * sub + 1, sub)): _*)
     def exploded(df: DataFrame) =
@@ -498,22 +504,29 @@ object Vectors {
       .withColumn("sse", sse)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("sse"), col("code"))).as("best"))
-      .select(col("vec_id").as("n_id"), col("sub"), col("best.code").as("code"))
+      .select(col("vec_id").as("id_b"), col("sub"), col("best.code").as("code"))
     val dt = exploded(emb.filter(col("vec_id") < nQueries))
-      .select(col("vec_id").as("q_id"), col("sub"), col("svec"))
+      .select(col("vec_id").as("id_a"), col("sub"), col("svec"))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("dist_us", graft.Quant.us6(sse))
-      .select(col("q_id"), col("sub"), col("code"), col("dist_us"))
-    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
-      .groupBy(col("q_id"), col("n_id"))
+      .select(col("id_a"), col("sub"), col("code"), col("dist_us"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("dist_us")).as("adc_us"))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_us"), col("n_id"))
-    val cand = adc.withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= rerank)
-      .select(col("q_id"), col("n_id"), col("adc_us"))
+  }
+
+  def annPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8, kCodes: Int = 16,
+            rerank: Int = 32, vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must cover k=$k")
+    val adc = pqAdcDistances(emb, nQueries, m, kCodes, vecCol)
+    // bounded two-phase ADC cut (rankPerQuery): the corpus-scale ADC
+    // frame must never funnel one query's rows through a single task's
+    // sort — same round-11 fix as annBitq's Hamming prescreen
+    val cand = rankPerQuery(adc, Seq(col("adc_us"), col("id_b")), rerank)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"), col("adc_us"))
     val qv = withNorm(emb.filter(col("vec_id") < nQueries), vecCol)
       .select(col("vec_id").as("q_id"), col(vecCol).as("va"), col("nrm").as("na"))
-    val cv = withNorm(corpus, vecCol)
+    val cv = withNorm(emb.filter(col("vec_id") >= nQueries), vecCol)
       .select(col("vec_id").as("n_id"), col(vecCol).as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
@@ -523,6 +536,54 @@ object Vectors {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         (col("adc_us").cast("double") / 1e6 + lit(0d)).as("adc_dist"),
         graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
+
+  /** PQ rerank-depth tuning curve — emb_ivf_probe_curve's sibling on the
+    * compressed-code axis: recall@`ks` of the ADC-prescreened path at
+    * EVERY rerank depth in `reranks`, from ONE ADC pass. The acceptance
+    * gate (annRecallPq) measures one rerank config; this sweeps the
+    * axis, so the exact-fetch budget (the only full-vector I/O a PQ
+    * serving path pays) is chosen from a curve, not a guess.
+    *
+    * Scale shape: the ADC frame ranks ONCE at the deepest depth via the
+    * bounded two-phase rankPerQuery; the survivors (≤ nQueries ×
+    * reranks.last rows — metadata scale) fetch vectors and score exact
+    * cosine ONCE (localCheckpoint, the minhashTune recipe); every
+    * shallower depth is a filter + bounded re-rank over that tiny frame.
+    * Exact side = annTopK's audit-on-a-sample price, shared ranked
+    * frame. Deterministic seed codebook keeps the whole curve
+    * oracle-replayable.
+    */
+  def pqRerankCurve(emb: DataFrame, nQueries: Int, k: Int,
+                    reranks: Seq[Int] = Seq(8, 16, 32, 64),
+                    ks: Seq[Int] = Seq(1, 5, 10),
+                    m: Int = 8, kCodes: Int = 16): DataFrame = {
+    // only the DEEPEST depth must cover k — depths below k are the
+    // interesting left edge of the curve (recall@k caps at depth/k there)
+    require(reranks.nonEmpty && reranks == reranks.sorted && reranks.last >= k,
+      s"reranks must be ascending with last >= k=$k: $reranks")
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    val adc = pqAdcDistances(emb, nQueries, m, kCodes, "embedding")
+    val deep = rankPerQuery(adc, Seq(col("adc_us"), col("id_b")), reranks.last)
+      .withColumnRenamed("rank", "ar")
+    val qv = withNorm(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val cv = withNorm(emb.filter(col("vec_id") >= nQueries))
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val cand = deep.join(broadcast(qv), Seq("id_a")).join(cv, Seq("id_b"))
+      .withColumn("cos", cosine)
+      .select(col("id_a"), col("id_b"), col("ar"), col("cos"))
+      .localCheckpoint()
+    val exact = annTopK(emb, nQueries, k).localCheckpoint()
+    reranks.map { r =>
+      val ap = rankPerQuery(cand.filter(col("ar") <= r),
+          Seq(col("cos").desc, col("id_b")), k)
+        .select(col("id_a").as("q_id"), col("id_b").as("n_id"), col("rank"))
+      recallFrom(exact, ap, ks).withColumn("rerank", lit(r.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("rerank") +: (col("n_q") +: ks.flatMap(c =>
+        Seq(col(s"hits_$c"), col(s"recall_$c")))): _*)
   }
 
   /** LSH-bucketed near-dup pair generation — the corpus-scale form of
@@ -1073,6 +1134,26 @@ object Vectors {
       s"every cutoff must be in [1, $k]: $ks")
     recallFrom(annTopK(emb, nQueries, k),
       annPq(emb, nQueries, k, rerank = rerank), ks)
+  }
+
+  /** The BITQ member — recall@k of the sign-bit Hamming-prescreened path
+    * (annBitq: two 32-bit sign words per vector, XOR+popcount prescreen,
+    * exact re-rank of the top-`cand` survivors) vs the exact top-k. This
+    * closes the acceptance-gate family: all FOUR serving configurations
+    * (LSH bucketed, IVF cell-pruned, PQ compressed-code, BITQ
+    * binary-quantized) now carry a measured recall before the
+    * brute-force path is turned off — the 1-bit extreme is exactly where
+    * recall damage is most likely, so it is the gate a capacity-driven
+    * config change reads first. Same audit-on-a-sample price and
+    * metadata-scale join as the other three gates; both ranked sides
+    * ride the bounded two-phase rankPerQuery cut.
+    */
+  def annRecallBitq(emb: DataFrame, nQueries: Int, k: Int,
+                    ks: Seq[Int] = Seq(1, 5, 10), cand: Int = 50): DataFrame = {
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    recallFrom(annTopK(emb, nQueries, k),
+      annBitq(emb, nQueries, k, cand = cand), ks)
   }
 
   /** The recall join shared by the serving-path acceptance gates: one

@@ -326,6 +326,42 @@ object TextFunctions {
         graft.Quant.q6(col("n_leaked").cast("double") / col("n_docs")))
   }
 
+  /** CLUSTER-aware train/val/test assignment — the remediation
+    * splitLeakage points at: when an eval doc's near-duplicate sits in
+    * train, the document-level split has leaked; the fix is to draw the
+    * split on near-dup CLUSTERS, so a whole duplicate group lands on one
+    * side. Every document's split hash is computed on its CLUSTER id
+    * (min reachable doc_id over the verified near-dup pair graph —
+    * singletons are their own cluster, so clean docs split exactly like
+    * sampleSplit with cluster_id = doc_id), which makes cross-split
+    * near-dup leakage structurally zero at the pair threshold, while
+    * keeping every stability property of the md5 split: no RNG,
+    * engine-portable, and growth-stable as long as cluster membership is
+    * stable (a genuinely new near-dup MERGING two clusters is exactly
+    * the event that should move one — the split follows the data).
+    *
+    * Scale shape: the pair graph is the metadata-scale near-dup graph
+    * (LSH banding + exact verify, never pairwise); clusters() is the
+    * shared bounded-edge union-find / distributed label propagation; on
+    * top of that, one hash projection — no extra shuffle.
+    */
+  def sampleSplitClustered(docs: DataFrame, valFrac: Double, testFrac: Double,
+                           tau: Double = 0.8): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"need valFrac + testFrac < 1, got $valFrac + $testFrac")
+    val vCut = math.floor(valFrac * 65536).toInt
+    val tCut = math.floor((valFrac + testFrac) * 65536).toInt
+    val pairs = Dedup.minhashPairs(docs, 3, 64, 2, tau)
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusters(docs, pairs)
+      .withColumn("h",
+        substring(md5(concat(lit("split|"), col("cluster_id").cast("string"))), 1, 4))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h") < format_string("%04x", lit(vCut)), "val")
+          .when(col("h") < format_string("%04x", lit(tCut)), "test")
+          .otherwise("train").as("split"))
+  }
+
   /** Deterministic fixed-SIZE sample: exactly n documents, selected by
     * md5(doc_id) order — the complement of the rate-based stratified
     * sampler (eval sets and ablations want "exactly N docs, stable across
@@ -675,6 +711,53 @@ object TextFunctions {
       .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_count"))
       .select(col("doc_id"), col("n_2grams"), col("top_count"),
         graft.Quant.q6(col("top_count").cast("double") / col("n_2grams")).as("rep_ratio"))
+  }
+
+  /** Gopher-style within-document repetition PROFILE (Rae 2021 Table A1
+    * — the repetition filters a quality pipeline ships next to the
+    * single-signal `repetition` top-bigram ratio): per document and per
+    * n ∈ `ns`, the total positional n-gram count, the fraction of
+    * positions held by the single most frequent n-gram (template spam
+    * bulges this), and the fraction of positions whose n-gram occurs
+    * ≥ 2 times within the SAME document (loops/boilerplate — the
+    * duplicate-n-gram signal). Fractions are over n-gram positions
+    * (Gopher's character fractions need byte offsets; the position form
+    * carries the same decision signal and stays exact-integer).
+    *
+    * Scale shape: one tokenization pass; all |ns| gram widths explode
+    * from the SAME `w` array in one projection (tagged structs, no
+    * per-n corpus pass), then two keyed aggregations — (doc, n, gram)
+    * counts with map-side partials, then the |docs|·|ns|-row profile
+    * pivoted wide. Raw text never shuffles; shuffle keys are hashes of
+    * doc-bounded gram sets.
+    */
+  def repProfile(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns == ns.sorted && ns.forall(_ >= 2),
+      s"ns must be ascending n-gram widths >= 2: $ns")
+    val tagged = ns.map { n =>
+      val gram = (0 until n).map(j => s"element_at(w, i + $j)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      s"CASE WHEN size(w) < $n THEN cast(array() AS array<struct<n:int,g:string>>) " +
+        s"ELSE transform(sequence(1, size(w) - ${n - 1}), " +
+        s"i -> named_struct('n', $n, 'g', $gram)) END"
+    }.mkString("concat(", ", ", ")")
+    val perGram = withBase(docs)
+      .select(col("doc_id"), explode(expr(tagged)).as("x"))
+      .groupBy(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val perN = perGram.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"), max(col("c")).as("topc"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupc"))
+      .withColumn("top_frac",
+        graft.Quant.q6(col("topc").cast("double") / col("total")))
+      .withColumn("dup_frac",
+        graft.Quant.q6(col("dupc").cast("double") / col("total")))
+    val aggs = ns.flatMap { n =>
+      Seq(max(when(col("n") === n, col("total"))).as(s"n${n}_grams"),
+        max(when(col("n") === n, col("top_frac"))).as(s"top${n}_frac"),
+        max(when(col("n") === n, col("dup_frac"))).as(s"dup${n}_frac"))
+    }
+    perN.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The composed keep/drop decision a training pipeline actually ships:

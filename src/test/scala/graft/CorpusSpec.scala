@@ -238,4 +238,54 @@ class CorpusSpec extends SparkSuite {
     val nVal = full.count(_._2 == "val").toDouble / full.size
     assert(nVal > 0.01 && nVal < 0.12, s"val fraction $nVal")
   }
+
+  test("sampleSplitClustered co-splits a near-dup group, singletons unmoved") {
+    import spark.implicits._
+    // same plant as the splitLeakage spec: 1 ≈ 2 ≈ 5 is one near-dup
+    // cluster, 6 is clean. The frozen per-DOC md5 split at (0.5, 0.0)
+    // puts 1,2 in train and 5,6 in val — i.e. doc 5 leaks. The clustered
+    // split hashes cluster_id = 1 for the whole group, so 5 MOVES to
+    // train with its duplicates; singleton 6 keeps its sampleSplit label.
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    val b = (1 to 40).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, a), (2L, a + " x"), (5L, a + " y"), (6L, b))
+      .toDF("doc_id", "text")
+    val r = TF.sampleSplitClustered(d, 0.5, 0.0).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((1L, "train")) && r(2L) == ((1L, "train")) &&
+      r(5L) == ((1L, "train")), s"cluster group split: $r")
+    assert(r(6L) == ((6L, "val")), s"singleton moved: ${r(6L)}")
+    // and the remediation closes the leak the document split had
+    assert(TF.splitLeakage(d, 0.5, 0.0).collect()
+      .map(x => x.getLong(2)).sum == 1L)              // doc split: 1 leak
+  }
+
+  test("repProfile pins the three gram widths on planted repetition") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a a"),                // 5 identical words
+      (2L, "w1 w2 w3 w4 w5"),           // all-distinct words
+      (3L, "x y"))                      // too short for n = 3, 4
+      .toDF("doc_id", "text")
+    val r = TF.repProfile(d).orderBy("doc_id").collect()
+    // doc 1: every width has ONE gram holding every position
+    assert(r(0).getLong(1) == 4L && r(0).getDouble(2) == 1.0 &&
+      r(0).getDouble(3) == 1.0)                       // n=2
+    assert(r(0).getLong(4) == 3L && r(0).getDouble(5) == 1.0 &&
+      r(0).getDouble(6) == 1.0)                       // n=3
+    assert(r(0).getLong(7) == 2L && r(0).getDouble(8) == 1.0 &&
+      r(0).getDouble(9) == 1.0)                       // n=4
+    // doc 2: all grams distinct — top holds 1/total, nothing duplicated
+    assert(r(1).getLong(1) == 4L && r(1).getDouble(2) == 0.25 &&
+      r(1).getDouble(3) == 0.0)
+    assert(r(1).getLong(4) == 3L && r(1).getDouble(5) == 0.333333 &&
+      r(1).getDouble(6) == 0.0)
+    assert(r(1).getLong(7) == 2L && r(1).getDouble(8) == 0.5 &&
+      r(1).getDouble(9) == 0.0)
+    // doc 3: one bigram; the wider widths have no positions → null
+    assert(r(2).getLong(1) == 1L && r(2).getDouble(2) == 1.0 &&
+      r(2).getDouble(3) == 0.0)
+    assert(r(2).isNullAt(4) && r(2).isNullAt(7))
+  }
 }

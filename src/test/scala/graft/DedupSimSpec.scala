@@ -940,4 +940,34 @@ class DedupSimSpec extends SparkSuite {
     assert(r(1)._1 == 7L && r(1)._2 == 1L)
     assert(r(2) == ((6L, 64L, -1.0)))
   }
+
+  test("annRecallBitq reads exactly 1.0 when cand covers the corpus") {
+    import spark.implicits._
+    // cand = corpus size ⇒ the Hamming prescreen drops nothing and the
+    // exact re-rank IS the exact top-k — recall must be exactly 1.0
+    val e = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annRecallBitq(e, 3, 5, Seq(1, 5), cand = 37).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("pqRerankCurve is monotone, capped below k, exact at corpus depth") {
+    import spark.implicits._
+    val e = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.pqRerankCurve(e, 3, 5, reranks = Seq(2, 8, 37), ks = Seq(1, 5))
+      .orderBy("rerank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(3), x.getDouble(5)))
+    assert(r.map(_._1).toSeq == Seq(2L, 8L, 37L))
+    assert(r.forall(_._2 == 3L))                     // n_q at every depth
+    // deeper depths re-rank SUPERSETS of the same ADC candidates —
+    // recall never decreases along the curve
+    assert(r.sliding(2).forall(p => p(0)._3 <= p(1)._3 && p(0)._4 <= p(1)._4))
+    // a depth below k structurally caps recall@k at depth/k
+    assert(r(0)._4 <= 0.4 + 1e-9, s"recall@5 at depth 2 was ${r(0)._4}")
+    // depth = corpus ⇒ the ADC prescreen drops nothing ⇒ exact
+    assert(r.last._3 == 1.0 && r.last._4 == 1.0)
+  }
 }

@@ -164,4 +164,32 @@ class MultimodalSpec extends SparkSuite {
       assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length))
     }
   }
+
+  test("byteShard cuts the per-kind md5-ordered byte stream at capacity") {
+    import Multimodal.MediaRow
+    import spark.implicits._
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val sizes = Map(1L -> 100, 2L -> 50, 3L -> 30, 4L -> 70)
+    val rows = Seq(
+      MediaRow(1L, "img/0", 8, 8, Array.fill[Byte](100)(1)),
+      MediaRow(2L, "img/0", 8, 8, Array.fill[Byte](50)(2)),
+      MediaRow(3L, "img/0", 8, 8, Array.fill[Byte](30)(3)),
+      MediaRow(4L, "img/1", 8, 8, Array.fill[Byte](70)(4)))
+    val got = Multimodal.byteShard(rows.toDS(), 64L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // expected: per kind, prefix sums in (md5(asset_id), asset_id) order
+    val exp = rows.groupBy(_.kind).flatMap { case (_, as) =>
+      val ord = as.map(_.asset_id).sortBy(id => (md5hex(id.toString), id))
+      ord.zip(ord.scanLeft(0L)((c, id) => c + sizes(id)))
+        .map { case (id, start) =>
+          id -> ((sizes(id).toLong, start / 64L, start % 64L)) }
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // the streaming-cut contract: SOME asset's tail crosses its shard
+    // boundary (offset + bytes > cap) — assets are not atomic per shard
+    assert(got.values.exists { case (n, _, off) => off + n > 64L })
+  }
 }
