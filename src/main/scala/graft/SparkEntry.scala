@@ -1141,6 +1141,14 @@ object SparkEntry {
       Vectors.knnGraphLshAuto(Tables.load(s, dir, "embeddings"), 0.4, 3)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // neighbor-level label agreement over the kNN graph: the "is this
+    // embedding space any good" probe — per label, the fraction of kNN
+    // edges staying inside the label (labelCohesion's centroid view
+    // can't see a class dissolving at the kNN radius; serving can)
+    "emb_knn_purity" -> ((s, dir) =>
+      Vectors.knnPurity(Tables.load(s, dir, "embeddings"), 0.4, 3)
+        .orderBy(col("label"))),
+
     // embedding hygiene: per-vector L2 norms (degenerate-vector audit)
     "emb_norms" -> ((s, dir) =>
       Vectors.norms(Tables.load(s, dir, "embeddings"))
@@ -1260,6 +1268,14 @@ object SparkEntry {
       Vectors.ivfBalance(Tables.load(s, dir, "embeddings"))
         .orderBy(col("cell"))),
 
+    // PQ code-usage balance, emb_ivf_balance's compressed-code sibling:
+    // per (sub, code) assignment count + share, dead cells included —
+    // names WHICH subspace's codebook to retrain when the recall
+    // curves sag
+    "emb_pq_balance" -> ((s, dir) =>
+      Vectors.pqBalance(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("sub"), col("code"))),
+
     // product-quantization audit: 8×16 seed codebook (the served-IVF
     // zero-training trick), per-vector code word + exact-µ-unit MSE —
     // completes the compression triad (SQ8 / PQ / coarse IVF)
@@ -1373,6 +1389,14 @@ object SparkEntry {
       TextFunctions.sampleSplitClustered(Tables.load(s, dir, "documents"), 0.2, 0.1)
         .orderBy(col("doc_id"))),
 
+    // the remediation's closure audit: split_leakage re-measured over
+    // the clustered split — n_leaked is structurally zero while split
+    // and pair graph agree; registering it (vs asserting the theorem)
+    // is the re-runnable acceptance check that fires if they drift
+    "split_leakage_clustered" -> ((s, dir) =>
+      TextFunctions.splitLeakageClustered(Tables.load(s, dir, "documents"), 0.2, 0.1)
+        .orderBy(col("split"))),
+
     // class balancing: exactly n docs per source, two-phase bounded rank
     "sample_balanced" -> ((s, dir) =>
       TextFunctions.sampleBalanced(Tables.load(s, dir, "documents"), "source", 10)
@@ -1401,6 +1425,14 @@ object SparkEntry {
     "corpus_epochs" -> ((s, dir) =>
       TextFunctions.tokenEpochs(Tables.load(s, dir, "documents"), "source", 10000L)
         .orderBy(col("source"))),
+
+    // the temperature sweep over the same budget: shares ∝ mass^τ for
+    // τ ∈ {¼, ½, ¾, 1} (quarter powers = sqrt-composable = bit-portable
+    // weights) — what each sampling temperature does to every source's
+    // epoch factor, read before a mixture is committed
+    "corpus_temperature" -> ((s, dir) =>
+      TextFunctions.temperatureMixture(Tables.load(s, dir, "documents"), "source", 10000L)
+        .orderBy(col("source"), col("tau"))),
 
     // the end-to-end shard build: lang+quality+PII+dedup gates, then
     // token-budget fill per source — every stage an oracle-gated operator
@@ -4210,6 +4242,28 @@ object SparkEntry {
          |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_sim
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // Mirrors Vectors.knnPurity: the emb_knn CTE chain (LSH pair graph,
+    // symmetrized, per-vector rank ≤ 3), then label joins and a
+    // per-label conditional aggregate.
+    "emb_knn_purity" ->
+      s"""WITH $LSH_PAIR_CTES,
+         |prq AS (SELECT id_a, id_b, ${Q6("cos")} AS cos_sim FROM pr),
+         |sym AS (SELECT id_a AS vec_id, id_b AS nbr_id, cos_sim FROM prq
+         |        UNION ALL SELECT id_b, id_a, cos_sim FROM prq),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                   ORDER BY cos_sim DESC, nbr_id) AS rank
+         |      FROM sym),
+         |knn AS (SELECT vec_id, nbr_id FROM r WHERE rank <= 3),
+         |lj AS (SELECT CAST(la.label AS BIGINT) AS label, k.vec_id,
+         |              CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+         |       FROM knn k JOIN embeddings la ON la.vec_id = k.vec_id
+         |                  JOIN embeddings lb ON lb.vec_id = k.nbr_id)
+         |SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+         |       CAST(count(*) AS BIGINT) AS n_edges,
+         |       CAST(sum(same) AS BIGINT) AS n_same,
+         |       ${Q6("CAST(sum(same) AS DOUBLE) / count(*)")} AS purity
+         |FROM lj GROUP BY label ORDER BY label""".stripMargin,
+
     "emb_norms" ->
       s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
          |       ${Q6(NORM_SQL)} AS l2_norm
@@ -4856,6 +4910,35 @@ object SparkEntry {
          |FROM hh ORDER BY rerank""".stripMargin
     },
 
+    // Mirrors Vectors.pqBalance: seed codebook over the WHOLE table (16
+    // lowest vec_ids, densely coded in id order), full-corpus argmin
+    // assignment, per-cell counts grid-joined against the codebook's own
+    // cells so zero-usage cells surface, 1-row total.
+    "emb_pq_balance" ->
+      s"""WITH sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+         |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |cb AS (SELECT v.sub, s.code, v.svec AS cvec
+         |       FROM sv v JOIN seeds s USING (vec_id)),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub)),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |cnt AS (SELECT sub, code, count(*) AS n FROM r WHERE rn = 1 GROUP BY 1, 2),
+         |tot AS (SELECT count(*) AS total FROM embeddings)
+         |SELECT CAST(g.sub AS BIGINT) AS sub, CAST(g.code AS BIGINT) AS code,
+         |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
+         |       ${Q6("CAST(coalesce(cnt.n, 0) AS DOUBLE) / total")} AS share
+         |FROM (SELECT DISTINCT sub, code FROM cb) g
+         |LEFT JOIN cnt USING (sub, code) CROSS JOIN tot
+         |ORDER BY sub, code""".stripMargin,
+
     // Mirrors Vectors.annBitq: sign-bit codes as two 32-bit words folded
     // MSB-first (Σ b_i·2^(32−i) — the sum form of the engine's acc*2+b
     // fold, never overflowing signed 64-bit), integer Hamming prescreen
@@ -5169,6 +5252,31 @@ object SparkEntry {
          |            ELSE 'train' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextFunctions.splitLeakageClustered at (0.2, 0.1): the
+    // cluster CTEs label every doc, the hex cuts apply to cluster_id,
+    // and the split_leakage audit chain re-runs over the SAME exact-
+    // Jaccard pair set `e` the clusters were built from — n_leaked is
+    // structurally zero, n_docs per eval split is the real signal.
+    "split_leakage_clustered" ->
+      s"""$DEDUP_CLUSTER_CTES,
+         |cl AS (SELECT d.doc_id AS doc_id,
+         |              coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN substring(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 4) < '3333' THEN 'val'
+         |              WHEN substring(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 4) < '4ccc' THEN 'test'
+         |              ELSE 'train' END AS split
+         |       FROM cl),
+         |lsym AS (SELECT id_a, id_b FROM e UNION ALL SELECT id_b, id_a FROM e),
+         |lk AS (SELECT DISTINCT s.id_a AS doc_id FROM lsym s
+         |       JOIN sp a ON a.doc_id = s.id_a JOIN sp b ON b.doc_id = s.id_b
+         |       WHERE a.split <> 'train' AND b.split = 'train')
+         |SELECT sp.split AS split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |       ${Q6("CAST(sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS leak_frac
+         |FROM sp LEFT JOIN lk USING (doc_id) WHERE sp.split <> 'train'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Mirrors TextFunctions.qualitySweep: the quality CTE, one wide
     // aggregate; cuts compare against the 6-dp-quantized score so both
     // engines make the identical keep/drop decision at each threshold.
@@ -5297,6 +5405,33 @@ object SparkEntry {
          |       CAST(floor(10000 * wgt / denom) AS BIGINT) AS target_tokens,
          |       ${Q6("CAST(floor(10000 * wgt / denom) AS DOUBLE) / st")} AS epochs
          |FROM w CROSS JOIN den ORDER BY source""".stripMargin,
+
+    // Mirrors TextFunctions.temperatureMixture: quarter-power weights as
+    // sqrt products (bit-portable, no libm pow), per-τ denominators via
+    // the stratum-ordered cumulative sum (order-fixed double addition),
+    // the corpus_epochs arithmetic per (source, τ).
+    "corpus_temperature" ->
+      s"""WITH d AS (SELECT source AS stratum,
+         |                  len(string_split($NORM_TEXT_SQL, ' ')) AS n_tokens
+         |           FROM documents),
+         |m AS (SELECT stratum, count(*) AS n_docs, sum(n_tokens) AS st FROM d GROUP BY 1),
+         |tv AS (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS tau),
+         |w AS (SELECT stratum, n_docs, st, tau,
+         |             CASE WHEN tau = 0.25 THEN sqrt(sqrt(CAST(st AS DOUBLE)))
+         |                  WHEN tau = 0.5  THEN sqrt(CAST(st AS DOUBLE))
+         |                  WHEN tau = 0.75 THEN sqrt(CAST(st AS DOUBLE)) * sqrt(sqrt(CAST(st AS DOUBLE)))
+         |                  ELSE CAST(st AS DOUBLE) END AS wgt
+         |      FROM m CROSS JOIN tv),
+         |c AS (SELECT *, sum(wgt) OVER (PARTITION BY tau ORDER BY stratum
+         |                               ROWS UNBOUNDED PRECEDING) AS cum_w
+         |      FROM w),
+         |den AS (SELECT tau, max(cum_w) AS denom FROM c GROUP BY tau)
+         |SELECT stratum AS source, c.tau AS tau, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(st AS BIGINT) AS n_tokens,
+         |       ${Q6("wgt / denom")} AS budget_share,
+         |       CAST(floor(10000 * wgt / denom) AS BIGINT) AS target_tokens,
+         |       ${Q6("CAST(floor(10000 * wgt / denom) AS DOUBLE) / st")} AS epochs
+         |FROM c JOIN den USING (tau) ORDER BY source, tau""".stripMargin,
 
     "corpus_shard" ->
       s"""WITH d AS (SELECT doc_id, source, $NORM_TEXT_SQL AS norm FROM documents),

@@ -1262,6 +1262,71 @@ object Vectors {
       .select(col("cell").cast("long").as("cell"), col("n_vecs"), col("share"))
   }
 
+  /** kNN label-agreement audit — the standard "is this embedding space
+    * any good for training" probe run BEFORE an ANN index is built on
+    * it: per label, the fraction of k-nearest-neighbor edges whose
+    * neighbor shares the vector's label. High purity = labels form
+    * coherent neighborhoods (the space supports retrieval/clustering);
+    * a low-purity label names exactly which class the space confuses.
+    * Complements the centroid-level labelCohesion/labelSim audits with
+    * the NEIGHBOR-level view — a label can have a tight centroid and
+    * still dissolve into other classes at the kNN radius, and kNN is
+    * what serving actually does.
+    *
+    * Scale shape: rides the registered corpus-scale kNN graph
+    * (knnGraphLshAuto — LSH-bucketed pair generation, never pairwise;
+    * the tau floor keeps the graph ~linear); labels join as a 2-column
+    * projection keyed on vec_id (the graph side shuffles, the label
+    * side co-partitions); the result is a |labels|-row aggregate with
+    * map-side partials. n_vecs counts vectors that HAVE a neighbor at
+    * the tau floor (isolated vectors carry no edge and no vote).
+    */
+  def knnPurity(emb: DataFrame, tau: Double, k: Int,
+                labelCol: String = "label"): DataFrame = {
+    val g = knnGraphLshAuto(emb, tau, k).select(col("vec_id"), col("nbr_id"))
+    val lab = emb.select(col("vec_id"), col(labelCol).cast("long").as("label"))
+    g.join(lab, Seq("vec_id"))
+      .join(lab.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")),
+        Seq("nbr_id"))
+      .groupBy(col("label"))
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("label") === col("nbr_label"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("purity",
+        graft.Quant.q6(col("n_same").cast("double") / col("n_edges")))
+  }
+
+  /** PQ code-usage balance audit — emb_ivf_balance's sibling on the
+    * compressed-code axis: per (subquantizer, code), the number of
+    * corpus vectors assigned and their corpus share, EVERY codebook
+    * cell reported including zero-usage ones (a dead code is wasted
+    * capacity — the codebook effectively shrinks and ADC distances
+    * coarsen; a hot code is the skew under which ADC loses its
+    * discriminating power for that subspace). The table read next to
+    * emb_ann_pq_recall / emb_pq_rerank_curve when a PQ config
+    * underperforms: the curves say HOW MUCH recall is lost, this says
+    * WHICH subspace's codebook to retrain.
+    *
+    * Scale shape: one assignment pass (broadcast codebook, map-side-
+    * partial argmin — the shared pqAssign kernel), an m·kCodes-bounded
+    * count, a grid left-join against the codebook's own cells (so
+    * zero-usage cells surface), and a 1-row broadcast total.
+    */
+  def pqBalance(emb: DataFrame, m: Int = 8, kCodes: Int = 16,
+                vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(emb, m, kCodes, vecCol)
+    val counts = pqAssign(emb, cb, m, vecCol)
+      .groupBy(col("sub"), col("code")).agg(count(lit(1)).as("cnt"))
+    val total = emb.agg(count(lit(1)).as("total"))
+    cb.select(col("sub"), col("code"))
+      .join(counts, Seq("sub", "code"), "left")
+      .withColumn("n_vecs", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("sub").cast("long").as("sub"), col("code").cast("long").as("code"),
+        col("n_vecs"),
+        graft.Quant.q6(col("n_vecs").cast("double") / col("total")).as("share"))
+  }
+
   /** Matryoshka / truncation audit: the energy fraction of each vector
     * that survives truncation to its first `d` lanes —
     * sqrt(Σ_{i≤d} x_i²) / ‖v‖, which IS the cosine between v and its

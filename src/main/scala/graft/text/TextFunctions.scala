@@ -305,8 +305,31 @@ object TextFunctions {
     * leaked ids, and a 2-row aggregate.
     */
   def splitLeakage(docs: DataFrame, valFrac: Double, testFrac: Double,
-                   tau: Double = 0.8): DataFrame = {
-    val sp = sampleSplit(docs, valFrac, testFrac)
+                   tau: Double = 0.8): DataFrame =
+    splitLeakageOf(docs, sampleSplit(docs, valFrac, testFrac), tau)
+
+  /** splitLeakage over the CLUSTERED split — the closure audit of the
+    * remediation: because sampleSplitClustered draws the split on the
+    * same verified near-dup pair graph this audit checks against, every
+    * pair is within-cluster and therefore within-split, so n_leaked is
+    * structurally ZERO at the pair threshold. Registering the audit
+    * (rather than asserting the theorem) is the acceptance check a
+    * pipeline actually ships: it re-runs after every corpus refresh,
+    * and a nonzero row is the alarm that split and dedup drifted apart
+    * (e.g. the split was frozen while the pair graph moved).
+    */
+  def splitLeakageClustered(docs: DataFrame, valFrac: Double, testFrac: Double,
+                            tau: Double = 0.8): DataFrame =
+    splitLeakageOf(docs,
+      sampleSplitClustered(docs, valFrac, testFrac, tau)
+        .select(col("doc_id"), col("split")), tau)
+
+  /** The leakage audit over an arbitrary (doc_id, split) assignment —
+    * the kernel shared by splitLeakage (document-level md5 split) and
+    * splitLeakageClustered (cluster-level split).
+    */
+  def splitLeakageOf(docs: DataFrame, sp: DataFrame,
+                     tau: Double = 0.8): DataFrame = {
     val pairs = Dedup.minhashPairs(docs, 3, 64, 2, tau)
       .select(col("id_a"), col("id_b"))
     val sym = pairs.union(
@@ -608,6 +631,71 @@ object TextFunctions {
       .withColumn("target_tokens",
         floor(lit(totalBudget).cast("double") * col("wgt") / col("denom")).cast("long"))
       .select(col("stratum").as("source"), col("n_docs"), col("stratum_tokens").as("n_tokens"),
+        graft.Quant.q6(col("wgt") / col("denom")).as("budget_share"),
+        col("target_tokens"),
+        graft.Quant.q6(col("target_tokens").cast("double") / col("stratum_tokens"))
+          .as("epochs"))
+  }
+
+  /** Temperature-sweep mixture allocator — tokenEpochs' sqrt weighting
+    * generalized to the sampling-temperature axis a multilingual /
+    * multi-source training mix is actually tuned on: per (source, τ),
+    * budget share ∝ mass^τ, the allocated target tokens, and the epoch
+    * factor. τ = 1 is proportional sampling (big sources dominate),
+    * τ = 0.5 is tokenEpochs' sqrt smoothing, lower τ flattens further
+    * toward uniform — the table that shows WHAT each temperature does
+    * to every source's repeat factor before a mixture is committed.
+    *
+    * The τ grid is restricted to quarter powers {0.25, 0.5, 0.75, 1.0}:
+    * each weight is then a product of IEEE-correctly-rounded sqrt calls
+    * (x^¼ = √√x, x^¾ = √x·√√x), so both engines compute bit-identical
+    * weights — a free-form τ would need libm pow, which is NOT
+    * correctly rounded and would break the hash gate (the text_entropy
+    * stance). Per-τ share denominators accumulate in stratum order
+    * (cum-sum then max, the tokenEpochs recipe) so the double sum is
+    * order-fixed on both engines.
+    *
+    * Scale shape: ONE corpus tokenization pass into the |strata|-row
+    * mass table; the τ grid explodes that metadata-scale frame
+    * (|strata|·|τ| rows) — per-τ windows and joins never touch raw
+    * data.
+    */
+  def temperatureMixture(docs: DataFrame, stratumCol: String, totalBudget: Long,
+                         taus: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val grid = Set(0.25, 0.5, 0.75, 1.0)
+    require(taus.nonEmpty && taus == taus.sorted && taus.forall(grid),
+      s"taus must be ascending quarter powers from $grid: $taus")
+    def wgt(t: Double, x: Column): Column = t match {
+      case 0.25 => sqrt(sqrt(x))
+      case 0.5  => sqrt(x)
+      case 0.75 => sqrt(x) * sqrt(sqrt(x))
+      case _    => x
+    }
+    val mass = withBase(docs)
+      .select(col(stratumCol).as("stratum"), size(col("w")).cast("long").as("n_tokens"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("stratum_tokens"))
+    val st = col("stratum_tokens").cast("double")
+    val tagged = mass.select(col("stratum"), col("n_docs"), col("stratum_tokens"),
+      explode(array(taus.map(t =>
+        struct(lit(t).as("tau"), wgt(t, st).as("wgt"))): _*)).as("x"))
+      .select(col("stratum"), col("n_docs"), col("stratum_tokens"),
+        col("x.tau").as("tau"), col("x.wgt").as("wgt"))
+    // order-fixed denominator: cumulative in stratum order, then the
+    // partition max — identical addition order in the oracle
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("tau")).orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("tau"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged
+      .withColumn("cum_w", sum(col("wgt")).over(wCum))
+      .withColumn("denom", max(col("cum_w")).over(wAll))
+      .withColumn("target_tokens",
+        floor(lit(totalBudget).cast("double") * col("wgt") / col("denom")).cast("long"))
+      .select(col("stratum").as("source"), col("tau"), col("n_docs"),
+        col("stratum_tokens").as("n_tokens"),
         graft.Quant.q6(col("wgt") / col("denom")).as("budget_share"),
         col("target_tokens"),
         graft.Quant.q6(col("target_tokens").cast("double") / col("stratum_tokens"))

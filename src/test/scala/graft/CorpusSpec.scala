@@ -261,6 +261,44 @@ class CorpusSpec extends SparkSuite {
       .map(x => x.getLong(2)).sum == 1L)              // doc split: 1 leak
   }
 
+  test("splitLeakageClustered reads zero over the clustered split") {
+    import spark.implicits._
+    // same plant as the splitLeakage spec (which reads 1 leak at the
+    // document split): clustered, docs 1,2,5 co-split into train via
+    // cluster_id 1, so the eval side is just clean singleton 6
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    val b = (1 to 40).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, a), (2L, a + " x"), (5L, a + " y"), (6L, b))
+      .toDF("doc_id", "text")
+    val r = TF.splitLeakageClustered(d, 0.5, 0.0).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(("val", 1L, 0L, 0.0)), r.toSeq)
+  }
+
+  test("temperatureMixture allocates exact quarter-power shares") {
+    import spark.implicits._
+    // masses 16 and 1 make every quarter-power weight exact: 2/4/8/16
+    // against 1 — shares, targets, and epoch factors all hand-checkable
+    val d = Seq(
+      (1L, (1 to 16).map(i => s"t$i").mkString(" "), "a"),
+      (2L, "u1", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = TF.temperatureMixture(d, "source", 900L).orderBy("source", "tau")
+      .collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(3), x.getDouble(4),
+        x.getLong(5), x.getDouble(6)))
+    assert(r.toSeq == Seq(
+      ("a", 0.25, 16L, 0.666667, 600L, 37.5),
+      ("a", 0.5, 16L, 0.8, 720L, 45.0),
+      ("a", 0.75, 16L, 0.888889, 800L, 50.0),
+      ("a", 1.0, 16L, 0.941176, 847L, 52.9375),
+      ("b", 0.25, 1L, 0.333333, 300L, 300.0),
+      ("b", 0.5, 1L, 0.2, 180L, 180.0),
+      ("b", 0.75, 1L, 0.111111, 100L, 100.0),
+      ("b", 1.0, 1L, 0.058824, 52L, 52.0)), r.toSeq)
+  }
+
   test("repProfile pins the three gram widths on planted repetition") {
     import spark.implicits._
     val d = Seq(

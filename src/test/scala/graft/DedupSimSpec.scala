@@ -941,6 +941,49 @@ class DedupSimSpec extends SparkSuite {
     assert(r(2) == ((6L, 64L, -1.0)))
   }
 
+  test("knnPurity counts same-label kNN edges per label") {
+    import spark.implicits._
+    def v(axis: Int, perturbAxis: Int, eps: Float) =
+      Seq.tabulate(64)(d => if (d == axis) 1f else if (d == perturbAxis) eps else 0f)
+    // group A (ids 0-3) on axis 0, all label 0; group B (ids 4-7) on
+    // axis 1 — 4,5,6 label 1 and 7 a planted MISLABEL (label 0 inside
+    // B's neighborhood). Cross-group cosine ≈ 0 < tau, so each vector's
+    // k=3 neighbors are exactly its own group.
+    val e = (Seq.tabulate(4)(i => (i.toLong, v(0, 2, 0.01f * (i + 1)), 0)) ++
+      Seq.tabulate(4)(i => ((i + 4).toLong, v(1, 3, 0.01f * (i + 1)),
+        if (i == 3) 0 else 1)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Vectors.knnPurity(e, 0.4, 3).orderBy("label").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    // label 0: A's 12 all-same edges + the mislabel's 3 all-different
+    assert(r(0) == ((0L, 5L, 15L, 12L, 0.8)), s"label 0: ${r(0)}")
+    // label 1: each of 4,5,6 sees 2 same + the mislabel
+    assert(r(1) == ((1L, 3L, 9L, 6L, 0.666667)), s"label 1: ${r(1)}")
+  }
+
+  test("pqBalance reports hot cells and surfaces dead cells as zero") {
+    import spark.implicits._
+    def fill(x: Float) = Seq.fill(64)(x)
+    // seeds 0..15 (code = id); seed 7 DUPLICATES seed 6, so every
+    // vector tied between codes 6 and 7 takes the lower — code 7 is
+    // dead in every sub; ids 16-19 copy seed 3 — code 3 runs hot
+    val e = (Seq.tabulate(16)(i =>
+        (i.toLong, fill(if (i == 7) 7f else i + 1f))) ++
+      Seq.tabulate(4)(i => ((i + 16).toLong, fill(4f))))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.pqBalance(e).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.size == 128)                            // 8 subs × 16 codes
+    (0L until 8L).foreach { s =>
+      assert(r((s, 3L)) == ((5L, 0.25)), s"hot cell sub $s: ${r((s, 3L))}")
+      assert(r((s, 6L)) == ((2L, 0.1)), s"tie cell sub $s: ${r((s, 6L))}")
+      assert(r((s, 7L)) == ((0L, 0.0)), s"dead cell sub $s: ${r((s, 7L))}")
+      assert(r((s, 0L)) == ((1L, 0.05)))
+    }
+  }
+
   test("annRecallBitq reads exactly 1.0 when cand covers the corpus") {
     import spark.implicits._
     // cand = corpus size ⇒ the Hamming prescreen drops nothing and the
