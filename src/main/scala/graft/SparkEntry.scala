@@ -1301,6 +1301,13 @@ object SparkEntry {
       Vectors.annIvfPq(Tables.load(s, dir, "embeddings"), 5, 10)
         .orderBy(col("q_id"), col("rank"))),
 
+    // the FUSED gate: recall of the shipped IVF-PQ composition — the
+    // per-family gates measure each approximation alone, but cell and
+    // ADC misses don't multiply independently, so the production config
+    // carries its own measured recall
+    "emb_ann_ivfpq_recall" -> ((s, dir) =>
+      Vectors.annRecallIvfPq(Tables.load(s, dir, "embeddings"), 5, 10)),
+
     // the IVF SERVING path under an exact oracle: zero Lloyd rounds means
     // the quantizer is the deterministic lowest-id seed vectors, so DuckDB
     // replays assignment + nProbe probe ranking + exact re-rank
@@ -4548,6 +4555,84 @@ object SparkEntry {
          |       CAST(adc_us AS DOUBLE) / 1000000.0 + 0 AS adc_dist,
          |       ${Q6("cos")} AS cos_sim
          |FROM f WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // Mirrors Vectors.annRecallIvfPq: the emb_ann_ivfpq CTE chain
+    // verbatim through the fused ranking `f`, the exact-top-k pair CTE
+    // (xp/exr), and the shared hit sums.
+    "emb_ann_ivfpq_recall" -> {
+      val sseQ = "list_sum(list_transform(generate_series(1, 8), " +
+        "i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+      s"""WITH e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
+         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |aa AS (SELECT e.vec_id, c.cell
+         |      FROM e, cc c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |iq AS (SELECT e.vec_id AS q_id, c.cell
+         |       FROM e, cc c WHERE e.vec_id < 5
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id - 5 AS INT) AS code, svec AS cvec
+         |       FROM sv WHERE vec_id >= 5 AND vec_id < 21),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub) WHERE v.vec_id >= 5),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id AS n_id, sub, code FROM r WHERE rn = 1),
+         |nc AS (SELECT codes.n_id, codes.sub, codes.code, aa.cell
+         |       FROM codes JOIN aa ON aa.vec_id = codes.n_id),
+         |qd AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+         |         ${US6(sseQ)} AS dist_us
+         |       FROM sv v JOIN cb c USING (sub) WHERE v.vec_id < 5),
+         |adc AS (SELECT qd.q_id, nc.n_id, sum(qd.dist_us) AS adc_us
+         |        FROM nc JOIN qd USING (sub, code)
+         |             JOIN iq ON iq.q_id = qd.q_id AND iq.cell = nc.cell
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_us, n_id) AS rn
+         |         FROM adc),
+         |x AS (SELECT c.q_id, c.n_id,
+         |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM cand c JOIN e q ON q.vec_id = c.q_id
+         |                  JOIN e n ON n.vec_id = c.n_id
+         |      WHERE c.rn <= 32),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rank
+         |      FROM x),
+         |xp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |       FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |        FROM xp),
+         |jx AS (SELECT x2.q_id, x2.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM (SELECT * FROM exr WHERE rank <= 10) x2
+         |       LEFT JOIN (SELECT q_id, n_id, rank FROM f WHERE rank <= 10) l
+         |         ON x2.q_id = l.q_id AND x2.n_id = l.n_id),
+         |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx)
+         |SELECT CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM h""".stripMargin
     },
 
     // Mirrors Vectors.annRecallPq: the emb_ann_pq CTE chain verbatim,

@@ -1136,6 +1136,25 @@ object Vectors {
       annPq(emb, nQueries, k, rerank = rerank), ks)
   }
 
+  /** The FUSED member — recall@k of the full IVF-PQ composition
+    * (annIvfPq: cell pruning × compressed-code ADC scan × exact
+    * re-rank) vs the exact top-k. The per-family gates measure each
+    * approximation alone; production serves the COMPOSITION, and its
+    * recall is not the product of the parts (a cell miss and an ADC
+    * miss can hit the same neighbor) — so the config that actually
+    * ships gets its own measured gate. Shared recallFrom join,
+    * audit-on-a-sample exact side on the bounded two-phase rank.
+    */
+  def annRecallIvfPq(emb: DataFrame, nQueries: Int, k: Int,
+                     ks: Seq[Int] = Seq(1, 5, 10),
+                     nCells: Int = 16, nProbe: Int = 4,
+                     rerank: Int = 32): DataFrame = {
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    recallFrom(annTopK(emb, nQueries, k),
+      annIvfPq(emb, nQueries, k, nCells, nProbe, rerank), ks)
+  }
+
   /** The BITQ member — recall@k of the sign-bit Hamming-prescreened path
     * (annBitq: two 32-bit sign words per vector, XOR+popcount prescreen,
     * exact re-rank of the top-`cand` survivors) vs the exact top-k. This

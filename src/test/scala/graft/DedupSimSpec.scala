@@ -941,6 +941,18 @@ class DedupSimSpec extends SparkSuite {
     assert(r(2) == ((6L, 64L, -1.0)))
   }
 
+  test("annRecallIvfPq reads exactly 1.0 when nothing is pruned") {
+    import spark.implicits._
+    // nProbe = nCells and rerank = corpus ⇒ neither stage drops a
+    // candidate, the fused path IS the exact top-k — recall must be 1.0
+    val e = Seq.tabulate(45)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annRecallIvfPq(e, 3, 5, Seq(1, 5),
+      nCells = 4, nProbe = 4, rerank = 42).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
   test("knnPurity counts same-label kNN edges per label") {
     import spark.implicits._
     def v(axis: Int, perturbAxis: Int, eps: Float) =
