@@ -549,7 +549,11 @@ class PlanShapeSpec extends SparkSuite {
     // rankPerQuery's local phase must rank within (id_a, slice) so the
     // final per-query rank sees ≤ k × #slices rows (the ts_topk_windows
     // recipe on the similarity axis).
-    for (q <- Seq("emb_ann_topk", "emb_ann_bitq", "emb_ann_recall")) {
+    // emb_ann_pq / emb_pq_rerank_curve joined the riders in round 11
+    // (the ADC rerank cut moved onto rankPerQuery); the bitq gate rides
+    // it on both sides (exact via annTopK, prescreen via annBitq)
+    for (q <- Seq("emb_ann_topk", "emb_ann_bitq", "emb_ann_recall",
+        "emb_ann_pq", "emb_pq_rerank_curve", "emb_ann_bitq_recall")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(plan.contains("windowspecdefinition(id_a#") && plan.contains(", slice#"),
         s"$q rank not two-phase (no (id_a, slice) local window):\n${plan.take(3000)}")
