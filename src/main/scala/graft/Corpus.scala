@@ -80,6 +80,39 @@ class Corpus(val docs: DataFrame) {
   /** Temperature-smoothed source mixture (p_i ∝ n_i^(1/2)). */
   def tokenMixture(stratumCol: String, totalBudget: Long): DataFrame =
     TF.tokenMixture(docs, stratumCol, totalBudget)
+  /** Per-source epoch planning under the sqrt-weighted budget. */
+  def tokenEpochs(stratumCol: String, totalBudget: Long): DataFrame =
+    TF.tokenEpochs(docs, stratumCol, totalBudget)
+  /** Mixture shares ∝ mass^τ for the quarter-power temperature grid. */
+  def temperature(stratumCol: String, totalBudget: Long): DataFrame =
+    TF.temperatureMixture(docs, stratumCol, totalBudget)
+
+  // ---- splits / eval integrity ----
+  def split(valFrac: Double, testFrac: Double): DataFrame =
+    TF.sampleSplit(docs, valFrac, testFrac)
+  /** Split drawn on near-dup clusters — co-splits duplicate groups. */
+  def splitClustered(valFrac: Double, testFrac: Double): DataFrame =
+    TF.sampleSplitClustered(docs, valFrac, testFrac)
+  def splitLeakage(valFrac: Double, testFrac: Double): DataFrame =
+    TF.splitLeakage(docs, valFrac, testFrac)
+  def splitLeakageClustered(valFrac: Double, testFrac: Double): DataFrame =
+    TF.splitLeakageClustered(docs, valFrac, testFrac)
+
+  // ---- curation decisions ----
+  /** Per-doc keep/drop verdict with one audited drop reason. */
+  def verdict(minQuality: Double = 0.5): DataFrame =
+    TF.corpusVerdict(docs, minQuality)
+  /** Doc/token mass per curation stage — the "where did the corpus go" page. */
+  def funnel(minQuality: Double = 0.5): DataFrame =
+    TF.corpusFunnel(docs, minQuality)
+  /** Per-cluster survivor selection over a near-dup pair graph. */
+  def keepBest(pairs: DataFrame): DataFrame = Dedup.keepBest(docs, pairs)
+  /** Exact-substring span removal (first copy survives, later spans excised). */
+  def spanRemoval(n: Int = 8): DataFrame = Dedup.spanRemoval(docs, n)
+  /** Cross-source near-dup matrix (where a source's copies came from). */
+  def sourceOverlap(): DataFrame = Dedup.sourceOverlap(docs)
+  /** Gopher-style per-width repetition profile (top/dup n-gram fractions). */
+  def repProfile(): DataFrame = TF.repProfile(docs)
 }
 
 object Corpus {
@@ -127,6 +160,34 @@ class Embeddings(val emb: DataFrame) {
         Vectors.cosinePairsLshAuto(emb, tau).select(col("id_a"), col("id_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
+
+  // ---- serving paths (compression family) ----
+  def annPq(nQueries: Int, k: Int): DataFrame = Vectors.annPq(emb, nQueries, k)
+  def annBitq(nQueries: Int, k: Int): DataFrame = Vectors.annBitq(emb, nQueries, k)
+  /** The fused production config: cell pruning × ADC scan × exact re-rank. */
+  def annIvfPq(nQueries: Int, k: Int): DataFrame = Vectors.annIvfPq(emb, nQueries, k)
+
+  // ---- acceptance gates (recall@k vs exact, one per serving family) ----
+  def recallLsh(nQueries: Int, k: Int): DataFrame = Vectors.annRecall(emb, nQueries, k)
+  def recallIvf(nQueries: Int, k: Int): DataFrame = Vectors.annRecallIvf(emb, nQueries, k)
+  def recallPq(nQueries: Int, k: Int): DataFrame = Vectors.annRecallPq(emb, nQueries, k)
+  def recallBitq(nQueries: Int, k: Int): DataFrame = Vectors.annRecallBitq(emb, nQueries, k)
+  def recallIvfPq(nQueries: Int, k: Int): DataFrame = Vectors.annRecallIvfPq(emb, nQueries, k)
+
+  // ---- tuning curves / balance audits ----
+  /** Recall at every probe depth from one candidate pass. */
+  def probeCurve(nQueries: Int, k: Int): DataFrame = Vectors.ivfProbeCurve(emb, nQueries, k)
+  /** Recall at every rerank depth from one ADC pass. */
+  def rerankCurve(nQueries: Int, k: Int): DataFrame = Vectors.pqRerankCurve(emb, nQueries, k)
+  def ivfBalance(nCells: Int = 16): DataFrame = Vectors.ivfBalance(emb, nCells)
+  def pqBalance(): DataFrame = Vectors.pqBalance(emb)
+  /** Truncation-energy fractions (the Matryoshka dim-vs-recall audit). */
+  def mrl(): DataFrame = Vectors.mrlAudit(emb)
+
+  // ---- label-quality probes (supervised-signal audits) ----
+  def labelCohesion(): DataFrame = Vectors.labelCohesion(emb)
+  /** Per-label fraction of kNN edges staying inside the label. */
+  def knnPurity(tau: Double, k: Int): DataFrame = Vectors.knnPurity(emb, tau, k)
 }
 
 object Embeddings {

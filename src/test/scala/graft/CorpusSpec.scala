@@ -213,12 +213,23 @@ class CorpusSpec extends SparkSuite {
     assert(c.shardNear().count() > 0)
     assert(c.tokenPack("source", 512L).count() == c.docs.count())
     assert(c.tokenMixture("source", 10000L).count() > 0)
+    assert(c.split(0.2, 0.1).count() == c.docs.count())
+    assert(c.splitClustered(0.2, 0.1).count() == c.docs.count())
+    assert(c.verdict().count() == c.docs.count())
+    assert(c.funnel().count() > 0)
+    assert(c.temperature("source", 10000L).count() > 0)
+    assert(c.repProfile().count() == c.docs.count())
     val e = Embeddings(Tables.load(spark, sfDir, "embeddings"))
     assert(e.norms().count() == e.emb.count())
     assert(e.centroidSim().count() == e.emb.count())
     assert(e.outliers().count() < e.emb.count())
     assert(e.clusters(0.4).count() == e.emb.count())
     assert(e.annTopK(5, 10).count() == 50)
+    assert(e.recallIvfPq(5, 10).count() == 1)
+    assert(e.probeCurve(5, 10).count() == 5)
+    assert(e.rerankCurve(5, 10).count() == 4)
+    assert(e.pqBalance().count() == 128)
+    assert(e.knnPurity(0.4, 3).count() > 0)
   }
 
   test("split assignment is stable under corpus growth and partitions everything") {
