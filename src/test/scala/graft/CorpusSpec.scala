@@ -310,6 +310,21 @@ class CorpusSpec extends SparkSuite {
       ("b", 1.0, 1L, 0.058824, 52L, 52.0)), r.toSeq)
   }
 
+  test("temperatureMixture at tau=0.5 reproduces tokenEpochs exactly") {
+    // the sqrt allocator is the τ=0.5 point of the temperature sweep —
+    // same weights, same order-fixed denominator, same floor arithmetic
+    val docs = Tables.load(spark, sfDir, "documents")
+    val eps = TF.tokenEpochs(docs, "source", 10000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getDouble(5)))
+    val tmp = TF.temperatureMixture(docs, "source", 10000L, Seq(0.5))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4), r.getLong(5),
+        r.getDouble(6)))
+    assert(eps.toSeq == tmp.toSeq)
+  }
+
   test("repProfile pins the three gram widths on planted repetition") {
     import spark.implicits._
     val d = Seq(
