@@ -1360,6 +1360,19 @@ object SparkEntry {
     "text_rep_profile" -> ((s, dir) =>
       TextFunctions.repProfile(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // C4-style blocklist policy stage: per-doc hit count/fraction and
+    // the any-hit flag, lexicon inlined into one codegen filter pass
+    "text_blocklist" -> ((s, dir) =>
+      TextFunctions.blocklist(Tables.load(s, dir, "documents"),
+          Seq("slow", "stale", "dup", "skew"))
+        .orderBy(col("doc_id"))),
+
+    // sliding-window chunker (32-word chunks, 8-word overlap): docs →
+    // fixed-context windows, tail unpadded; mm_chunks' text sibling
+    "text_chunk" -> ((s, dir) =>
+      TextFunctions.chunk(Tables.load(s, dir, "documents"), 32, 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "sample_stratified" -> ((s, dir) =>
       TextFunctions.sampleStratified(Tables.load(s, dir, "documents"), "source", 0.3)
         .orderBy(col("doc_id"))),
@@ -5242,6 +5255,34 @@ object SparkEntry {
          |       CAST(max(c) AS BIGINT) AS top_count,
          |       ${Q6("CAST(max(c) AS DOUBLE) / sum(c)")} AS rep_ratio
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.blocklist with the registered lexicon.
+    "text_blocklist" ->
+      s"""WITH b AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(len(list_filter(w, x -> x IN ('slow', 'stale', 'dup', 'skew'))) AS BIGINT) AS n_flagged
+         |      FROM b)
+         |SELECT doc_id, n_words, n_flagged,
+         |       ${Q6("CAST(n_flagged AS DOUBLE) / n_words")} AS flagged_frac,
+         |       n_flagged > 0 AS flagged
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.chunk at (32, 8): stride 24, per-doc chunk
+    // grid exploded, inclusive-slice windows, unpadded tail.
+    "text_chunk" ->
+      s"""WITH b AS (SELECT doc_id, string_split($NORM_TEXT_SQL, ' ') AS w FROM documents),
+         |n AS (SELECT doc_id, w,
+         |        CASE WHEN len(w) <= 32 THEN 1
+         |             ELSE 1 + (len(w) - 32 + 23) // 24 END AS nc
+         |      FROM b),
+         |c AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, nc - 1)) AS chunk_idx
+         |      FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_word,
+         |       CAST(least(32, len(w) - (chunk_idx * 24 + 1) + 1) AS BIGINT) AS n_words,
+         |       array_to_string(w[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Mirrors TextFunctions.repProfile: the three gram widths from one
     // values-table cross join, per-(doc, n, gram) counts, per-(doc, n)

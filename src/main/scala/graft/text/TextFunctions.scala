@@ -801,6 +801,69 @@ object TextFunctions {
         graft.Quant.q6(col("top_count").cast("double") / col("n_2grams")).as("rep_ratio"))
   }
 
+  /** Blocklist filter — the C4-style policy stage (Raffel 2020 §2.2
+    * dropped any page containing a "List of Dirty, Naughty …" word):
+    * per document, the count and position fraction of words in the
+    * blocklist, plus the any-hit flag C4's rule cuts on. Kept separate
+    * from the statistical quality score because it is a POLICY signal —
+    * the lexicon changes per deployment (profanity, PII keywords,
+    * boilerplate markers) while the decision shape stays fixed.
+    *
+    * Scale shape: one narrow codegen pass (the lexicon inlines into the
+    * filter lambda — broadcast-free for the list sizes policy lists
+    * have), no shuffle anywhere; at 100 TB this is a map-only stage
+    * whose cost is the scan itself.
+    */
+  def blocklist(docs: DataFrame, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty && words == words.distinct,
+      s"blocklist must be non-empty and duplicate-free: $words")
+    require(words.forall(_.matches("[a-z0-9]+")),
+      s"blocklist words must be normalized [a-z0-9]+ tokens: $words")
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    withBase(docs).select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr(s"size(filter(w, x -> x IN ($inList)))").cast("long").as("n_flagged"))
+      .withColumn("flagged_frac",
+        graft.Quant.q6(col("n_flagged").cast("double") / col("n_words")))
+      .withColumn("flagged", col("n_flagged") > 0L)
+  }
+
+  /** Sliding-window chunker — the step between a curated corpus and a
+    * fixed-context consumer (pretraining windows, RAG passages,
+    * embedding inputs): each document splits into chunks of `chunkWords`
+    * words advancing by `chunkWords - overlapWords`, the last chunk
+    * keeping the tail unpadded (never dropped, never empty). Overlap is
+    * the standard continuity device so no boundary-spanning phrase is
+    * lost to every chunk. mm_chunks is this operator's byte-side
+    * sibling; corpus_pack is the complement (packs docs INTO windows,
+    * this splits docs OVER them).
+    *
+    * Scale shape: one narrow pass — per-doc explode of a bounded index
+    * range, array slices of the already-split word array, NO shuffle at
+    * any point (output order is irrelevant downstream; a consumer
+    * wanting stable shards feeds this into corpus_pack/byteShard). Row
+    * growth is ~n/stride per doc — linear in corpus size.
+    */
+  def chunk(docs: DataFrame, chunkWords: Int, overlapWords: Int): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      s"need 0 <= overlap < chunk, got chunk=$chunkWords overlap=$overlapWords")
+    val stride = chunkWords - overlapWords
+    withBase(docs)
+      .withColumn("nc",
+        when(size(col("w")) <= chunkWords, lit(1))
+          .otherwise(expr(
+            s"1 + (size(w) - $chunkWords + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_idx"))
+      .withColumn("start_word", (col("chunk_idx") * stride + 1).cast("long"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_word"),
+        least(lit(chunkWords).cast("long"),
+          size(col("w")).cast("long") - col("start_word") + 1L).as("n_words"),
+        expr(s"concat_ws(' ', slice(w, int(start_word), $chunkWords))")
+          .as("chunk_text"))
+  }
+
   /** Gopher-style within-document repetition PROFILE (Rae 2021 Table A1
     * — the repetition filters a quality pipeline ships next to the
     * single-signal `repetition` top-bigram ratio): per document and per

@@ -310,6 +310,46 @@ class CorpusSpec extends SparkSuite {
       ("b", 1.0, 1L, 0.058824, 52L, 52.0)), r.toSeq)
   }
 
+  test("blocklist counts hits exactly and flags any-hit docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "slow query slow"),            // 2 of 3 flagged
+      (2L, "fast clean scan"),            // clean
+      (3L, "dup"))                        // single flagged word
+      .toDF("doc_id", "text")
+    val r = TF.blocklist(d, Seq("slow", "dup")).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 2L, 0.666667, true),
+      (2L, 3L, 0L, 0.0, false),
+      (3L, 1L, 1L, 1.0, true)), r.toSeq)
+  }
+
+  test("chunk slides fixed windows with overlap, tail unpadded") {
+    import spark.implicits._
+    val words80 = (1 to 80).map(i => s"w$i")
+    val d = Seq(
+      (1L, words80.mkString(" ")),
+      (2L, "a b c d e"))                  // shorter than one chunk
+      .toDF("doc_id", "text")
+    val r = TF.chunk(d, 10, 2).orderBy("doc_id", "chunk_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))
+    // 80 words at size 10 / stride 8: 1 + ceil(70/8) = 10 chunks
+    val d1 = r.filter(_._1 == 1L)
+    assert(d1.length == 10, s"${d1.length} chunks")
+    assert(d1.head == ((1L, 0L, 1L, 10L, words80.take(10).mkString(" "))))
+    assert(d1(1)._3 == 9L)                // overlap 2 ⇒ next start = 9
+    // last chunk starts at 73 and keeps the 8-word tail unpadded
+    assert(d1.last == ((1L, 9L, 73L, 8L, words80.drop(72).mkString(" "))))
+    // short doc: exactly one whole-doc chunk
+    assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 5L, "a b c d e")))
+    // every word position is covered by at least one chunk
+    assert(d1.map(c => (c._3, c._3 + c._4 - 1)).sliding(2)
+      .forall(p => p(1)._1 <= p(0)._2 + 1))
+  }
+
   test("temperatureMixture at tau=0.5 reproduces tokenEpochs exactly") {
     // the sqrt allocator is the τ=0.5 point of the temperature sweep —
     // same weights, same order-fixed denominator, same floor arithmetic
