@@ -39,12 +39,23 @@ object Bench {
       queries.values.foreach { q =>
         try q(spark, warmupDir).count() catch { case _: Throwable => () }
       }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A swallowed exception records near-ZERO time and masquerades as a
+    // fast query (caught in round 11: three 100×-run OOM casualties read
+    // 0.02 s and looked like wins) — so failures are LOUD on stderr and
+    // flagged in the per-query record; a failed sample never contributes
+    // a bogus steady minimum.
+    val failed = scala.collection.mutable.Set[String]()
+    def time(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200))
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    val first = queries.map { case (name, fn) => name -> time(fn) }
+    val first = queries.map { case (name, fn) => name -> time(name, fn) }
     // Steady-state re-measure: a single sample taken while the machine is
     // loaded (another build, GC, the driver's own oracle run) can read
     // 10-30× the query's real cost and make the suite total un-reviewable.
@@ -55,7 +66,7 @@ object Bench {
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
     val reps = first.collect {
       case (name, t) if median > 0 && t > 3 * median =>
-        name -> Seq.fill(2)(time(queries(name)))
+        name -> Seq.fill(2)(time(name, queries(name)))
     }
     val results = first.map { case (name, t) =>
       name -> (t, (t +: reps.getOrElse(name, Nil)).min)
@@ -63,11 +74,15 @@ object Bench {
     val totalFirst = results.values.map(_._1).sum
     val totalSteady = results.values.map(_._2).sum
     def fmt(d: Double) = f"$d%.3f"
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED " +
+        s"(their times are meaningless): ${failed.toSeq.sorted.mkString(", ")}")
     // Per-query record, TRACKED (committed each round): one query per
     // line so round-over-round diffs are reviewable from git alone.
     val perQuery = results.toSeq.sortBy(_._1).map { case (name, (f, s)) =>
       val rep = reps.get(name).map(r => r.map(fmt).mkString(",\"reps\":[", ",", "]")).getOrElse("")
-      s"""  "$name": {"first": ${fmt(f)}, "steady": ${fmt(s)}$rep}"""
+      val flag = if (failed(name)) ",\"failed\":true" else ""
+      s"""  "$name": {"first": ${fmt(f)}, "steady": ${fmt(s)}$rep$flag}"""
     }.mkString("{\n\"sf\": \"" + sfDir + s"""\", "n": ${results.size}, """ +
       s""""total_first": ${fmt(totalFirst)}, "total_steady": ${fmt(totalSteady)},\n""" +
       "\"queries\": {\n", ",\n", "\n}}\n")

@@ -969,15 +969,23 @@ object TextFunctions {
     val toks = withBase(docs)
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     val v = corpusVerdict(docs, minQuality).join(toks, Seq("doc_id"))
-    val tot = v.agg(count(lit(1)).as("t_docs"), sum(col("n_tokens")).as("t_tokens"))
     val stage = when(col("verdict") === "exact_dup", 1L)
       .when(col("verdict") === "near_dup", 2L)
       .when(col("verdict") === "pii", 3L)
       .when(col("verdict") === "low_quality", 4L)
       .otherwise(5L)
+    // totals re-aggregate the ≤5-row grouped frame through a bounded
+    // window rather than a second scan of `v` — a separate agg(v) would
+    // RECOMPUTE the whole verdict chain (pair graph included), doubling
+    // the funnel's cost (caught at 100×: 43.6 s vs verdict's 10.4 s);
+    // exact long sums make the totals identical either way
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     v.groupBy(col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .crossJoin(broadcast(tot))
+      .withColumn("t_docs", sum(col("n_docs")).over(wAll))
+      .withColumn("t_tokens", sum(col("n_tokens")).over(wAll))
       .select(stage.as("stage"), col("verdict"), col("n_docs"), col("n_tokens"),
         graft.Quant.q6(col("n_docs").cast("double") / col("t_docs")).as("doc_frac"),
         graft.Quant.q6(col("n_tokens").cast("double") / col("t_tokens")).as("token_frac"))
