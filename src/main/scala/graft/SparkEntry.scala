@@ -964,6 +964,13 @@ object SparkEntry {
       Dedup.simhashAudit(Tables.load(s, dir, "documents"), 3, 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // pigeonhole bucket-load audit: per signature chunk, bucket counts,
+    // hottest bucket, and Σ C(load,2) — the candidate-pair mass a
+    // simhash pair join would feed verify, priced BEFORE paying it
+    "dedup_simhash_load" -> ((s, dir) =>
+      Dedup.simhashLoad(Tables.load(s, dir, "documents"))
+        .orderBy(col("chunk"))),
+
     "dedup_shared_ngram" -> ((s, dir) =>
       Dedup.sharedNgramPairs(Tables.load(s, dir, "documents"), 20)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1649,6 +1656,15 @@ object SparkEntry {
           graft.mm.Multimodal.syntheticAssets(s,
             Tables.rebalance(Tables.load(s, dir, "documents"))))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // the perceptual-side bucket-load audit — the table that prices a
+    // phash pair join's candidate mass before launching it (the 100×
+    // stub-phash saturation reads directly off cand_pairs here)
+    "mm_phash_load" -> ((s, dir) =>
+      graft.mm.Multimodal.phashLoad(
+          graft.mm.Multimodal.syntheticAssets(s,
+            Tables.rebalance(Tables.load(s, dir, "documents"))))
+        .orderBy(col("chunk"))),
 
     // visual near-dup clusters: the SAME connected-components operator as
     // text/embedding dedup over the perceptual-hash pair graph — every
@@ -3870,6 +3886,24 @@ object SparkEntry {
          |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Mirrors Dedup.simhashLoad: the simhash signature CTE, 16-bit chunk
+    // values via shift+mask (identical bit patterns to the engine's
+    // masked arithmetic shift), per-bucket loads, per-chunk rollup.
+    "dedup_simhash_load" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM d),
+         |h AS (SELECT doc_id, md5_number_lower(word) AS h FROM w),
+         |sig AS (SELECT doc_id, $SIMHASH_SIG_SQL AS sig FROM h GROUP BY doc_id),
+         |ck AS (SELECT doc_id, c.c AS ci, (sig >> (c.c * 16)) & 65535 AS cv
+         |       FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |l AS (SELECT ci, cv, count(*) AS load FROM ck GROUP BY 1, 2)
+         |SELECT CAST(ci AS BIGINT) AS chunk,
+         |       CAST(sum(load) AS BIGINT) AS n_items,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(load) AS BIGINT) AS max_load,
+         |       CAST(sum(load * (load - 1) // 2) AS BIGINT) AS cand_pairs
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // mirrors Dedup.simhashAudit: the simhash pair CTE joined to exact
     // trigram Jaccard; docs with < 3 words carry NULL shingle sets and
     // score NULL (the pair row itself is kept)
@@ -6036,6 +6070,33 @@ object SparkEntry {
          |      FROM p)
          |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Multimodal.phashLoad: the mm_phash signature CTEs, chunk
+    // values as boolean-slice strings (slice equality ≡ the engine's
+    // masked chunk equality — same bit order, position d = bin d),
+    // per-bucket loads, per-chunk rollup.
+    "mm_phash_load" ->
+      s"""WITH b AS (SELECT doc_id,
+         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
+         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
+         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
+         |             length(text) - 1 AS total
+         |           FROM documents WHERE length(text) >= 2),
+         |s AS (SELECT doc_id,
+         |        list_transform(generate_series(0, 63),
+         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
+         |      FROM b),
+         |ck AS (SELECT doc_id, c.c AS ci,
+         |              array_to_string(list_transform(bits[c.c * 16 + 1 : c.c * 16 + 16],
+         |                x -> CASE WHEN x THEN '1' ELSE '0' END), '') AS cv
+         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |l AS (SELECT ci, cv, count(*) AS load FROM ck GROUP BY 1, 2)
+         |SELECT CAST(ci AS BIGINT) AS chunk,
+         |       CAST(sum(load) AS BIGINT) AS n_items,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(load) AS BIGINT) AS max_load,
+         |       CAST(sum(load * (load - 1) // 2) AS BIGINT) AS cand_pairs
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mirrors Multimodal.phashAudit: the mm_phash pair CTEs + the exact
     // md5 fingerprint equality verdict per pair.

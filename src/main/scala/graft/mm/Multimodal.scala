@@ -231,6 +231,17 @@ object Multimodal {
         sum(col("copies")).as("n_chunks"))
   }
 
+  /** hammingLoad over the perceptual signatures mm_phash serves from —
+    * the table that would have priced the round-11 56.6M-pair stub-phash
+    * saturation before the pair join paid it (see Dedup.hammingLoad).
+    */
+  def phashLoad(assets: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    graft.text.Dedup.hammingLoad(
+      assets.toDF().select(col("asset_id").as("doc_id"),
+          graft.plans.TextHashes.phashSig(col("payload").cast("string")).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming)
+
   /** Byte-budget shard manifest — the WebDataset-style builder that turns
     * a binary-asset table into training shards: per kind, assets line up
     * in the deterministic md5(asset_id) order (stable across runs,

@@ -656,6 +656,45 @@ object Dedup {
     * 1.0 by construction per signature family; precision restored by the
     * exact bit_count(xor) filter.
     */
+  /** Pigeonhole bucket-load audit — the saturation EARLY-WARNING read
+    * before a pigeonhole pair join is launched at a new corpus size: per
+    * signature chunk, the item count, distinct-bucket count, hottest
+    * bucket, and Σ C(load, 2) — the exact candidate-pair mass that chunk
+    * will feed the verify stage. The pair list a pigeonhole join emits
+    * is inherently quadratic in bucket load (chunk space is fixed at
+    * 2^(64/(h+1)) buckets, so load — and with it candidate mass — grows
+    * with corpus density); this table prices that BEFORE paying it
+    * (round-11 case study: the stub phash at 500k assets reads 56.6M
+    * verified pairs — this audit's cand_pairs column says so for the
+    * cost of one aggregation). Cost: the signature pass plus two keyed
+    * map-side-partial aggregations; no join anywhere.
+    */
+  private[graft] def hammingLoad(signed: DataFrame, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val chunks = (0 until nChunks).map { c =>
+      struct(lit(c).as("ci"),
+        expr(s"(sig >> ${c * chunkBits}) & ${(1L << chunkBits) - 1}").as("cv"))
+    }
+    signed.select(col("doc_id"), explode(array(chunks: _*)).as("ck"))
+      .groupBy(col("ck.ci").as("chunk"), col("ck.cv").as("cv"))
+      .agg(count(lit(1)).as("load"))
+      .groupBy(col("chunk"))
+      .agg(sum(col("load")).as("n_items"),
+        count(lit(1)).as("n_buckets"),
+        max(col("load")).as("max_load"),
+        sum(expr("load * (load - 1) div 2")).as("cand_pairs"))
+      .select(col("chunk").cast("long").as("chunk"), col("n_items"),
+        col("n_buckets"), col("max_load"), col("cand_pairs"))
+  }
+
+  /** hammingLoad over the SimHash signatures dedup_simhash serves from. */
+  def simhashLoad(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingLoad(TextFunctions.withBase(docs)
+      .select(col("doc_id"), TextHashes.simhashSig(col("norm")).as("sig"))
+      .filter(col("sig").isNotNull),
+      maxHamming)
+
   private[graft] def hammingPairs(signed: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
