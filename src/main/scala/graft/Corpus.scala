@@ -50,6 +50,9 @@ class Corpus(val docs: DataFrame) {
     Dedup.minhashPairs(docs, n, numHashes, bandRows, tau)
   def simhashPairs(maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(docs, maxHamming)
+  /** Bucket-load audit: the candidate mass simhashPairs would cost. */
+  def simhashLoad(maxHamming: Int = 3): DataFrame =
+    Dedup.simhashLoad(docs, maxHamming)
   def ngramJaccardPairs(n: Int, tau: Double): DataFrame =
     Dedup.ngramJaccardPairs(docs, n, tau)
   def sharedNgramPairs(n: Int = 20): DataFrame = Dedup.sharedNgramPairs(docs, n)
