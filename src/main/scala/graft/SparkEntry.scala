@@ -1122,6 +1122,14 @@ object SparkEntry {
       Vectors.cosinePairsLshAuto(Tables.load(s, dir, "embeddings"), 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the embedding-side bucket-load audit: per LSH table, live buckets,
+    // hottest bucket, and Σ C(load,2) — prices the pair generator's
+    // candidate mass (and checks autoBits actually bounded occupancy)
+    // for the cost of one aggregation
+    "emb_lsh_load" -> ((s, dir) =>
+      Vectors.lshLoad(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("tbl"))),
+
     // dedup-threshold tuning: near-dup pair counts at τ ∈ {.8,.9,.95,.99}
     // from ONE pass of the LSH pair graph (base filter raw cos ≥ 0.8;
     // higher cuts applied to the quantized similarity, mirrored in SQL)
@@ -4295,6 +4303,19 @@ object SparkEntry {
          |      FROM sym)
          |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_sim
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // Mirrors Vectors.lshLoad: the shared LSH bucket CTEs (bk — the
+    // unreferenced pair CTEs in the constant are never executed), then
+    // per-bucket loads and the per-table rollup.
+    "emb_lsh_load" ->
+      s"""WITH $LSH_PAIR_CTES,
+         |l AS (SELECT tbl, bucket, count(*) AS load FROM bk GROUP BY 1, 2)
+         |SELECT CAST(tbl AS BIGINT) AS tbl,
+         |       CAST(sum(load) AS BIGINT) AS n_items,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(load) AS BIGINT) AS max_load,
+         |       CAST(sum(load * (load - 1) // 2) AS BIGINT) AS cand_pairs
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mirrors Vectors.knnPurity: the emb_knn CTE chain (LSH pair graph,
     // symmetrized, per-vector rank ≤ 3), then label joins and a

@@ -677,6 +677,34 @@ object Vectors {
     cosinePairsLsh(emb, tau, nTables, autoBits(n, targetOccupancy), dim)
   }
 
+  /** LSH bucket-load audit — the embedding-side member of the
+    * price-before-you-pay family (Dedup.hammingLoad's hyperplane
+    * sibling): per hash table, live-bucket count, hottest bucket, and
+    * Σ C(load, 2) — the exact-bucket candidate mass a cosinePairsLshAuto
+    * run will feed the verify stage (the 1-bit multiprobe multiplies it
+    * by ≤ bitsPerTable + 1; autoBits keeps expected occupancy bounded,
+    * and THIS table is the check that it actually did — hyperplane LSH
+    * buckets skew when the corpus is anisotropic, which emb_pca
+    * measures and this audit prices). One bucket pass + two keyed
+    * map-side-partial aggregations; no join anywhere.
+    */
+  def lshLoad(emb: DataFrame, nTables: Int = 16, targetOccupancy: Long = 32L,
+              dim: Int = 64): DataFrame = {
+    val n = emb.agg(count(lit(1))).head.getLong(0)
+    val b = autoBits(n, targetOccupancy)
+    emb.select(col("vec_id"),
+        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, b, dim))
+          .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("load"))
+      .groupBy(col("tbl"))
+      .agg(sum(col("load")).as("n_items"),
+        count(lit(1)).as("n_buckets"),
+        max(col("load")).as("max_load"),
+        sum(expr("load * (load - 1) div 2")).as("cand_pairs"))
+      .select(col("tbl").cast("long").as("tbl"), col("n_items"),
+        col("n_buckets"), col("max_load"), col("cand_pairs"))
+  }
+
   /** Cross-corpus cosine near-dup pairs via LSH buckets — the SEMANTIC
     * contamination detector (the embedding-space member of the
     * contamination triad: verbatim 8-gram, trigram-Jaccard, and this):

@@ -941,6 +941,18 @@ class DedupSimSpec extends SparkSuite {
     assert(r(2) == ((6L, 64L, -1.0)))
   }
 
+  test("lshLoad prices the exact-bucket candidate mass per table") {
+    import spark.implicits._
+    // four identical vectors land in the same bucket of every table:
+    // 16 rows, each 1 bucket of load 4 = C(4,2) = 6 candidates
+    val v = Seq.tabulate(64)(d => math.sin(d + 1.0).toFloat)
+    val e = Seq.tabulate(4)(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val r = Vectors.lshLoad(e).orderBy("tbl").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq == (0L to 15L).map(t => (t, 4L, 1L, 4L, 6L)), r.toSeq)
+  }
+
   test("simhashLoad prices the pigeonhole candidate mass exactly") {
     import spark.implicits._
     // four identical docs share every signature chunk: each of the four

@@ -563,7 +563,7 @@ class PlanShapeSpec extends SparkSuite {
   test("bucket-load audits are pure aggregation plans: no join of any kind") {
     // the operators' whole point is pricing a pair join WITHOUT running
     // one — a join sneaking into these plans would defeat them
-    for (q <- Seq("dedup_simhash_load", "mm_phash_load")) {
+    for (q <- Seq("dedup_simhash_load", "mm_phash_load", "emb_lsh_load")) {
       val plan = physical(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("Join"),
         s"$q plan contains a join:\n${plan.take(3000)}")
