@@ -186,6 +186,8 @@ class Embeddings(val emb: DataFrame) {
   def pqBalance(): DataFrame = Vectors.pqBalance(emb)
   /** Truncation-energy fractions (the Matryoshka dim-vs-recall audit). */
   def mrl(): DataFrame = Vectors.mrlAudit(emb)
+  /** Bucket-load audit: the candidate mass the LSH pair graph would cost. */
+  def lshLoad(): DataFrame = Vectors.lshLoad(emb)
 
   // ---- label-quality probes (supervised-signal audits) ----
   def labelCohesion(): DataFrame = Vectors.labelCohesion(emb)
