@@ -41,19 +41,24 @@ object Bench {
       }
     // A swallowed exception records near-ZERO time and masquerades as a
     // fast query (caught in round 11: three 100×-run OOM casualties read
-    // 0.02 s and looked like wins) — so failures are LOUD on stderr and
-    // flagged in the per-query record; a failed sample never contributes
-    // a bogus steady minimum.
+    // 0.02 s and looked like wins) — so failures are LOUD on stderr,
+    // flagged in the per-query record, and the sample itself is NaN:
+    // excluded from the steady min, from both suite totals, and from the
+    // rep-selection median, so a fast failure can never contaminate any
+    // aggregate number.
     val failed = scala.collection.mutable.Set[String]()
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(200))
+        Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val first = queries.map { case (name, fn) => name -> time(name, fn) }
     // Steady-state re-measure: a single sample taken while the machine is
@@ -62,48 +67,87 @@ object Bench {
     // Any query whose first sample exceeds 3× the suite median gets two
     // more reps; `steady` (the min over all samples) is the number to
     // trend round-over-round, `first` records what the cold sweep saw.
-    val sorted = first.values.toSeq.sorted
+    val sorted = first.values.filterNot(_.isNaN).toSeq.sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
     val reps = first.collect {
-      case (name, t) if median > 0 && t > 3 * median =>
+      case (name, t) if !t.isNaN && median > 0 && t > 3 * median =>
         name -> Seq.fill(2)(time(name, queries(name)))
     }
+    // steady = min over the NON-FAILED samples; a query with no good
+    // sample stays NaN and is dropped from both totals below.
     val results = first.map { case (name, t) =>
-      name -> (t, (t +: reps.getOrElse(name, Nil)).min)
+      val good = (t +: reps.getOrElse(name, Nil)).filterNot(_.isNaN)
+      name -> (t, if (good.isEmpty) Double.NaN else good.min)
     }
-    val totalFirst = results.values.map(_._1).sum
-    val totalSteady = results.values.map(_._2).sum
-    def fmt(d: Double) = f"$d%.3f"
+    // Opt-in full-column action (SPARK_GRAFT_FULLCOL=1): count() lets
+    // Catalyst prune every column the action doesn't reference, so the
+    // narrow per-doc text queries bench their key path only (SURVEY
+    // §7f). xxhash64 over ALL output columns forces the full row to
+    // materialize through the whole plan; min of 2 samples recorded as
+    // "full" next to the key-path steady. The driver never sets the
+    // env, so round benches stay key-path and comparable.
+    val fullCol = sys.env.get("SPARK_GRAFT_FULLCOL").contains("1")
+    def timeFull(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FULLCOL FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200))
+        Double.NaN
+      }
+    }
+    val fulls: Map[String, Double] =
+      if (!fullCol) Map.empty
+      else queries.map { case (n, f) =>
+        val good = Seq.fill(2)(timeFull(n, f)).filterNot(_.isNaN)
+        n -> (if (good.isEmpty) Double.NaN else good.min)
+      }
+    val totalFirst = results.values.map(_._1).filterNot(_.isNaN).sum
+    val totalSteady = results.values.map(_._2).filterNot(_.isNaN).sum
+    def fmt(d: Double) = if (d.isNaN) "null" else f"$d%.3f"
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED " +
-        s"(their times are meaningless): ${failed.toSeq.sorted.mkString(", ")}")
+        s"(their samples were excluded): ${failed.toSeq.sorted.mkString(", ")}")
     // Per-query record, TRACKED (committed each round): one query per
     // line so round-over-round diffs are reviewable from git alone.
     val perQuery = results.toSeq.sortBy(_._1).map { case (name, (f, s)) =>
       val rep = reps.get(name).map(r => r.map(fmt).mkString(",\"reps\":[", ",", "]")).getOrElse("")
+      val full = fulls.get(name).map(v => s""","full": ${fmt(v)}""").getOrElse("")
       val flag = if (failed(name)) ",\"failed\":true" else ""
-      s"""  "$name": {"first": ${fmt(f)}, "steady": ${fmt(s)}$rep$flag}"""
+      s"""  "$name": {"first": ${fmt(f)}, "steady": ${fmt(s)}$full$rep$flag}"""
     }.mkString("{\n\"sf\": \"" + sfDir + s"""\", "n": ${results.size}, """ +
       s""""total_first": ${fmt(totalFirst)}, "total_steady": ${fmt(totalSteady)},\n""" +
       "\"queries\": {\n", ",\n", "\n}}\n")
-    // subset runs must not clobber the tracked full-suite record
+    // subset and full-column runs must not clobber the tracked
+    // full-suite key-path record
     val perQueryPath =
-      if (only.isDefined) "BENCH_queries_subset.json" else "BENCH_queries.json"
+      if (fullCol) "BENCH_queries_fullcol.json"
+      else if (only.isDefined) "BENCH_queries_subset.json"
+      else "BENCH_queries.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryPath), perQuery)
     // STEADY is the headline metric: `first` mixes in one-shot planning/
     // IO and whatever load the machine was under during the cold sweep
     // (r10: 505.8 s first vs 217.3 s steady over the same queries) —
     // steady (min over samples) is the number that trends round-over-
     // round; first stays as a diagnostic field.
-    val qs = results.map { case (k, (_, st)) => s"\"" + k + "\":" + st }
-      .mkString("{", ",", "}")
-    val json = s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","first":$totalFirst,"queries":$qs,"sf":"$sfDir"}"""
+    val qs = results.map { case (k, (_, st)) =>
+      s"\"" + k + "\":" + (if (st.isNaN) "null" else st.toString)
+    }.mkString("{", ",", "}")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","first":$totalFirst,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query map only goes to the file: with 100+ queries the
     // single giant JSON line has exceeded every console tail capture to
     // date (rounds 1-6 all parsed null). Stdout gets ONE short
-    // machine-parseable line, printed LAST.
+    // machine-parseable line, printed LAST — failure count included so a
+    // contaminated total can never read clean from the summary alone.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    println(s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","n":${results.size},"first":$totalFirst,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","n":${results.size},"n_failed":${failed.size},"first":$totalFirst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -183,7 +183,8 @@ class Embeddings(val emb: DataFrame) {
   /** Recall at every rerank depth from one ADC pass. */
   def rerankCurve(nQueries: Int, k: Int): DataFrame = Vectors.pqRerankCurve(emb, nQueries, k)
   def ivfBalance(nCells: Int = 16): DataFrame = Vectors.ivfBalance(emb, nCells)
-  def pqBalance(): DataFrame = Vectors.pqBalance(emb)
+  /** nQueries > 0 audits the corpus-side codebook the serving path uses. */
+  def pqBalance(nQueries: Int = 0): DataFrame = Vectors.pqBalance(emb, nQueries)
   /** Truncation-energy fractions (the Matryoshka dim-vs-recall audit). */
   def mrl(): DataFrame = Vectors.mrlAudit(emb)
   /** Bucket-load audit: the candidate mass the LSH pair graph would cost. */

@@ -1286,9 +1286,11 @@ object SparkEntry {
     // PQ code-usage balance, emb_ivf_balance's compressed-code sibling:
     // per (sub, code) assignment count + share, dead cells included —
     // names WHICH subspace's codebook to retrain when the recall
-    // curves sag
+    // curves sag. nQueries = 5 so the audited codebook IS the corpus-
+    // side one emb_ann_pq_recall / emb_pq_rerank_curve serve from
+    // (query vectors excluded from seeds and counts alike).
     "emb_pq_balance" -> ((s, dir) =>
-      Vectors.pqBalance(Tables.load(s, dir, "embeddings"))
+      Vectors.pqBalance(Tables.load(s, dir, "embeddings"), 5)
         .orderBy(col("sub"), col("code"))),
 
     // product-quantization audit: 8×16 seed codebook (the served-IVF
@@ -5063,17 +5065,19 @@ object SparkEntry {
          |FROM hh ORDER BY rerank""".stripMargin
     },
 
-    // Mirrors Vectors.pqBalance: seed codebook over the WHOLE table (16
-    // lowest vec_ids, densely coded in id order), full-corpus argmin
+    // Mirrors Vectors.pqBalance(nQueries = 5): CORPUS-side seed codebook
+    // (16 lowest corpus vec_ids ≥ 5, densely coded in id order — the
+    // exact codebook emb_ann_pq_recall serves from), corpus-only argmin
     // assignment, per-cell counts grid-joined against the codebook's own
-    // cells so zero-usage cells surface, 1-row total.
+    // cells so zero-usage cells surface, 1-row corpus total.
     "emb_pq_balance" ->
       s"""WITH sv AS (SELECT vec_id, j.s AS sub,
          |              list_transform(generate_series(1, 8),
          |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
-         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |            FROM (SELECT * FROM embeddings WHERE vec_id >= 5) emb5,
+         |                 (SELECT unnest(generate_series(0, 7)) AS s) j),
          |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-         |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |          FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)),
          |cb AS (SELECT v.sub, s.code, v.svec AS cvec
          |       FROM sv v JOIN seeds s USING (vec_id)),
          |d AS (SELECT v.vec_id, v.sub, c.code,
@@ -5084,7 +5088,7 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
          |      FROM d),
          |cnt AS (SELECT sub, code, count(*) AS n FROM r WHERE rn = 1 GROUP BY 1, 2),
-         |tot AS (SELECT count(*) AS total FROM embeddings)
+         |tot AS (SELECT count(*) AS total FROM embeddings WHERE vec_id >= 5)
          |SELECT CAST(g.sub AS BIGINT) AS sub, CAST(g.code AS BIGINT) AS code,
          |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
          |       ${Q6("CAST(coalesce(cnt.n, 0) AS DOUBLE) / total")} AS share
@@ -6059,58 +6063,28 @@ object SparkEntry {
          |SELECT asset_id, kind, fp, asset_id <> keep_id AS is_dup, keep_id
          |FROM k ORDER BY asset_id""".stripMargin,
 
-    // Mirrors Multimodal.phashPairs: per asset a 64-bin code-point-bigram
-    // histogram (bin = (cp1*31 + cp2) mod 64) sign-quantized against the
-    // asset's own mean bin load (64*hist[d] > #bigrams), then near-dup
-    // pairs at Hamming <= 3. The oracle keeps the bits as a boolean list
-    // (no 64-bit packing needed): its pigeonhole chunks are list slices —
-    // chunk ALIGNMENT need not match the engine, only recall 1.0 within
-    // each engine matters, and the exact hamming filter decides
-    // membership identically on both sides.
+    // Mirrors Multimodal.phashPairs: the shared 6-gram md5-SimHash
+    // signature CTEs (PHASH_SIG_CTES — bit-identical to the engine's
+    // PhashSig), then near-dup pairs at Hamming <= 3. Pairs are
+    // brute-forced here (the quadratic is oracle-only — the engine uses
+    // the pigeonhole chunk join, which has recall 1.0 at this bound, so
+    // the exact hamming filter decides membership identically).
     "mm_phash" ->
-      s"""WITH b AS (SELECT doc_id,
-         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
-         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
-         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
-         |             length(text) - 1 AS total
-         |           FROM documents WHERE length(text) >= 2),
-         |s AS (SELECT doc_id,
-         |        list_transform(generate_series(0, 63),
-         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
-         |      FROM b),
-         |ck AS (SELECT doc_id, bits, c.c AS ci,
-         |              bits[c.c * 16 + 1 : c.c * 16 + 16] AS cv
-         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
-         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |             a.bits AS ba, b2.bits AS bb
-         |      FROM ck a JOIN ck b2 ON a.ci = b2.ci AND a.cv = b2.cv
-         |        AND a.doc_id < b2.doc_id),
-         |h AS (SELECT DISTINCT id_a, id_b,
-         |        CAST(len(list_filter(generate_series(1, 64),
-         |          i -> ba[CAST(i AS INT)] <> bb[CAST(i AS INT)])) AS BIGINT) AS hamming
-         |      FROM p)
-         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
+      s"""WITH $PHASH_SIG_CTES,
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |      FROM psig a JOIN psig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // Mirrors Multimodal.phashLoad: the mm_phash signature CTEs, chunk
-    // values as boolean-slice strings (slice equality ≡ the engine's
-    // masked chunk equality — same bit order, position d = bin d),
-    // per-bucket loads, per-chunk rollup.
+    // Mirrors Multimodal.phashLoad: the shared 6-gram md5-SimHash
+    // signature CTEs, 16-bit chunk values via shift+mask (identical bit
+    // patterns to the engine's masked arithmetic shift), per-bucket
+    // loads, per-chunk rollup — the dedup_simhash_load shape.
     "mm_phash_load" ->
-      s"""WITH b AS (SELECT doc_id,
-         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
-         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
-         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
-         |             length(text) - 1 AS total
-         |           FROM documents WHERE length(text) >= 2),
-         |s AS (SELECT doc_id,
-         |        list_transform(generate_series(0, 63),
-         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
-         |      FROM b),
-         |ck AS (SELECT doc_id, c.c AS ci,
-         |              array_to_string(list_transform(bits[c.c * 16 + 1 : c.c * 16 + 16],
-         |                x -> CASE WHEN x THEN '1' ELSE '0' END), '') AS cv
-         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
+      s"""WITH $PHASH_SIG_CTES,
+         |ck AS (SELECT doc_id, c.c AS ci, (sig >> (c.c * 16)) & 65535 AS cv
+         |       FROM psig, (SELECT unnest(generate_series(0, 3)) AS c) c),
          |l AS (SELECT ci, cv, count(*) AS load FROM ck GROUP BY 1, 2)
          |SELECT CAST(ci AS BIGINT) AS chunk,
          |       CAST(sum(load) AS BIGINT) AS n_items,
@@ -6122,27 +6096,10 @@ object SparkEntry {
     // Mirrors Multimodal.phashAudit: the mm_phash pair CTEs + the exact
     // md5 fingerprint equality verdict per pair.
     "mm_phash_audit" ->
-      s"""WITH b AS (SELECT doc_id,
-         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
-         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
-         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
-         |             length(text) - 1 AS total
-         |           FROM documents WHERE length(text) >= 2),
-         |s AS (SELECT doc_id,
-         |        list_transform(generate_series(0, 63),
-         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
-         |      FROM b),
-         |ck AS (SELECT doc_id, bits, c.c AS ci,
-         |              bits[c.c * 16 + 1 : c.c * 16 + 16] AS cv
-         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
-         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |             a.bits AS ba, b2.bits AS bb
-         |      FROM ck a JOIN ck b2 ON a.ci = b2.ci AND a.cv = b2.cv
-         |        AND a.doc_id < b2.doc_id),
-         |h AS (SELECT DISTINCT id_a, id_b,
-         |        CAST(len(list_filter(generate_series(1, 64),
-         |          i -> ba[CAST(i AS INT)] <> bb[CAST(i AS INT)])) AS BIGINT) AS hamming
-         |      FROM p),
+      s"""WITH $PHASH_SIG_CTES,
+         |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |      FROM psig a JOIN psig b ON a.doc_id < b.doc_id),
          |f AS (SELECT doc_id, md5(text) AS fp FROM documents)
          |SELECT h.id_a, h.id_b, h.hamming, fa.fp = fb.fp AS byte_identical
          |FROM h JOIN f fa ON fa.doc_id = h.id_a JOIN f fb ON fb.doc_id = h.id_b
@@ -6153,27 +6110,10 @@ object SparkEntry {
     // left join over the full asset universe
     "mm_dedup_clusters" ->
       s"""WITH RECURSIVE
-         |b AS (SELECT doc_id,
-         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
-         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
-         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
-         |             length(text) - 1 AS total
-         |           FROM documents WHERE length(text) >= 2),
-         |s AS (SELECT doc_id,
-         |        list_transform(generate_series(0, 63),
-         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
-         |      FROM b),
-         |ck AS (SELECT doc_id, bits, c.c AS ci,
-         |              bits[c.c * 16 + 1 : c.c * 16 + 16] AS cv
-         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
-         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |             a.bits AS ba, b2.bits AS bb
-         |      FROM ck a JOIN ck b2 ON a.ci = b2.ci AND a.cv = b2.cv
-         |        AND a.doc_id < b2.doc_id),
-         |h AS (SELECT DISTINCT id_a, id_b,
-         |        CAST(len(list_filter(generate_series(1, 64),
-         |          i -> ba[CAST(i AS INT)] <> bb[CAST(i AS INT)])) AS BIGINT) AS hamming
-         |      FROM p),
+         |$PHASH_SIG_CTES,
+         |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |      FROM psig a JOIN psig b ON a.doc_id < b.doc_id),
          |e AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
          |sym AS (SELECT id_a AS src, id_b AS dst FROM e
          |        UNION ALL SELECT id_b, id_a FROM e),
@@ -6192,27 +6132,10 @@ object SparkEntry {
     // (ties → lowest asset_id).
     "mm_keep_best" ->
       s"""WITH RECURSIVE
-         |b AS (SELECT doc_id,
-         |             list_transform(generate_series(1, CAST(length(text) - 1 AS BIGINT)),
-         |               i -> (ord(substr(text, CAST(i AS INT), 1)) * 31 +
-         |                     ord(substr(text, CAST(i AS INT) + 1, 1))) % 64) AS bins,
-         |             length(text) - 1 AS total
-         |           FROM documents WHERE length(text) >= 2),
-         |s AS (SELECT doc_id,
-         |        list_transform(generate_series(0, 63),
-         |          dd -> 64 * len(list_filter(bins, x -> x = dd)) > total) AS bits
-         |      FROM b),
-         |ck AS (SELECT doc_id, bits, c.c AS ci,
-         |              bits[c.c * 16 + 1 : c.c * 16 + 16] AS cv
-         |       FROM s, (SELECT unnest(generate_series(0, 3)) AS c) c),
-         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |             a.bits AS ba, b2.bits AS bb
-         |      FROM ck a JOIN ck b2 ON a.ci = b2.ci AND a.cv = b2.cv
-         |        AND a.doc_id < b2.doc_id),
-         |h AS (SELECT DISTINCT id_a, id_b,
-         |        CAST(len(list_filter(generate_series(1, 64),
-         |          i -> ba[CAST(i AS INT)] <> bb[CAST(i AS INT)])) AS BIGINT) AS hamming
-         |      FROM p),
+         |$PHASH_SIG_CTES,
+         |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |      FROM psig a JOIN psig b ON a.doc_id < b.doc_id),
          |e AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
          |sym AS (SELECT id_a AS src, id_b AS dst FROM e
          |        UNION ALL SELECT id_b, id_a FROM e),
@@ -6402,6 +6325,23 @@ object SparkEntry {
     s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
       s"THEN $mask::UBIGINT ELSE 0::UBIGINT END)"
   }.mkString("(", " | ", ")")
+
+  /** Perceptual-hash signature CTEs — mirrors graft.plans.TextHashes.phash
+    * bit for bit: one row per 6-code-point gram position of the decoded
+    * payload (= the document text under the stub decode), per-gram hash =
+    * md5_number_lower of the gram (the same value md5Lower64 computes over
+    * the gram's byte slice), then the shared SIMHASH_SIG aggregate (±1
+    * vote per bit per gram OCCURRENCE — multiset semantics). Payloads
+    * under 6 code points carry no gram and drop out, matching the
+    * engine's null-signature filter. Yields `psig(doc_id, sig)`.
+    */
+  private val PHASH_SIG_CTES =
+    s"""pw AS (SELECT doc_id, text,
+       |         unnest(generate_series(1, CAST(length(text) - 5 AS BIGINT))) AS i
+       |       FROM documents WHERE length(text) >= 6),
+       |ph AS (SELECT doc_id, md5_number_lower(substr(text, CAST(i AS INT), 6)) AS h
+       |       FROM pw),
+       |psig AS (SELECT doc_id, $SIMHASH_SIG_SQL AS sig FROM ph GROUP BY doc_id)""".stripMargin
 
   /** Index-ordered double dot product — mirrors graft.sim.Vectors.dotExpr
     * term-for-term so cosines are bit-identical across engines.

@@ -113,13 +113,17 @@ object Multimodal {
     * dedupAssets names: a recompressed/retouched asset hashes differently
     * byte-wise but lands within a few bits perceptually. Pipeline: decode
     * (stub: utf-8 → code points; a real deployment swaps in pixels/DCT),
-    * 64-bin bigram-histogram features sign-quantized against the asset's
-    * own mean bin load (graft.plans.PhashSig — one codegen'd pass, exact
-    * integer arithmetic the oracle replays), then the SAME pigeonhole
-    * Hamming join as text SimHash (Dedup.hammingPairs): equality-join on
-    * signature chunks, never all-pairs, exact bit_count(xor) verification.
-    * Featureless payloads (< 2 code points) are excluded — their null
-    * hash would otherwise cluster unrelated empty assets.
+    * a 64-bit signature = md5-seeded random projection of the payload's
+    * 6-gram histogram, sign-quantized (graft.plans.PhashSig — one
+    * codegen'd pass, exact integer arithmetic the oracle replays; see
+    * TextHashes.phash for why the feature is 6-gram: the narrower
+    * round-≤11 bigram histogram saturated same-vocabulary corpora,
+    * 12.5B candidate pairs at 100× vs 60.3M now), then the SAME
+    * pigeonhole Hamming join as text SimHash (Dedup.hammingPairs):
+    * equality-join on signature chunks, never all-pairs, exact
+    * bit_count(xor) verification. Featureless payloads (< 6 code points)
+    * are excluded — their null hash would otherwise cluster unrelated
+    * near-empty assets.
     */
   def phashPairs(assets: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
     val signed = assets.toDF()

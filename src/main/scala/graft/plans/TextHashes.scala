@@ -160,35 +160,82 @@ object TextHashes {
     sig
   }
 
-  /** 64-bit perceptual hash of a DECODED payload (string stand-in): the
-    * code-point-bigram histogram over 64 bins (bin = (cp1·31 + cp2) mod
-    * 64), sign-quantized against the payload's own mean bin load — bit d
-    * is 1 iff 64·hist[d] > #bigrams. This is the classic pHash shape
-    * (feature vector → self-median sign bits) with the container's stub
-    * decode; a real deployment swaps the feature stage (DCT coefficients,
-    * embedding dims), not the quantizer or the join. All-integer
-    * arithmetic, so DuckDB replays the bits verbatim. Null under 2 code
-    * points (no bigrams).
+  /** Gram width of the perceptual hash: 6 code points. Chosen by
+    * MEASURED bucket entropy, not guesswork — the signature saturates
+    * whenever the realized n-gram vocabulary is smaller than the
+    * per-document gram count (the histogram's common-mode drift then
+    * outvotes per-document deviations on every bit). On the 100×
+    * synthetic corpus (500k docs, ~450 chars, ~30-word vocabulary):
+    * n=2 → 114 realized grams (ΣC(load,2) saturates at 12.5B candidate
+    * pairs), n=4 → ~1k grams (9.3M at 50k docs), n=6 → ~45k grams and
+    * ΣC(load,2) = 60.3M at 500k docs — within 1.33× of the word-level
+    * SimHash table (45.5M) on the same corpus, i.e. the perceptual
+    * family prices like the text family instead of 280× worse.
+    */
+  private final val PHASH_GRAM = 6
+
+  /** 64-bit perceptual hash of a DECODED payload (string stand-in):
+    * frequency-weighted SimHash over 6-code-point grams — per gram
+    * occurrence, the lower 64 MD5 bits of its byte slice (md5Lower64,
+    * the engine-portable hash) vote ±1 per signature bit; bit j is 1 iff
+    * the sum is positive. Equivalently: a sign-quantized md5-seeded
+    * random projection of the payload's full 6-gram histogram (each
+    * distinct gram's weight vector w(g) ∈ {±1}^64 is bit j of md5(g),
+    * applied with multiplicity) — the LshBuckets recipe on the n-gram
+    * feature space. This replaces the round-≤11 64-bin bigram histogram
+    * with self-mean quantizer, whose 64-dim feature collapsed
+    * same-vocabulary corpora into a handful of buckets (measured:
+    * ΣC(load,2) ≈ 12.5B candidates at 100×, vs 60.3M for this feature —
+    * see PHASH_GRAM). A real deployment swaps the feature stage (DCT
+    * coefficients, embedding dims), not the quantizer or the join.
+    * All-integer arithmetic over md5 — DuckDB replays the bits verbatim
+    * (md5_number_lower + the shared SIMHASH_SIG aggregate). Null under
+    * 6 code points (no grams).
     */
   def phash(decoded: UTF8String): java.lang.Long = {
     if (decoded == null) return null
-    val s = decoded.toString
-    val hist = new Array[Int](64)
-    var total = 0
+    val n = decoded.numBytes()
+    val base = decoded.getBaseObject
+    val off = decoded.getBaseOffset
+    // code-point boundaries: UTF-8 lead bytes are anything but 10xxxxxx,
+    // so a raw byte scan finds them without decoding (same trick as
+    // wordOffsets; a boundary index maps gram i to byte slice
+    // [bounds(i), bounds(i+PHASH_GRAM)))
+    var cp = 0
     var i = 0
-    var prev = -1
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      i += Character.charCount(cp)
-      if (prev >= 0) { hist((prev * 31 + cp) % 64) += 1; total += 1 }
-      prev = cp
+    while (i < n) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xC0) != 0x80) cp += 1
+      i += 1
     }
-    if (total == 0) return null
+    if (cp < PHASH_GRAM) return null
+    val bounds = new Array[Int](cp + 1)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xC0) != 0x80) {
+        bounds(w) = i; w += 1
+      }
+      i += 1
+    }
+    bounds(cp) = n
+    val counts = new Array[Int](64)
+    var s = 0
+    while (s <= cp - PHASH_GRAM) {
+      val a = bounds(s)
+      val b = bounds(s + PHASH_GRAM)
+      val h = md5Lower64(base, off + a, b - a)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      s += 1
+    }
     var sig = 0L
-    var d = 0
-    while (d < 64) {
-      if (64L * hist(d) > total) sig |= 1L << d
-      d += 1
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
     }
     java.lang.Long.valueOf(sig)
   }
@@ -334,8 +381,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 64-bit perceptual hash of a decoded-payload string column; null when
-  * the payload has fewer than two code points.
+/** 64-bit perceptual hash of a decoded-payload string column (6-gram
+  * md5-SimHash, see TextHashes.phash); null when the payload has fewer
+  * than six code points.
   */
 case class PhashSig(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -776,12 +776,16 @@ object Vectors {
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_sim")),
         struct(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_sim")))).as("e"))
-      .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
+      .select(col("e.vec_id").as("id_a"), col("e.nbr_id").as("nbr_id"),
         col("e.cos_sim").as("cos_sim"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id"))
-    sym.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+    // bounded two-phase cut (the shared rankPerQuery kernel): a hub
+    // vector's whole neighbor list must never funnel through one task's
+    // sort — the local phase ranks within (vec_id, slice), only ≤ k per
+    // slice survive to the global rank (same ordering both phases, so
+    // the cut is hash-identical to the naive single window)
+    rankPerQuery(sym, Seq(col("cos_sim").desc, col("nbr_id")), k)
+      .select(col("id_a").as("vec_id"), col("nbr_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
   /** Bounded two-phase per-query top-k — the ts_topk_windows recipe on
@@ -1354,17 +1358,27 @@ object Vectors {
     * underperforms: the curves say HOW MUCH recall is lost, this says
     * WHICH subspace's codebook to retrain.
     *
+    * `nQueries` splits the table the way the serving path
+    * (pqAdcDistances) does: vec_id < nQueries are query vectors and are
+    * excluded from BOTH the seed codebook and the assignment counts, so
+    * the audited codebook is bit-identical to the one
+    * emb_ann_pq_recall / emb_pq_rerank_curve actually serve from
+    * (corpus seeds nQueries..nQueries+kCodes−1, codes 0..kCodes−1 in id
+    * order). nQueries = 0 audits a whole-table codebook (the pqAudit
+    * convention).
+    *
     * Scale shape: one assignment pass (broadcast codebook, map-side-
     * partial argmin — the shared pqAssign kernel), an m·kCodes-bounded
     * count, a grid left-join against the codebook's own cells (so
     * zero-usage cells surface), and a 1-row broadcast total.
     */
-  def pqBalance(emb: DataFrame, m: Int = 8, kCodes: Int = 16,
+  def pqBalance(emb: DataFrame, nQueries: Int = 0, m: Int = 8, kCodes: Int = 16,
                 vecCol: String = "embedding"): DataFrame = {
-    val cb = pqCodebook(emb, m, kCodes, vecCol)
-    val counts = pqAssign(emb, cb, m, vecCol)
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val cb = pqCodebook(corpus, m, kCodes, vecCol)
+    val counts = pqAssign(corpus, cb, m, vecCol)
       .groupBy(col("sub"), col("code")).agg(count(lit(1)).as("cnt"))
-    val total = emb.agg(count(lit(1)).as("total"))
+    val total = corpus.agg(count(lit(1)).as("total"))
     cb.select(col("sub"), col("code"))
       .join(counts, Seq("sub", "code"), "left")
       .withColumn("n_vecs", coalesce(col("cnt"), lit(0L)))

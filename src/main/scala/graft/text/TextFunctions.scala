@@ -664,8 +664,12 @@ object TextFunctions {
                          taus: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0)): DataFrame = {
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
     val grid = Set(0.25, 0.5, 0.75, 1.0)
-    require(taus.nonEmpty && taus == taus.sorted && taus.forall(grid),
-      s"taus must be ascending quarter powers from $grid: $taus")
+    // distinct is load-bearing, not cosmetic: duplicate taus land in the
+    // same tau window partition, double-counting every stratum weight in
+    // the cumulative-sum denominator — shares silently halve
+    require(taus.nonEmpty && taus == taus.sorted &&
+      taus.distinct.size == taus.size && taus.forall(grid),
+      s"taus must be strictly ascending quarter powers from $grid: $taus")
     def wgt(t: Double, x: Column): Column = t match {
       case 0.25 => sqrt(sqrt(x))
       case 0.5  => sqrt(x)

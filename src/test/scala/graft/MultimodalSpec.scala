@@ -108,14 +108,24 @@ class MultimodalSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"$pairs") // unrelated excluded
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"$pairs") // featureless excluded
     // engine signature == a direct driver-side replay of the quantizer
+    // (6-gram md5-SimHash: per gram occurrence, lower-64 md5 bits vote
+    // ±1 per signature bit; bit = sum > 0)
     val sig = crafted.toDF().filter($"asset_id" === 1)
       .select(graft.plans.TextHashes.phashSig($"payload".cast("string")).as("s"))
       .head().getLong(0)
-    val hist = new Array[Int](64); var total = 0
-    base.toCharArray.sliding(2).foreach { w =>
-      if (w.length == 2) { hist((w(0).toInt * 31 + w(1).toInt) % 64) += 1; total += 1 } }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    base.toCharArray.sliding(6).foreach { g =>
+      if (g.length == 6) {
+        val d = md.digest(new String(g).getBytes("UTF-8"))
+        var h = 0L
+        var i = 15
+        while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+        for (j <- 0 until 64) counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+      }
+    }
     var ref = 0L
-    for (d <- 0 until 64) if (64L * hist(d) > total) ref |= 1L << d
+    for (j <- 0 until 64) if (counts(j) > 0) ref |= 1L << j
     assert(sig == ref, s"engine $sig vs replay $ref")
   }
 
