@@ -32,18 +32,29 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     * kept as exact integer micro-units (graft.Quant.us6), so every level
     * of the hierarchy re-aggregates without float drift and rollup-served
     * means are bit-identical to direct aggregation.
+    *
+    * v_sum2_us extends the reference's statpoint (min, mean, max, count —
+    * qtree.go's node payload) with the exact SECOND moment (Σ of squared
+    * µ-units, DECIMAL — squares overflow longs, the ts_stddev rule).
+    * Σx² is associative like the others, so it merges exactly through
+    * every level, and it is what lets the volatility family
+    * (bollingerBands — rolling mean ± K·σ) serve from the hierarchy
+    * bit-identically instead of stopping at the mean-only detectors.
     */
-  private def bucketize(points: DataFrame, streamCols: Seq[String], pw: Int): DataFrame =
+  private def bucketize(points: DataFrame, streamCols: Seq[String], pw: Int): DataFrame = {
+    val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
     points.groupBy(streamCols.map(col)
         :+ shiftleft(shiftright(col("t_us"), pw), pw).as("w_start"): _*)
       .agg(
         min(col("value")).as("v_min"),
         max(col("value")).as("v_max"),
         sum(graft.Quant.us6(col("value"))).as("v_sum_us"),
+        sum(us * us).as("v_sum2_us"),
         count(lit(1)).as("v_count"))
+  }
 
   /** Merge a finer rollup level up to pointwidth pw — associative and
-    * exact for all four aggregates (integer sums, not float).
+    * exact for all five aggregates (integer sums, not float).
     */
   private def merge(finer: DataFrame, streamCols: Seq[String], pw: Int): DataFrame =
     finer.groupBy(streamCols.map(col)
@@ -52,6 +63,7 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
         min(col("v_min")).as("v_min"),
         max(col("v_max")).as("v_max"),
         sum(col("v_sum_us")).as("v_sum_us"),
+        sum(col("v_sum2_us")).cast("decimal(38,0)").as("v_sum2_us"),
         sum(col("v_count")).as("v_count"))
 
   /** Build (or rebuild) all levels, each from the previous — a single raw
@@ -268,6 +280,52 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     else TimeSeriesOps.changePointsOfWindowSums(
       windowSums(usable.max, streamCols, start, end, width), streamCols, k, minShiftUs)
   }
+
+  /** Bollinger bands served from the rollup hierarchy — the volatility
+    * envelope joins the rollup-served family because the levels carry
+    * the exact second moment (v_sum2_us, see bucketize): per-window
+    * (Σx, Σx², n) re-aggregate associatively from bucket partials into
+    * the raw path's exact integers, so roll_mean/band_lo/band_hi are
+    * bit-identical to TimeSeriesOps.bollingerBands over raw points at
+    * 2^-pw of the rows read. Same usability rule and raw fallback as
+    * peaks().
+    */
+  def band(raw: => DataFrame, streamCols: Seq[String], start: Long, end: Long,
+           width: Long, k: Int, nSigma: Double): DataFrame = {
+    val usable = pointwidths.filter(l =>
+      width % (1L << l) == 0 && (start & ((1L << l) - 1)) == 0L)
+    if (usable.isEmpty)
+      TimeSeriesOps.bollingerBands(raw, streamCols, start, end, width, k, nSigma)
+    else {
+      val completeEnd = start + ((end - start) / width) * width
+      val d = col("w_start") - start
+      val moments = level(usable.max)
+        .filter(col("w_start") >= start && col("w_start") < completeEnd)
+        .groupBy(streamCols.map(col)
+          :+ (lit(start) + d - pmod(d, lit(width))).as("w_win"): _*)
+        .agg(sum(col("v_sum_us")).as("s1"),
+          sum(col("v_sum2_us")).cast("decimal(38,0)").as("s2"),
+          sum(col("v_count")).as("n"))
+        .withColumnRenamed("w_win", "w_start")
+      TimeSeriesOps.bandOfWindowMoments(moments, streamCols, k, nSigma)
+    }
+  }
+
+  /** Burn rate never rollup-serves, and the reason is a different
+    * boundary than the quantile family's: n_bad is a PREDICATE
+    * aggregate — the count of points satisfying an arbitrary query-time
+    * condition — and no fixed set of per-bucket moments can answer an
+    * arbitrary predicate (min/max can only prove a bucket wholly good
+    * or wholly bad, not count a mixed one). A deployment that FIXES the
+    * predicate at ingest ("is_error") turns bad-count into a plain
+    * count rollup a level could carry; that is an ingest-schema
+    * decision, kept out here so every moment the hierarchy stores
+    * serves something bit-exactly.
+    */
+  def burnRate(raw: => DataFrame, streamCols: Seq[String], start: Long,
+               end: Long, widths: Seq[Long], badPred: Column,
+               slo: Double): DataFrame =
+    TimeSeriesOps.burnRate(raw, streamCols, start, end, widths, badPred, slo)
 
   /** The quantile family — boxplot quartiles, percentileWindows' type-7
     * quantiles — is where the qtree promise STOPS, and this pair of

@@ -2384,8 +2384,6 @@ object TimeSeriesOps {
   def bollingerBands(points: DataFrame, streamCols: Seq[String], start: Long,
                      end: Long, width: Long, k: Int, nSigma: Double,
                      version: Option[Long] = None): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
     val key = streamKey(streamCols)
     val completeEnd = start + ((end - start) / width) * width
     val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
@@ -2393,11 +2391,29 @@ object TimeSeriesOps {
       .filter(col("t_us") >= start && col("t_us") < completeEnd)
       .groupBy(key :+ widthBucket(start, width): _*)
       .agg(sum(us).as("s1"), sum(us * us).as("s2"), count(lit(1)).as("n"))
+    bandOfWindowMoments(base, streamCols, k, nSigma)
+  }
+
+  /** The band logic over a precomputed per-window moment frame
+    * (key..., w_start, s1 = Σµ-units, s2 = Σµ-units², n) — the
+    * peaksOfWindowSums contract extended with the exact second moment,
+    * shared by the raw path above and the rollup-served path
+    * (Rollup.band), whose level buckets re-sum to the SAME exact
+    * integers, so the two serve bit-identical rows. Inputs are
+    * normalized to DECIMAL(38,0) here so a long-typed feed (the rollup
+    * levels' v_sum_us) and the raw path's decimal sums assemble the
+    * variance numerator through the identical exact arithmetic.
+    */
+  private[ts] def bandOfWindowMoments(base: DataFrame, streamCols: Seq[String],
+                                      k: Int, nSigma: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    val key = streamKey(streamCols)
     val frame = Window.partitionBy(key: _*).orderBy(col("w_start"))
       .rowsBetween(-(k - 1).toLong, 0)
-    val rs1 = sum(col("s1")).over(frame)
-    val rs2 = sum(col("s2")).over(frame)
-    val rn = sum(col("n")).over(frame)
+    val rs1 = sum(col("s1").cast("decimal(38,0)")).over(frame)
+    val rs2 = sum(col("s2").cast("decimal(38,0)")).over(frame)
+    val rn = sum(col("n").cast("long")).over(frame)
     val bigD = rn * rs2 - rs1 * rs1
     val meanF = rs1.cast("double") / rn
     val stdF = sqrt(bigD.cast("double")) / rn

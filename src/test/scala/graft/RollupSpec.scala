@@ -221,6 +221,38 @@ class RollupSpec extends SparkSuite {
     sgRaw.zip(sgServed).foreach { case (d, r) => assert(d == r) }
   }
 
+  test("bollinger band served from a level equals the raw path; burn rate never serves") {
+    // the levels' exact second moment (v_sum2_us) re-sums to the raw
+    // path's per-window (Σx, Σx², n), so rolling mean AND stddev bands
+    // are bit-identical; burn rate's predicate aggregate has no moment
+    // form, so Rollup.burnRate must equal the raw path by delegation
+    val pts = Tables.points(spark, sfDir).cache()
+    val depth = 24
+    val start = (T0 >> depth) << depth
+    val w = 5120L << depth
+    val end = start + 28 * w
+    val ru = Rollup(spark, tmpDir("rollup_band"), Seq(24, 30))
+    ru.build(pts, STREAM)
+    val bdRaw = TimeSeriesOps.bollingerBands(pts, STREAM, start, end, w, 7, 2.0)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    val bdServed = ru.band(pts, STREAM, start, end, w, 7, 2.0)
+      .orderBy("user_id", "event_type", "w_start").collect()
+    assert(bdRaw.length == bdServed.length && bdRaw.nonEmpty, s"${bdRaw.length}")
+    bdRaw.zip(bdServed).foreach { case (d, r) => assert(d == r) }
+    // unaligned start → raw fallback, still correct
+    val fb = ru.band(pts, STREAM, start + 7, end, w, 7, 2.0).collect()
+    val fbRaw = TimeSeriesOps.bollingerBands(pts, STREAM, start + 7, end, w, 7, 2.0).collect()
+    assert(fb.toSet == fbRaw.toSet && fb.nonEmpty)
+    val brRaw = TimeSeriesOps.burnRate(pts, STREAM, start, end, Seq(w),
+        col("value") > 50.0, 0.99)
+      .orderBy("user_id", "event_type", "width_us", "w_start").collect()
+    val brServed = ru.burnRate(pts, STREAM, start, end, Seq(w),
+        col("value") > 50.0, 0.99)
+      .orderBy("user_id", "event_type", "width_us", "w_start").collect()
+    assert(brRaw.length == brServed.length && brRaw.nonEmpty)
+    brRaw.zip(brServed).foreach { case (d, r) => assert(d == r) }
+  }
+
   test("quantile family always serves from raw — the rollup boundary is explicit") {
     // a width/alignment that windows() WOULD happily level-serve: the
     // quantile methods must still read raw points, because order
