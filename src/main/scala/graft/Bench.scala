@@ -125,11 +125,13 @@ object Bench {
       s""""total_first": ${fmt(totalFirst)}, "total_steady": ${fmt(totalSteady)},\n""" +
       "\"queries\": {\n", ",\n", "\n}}\n")
     // subset and full-column runs must not clobber the tracked
-    // full-suite key-path record
-    val perQueryPath =
+    // full-suite key-path record; SPARK_GRAFT_BENCH_OUT overrides for
+    // campaigns at other scales (e.g. the 1000x record must not clobber
+    // the tracked 100x subset record)
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (fullCol) "BENCH_queries_fullcol.json"
       else if (only.isDefined) "BENCH_queries_subset.json"
-      else "BENCH_queries.json"
+      else "BENCH_queries.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryPath), perQuery)
     // STEADY is the headline metric: `first` mixes in one-shot planning/
     // IO and whatever load the machine was under during the cold sweep

@@ -18,13 +18,21 @@ import org.apache.spark.sql.functions._
   *    pair/kNN outputs scale with the corpus, not with copy count;
   *  - events: copy i offsets user_id — 10× the streams, same per-stream
   *    density, everything inside the queries' fixed time windows.
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [copies=10]
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [copies=10] [tables]
+  * An optional 4th arg (comma-separated table names) restricts which
+  * tables are replicated; the rest are copied at 1× so every Tables
+  * loader still resolves. This is what makes the 1000× decade runnable:
+  * the scale flagships read only documents/embeddings, and replicating
+  * lineitem 1000× would spend the disk/write budget on tables no
+  * flagship touches.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val scaled: String => Boolean =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -38,25 +46,28 @@ object ScaleUp {
     def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
-    def replicate(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until copies).map(i => copy(df, i)).reduce(_ union _)
+    // an unscaled table is copied 1× instead of replicated, and its copy
+    // transform (plus any probe the transform needs) is never evaluated
+    def replicateTo(name: String)(copy: (DataFrame, Int) => DataFrame): Unit =
+      if (scaled(name))
+        write((0 until copies).map(i => copy(tbl(name), i)).reduce(_ union _), name)
+      else write(tbl(name), name)
 
     // the per-copy stream offset must clear the source id space — a fixed
     // 10000 would silently alias copies onto existing streams at a source
     // SF with larger ids, corrupting per-stream density; derive it as a
     // power-of-ten ceiling of max(user_id) instead
-    val events = tbl("events")
-    val idStep = {
-      val mx = events.agg(max(col("user_id")).cast("long")).head.getLong(0)
+    lazy val idStep = {
+      val mx = tbl("events").agg(max(col("user_id")).cast("long")).head.getLong(0)
       var s = 10000L
       while (s <= mx) s *= 10
       s
     }
-    write(replicate(events) { (d, i) =>
+    replicateTo("events") { (d, i) =>
       d.withColumn("user_id", col("user_id") + i * idStep)
-    }, "events")
+    }
 
-    write(replicate(tbl("documents")) { (d, i) =>
+    replicateTo("documents") { (d, i) =>
       if (i == 0) d
       else d
         .withColumn("doc_id", col("doc_id") + i * 100000000L)
@@ -64,7 +75,7 @@ object ScaleUp {
           array_join(transform(split(col("text"), " "),
             w => concat(w, lit(s"q$i"))), " "))
         .withColumn("n_chars", length(col("text")))
-    }, "documents")
+    }
 
     // rotation alone stops distinguishing copies once copies > dim (i=64
     // would alias back to i=0 on a 64-lane vector, fabricating exact
@@ -72,13 +83,13 @@ object ScaleUp {
     // (i mod dim) with a per-copy hash-derived sign flip — both are
     // orthogonal transforms, so norms are preserved and cross-copy
     // cosines stay unstructured for any copy count
-    val embDim = tbl("embeddings")
+    lazy val embDim = tbl("embeddings")
       .selectExpr("size(embedding) d").limit(1).collect().headOption
       .map(_.getInt(0))
       .getOrElse(sys.error(
         s"$src/embeddings.parquet is empty — cannot derive the embedding " +
           "dim the rotation transform needs"))
-    write(replicate(tbl("embeddings")) { (d, i) =>
+    replicateTo("embeddings") { (d, i) =>
       if (i == 0) d
       else {
         val r = i % embDim
@@ -91,30 +102,30 @@ object ScaleUp {
             s"transform($rotSql, (x, l) -> " +
               s"CASE WHEN (hash($i, l) % 2) != 0 THEN -x ELSE x END)"))
       }
-    }, "embeddings")
+    }
 
-    write(replicate(tbl("lineitem")) { (d, i) =>
+    replicateTo("lineitem") { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + i * 10000000000L)
         .withColumn("l_partkey", col("l_partkey") + i * 1000000000L)
         .withColumn("l_suppkey", col("l_suppkey") + i * 100000000L)
-    }, "lineitem")
+    }
 
-    write(replicate(tbl("orders")) { (d, i) =>
+    replicateTo("orders") { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + i * 10000000000L)
         .withColumn("o_custkey", col("o_custkey") + i * 1000000000L)
-    }, "orders")
+    }
 
-    write(replicate(tbl("customer")) { (d, i) =>
+    replicateTo("customer") { (d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + i * 1000000000L)
-    }, "customer")
+    }
 
-    write(replicate(tbl("part")) { (d, i) =>
+    replicateTo("part") { (d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + i * 1000000000L)
-    }, "part")
+    }
 
-    write(replicate(tbl("supplier")) { (d, i) =>
+    replicateTo("supplier") { (d, i) =>
       d.withColumn("s_suppkey", col("s_suppkey") + i * 100000000L)
-    }, "supplier")
+    }
 
     write(tbl("nation"), "nation")
     write(tbl("region"), "region")
