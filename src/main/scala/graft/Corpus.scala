@@ -169,6 +169,11 @@ class Embeddings(val emb: DataFrame) {
   def annBitq(nQueries: Int, k: Int): DataFrame = Vectors.annBitq(emb, nQueries, k)
   /** The fused production config: cell pruning × ADC scan × exact re-rank. */
   def annIvfPq(nQueries: Int, k: Int): DataFrame = Vectors.annIvfPq(emb, nQueries, k)
+  /** Metadata-filtered serving: same-label top-k, filter pre-applied to
+    * the inverted lists (never post-filtered from a fixed-k probe).
+    */
+  def annFiltered(nQueries: Int, k: Int): DataFrame =
+    Vectors.annIvfFiltered(emb, nQueries, k)
 
   // ---- acceptance gates (recall@k vs exact, one per serving family) ----
   def recallLsh(nQueries: Int, k: Int): DataFrame = Vectors.annRecall(emb, nQueries, k)
@@ -176,6 +181,11 @@ class Embeddings(val emb: DataFrame) {
   def recallPq(nQueries: Int, k: Int): DataFrame = Vectors.annRecallPq(emb, nQueries, k)
   def recallBitq(nQueries: Int, k: Int): DataFrame = Vectors.annRecallBitq(emb, nQueries, k)
   def recallIvfPq(nQueries: Int, k: Int): DataFrame = Vectors.annRecallIvfPq(emb, nQueries, k)
+  /** The filtered gate: selective labels thin the probed cells, so the
+    * unfiltered gate's green does not transfer to a filtered serve.
+    */
+  def recallFiltered(nQueries: Int, k: Int): DataFrame =
+    Vectors.annRecallIvfFiltered(emb, nQueries, k)
 
   // ---- tuning curves / balance audits ----
   /** Recall at every probe depth from one candidate pass. */

@@ -1334,6 +1334,20 @@ object SparkEntry {
       Vectors.annIvf(Tables.load(s, dir, "embeddings"), 5, 10, lloydIters = 0)
         .orderBy(col("q_id"), col("rank"))),
 
+    // metadata-FILTERED serving: same-label top-k with the filter applied
+    // to the inverted lists (pre-filter), the production vector-search
+    // shape — candidates join on (cell, label), never post-filtered
+    "emb_ann_filtered" -> ((s, dir) =>
+      Vectors.annIvfFiltered(Tables.load(s, dir, "embeddings"), 5, 10, lloydIters = 0)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // the filtered acceptance gate: selective filters thin the probed
+    // cells, so the unfiltered gate's green does not transfer — this is
+    // the number that says whether nProbe must grow when a label
+    // predicate ships
+    "emb_ann_filtered_recall" -> ((s, dir) =>
+      Vectors.annRecallIvfFiltered(Tables.load(s, dir, "embeddings"), 5, 10)),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_tokens" -> ((s, dir) =>
       TextFunctions.tokenStats(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -5186,6 +5200,81 @@ object SparkEntry {
          |       FROM r)
          |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
          |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Vectors.annIvfFiltered: the emb_ann_ivf_served CTEs with
+    // label carried through assignment and probes, and the candidate
+    // join keyed on (cell, label) — the pre-filter, replayed exactly.
+    "emb_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label, $NORM_SQL AS nrm FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cell
+         |      FROM e, c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |p AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cell
+         |      FROM e, c WHERE e.vec_id < 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |r AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id, p.label,
+         |             ${DOT_SQL("p.embedding", "a.embedding")} / (p.nrm * a.nrm) AS cos
+         |      FROM p JOIN a ON p.cell = a.cell AND p.label = a.label),
+         |rk AS (SELECT q_id, n_id, label, cos,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM r)
+         |SELECT q_id, n_id, CAST(label AS BIGINT) AS label,
+         |       CAST(rank AS BIGINT) AS rank, ${Q6("cos")} AS cos_sim
+         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Vectors.annRecallIvfFiltered: the emb_ann_ivf_recall CTEs
+    // with the label equality on BOTH sides — exact pairs restricted to
+    // q.label = c.label, served candidates keyed on (cell, label).
+    "emb_ann_filtered_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label, $NORM_SQL AS nrm FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM e q JOIN e c
+         |        ON q.vec_id < 5 AND c.vec_id >= 5 AND q.label = c.label),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM p),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cell
+         |      FROM e, c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |iq AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cell
+         |       FROM e, c WHERE e.vec_id < 5
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |r AS (SELECT iq.vec_id AS q_id, a.vec_id AS n_id,
+         |             ${DOT_SQL("iq.embedding", "a.embedding")} / (iq.nrm * a.nrm) AS cos
+         |      FROM iq JOIN a ON iq.cell = a.cell AND iq.label = a.label),
+         |ivfr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM r),
+         |jx AS (SELECT x.q_id, x.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM (SELECT * FROM exr WHERE rank <= 10) x
+         |       LEFT JOIN (SELECT * FROM ivfr WHERE rank <= 10) l
+         |         ON x.q_id = l.q_id AND x.n_id = l.n_id),
+         |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
+         |             count(DISTINCT q_id) AS n_q
+         |      FROM jx)
+         |SELECT CAST(n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
+         |FROM h""".stripMargin,
 
     "text_tokens" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)

@@ -828,6 +828,27 @@ object Vectors {
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
+  /** Metadata-FILTERED brute-force top-k — the exact side of the filtered
+    * serving gate: for each query, the k nearest corpus vectors sharing
+    * the query's `label`. The label is a join KEY (not a post-filter), so
+    * the only pairs ever scored are the admissible ones; the query side
+    * still broadcasts and the rank rides the bounded two-phase cut.
+    */
+  def annTopKFiltered(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"), col("label"))
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("label")))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("label"))
+    rankPerQuery(q.join(corpus, Seq("label")).withColumn("cos", cosine),
+        Seq(col("cos").desc, col("id_b")), k)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        col("label").cast("long").as("label"),
+        col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
+
   // Hyperplane generation + caching live in graft.plans.LshBuckets (md5-
   // derived, reproducible across engines — the basis of the LSH oracle).
 
@@ -862,13 +883,17 @@ object Vectors {
 
   /** Nearest centroid by Euclidean distance = argmax(2·v·c − |c|²);
     * max(struct(score, cell)) is a deterministic argmax (ties → max cell).
+    * `carry` names metadata columns (e.g. the filter label) preserved
+    * through the assignment — per-vec_id constants, so first() is exact.
     */
-  private[sim] def assignTo(corpus: DataFrame, cents: DataFrame): DataFrame =
+  private[sim] def assignTo(corpus: DataFrame, cents: DataFrame,
+                            carry: Seq[String] = Nil): DataFrame =
     corpus.join(cents)
       .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+        (first(col("embedding")).as("embedding") +: first(col("nrm")).as("nrm") +:
+          carry.map(c => first(col(c)).as(c))): _*)
 
   /** The nProbe-cells + exact-cosine-rerank query tail shared by annIvf
     * and the persisted IvfIndex. `queries` carries (vec_id, embedding,
@@ -955,6 +980,59 @@ object Vectors {
     corpus.unpersist()
     ivfQuery(centDf(spark, cents), assigned,
       all.filter(col("vec_id") < nQueries), k, nProbe)
+  }
+
+  /** Metadata-FILTERED IVF ANN — the production vector-search shape
+    * (faiss's IDSelector / the "filtered search" problem): each query
+    * retrieves top-k only among corpus vectors sharing its `label`. The
+    * filter is applied to the INVERTED LISTS (pre-filter), never to the
+    * ranked output (post-filter): post-filtering a fixed-k unfiltered
+    * probe silently loses recall whenever the filter is selective —
+    * fewer than k admissible survivors remain — while the pre-filter
+    * keeps the full probed-cell admissible set in the rank. Spark-first
+    * that is one extra equi-join key: candidates join on (cell, label),
+    * so at deployment scale a label-partitioned assignment table turns
+    * the filter into partition pruning at the parquet scan and the
+    * shuffle carries only admissible candidates. Same deterministic
+    * quantizer contract as annIvf → fully oracle-replayable; recall at
+    * fixed nProbe is measured by annRecallIvfFiltered (selective filters
+    * thin the probed cells — the gate prices exactly that).
+    */
+  def annIvfFiltered(emb: DataFrame, nQueries: Int, k: Int,
+                     nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0,
+                     trainLimit: Long = 200000L): DataFrame = {
+    val spark = emb.sparkSession
+    val all = withNorm(emb)
+    val corpus = all.filter(col("vec_id") >= nQueries).cache()
+    val cents = trainCentroids(corpus, nCells, lloydIters, trainLimit)
+    val assigned = assignTo(corpus, centDf(spark, cents), carry = Seq("label"))
+    corpus.unpersist()
+    ivfQueryFiltered(centDf(spark, cents), assigned,
+      all.filter(col("vec_id") < nQueries), k, nProbe)
+  }
+
+  /** The filtered ivfQuery tail: probes carry the query's label, the
+    * candidate join keys on (cell, label), and the rank is the bounded
+    * two-phase rankPerQuery cut (exact wrt the probed admissible set).
+    */
+  private[sim] def ivfQueryFiltered(cents: DataFrame, assigned: DataFrame,
+                                    queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    val probes = broadcast(queries
+      .join(cents)
+      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("label"), col("cell")))
+    rankPerQuery(
+      probes.join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+          col("nrm").as("nb"), col("label"), col("cell")), Seq("cell", "label"))
+        .withColumn("cos", cosine),
+      Seq(col("cos").desc, col("id_b")), k)
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        col("label").cast("long").as("label"),
+        col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
 
   /** Fused IVF-PQ ANN — the faiss-standard composition (cell pruning ×
@@ -1152,6 +1230,24 @@ object Vectors {
       s"every cutoff must be in [1, $k]: $ks")
     recallFrom(annTopK(emb, nQueries, k),
       annIvf(emb, nQueries, k, nCells, nProbe, lloydIters = 0), ks)
+  }
+
+  /** The FILTERED member — recall@k of the pre-filtered IVF path
+    * (annIvfFiltered) vs the exact filtered top-k (annTopKFiltered). The
+    * filtered gate exists separately from annRecallIvf because a filter
+    * changes the recall geometry: probing the same nProbe cells yields
+    * FEWER admissible candidates (the filter thins each inverted list by
+    * its selectivity), so a config that gates green unfiltered can sag
+    * under a selective filter — this is the number that says whether
+    * nProbe must grow when the label predicate ships.
+    */
+  def annRecallIvfFiltered(emb: DataFrame, nQueries: Int, k: Int,
+                           ks: Seq[Int] = Seq(1, 5, 10),
+                           nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    recallFrom(annTopKFiltered(emb, nQueries, k),
+      annIvfFiltered(emb, nQueries, k, nCells, nProbe, lloydIters = 0), ks)
   }
 
   /** The PQ member — recall@k of the ADC-prescreened product-quantization

@@ -850,6 +850,44 @@ class DedupSimSpec extends SparkSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
   }
 
+  test("annIvfFiltered pre-filter finds admissible neighbors a post-filter would lose") {
+    import spark.implicits._
+    // query 0 has label 1; the corpus's nearest vectors to it are all
+    // label 0 (clones of the query), while the label-1 vectors are far
+    // (orthogonal-ish). An unfiltered top-3 is all label-0 — post-
+    // filtering it would return NOTHING — but the pre-filtered path must
+    // return exactly the three admissible label-1 vectors.
+    val q = Seq.tabulate(64)(d => if (d == 0) 1f else 0f)
+    val far = Seq.tabulate(64)(d => if (d == 1) 1f else 0f)
+    val near = (1L to 20L).map(i => (i, q, 0))           // label-0 clones
+    val admissible = (21L to 23L).map(i => (i, far, 1))  // label-1, far
+    val e = ((0L, q, 1) +: (near ++ admissible)).toDF("vec_id", "embedding", "label")
+    val unfiltered = Vectors.annIvf(e, 1, 3, nCells = 2, nProbe = 2, lloydIters = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(unfiltered.forall(_ <= 20L))                  // post-filter would lose all
+    val filtered = Vectors.annIvfFiltered(e, 1, 3, nCells = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(filtered.map(_._1).toSet == Set(21L, 22L, 23L))
+    assert(filtered.forall(_._2 == 1L))
+  }
+
+  test("annIvfFiltered with every cell probed equals the exact filtered top-k") {
+    import spark.implicits._
+    val e = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    assert(rows(Vectors.annIvfFiltered(e, 3, 5, nCells = 4, nProbe = 4)) ==
+      rows(Vectors.annTopKFiltered(e, 3, 5)))
+    val r = Vectors.annRecallIvfFiltered(e, 3, 5, Seq(1, 5), nCells = 4, nProbe = 4)
+      .collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
   test("fused annIvfPq with every cell probed equals annPq exactly") {
     import spark.implicits._
     // nProbe = nCells ⇒ cell pruning drops nothing, so the fused IVF-PQ
