@@ -813,9 +813,10 @@ object Vectors {
     * Shared by annTopK (and through it annRecall's exact side) and
     * annBitq's Hamming prescreen.
     */
-  private[sim] def rankPerQuery(df: DataFrame, ord: Seq[Column], k: Int): DataFrame = {
-    val local = Window.partitionBy(col("id_a"), col("slice")).orderBy(ord: _*)
-    val global = Window.partitionBy(col("id_a")).orderBy(ord: _*)
+  private[sim] def rankPerQuery(df: DataFrame, ord: Seq[Column], k: Int,
+                                key: String = "id_a"): DataFrame = {
+    val local = Window.partitionBy(col(key), col("slice")).orderBy(ord: _*)
+    val global = Window.partitionBy(col(key)).orderBy(ord: _*)
     df.withColumn("slice", spark_partition_id())
       .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= k)
       .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
@@ -920,13 +921,15 @@ object Vectors {
       .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na"), col("cell")))
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    probes
-      .join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb"), col("cell")), Seq("cell"))
-      .withColumn("cos", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // the probed-cell candidate frame is nProbe/nCells of the CORPUS per
+    // query in a handful of query groups — the few-giant-groups geometry
+    // the bounded two-phase cut exists for (at 10^9 vectors a plain
+    // per-query window funnels a quarter-billion rows through one task)
+    rankPerQuery(
+      probes.join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+          col("nrm").as("nb"), col("cell")), Seq("cell"))
+        .withColumn("cos", cosine),
+      Seq(col("cos").desc, col("id_b")), k)
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
         col("rank").cast("long").as("rank"), graft.Quant.q6(col("cos")).as("cos_sim"))
   }
@@ -959,9 +962,10 @@ object Vectors {
       .join(dt, Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("dist_us")).as("adc_us"))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_us"), col("n_id"))
-    val cand = adc.withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= rerank)
+    // ADC prescreen cut: the probed compressed-code frame is corpus-scale
+    // per query (nProbe/nCells of all codes) in nQueries groups — the
+    // bounded two-phase cut, same contract as pqAdcDistances' rerank cut
+    val cand = rankPerQuery(adc, Seq(col("adc_us"), col("n_id")), rerank, key = "q_id")
       .select(col("q_id"), col("n_id"), col("adc_us"))
     val qv = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("va"), col("nrm").as("na"))
