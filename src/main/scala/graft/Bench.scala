@@ -5,9 +5,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the thread count (right for the gate
+    // SFs), but scale campaigns override them UP: at 1000× a sorted group
+    // that fits 24-way at 100× spills at fixed parallelism — more
+    // partitions is exactly what a real cluster adds (the
+    // dedup_span_stats lesson; partitions are the knob, not the algo)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -47,6 +53,7 @@ object Bench {
     // rep-selection median, so a fast failure can never contaminate any
     // aggregate number.
     val failed = scala.collection.mutable.Set[String]()
+    val fullFailed = scala.collection.mutable.Set[String]()
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -96,7 +103,11 @@ object Bench {
         df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
-        failed += name
+        // the FULL-COLUMN set, not `failed`: a key-path-green query whose
+        // opt-in full-column sample died must stay distinguishable from a
+        // key-path failure in the per-query record and the counts —
+        // otherwise round-over-round diffs blame the wrong path
+        fullFailed += name
         System.err.println(s"[bench] $name FULLCOL FAILED: ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(200))
         Double.NaN
@@ -114,14 +125,23 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED " +
         s"(their samples were excluded): ${failed.toSeq.sorted.mkString(", ")}")
+    if (fullFailed.nonEmpty)
+      System.err.println(s"[bench] ${fullFailed.size} full-column samples FAILED " +
+        s"(key-path steady unaffected): ${fullFailed.toSeq.sorted.mkString(", ")}")
     // Per-query record, TRACKED (committed each round): one query per
     // line so round-over-round diffs are reviewable from git alone.
     val perQuery = results.toSeq.sortBy(_._1).map { case (name, (f, s)) =>
       val rep = reps.get(name).map(r => r.map(fmt).mkString(",\"reps\":[", ",", "]")).getOrElse("")
       val full = fulls.get(name).map(v => s""","full": ${fmt(v)}""").getOrElse("")
       val flag = if (failed(name)) ",\"failed\":true" else ""
-      s"""  "$name": {"first": ${fmt(f)}, "steady": ${fmt(s)}$full$rep$flag}"""
-    }.mkString("{\n\"sf\": \"" + sfDir + s"""\", "n": ${results.size}, """ +
+      val fflag = if (fullFailed(name)) ",\"full_failed\":true" else ""
+      s"""  "$name": {"first": ${fmt(f)}, "steady": ${fmt(s)}$full$rep$flag$fflag}"""
+    }.mkString("{\n\"sf\": \"" + sfDir + "\", \"provenance\": \"" +
+      // machine-state note (quiet/loaded, concurrent jobs, shuffle
+      // override) so round-over-round diffs know what they compare —
+      // the r12 lesson: a loaded-machine refresh polluted the trend line
+      sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "unspecified") +
+      s"""\", "shuffle_partitions": $shuffle, "n": ${results.size}, """ +
       s""""total_first": ${fmt(totalFirst)}, "total_steady": ${fmt(totalSteady)},\n""" +
       "\"queries\": {\n", ",\n", "\n}}\n")
     // subset and full-column runs must not clobber the tracked
@@ -142,7 +162,8 @@ object Bench {
       s"\"" + k + "\":" + (if (st.isNaN) "null" else st.toString)
     }.mkString("{", ",", "}")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","first":$totalFirst,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val fullFailedJson = fullFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","first":$totalFirst,"n_failed":${failed.size},"failed":$failedJson,"n_full_failed":${fullFailed.size},"full_failed":$fullFailedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query map only goes to the file: with 100+ queries the
     // single giant JSON line has exceeded every console tail capture to
     // date (rounds 1-6 all parsed null). Stdout gets ONE short

@@ -1336,15 +1336,19 @@ object SparkEntry {
 
     // metadata-FILTERED serving: same-label top-k with the filter applied
     // to the inverted lists (pre-filter), the production vector-search
-    // shape — candidates join on (cell, label), never post-filtered
+    // shape — candidates join on (cell, label), never post-filtered; the
+    // probe count self-scales with the filter's selectivity
+    // (adaptiveProbe: min(nCells, nProbe·|labels|) — the r12 gate read
+    // 0.30 @10 at a FIXED 4/16, exactly the thinned-inverted-list
+    // failure the adaptive rule closes)
     "emb_ann_filtered" -> ((s, dir) =>
       Vectors.annIvfFiltered(Tables.load(s, dir, "embeddings"), 5, 10, lloydIters = 0)
         .orderBy(col("q_id"), col("rank"))),
 
-    // the filtered acceptance gate: selective filters thin the probed
-    // cells, so the unfiltered gate's green does not transfer — this is
-    // the number that says whether nProbe must grow when a label
-    // predicate ships
+    // the filtered acceptance gate, now gating the ADAPTIVE config the
+    // line above actually ships (and with the honest denominator:
+    // Σ_q min(c, admissible_q) — a selective filter can leave a query
+    // fewer than c admissible vectors)
     "emb_ann_filtered_recall" -> ((s, dir) =>
       Vectors.annRecallIvfFiltered(Tables.load(s, dir, "embeddings"), 5, 10)),
 
@@ -5202,10 +5206,14 @@ object SparkEntry {
          |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // Mirrors Vectors.annIvfFiltered: the emb_ann_ivf_served CTEs with
-    // label carried through assignment and probes, and the candidate
-    // join keyed on (cell, label) — the pre-filter, replayed exactly.
+    // label carried through assignment and probes, the candidate join
+    // keyed on (cell, label) — the pre-filter — and the ADAPTIVE probe
+    // count (Vectors.adaptiveProbe): least(nCells, nProbe · |labels|),
+    // replayed as integer arithmetic over one count-distinct (nl).
     "emb_ann_filtered" ->
       s"""WITH e AS (SELECT vec_id, embedding, label, $NORM_SQL AS nrm FROM embeddings),
+         |nl AS (SELECT least(16, 4 * count(DISTINCT label)) AS np
+         |       FROM e WHERE vec_id >= 5),
          |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
          |             list_sum(list_transform(embedding,
          |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
@@ -5215,9 +5223,9 @@ object SparkEntry {
          |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
          |p AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cell
-         |      FROM e, c WHERE e.vec_id < 5
+         |      FROM e, c, nl WHERE e.vec_id < 5
          |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= nl.np),
          |r AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id, p.label,
          |             ${DOT_SQL("p.embedding", "a.embedding")} / (p.nrm * a.nrm) AS cos
          |      FROM p JOIN a ON p.cell = a.cell AND p.label = a.label),
@@ -5230,9 +5238,16 @@ object SparkEntry {
 
     // Mirrors Vectors.annRecallIvfFiltered: the emb_ann_ivf_recall CTEs
     // with the label equality on BOTH sides — exact pairs restricted to
-    // q.label = c.label, served candidates keyed on (cell, label).
+    // q.label = c.label, served candidates keyed on (cell, label) at the
+    // ADAPTIVE probe count (nl, as in emb_ann_filtered) — and the
+    // FILTERED denominator: Σ_q min(c, admissible_q) from the exact
+    // side's per-query row counts (recallFromFiltered), not n_q·c, so a
+    // query with < c admissible vectors can still read 1.0 when the
+    // served path returns its complete admissible set.
     "emb_ann_filtered_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding, label, $NORM_SQL AS nrm FROM embeddings),
+         |nl AS (SELECT least(16, 4 * count(DISTINCT label)) AS np
+         |       FROM e WHERE vec_id >= 5),
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |      FROM e q JOIN e c
@@ -5249,9 +5264,9 @@ object SparkEntry {
          |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
          |iq AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, c.cell
-         |       FROM e, c WHERE e.vec_id < 5
+         |       FROM e, c, nl WHERE e.vec_id < 5
          |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= 4),
+         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= nl.np),
          |r AS (SELECT iq.vec_id AS q_id, a.vec_id AS n_id,
          |             ${DOT_SQL("iq.embedding", "a.embedding")} / (iq.nrm * a.nrm) AS cos
          |      FROM iq JOIN a ON iq.cell = a.cell AND iq.label = a.label),
@@ -5262,19 +5277,24 @@ object SparkEntry {
          |       FROM (SELECT * FROM exr WHERE rank <= 10) x
          |       LEFT JOIN (SELECT * FROM ivfr WHERE rank <= 10) l
          |         ON x.q_id = l.q_id AND x.n_id = l.n_id),
+         |den AS (SELECT count(*) AS n_q,
+         |               sum(least(1, nex)) AS den_1,
+         |               sum(least(5, nex)) AS den_5,
+         |               sum(least(10, nex)) AS den_10
+         |        FROM (SELECT q_id, count(*) AS nex
+         |              FROM exr WHERE rank <= 10 GROUP BY q_id)),
          |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
          |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
-         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10,
-         |             count(DISTINCT q_id) AS n_q
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10
          |      FROM jx)
-         |SELECT CAST(n_q AS BIGINT) AS n_q,
+         |SELECT CAST(den.n_q AS BIGINT) AS n_q,
          |       CAST(hits_1 AS BIGINT) AS hits_1,
-         |       ${Q6("CAST(hits_1 AS DOUBLE) / (n_q * 1)")} AS recall_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / den_1")} AS recall_1,
          |       CAST(hits_5 AS BIGINT) AS hits_5,
-         |       ${Q6("CAST(hits_5 AS DOUBLE) / (n_q * 5)")} AS recall_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / den_5")} AS recall_5,
          |       CAST(hits_10 AS BIGINT) AS hits_10,
-         |       ${Q6("CAST(hits_10 AS DOUBLE) / (n_q * 10)")} AS recall_10
-         |FROM h""".stripMargin,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / den_10")} AS recall_10
+         |FROM h, den""".stripMargin,
 
     "text_tokens" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)

@@ -29,6 +29,25 @@ class IvfIndex private[sim] (val spark: SparkSession, val dir: String) {
     Vectors.ivfQuery(broadcast(centroids), assigned,
       Vectors.withNorm(queries), k, nProbe)
 
+  /** Metadata-FILTERED top-k for (vec_id, embedding, label) queries —
+    * the persisted form of Vectors.annIvfFiltered: candidates join the
+    * inverted lists on (cell, label), and when the index was built with
+    * buildFiltered the assignment files are PARTITIONED by (cell, label),
+    * so the filter is literal parquet partition pruning — a query's scan
+    * opens only its nProbe × 1-label directories. `nProbe` is the
+    * unfiltered probe budget, scaled by the index's label cardinality
+    * (Vectors.adaptiveProbe — the selectivity→nProbe map); the
+    * cardinality is one distinct over the partition column, answered
+    * from directory metadata, never the data files.
+    */
+  def queryFiltered(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val nLabels = assigned.select(col("label")).distinct().count()
+    val nCells = centroids.count().toInt
+    Vectors.ivfQueryFiltered(broadcast(centroids), assigned,
+      Vectors.withNorm(queries), k,
+      Vectors.adaptiveProbe(nCells, nProbe, nLabels))
+  }
+
   def pqCodebook: DataFrame = spark.read.parquet(s"$dir/pq_codebook")
   def pqCodes: DataFrame = spark.read.parquet(s"$dir/pq_codes")
 
@@ -84,6 +103,30 @@ object IvfIndex {
     Vectors.assignTo(c, Vectors.centDf(spark, cents))
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/assigned")
+    c.unpersist()
+    new IvfIndex(spark, dir)
+  }
+
+  /** Build for FILTERED serving: `corpus` carries (vec_id, embedding,
+    * label) and the assignment table is partitioned by (cell, label) —
+    * the layout that turns queryFiltered's (cell, label) candidate keys
+    * into parquet partition pruning at deployment scale: the label
+    * predicate never reads an inadmissible row, the exact promise
+    * annIvfFiltered's doc makes for the fused path. Same quantizer
+    * contract (shared trainCentroids/assignTo), so the spec pins
+    * queryFiltered equal to the fused operator, including after reopen.
+    */
+  def buildFiltered(corpus: DataFrame, dir: String, nCells: Int = 16,
+                    lloydIters: Int = 0, trainLimit: Long = 200000L): IvfIndex = {
+    val spark = corpus.sparkSession
+    val c = Vectors.withNorm(corpus).cache()
+    val cents = Vectors.trainCentroids(c, nCells, lloydIters, trainLimit)
+    Vectors.centDf(spark, cents)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    Vectors.assignTo(c, Vectors.centDf(spark, cents), carry = Seq("label"))
+      .repartition(col("cell"), col("label"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell", "label")
+      .parquet(s"$dir/assigned")
     c.unpersist()
     new IvfIndex(spark, dir)
   }

@@ -749,6 +749,15 @@ object Vectors {
     * deterministic). The tau floor is what keeps this linear-ish — the
     * graph consumes the near-dup pair set. This is the input artifact of
     * graph-based semantic dedup and of NN-descent-style ANN index builds.
+    *
+    * SCALE SCOPE: this exact-generator form is the oracle/spec mirror
+    * ONLY. Its pair generator is brute-force (corpus²  candidate scoring)
+    * and, unlike the LSH generator, nothing bounds a vertex's degree — a
+    * hub vertex at low tau funnels its whole neighbor list through one
+    * task in knnFromPairs' single window, so the degree-bound argument
+    * that justifies that window does NOT transfer here. The registered
+    * corpus-scale path is knnGraphLsh/knnGraphLshAuto, whose occupancy-
+    * bounded generator supplies the bound.
     */
   def knnGraph(emb: DataFrame, tau: Double, k: Int): DataFrame =
     knnFromPairs(cosinePairs(emb, tau), k)
@@ -1009,9 +1018,23 @@ object Vectors {
     * so at deployment scale a label-partitioned assignment table turns
     * the filter into partition pruning at the parquet scan and the
     * shuffle carries only admissible candidates. Same deterministic
-    * quantizer contract as annIvf → fully oracle-replayable; recall at
-    * fixed nProbe is measured by annRecallIvfFiltered (selective filters
-    * thin the probed cells — the gate prices exactly that).
+    * quantizer contract as annIvf → fully oracle-replayable.
+    *
+    * `nProbe` is the UNFILTERED probe budget; the probes actually taken
+    * are adaptiveProbe(nCells, nProbe, |labels|) = min(nCells,
+    * nProbe·|labels|). The filter thins each probed inverted list by its
+    * selectivity (~1/|labels| under a uniform label), so a fixed nProbe
+    * sees ~1/|labels| of the admissible candidates the unfiltered config
+    * was tuned for — the round-12 gate measured exactly that failure
+    * (recall@10 = 0.30 at a fixed 4/16). Scaling the probe count by the
+    * label cardinality restores the expected admissible-candidate mass;
+    * the min() saturation is the honest small-index limit (16 cells
+    * cannot serve a 10%-selective filter without probing all of them —
+    * brute force within the label IS the right answer there), while a
+    * deployment-scale index (nCells ≫ nProbe·|labels|) still probes a
+    * fraction. The rule is integer arithmetic over one count-distinct of
+    * the label column (metadata scale), so the oracle replays it; the
+    * adaptive config's recall is measured by annRecallIvfFiltered.
     */
   def annIvfFiltered(emb: DataFrame, nQueries: Int, k: Int,
                      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0,
@@ -1021,9 +1044,24 @@ object Vectors {
     val corpus = all.filter(col("vec_id") >= nQueries).cache()
     val cents = trainCentroids(corpus, nCells, lloydIters, trainLimit)
     val assigned = assignTo(corpus, centDf(spark, cents), carry = Seq("label"))
+    val nLabels = corpus.agg(countDistinct(col("label"))).head.getLong(0)
     corpus.unpersist()
     ivfQueryFiltered(centDf(spark, cents), assigned,
-      all.filter(col("vec_id") < nQueries), k, nProbe)
+      all.filter(col("vec_id") < nQueries), k,
+      adaptiveProbe(nCells, nProbe, nLabels))
+  }
+
+  /** The selectivity→nProbe map for filtered ANN: probe
+    * min(nCells, nProbe·|labels|) cells, so the expected ADMISSIBLE
+    * candidate count matches what the unfiltered config at `nProbe`
+    * sees (each list is thinned ~1/|labels|). Long arithmetic so a
+    * high-cardinality filter saturates at nCells instead of
+    * overflowing; saturation = exhaustive-within-label, the correct
+    * selective-filter fallback.
+    */
+  private[graft] def adaptiveProbe(nCells: Int, nProbe: Int, nLabels: Long): Int = {
+    require(nLabels >= 1, s"label cardinality must be >= 1, got $nLabels")
+    math.min(nCells.toLong, nProbe.toLong * nLabels).toInt
   }
 
   /** The filtered ivfQuery tail: probes carry the query's label, the
@@ -1248,20 +1286,30 @@ object Vectors {
   }
 
   /** The FILTERED member — recall@k of the pre-filtered IVF path
-    * (annIvfFiltered) vs the exact filtered top-k (annTopKFiltered). The
-    * filtered gate exists separately from annRecallIvf because a filter
-    * changes the recall geometry: probing the same nProbe cells yields
-    * FEWER admissible candidates (the filter thins each inverted list by
-    * its selectivity), so a config that gates green unfiltered can sag
-    * under a selective filter — this is the number that says whether
-    * nProbe must grow when the label predicate ships.
+    * (annIvfFiltered, which self-scales its probe count by the label
+    * cardinality — see adaptiveProbe) vs the exact filtered top-k
+    * (annTopKFiltered). The filtered gate exists separately from
+    * annRecallIvf because a filter changes the recall geometry: probing
+    * the same nProbe cells yields FEWER admissible candidates (the
+    * filter thins each inverted list by its selectivity), so a config
+    * that gates green unfiltered can sag under a selective filter —
+    * this gate measured exactly that (0.30 @10 at a fixed 4/16) before
+    * the adaptive rule shipped, and now gates the rule itself.
+    *
+    * The denominator is Σ_q min(c, admissible_q), NOT n_q·c: a query
+    * whose label class has fewer than c admissible corpus vectors can
+    * only ever match that many, and charging it c would read red even
+    * when the served path returns the COMPLETE admissible set — the
+    * distorted metric would demand probe growth that cannot help
+    * (recallFromFiltered; the unfiltered gates keep n_q·c, where the
+    * corpus always has ≥ k candidates).
     */
   def annRecallIvfFiltered(emb: DataFrame, nQueries: Int, k: Int,
                            ks: Seq[Int] = Seq(1, 5, 10),
                            nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
       s"every cutoff must be in [1, $k]: $ks")
-    recallFrom(annTopKFiltered(emb, nQueries, k),
+    recallFromFiltered(annTopKFiltered(emb, nQueries, k),
       annIvfFiltered(emb, nQueries, k, nCells, nProbe, lloydIters = 0), ks)
   }
 
@@ -1337,6 +1385,38 @@ object Vectors {
       .select(col("n_q") +: ks.flatMap { c =>
         Seq(col(s"hits_$c"),
           graft.Quant.q6(col(s"hits_$c").cast("double") / (col("n_q") * c))
+            .as(s"recall_$c"))
+      }: _*)
+  }
+
+  /** recallFrom with the FILTERED denominator: a selective filter can
+    * leave a query fewer than c admissible corpus vectors, and the exact
+    * side then has fewer than c rows for it — charging the full n_q·c
+    * would cap its recall below 1.0 even when the served path returns
+    * every admissible neighbor. Denominator = Σ_q min(c, exact-row
+    * count), computed from the already-ranked exact frame (rank ≤ k rows
+    * per query ⇒ the per-query count IS min(k, admissible)); same
+    * metadata-scale left join for the hits.
+    */
+  private def recallFromFiltered(exact: DataFrame, approx: DataFrame,
+                                 ks: Seq[Int]): DataFrame = {
+    val ex = exact.select(col("q_id"), col("n_id"), col("rank").as("rank_exact"))
+    val ap = approx.select(col("q_id"), col("n_id"), col("rank").as("rank_approx"))
+    val j = ex.join(ap, Seq("q_id", "n_id"), "left")
+    val denomCols = countDistinct(col("q_id")).as("n_q") +: ks.map { c =>
+      sum(least(lit(c.toLong), col("nex"))).as(s"den_$c")
+    }
+    val den = ex.groupBy(col("q_id")).agg(count(lit(1)).as("nex"))
+      .agg(denomCols.head, denomCols.tail: _*)
+    val hitCols = ks.map { c =>
+      sum(when(col("rank_exact") <= c && col("rank_approx") <= c, 1L)
+        .otherwise(0L)).as(s"hits_$c")
+    }
+    j.agg(hitCols.head, hitCols.tail: _*)
+      .crossJoin(broadcast(den))
+      .select(col("n_q") +: ks.flatMap { c =>
+        Seq(col(s"hits_$c"),
+          graft.Quant.q6(col(s"hits_$c").cast("double") / col(s"den_$c"))
             .as(s"recall_$c"))
       }: _*)
   }

@@ -30,4 +30,20 @@ object StreamAnnProbe {
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(index.query(batch, k, nProbe), batchId)
     }
+
+  /** The FILTERED probe — arriving (vec_id, embedding, label) queries
+    * against an index built with IvfIndex.buildFiltered: each micro-batch
+    * rides IvfIndex.queryFiltered (candidates keyed on (cell, label) over
+    * the label-partitioned assignment files, probe count scaled by the
+    * index's label cardinality — Vectors.adaptiveProbe). Same
+    * foreachBatch stream-static shape and slicing-invariance argument as
+    * probe(): per-query answers depend only on the index, so any
+    * micro-batch chunking equals one batch call (the spec pins chunked
+    * streaming == the fused batch emb_ann_filtered path).
+    */
+  def probeFiltered(queries: DataFrame, index: IvfIndex, k: Int, nProbe: Int = 4)
+                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(index.queryFiltered(batch, k, nProbe), batchId)
+    }
 }

@@ -507,11 +507,18 @@ object Dedup {
     *    (≤ driverEdgeLimit edges), a union-find over the collected edges
     *    builds the component mapping in one pass, broadcast-joined back —
     *    one count + one collect instead of per-round Spark jobs. The
-    *    default limit admits ~256 MB of collected edges (16M × 16 B) —
-    *    comfortably inside any driver that runs Spark at all; measured at
-    *    the 1000× decade, the 3.6M-edge perceptual graph that the old 2M
-    *    limit pushed into the distributed loop (~820 s) unions on the
-    *    driver in seconds.
+    *    default limit (driverEdgeLimit ≤ 0) is DERIVED from the actual
+    *    driver heap — see derivedEdgeLimit: the honest per-edge cost is
+    *    ~96 B (a specialized Tuple2[Long,Long] is a 32 B object plus its
+    *    8 B slot in the collect array, and the LongMap holds up to 2
+    *    open-addressing entries per edge at 16 B each with ~2× capacity
+    *    slack), NOT the 16 B the raw longs suggest — a fixed 16M-edge
+    *    limit would be ~1.5 GB of driver objects, an OOM on Spark's
+    *    default 1 g driver where the old 2M limit safely routed to the
+    *    distributed loop. Measured at the 1000× decade (where the driver
+    *    runs at 32 g and the derived limit caps at 16M): the 3.6M-edge
+    *    perceptual graph that a 2M limit pushed into the distributed
+    *    loop (~820 s) unions on the driver in seconds.
     *  - Above the limit: distributed min-label propagation with pointer
     *    jumping (lbl(v) ← lbl(lbl(v)) each round squares the propagation
     *    distance → O(log diameter) rounds). Each round is a shuffle join
@@ -519,16 +526,34 @@ object Dedup {
     *    cluster scale, `setCheckpointDir` + `checkpoint()` persists to
     *    reliable storage instead). Convergence is detected distributed.
     */
+  /** The heap-derived driver-regime bound: edges may spend at most a
+    * quarter of the driver heap at the measured ~96 B/edge object cost
+    * (collected Tuple2 + LongMap slots — see the clusters() doc), capped
+    * at 16M edges (beyond that the broadcast mapping itself gets big) and
+    * floored at 1M so a tiny test heap still takes the fast path on
+    * test-sized graphs. Runtime.maxMemory IS the driver heap here —
+    * clusters() runs on the driver. Override per-session with the
+    * `graft.clusters.driverEdgeLimit` Spark conf, per-call with the
+    * driverEdgeLimit parameter.
+    */
+  private[graft] def derivedEdgeLimit: Long =
+    math.min(16000000L,
+      math.max(1000000L, Runtime.getRuntime.maxMemory() / 4 / 96))
+
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25,
-               driverEdgeLimit: Long = 16000000L): DataFrame = {
+               driverEdgeLimit: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val edgeLimit =
+      if (driverEdgeLimit > 0) driverEdgeLimit
+      else spark.conf.getOption("graft.clusters.driverEdgeLimit")
+        .map(_.toLong).getOrElse(derivedEdgeLimit)
     // materialize the edge list ONCE — it is re-joined every round, and
     // without this each round would recompute the entire upstream pair
     // pipeline (e.g. the full MinHash-LSH candidate generation)
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint()
-    if (edges.count() <= driverEdgeLimit) {
+    if (edges.count() <= edgeLimit) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       // iterative find + path compression: the recursive form overflows
       // the stack on long union chains once the edge limit admits

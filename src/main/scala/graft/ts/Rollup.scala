@@ -41,44 +41,71 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     * (bollingerBands — rolling mean ± K·σ) serve from the hierarchy
     * bit-identically instead of stopping at the mean-only detectors.
     */
-  private def bucketize(points: DataFrame, streamCols: Seq[String], pw: Int): DataFrame = {
+  private def bucketize(points: DataFrame, streamCols: Seq[String], pw: Int,
+                        badPred: Option[Column]): DataFrame = {
     val us = graft.Quant.us6(col("value")).cast("decimal(38,0)")
+    val aggs = Seq(
+      min(col("value")).as("v_min"),
+      max(col("value")).as("v_max"),
+      sum(graft.Quant.us6(col("value"))).as("v_sum_us"),
+      sum(us * us).as("v_sum2_us"),
+      count(lit(1)).as("v_count")) ++
+      // the ingest-FIXED predicate count (see burnRate): a plain long
+      // count, associative like the others
+      badPred.map(p => sum(when(p, 1L).otherwise(0L)).as("v_bad_count"))
     points.groupBy(streamCols.map(col)
         :+ shiftleft(shiftright(col("t_us"), pw), pw).as("w_start"): _*)
-      .agg(
-        min(col("value")).as("v_min"),
-        max(col("value")).as("v_max"),
-        sum(graft.Quant.us6(col("value"))).as("v_sum_us"),
-        sum(us * us).as("v_sum2_us"),
-        count(lit(1)).as("v_count"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge a finer rollup level up to pointwidth pw — associative and
-    * exact for all five aggregates (integer sums, not float).
+    * exact for every aggregate (integer sums, not float). SCHEMA-DRIVEN:
+    * the optional moments (v_sum2_us — added after the first persisted
+    * bases shipped; v_bad_count — only on predicate-carrying builds) are
+    * merged only when the finer level actually has them, so compaction
+    * and coarse-from-fine appends keep working on a stale base instead
+    * of failing AnalysisException; the read paths that NEED a missing
+    * moment fall back to raw with a rebuild-directed warning (band,
+    * burnRate).
     */
-  private def merge(finer: DataFrame, streamCols: Seq[String], pw: Int): DataFrame =
+  private def merge(finer: DataFrame, streamCols: Seq[String], pw: Int): DataFrame = {
+    val aggs = Seq(
+      min(col("v_min")).as("v_min"),
+      max(col("v_max")).as("v_max"),
+      sum(col("v_sum_us")).as("v_sum_us")) ++
+      (if (finer.columns.contains("v_sum2_us"))
+        Seq(sum(col("v_sum2_us")).cast("decimal(38,0)").as("v_sum2_us")) else Nil) ++
+      Seq(sum(col("v_count")).as("v_count")) ++
+      (if (finer.columns.contains("v_bad_count"))
+        Seq(sum(col("v_bad_count")).as("v_bad_count")) else Nil)
     finer.groupBy(streamCols.map(col)
         :+ shiftleft(shiftright(col("w_start"), pw), pw).as("w_start"): _*)
-      .agg(
-        min(col("v_min")).as("v_min"),
-        max(col("v_max")).as("v_max"),
-        sum(col("v_sum_us")).as("v_sum_us"),
-        sum(col("v_sum2_us")).cast("decimal(38,0)").as("v_sum2_us"),
-        sum(col("v_count")).as("v_count"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Build (or rebuild) all levels, each from the previous — a single raw
     * scan total. Every level lives under a `delta=` subdir (the same
     * layout appendBatch extends), so a full build is just the compacted
     * `delta=base`; building clears any previous deltas (it subsumes them).
+    *
+    * `badPred` FIXES a bad-event predicate at ingest time: every level
+    * then carries v_bad_count (the exact count of points satisfying it
+    * per bucket), which is what lets burnRate() serve from the hierarchy
+    * — see its doc for why the predicate must be an ingest decision. The
+    * predicate's canonical SQL is persisted at `base/_bad_pred` so
+    * appendBatch replays it verbatim and burnRate can verify the query's
+    * predicate IS the ingested one before trusting the counts.
     */
-  def build(points: DataFrame, streamCols: Seq[String]): Unit = {
+  def build(points: DataFrame, streamCols: Seq[String],
+            badPred: Option[Column] = None): Unit = {
     // Hadoop FS, not java.io.File: on HDFS/S3A a local-File delete
     // silently no-ops and stale delta= dirs would double-count every
     // bucket on read (same consistency stance as graft.ts.Store)
+    writeBadPred(badPred)
     var prev: DataFrame = null
     pointwidths.zipWithIndex.foreach { case (pw, i) =>
       val level =
-        if (i == 0) bucketize(points, streamCols, pw)
+        if (i == 0) bucketize(points, streamCols, pw, badPred)
         else merge(prev, streamCols, pw)
       val dir = new org.apache.hadoop.fs.Path(levelDir(pw))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,6 +116,26 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
   }
 
   def level(pw: Int): DataFrame = { recoverCrashedSwap(pw); spark.read.parquet(levelDir(pw)) }
+
+  /** The ingest-fixed bad predicate's canonical SQL, persisted next to
+    * the levels (one tiny text file — the hierarchy's only non-parquet
+    * state). None ⇔ the base was built without one.
+    */
+  private def badPredPath = new org.apache.hadoop.fs.Path(s"$base/_bad_pred")
+  private def writeBadPred(p: Option[Column]): Unit = p match {
+    case Some(c) =>
+      val out = hfs.create(badPredPath, true)
+      out.write(org.apache.spark.sql.graft.GraftSqlShim.canonicalSql(c)
+        .getBytes("UTF-8")); out.close()
+    case None => hfs.delete(badPredPath, false)
+  }
+  private[ts] def storedBadPred: Option[String] =
+    if (!hfs.exists(badPredPath)) None
+    else {
+      val in = hfs.open(badPredPath)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
 
   private val hfs = new org.apache.hadoop.fs.Path(base)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -172,10 +219,29 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     */
   def appendBatch(points: DataFrame, streamCols: Seq[String], writeId: String): Unit = {
     val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    // replay the ingest-fixed predicate from its persisted SQL — the
+    // append must count v_bad_count with EXACTLY the build's predicate
+    // or merged buckets would mix two definitions of "bad"
+    val badPred = storedBadPred.map(expr)
+    // conform to the EXISTING base's optional moments: appending a
+    // new-schema delta (v_sum2_us/v_bad_count) next to stale old-schema
+    // files would make the merged column silently PARTIAL — sum()
+    // ignores the old files' nulls, so band()/burnRate() would serve
+    // wrong numbers while the column looks present. A stale base stays
+    // uniformly stale (raw fallback, correct) until a build() rebuild.
+    val baseCols: Option[Set[String]] = {
+      val finest = hpath(levelDir(pointwidths.head))
+      if (hfs.exists(finest)) Some(level(pointwidths.head).columns.toSet) else None
+    }
+    def conform(df: DataFrame): DataFrame = baseCols match {
+      case Some(cols) => df.drop(df.columns
+        .filter(c => c.startsWith("v_") && !cols.contains(c)): _*)
+      case None => df
+    }
     var prev: DataFrame = null
     pointwidths.zipWithIndex.foreach { case (pw, i) =>
       val delta =
-        if (i == 0) bucketize(points, streamCols, pw)
+        if (i == 0) conform(bucketize(points, streamCols, pw, badPred))
         else merge(prev, streamCols, pw)
       delta.cache()
       cached += delta
@@ -294,6 +360,17 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
            width: Long, k: Int, nSigma: Double): DataFrame = {
     val usable = pointwidths.filter(l =>
       width % (1L << l) == 0 && (start & ((1L << l) - 1)) == 0L)
+    // v_sum2_us postdates the first persisted bases: a stale level can't
+    // serve the second moment, so fall back to raw (always correct)
+    // instead of dying AnalysisException mid-plan; the warning names the
+    // fix (a build() rebuild adds the column)
+    if (usable.nonEmpty && !level(usable.max).columns.contains("v_sum2_us")) {
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        s"rollup level pw=${usable.max} at $base predates v_sum2_us; " +
+          "band() served from RAW points — rebuild the hierarchy " +
+          "(Rollup.build) to serve it from levels")
+      return TimeSeriesOps.bollingerBands(raw, streamCols, start, end, width, k, nSigma)
+    }
     if (usable.isEmpty)
       TimeSeriesOps.bollingerBands(raw, streamCols, start, end, width, k, nSigma)
     else {
@@ -311,21 +388,62 @@ class Rollup(val spark: SparkSession, val base: String, val pointwidths: Seq[Int
     }
   }
 
-  /** Burn rate never rollup-serves, and the reason is a different
-    * boundary than the quantile family's: n_bad is a PREDICATE
-    * aggregate — the count of points satisfying an arbitrary query-time
-    * condition — and no fixed set of per-bucket moments can answer an
-    * arbitrary predicate (min/max can only prove a bucket wholly good
-    * or wholly bad, not count a mixed one). A deployment that FIXES the
-    * predicate at ingest ("is_error") turns bad-count into a plain
-    * count rollup a level could carry; that is an ingest-schema
-    * decision, kept out here so every moment the hierarchy stores
-    * serves something bit-exactly.
+  /** Multi-window SLO burn rate served from the hierarchy — with a
+    * boundary argument unlike the quantile family's impossibility:
+    * n_bad is a PREDICATE aggregate, and no fixed set of per-bucket
+    * moments can answer an ARBITRARY query-time predicate (min/max can
+    * only prove a bucket wholly good or wholly bad, not count a mixed
+    * one). A deployment that FIXES the predicate at ingest ("is_error")
+    * turns bad-count into a plain associative count a level carries —
+    * so that is exactly the contract here: build(badPred = Some(...))
+    * stamps v_bad_count into every level and persists the predicate's
+    * canonical SQL, and this serves from the coarsest usable level IFF
+    * (a) the query's predicate IS the ingested one (canonical-SQL
+    * equality against `base/_bad_pred` — a semantically-equal-but-
+    * differently-spelled predicate conservatively falls back) and
+    * (b) every requested width tiles some level. Counts re-aggregate as
+    * exact longs and the fraction/burn divisions are the raw path's
+    * expressions verbatim, so the output is bit-identical to
+    * TimeSeriesOps.burnRate over raw points (spec-pinned) at 2^-pw of
+    * the rows read — the multi-window SLO dashboard query a 100 TB
+    * fleet asks at alert frequency, answered without touching the fact
+    * table. Anything else — stale base, no predicate, different
+    * predicate, non-tiling width — falls back to raw.
     */
   def burnRate(raw: => DataFrame, streamCols: Seq[String], start: Long,
                end: Long, widths: Seq[Long], badPred: Column,
-               slo: Double): DataFrame =
-    TimeSeriesOps.burnRate(raw, streamCols, start, end, widths, badPred, slo)
+               slo: Double): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), s"widths must be positive: $widths")
+    require(slo > 0 && slo < 1, s"slo must be in (0,1), got $slo")
+    def usableFor(w: Long) = pointwidths.filter(l =>
+      w % (1L << l) == 0 && (start & ((1L << l) - 1)) == 0L)
+    val servable = storedBadPred.contains(
+      org.apache.spark.sql.graft.GraftSqlShim.canonicalSql(badPred)) &&
+      widths.forall(w => usableFor(w).nonEmpty) &&
+      pointwidths.forall(l => level(l).columns.contains("v_bad_count"))
+    if (!servable)
+      TimeSeriesOps.burnRate(raw, streamCols, start, end, widths, badPred, slo)
+    else {
+      // per width: its own coarsest usable level, complete windows only
+      // (the raw path's cutoff), counts re-merged to the width grid
+      widths.map { w =>
+        val completeEnd = start + ((end - start) / w) * w
+        val d = col("w_start") - start
+        level(usableFor(w).max)
+          .filter(col("w_start") >= start && col("w_start") < completeEnd)
+          .groupBy(streamCols.map(col)
+            :+ (lit(start) + d - pmod(d, lit(w))).as("w_win"): _*)
+          .agg(sum(col("v_count")).as("n_events"),
+            sum(col("v_bad_count")).as("n_bad"))
+          .select(streamCols.map(col) ++ Seq(lit(w).as("width_us"),
+            col("w_win").as("w_start"), col("n_events"), col("n_bad"),
+            graft.Quant.q6(col("n_bad").cast("double") / col("n_events").cast("double"))
+              .as("bad_frac"),
+            graft.Quant.q6(col("n_bad").cast("double") / col("n_events").cast("double") /
+              (lit(1.0) - lit(slo))).as("burn")): _*)
+      }.reduce(_.unionByName(_))
+    }
+  }
 
   /** The quantile family — boxplot quartiles, percentileWindows' type-7
     * quantiles — is where the qtree promise STOPS, and this pair of

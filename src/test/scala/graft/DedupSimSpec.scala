@@ -128,11 +128,32 @@ class DedupSimSpec extends SparkSuite {
   test("clusters: driver union-find and distributed propagation agree") {
     import spark.implicits._
     val pairs = Dedup.minhashPairs(docs, 3, 64, 2, 0.8).cache()
+    assert(pairs.count() > 1, "fixture must have >1 edge so limit=1 forces the distributed regime")
     val viaDriver = Dedup.clusters(docs, pairs)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
-    val viaSpark = Dedup.clusters(docs, pairs, driverEdgeLimit = -1L)
+    // limit 1 < |pairs| forces the distributed regime (≤ 0 now means
+    // "derive from driver heap", which on the test JVM takes the driver path)
+    val viaSpark = Dedup.clusters(docs, pairs, driverEdgeLimit = 1L)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(viaDriver == viaSpark, "the two clustering regimes must agree")
+  }
+
+  test("derivedEdgeLimit stays within [1M, 16M] and honors the session conf override") {
+    val l = Dedup.derivedEdgeLimit
+    assert(l >= 1000000L && l <= 16000000L, s"derived $l")
+    // on this test JVM (multi-GB heap) the quarter-heap budget at
+    // 96 B/edge should admit well over the floor
+    assert(l > 1000000L, s"expected heap-scaled limit above the floor, got $l")
+    // conf override routes a 2-edge graph into the distributed regime
+    import spark.implicits._
+    val docs2 = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val pairs2 = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    spark.conf.set("graft.clusters.driverEdgeLimit", "1")
+    try {
+      val cl = Dedup.clusters(docs2, pairs2).orderBy("doc_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(cl == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    } finally spark.conf.unset("graft.clusters.driverEdgeLimit")
   }
 
   test("clusters: labels are component minima, closed under the pair edges") {
@@ -886,6 +907,74 @@ class DedupSimSpec extends SparkSuite {
       .collect()(0)
     assert(r.getLong(0) == 3L)
     assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("adaptiveProbe pins the selectivity→nProbe map") {
+    // |labels| = 1 ⇒ no thinning ⇒ the unfiltered budget verbatim
+    assert(Vectors.adaptiveProbe(16, 4, 1) == 4)
+    // probe count scales linearly with the filter's cardinality
+    assert(Vectors.adaptiveProbe(16, 4, 3) == 12)
+    // saturation at nCells = exhaustive-within-label, the honest
+    // small-index limit (16 cells cannot serve a 10%-selective filter)
+    assert(Vectors.adaptiveProbe(16, 4, 10) == 16)
+    // deployment scale: a 4096-cell index still probes a ~1% fraction
+    assert(Vectors.adaptiveProbe(4096, 4, 10) == 40)
+    // high-cardinality filters saturate instead of overflowing Int
+    assert(Vectors.adaptiveProbe(4096, 8, Int.MaxValue.toLong * 4) == 4096)
+    intercept[IllegalArgumentException](Vectors.adaptiveProbe(16, 4, 0))
+  }
+
+  test("filtered ANN self-scales its probes: the adaptive config recovers what a fixed 4/16 lost") {
+    // sfDir embeddings carry 10 labels: adaptiveProbe(16, 4, 10) = 16 ⇒
+    // the registered config probes every cell and the filtered gate must
+    // read exactly 1.0 — the r12 gate read 0.30 at the FIXED 4/16
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val r = Vectors.annRecallIvfFiltered(emb, 5, 10).collect()(0)
+    assert(r.getLong(0) == 5L) // n_q
+    assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0 && r.getDouble(6) == 1.0,
+      s"adaptive filtered recall must be 1.0 at this index size, got $r")
+  }
+
+  test("filtered recall denominator is Σ min(c, admissible): sparse label classes can reach 1.0") {
+    import spark.implicits._
+    // the query's label class has only TWO admissible corpus vectors and
+    // k = 5: the served path returns the complete admissible set, so
+    // recall must read 1.0 — the old n_q·c denominator capped it at 2/5
+    // and suggested probe growth that cannot help (r12 ADVICE)
+    val q = Seq.tabulate(64)(d => if (d == 0) 1f else 0f)
+    val e = ((0L, q, 1) +:
+      ((1L to 20L).map(i => (i, Seq.tabulate(64)(d =>
+        math.sin(i * 64.0 + d).toFloat), 0)) ++
+       Seq((21L, q, 1), (22L, Seq.tabulate(64)(d => if (d == 1) 1f else 0f), 1))))
+      .toDF("vec_id", "embedding", "label")
+    val r = Vectors.annRecallIvfFiltered(e, 1, 5, Seq(1, 5), nCells = 4, nProbe = 4)
+      .collect()(0)
+    assert(r.getLong(0) == 1L)                                  // n_q
+    assert(r.getLong(3) == 2L, s"hits_5: $r")                   // both admissible found
+    assert(r.getDouble(4) == 1.0, s"recall_5 must be 1.0: $r")
+  }
+
+  test("filtered IvfIndex: label-partitioned layout answers the fused operator, incl. after reopen") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val fused = rows(graft.sim.Vectors.annIvfFiltered(emb, 5, 10, lloydIters = 0))
+    val dir = tmpDir("ivf_filtered_idx")
+    val idx = graft.sim.IvfIndex.buildFiltered(emb.filter(col("vec_id") >= 5), dir)
+    // the layout claim: assignment files are physically partitioned by
+    // (cell, label) — the filter IS parquet partition pruning
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/assigned"))
+      .filter(_.getPath.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    assert(cellDirs.forall(c => fs.listStatus(c.getPath)
+      .exists(_.getPath.getName.startsWith("label="))), "missing label= subdirs")
+    val got = rows(idx.queryFiltered(emb.filter(col("vec_id") < 5), 10))
+    assert(got.nonEmpty && got == fused)
+    val reopened = graft.sim.IvfIndex(spark, dir)
+    assert(rows(reopened.queryFiltered(emb.filter(col("vec_id") < 5), 10)) == fused)
   }
 
   test("fused annIvfPq with every cell probed equals annPq exactly") {

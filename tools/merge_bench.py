@@ -29,6 +29,11 @@ def main():
                                      if isinstance(q.get("steady"), (int, float))), 3)
     out = {"sf": base["sf"], "n": base["n"], "total_first": base["total_first"],
            "total_steady": base["total_steady"]}
+    # carry the machine-state note if any input had one (newest wins);
+    # per-query provenance differences stay visible in the run files
+    for src in [base] + [json.load(open(p)) for p in news]:
+        if src.get("provenance") not in (None, "unspecified"):
+            out["provenance"] = src["provenance"]
     lines = [f'  "{k}": {json.dumps(qs[k], separators=(", ", ": "))}'
              for k in sorted(qs)]
     body = ("{\n" + "\n".join(f'"{k}": {json.dumps(v)},' for k, v in out.items())
