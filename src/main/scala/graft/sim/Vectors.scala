@@ -597,12 +597,18 @@ object Vectors {
     *
     * Scale shape: bucketing is one narrow codegen'd pass (LshBuckets);
     * the candidate stage is an EQUALITY shuffle join on (table, bucket) —
-    * per-bucket bounded work, never an all-pairs nested loop; verification
-    * is applied inside the join stage so only surviving pairs (a tiny set
-    * for near-dup workloads) reach the final dedup shuffle. Raise
-    * `bitsPerTable` with corpus size to keep bucket occupancy bounded
-    * (work ≈ nTables · Σ_bucket |bucket|²). Duplicate candidates cost
-    * only redundant codegen'd dot products, not shuffle bytes.
+    * per-bucket bounded work, never an all-pairs nested loop — carrying
+    * ONLY (vec_id, tbl, bucket): LATE MATERIALIZATION. Embeddings join
+    * back by id after the candidate set is deduplicated, so the heavy
+    * payload crosses the wire once per distinct surviving endpoint, not
+    * once per (table × probe-flip) bucket row: the earlier shape hauled
+    * the full vector through the probe explode — (bits+1)·nTables
+    * vector-carrying rows per vector, ~90 GB of candidate-join shuffle at
+    * 2M×64f — and died spilling at the 1000× decade (ENOSPC); the
+    * key-only shape is ~20 B/row there (≈6 GB), and the exact-cosine
+    * verify now runs once per DISTINCT pair instead of once per
+    * duplicate candidate. Raise `bitsPerTable` with corpus size to keep
+    * bucket occupancy bounded (work ≈ nTables · Σ_bucket |bucket|²).
     *
     * Recall: per-table collision for a pair at angle θ is
     * p^b + b·p^(b-1)(1−p) with p = 1 − θ/π; union over tables. At the
@@ -616,8 +622,9 @@ object Vectors {
     */
   def cosinePairsLsh(emb: DataFrame, tau: Double,
                      nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
-    val hashed = withNorm(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+    val e = withNorm(emb)
+    val hashed = e
+      .select(col("vec_id"),
         posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsPerTable, dim))
           .as(Seq("tbl", "bucket")))
     // probe side carries the exact bucket plus every 1-bit flip; the base
@@ -628,23 +635,28 @@ object Vectors {
     }
     val probe = hashed
       .withColumn("bucket", explode(array(probeFlips: _*)))
-      .select(col("vec_id").as("id_p"), col("embedding").as("vp"), col("nrm").as("np_"),
-        col("tbl"), col("bucket"))
-    val base = hashed.select(col("vec_id").as("id_q"), col("embedding").as("vq"),
-      col("nrm").as("nq"), col("tbl"), col("bucket"))
-    // dot(vp, vq) is bitwise order-independent (per-term products commute,
-    // accumulation is index-ordered), so no endpoint swap is needed before
-    // the cosine; verify BEFORE distinct so the dedup shuffle carries only
-    // surviving (id, id, cos) triples, never candidate vectors
-    probe.join(base, Seq("tbl", "bucket"))
+      .select(col("vec_id").as("id_p"), col("tbl"), col("bucket"))
+    val base = hashed.select(col("vec_id").as("id_q"), col("tbl"), col("bucket"))
+    // candidate ID pairs, deduplicated BEFORE any vector attaches: the
+    // distinct shuffle carries 16-byte pairs, and each survivor's cosine
+    // is computed exactly once
+    val cand = probe.join(base, Seq("tbl", "bucket"))
       .filter(col("id_p") =!= col("id_q"))
       .select(
         least(col("id_p"), col("id_q")).as("id_a"),
-        greatest(col("id_p"), col("id_q")).as("id_b"),
-        (dot(col("vp"), col("vq")) / (col("np_") * col("nq"))).as("cos"))
+        greatest(col("id_p"), col("id_q")).as("id_b"))
+      .distinct()
+    // dot(va, vb) is bitwise order-independent (per-term products commute,
+    // accumulation is index-ordered), so endpoint order never matters
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
-      .distinct()
   }
 
   /** The bitsPerTable auto-scaling rule shared by cosinePairsLshAuto and
