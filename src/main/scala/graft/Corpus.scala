@@ -174,6 +174,11 @@ class Embeddings(val emb: DataFrame) {
     */
   def annFiltered(nQueries: Int, k: Int): DataFrame =
     Vectors.annIvfFiltered(emb, nQueries, k)
+  /** The complete production composition: filter × cells × PQ codes ×
+    * exact re-rank fused (faiss IVFPQ + IDSelector).
+    */
+  def annFilteredPq(nQueries: Int, k: Int): DataFrame =
+    Vectors.annIvfPqFiltered(emb, nQueries, k)
 
   // ---- acceptance gates (recall@k vs exact, one per serving family) ----
   def recallLsh(nQueries: Int, k: Int): DataFrame = Vectors.annRecall(emb, nQueries, k)
@@ -186,6 +191,11 @@ class Embeddings(val emb: DataFrame) {
     */
   def recallFiltered(nQueries: Int, k: Int): DataFrame =
     Vectors.annRecallIvfFiltered(emb, nQueries, k)
+  /** The fused-filtered gate: cell, ADC, and filter misses interact, so
+    * the shipped composition carries its own measured recall.
+    */
+  def recallFilteredPq(nQueries: Int, k: Int): DataFrame =
+    Vectors.annRecallIvfPqFiltered(emb, nQueries, k)
 
   // ---- tuning curves / balance audits ----
   /** Recall at every probe depth from one candidate pass. */

@@ -1352,6 +1352,23 @@ object SparkEntry {
     "emb_ann_filtered_recall" -> ((s, dir) =>
       Vectors.annRecallIvfFiltered(Tables.load(s, dir, "embeddings"), 5, 10)),
 
+    // the COMPLETE production composition: metadata pre-filter × cell
+    // pruning × compressed-code ADC scan × exact re-rank fused in one
+    // plan (faiss IVFPQ + IDSelector) — the label keys the CODE rows
+    // (cell, label) so an inadmissible candidate never reaches the ADC
+    // sum, and the probe count rides the same adaptive selectivity rule
+    // as emb_ann_filtered
+    "emb_ann_filtered_pq" -> ((s, dir) =>
+      Vectors.annIvfPqFiltered(Tables.load(s, dir, "embeddings"), 5, 10, lloydIters = 0)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // its acceptance gate: the fused config vs the exact same-label
+    // top-k, filtered denominator Σ_q min(c, admissible_q) — cell, ADC,
+    // and filter misses interact, so the shipped composition carries its
+    // own measured recall
+    "emb_ann_filtered_pq_recall" -> ((s, dir) =>
+      Vectors.annRecallIvfPqFiltered(Tables.load(s, dir, "embeddings"), 5, 10)),
+
     // ---- LLM-pipeline: text analysis ----------------------------------
     "text_tokens" -> ((s, dir) =>
       TextFunctions.tokenStats(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -5296,6 +5313,160 @@ object SparkEntry {
          |       ${Q6("CAST(hits_10 AS DOUBLE) / den_10")} AS recall_10
          |FROM h, den""".stripMargin,
 
+    // Mirrors Vectors.annIvfPqFiltered: the emb_ann_ivfpq CTE chain with
+    // the label carried through assignment (aa) and probes (iq) at the
+    // ADAPTIVE probe count (nl), the code rows keyed (cell, label) in
+    // the ADC join — an inadmissible candidate never enters the sum —
+    // and the label surfaced through the rerank cut and exact re-rank.
+    "emb_ann_filtered_pq" -> {
+      val sseQ = "list_sum(list_transform(generate_series(1, 8), " +
+        "i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+      s"""WITH e AS (SELECT vec_id, embedding, label, $NORM_SQL AS nrm FROM embeddings),
+         |nl AS (SELECT least(16, 4 * count(DISTINCT label)) AS np
+         |       FROM e WHERE vec_id >= 5),
+         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |aa AS (SELECT e.vec_id, e.label, c.cell
+         |      FROM e, cc c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |iq AS (SELECT e.vec_id AS q_id, e.label, c.cell
+         |       FROM e, cc c, nl WHERE e.vec_id < 5
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= nl.np),
+         |sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id - 5 AS INT) AS code, svec AS cvec
+         |       FROM sv WHERE vec_id >= 5 AND vec_id < 21),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub) WHERE v.vec_id >= 5),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id AS n_id, sub, code FROM r WHERE rn = 1),
+         |nc AS (SELECT codes.n_id, codes.sub, codes.code, aa.cell, aa.label
+         |       FROM codes JOIN aa ON aa.vec_id = codes.n_id),
+         |qd AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+         |         ${US6(sseQ)} AS dist_us
+         |       FROM sv v JOIN cb c USING (sub) WHERE v.vec_id < 5),
+         |adc AS (SELECT qd.q_id, nc.n_id, nc.label, sum(qd.dist_us) AS adc_us
+         |        FROM nc JOIN qd USING (sub, code)
+         |             JOIN iq ON iq.q_id = qd.q_id AND iq.cell = nc.cell
+         |                    AND iq.label = nc.label
+         |        GROUP BY 1, 2, 3),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_us, n_id) AS rn
+         |         FROM adc),
+         |x AS (SELECT c.q_id, c.n_id, c.label, c.adc_us,
+         |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM cand c JOIN e q ON q.vec_id = c.q_id
+         |                  JOIN e n ON n.vec_id = c.n_id
+         |      WHERE c.rn <= 32),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rank
+         |      FROM x)
+         |SELECT q_id, n_id, CAST(label AS BIGINT) AS label,
+         |       CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc_us AS DOUBLE) / 1000000.0 + 0 AS adc_dist,
+         |       ${Q6("cos")} AS cos_sim
+         |FROM f WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // Mirrors Vectors.annRecallIvfPqFiltered: the emb_ann_filtered_pq
+    // CTE chain verbatim through the fused ranking `f`, the exact
+    // SAME-LABEL top-k side (xp/exr — label as a join condition), the
+    // filtered denominator Σ_q min(c, admissible_q), and the shared hit
+    // sums.
+    "emb_ann_filtered_pq_recall" -> {
+      val sseQ = "list_sum(list_transform(generate_series(1, 8), " +
+        "i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+      s"""WITH e AS (SELECT vec_id, embedding, label, $NORM_SQL AS nrm FROM embeddings),
+         |nl AS (SELECT least(16, 4 * count(DISTINCT label)) AS np
+         |       FROM e WHERE vec_id >= 5),
+         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec,
+         |             list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |aa AS (SELECT e.vec_id, e.label, c.cell
+         |      FROM e, cc c WHERE e.vec_id >= 5
+         |      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell DESC) = 1),
+         |iq AS (SELECT e.vec_id AS q_id, e.label, c.cell
+         |       FROM e, cc c, nl WHERE e.vec_id < 5
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |         ORDER BY (${DOT_SQL("e.embedding", "c.cvec")} * 2 - c.cn2) DESC, c.cell ASC) <= nl.np),
+         |sv AS (SELECT vec_id, j.s AS sub,
+         |              list_transform(generate_series(1, 8),
+         |                i -> CAST(embedding[CAST(j.s AS INT) * 8 + i] AS DOUBLE)) AS svec
+         |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS s) j),
+         |cb AS (SELECT sub, CAST(vec_id - 5 AS INT) AS code, svec AS cvec
+         |       FROM sv WHERE vec_id >= 5 AND vec_id < 21),
+         |d AS (SELECT v.vec_id, v.sub, c.code,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS sse
+         |      FROM sv v JOIN cb c USING (sub) WHERE v.vec_id >= 5),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY sse, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id AS n_id, sub, code FROM r WHERE rn = 1),
+         |nc AS (SELECT codes.n_id, codes.sub, codes.code, aa.cell, aa.label
+         |       FROM codes JOIN aa ON aa.vec_id = codes.n_id),
+         |qd AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+         |         ${US6(sseQ)} AS dist_us
+         |       FROM sv v JOIN cb c USING (sub) WHERE v.vec_id < 5),
+         |adc AS (SELECT qd.q_id, nc.n_id, nc.label, sum(qd.dist_us) AS adc_us
+         |        FROM nc JOIN qd USING (sub, code)
+         |             JOIN iq ON iq.q_id = qd.q_id AND iq.cell = nc.cell
+         |                    AND iq.label = nc.label
+         |        GROUP BY 1, 2, 3),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_us, n_id) AS rn
+         |         FROM adc),
+         |x AS (SELECT c.q_id, c.n_id,
+         |        ${DOT_SQL("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |      FROM cand c JOIN e q ON q.vec_id = c.q_id
+         |                  JOIN e n ON n.vec_id = c.n_id
+         |      WHERE c.rn <= 32),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rank
+         |      FROM x),
+         |xp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |             ${DOT_SQL("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |       FROM e q JOIN e c
+         |         ON q.vec_id < 5 AND c.vec_id >= 5 AND q.label = c.label),
+         |exr AS (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |        FROM xp),
+         |jx AS (SELECT x2.q_id, x2.rank AS rank_exact, l.rank AS rank_approx
+         |       FROM (SELECT * FROM exr WHERE rank <= 10) x2
+         |       LEFT JOIN (SELECT q_id, n_id, rank FROM f WHERE rank <= 10) l
+         |         ON x2.q_id = l.q_id AND x2.n_id = l.n_id),
+         |den AS (SELECT count(*) AS n_q,
+         |               sum(least(1, nex)) AS den_1,
+         |               sum(least(5, nex)) AS den_5,
+         |               sum(least(10, nex)) AS den_10
+         |        FROM (SELECT q_id, count(*) AS nex
+         |              FROM exr WHERE rank <= 10 GROUP BY q_id)),
+         |h AS (SELECT sum(CASE WHEN rank_exact <= 1 AND rank_approx <= 1 THEN 1 ELSE 0 END) AS hits_1,
+         |             sum(CASE WHEN rank_exact <= 5 AND rank_approx <= 5 THEN 1 ELSE 0 END) AS hits_5,
+         |             sum(CASE WHEN rank_exact <= 10 AND rank_approx <= 10 THEN 1 ELSE 0 END) AS hits_10
+         |      FROM jx)
+         |SELECT CAST(den.n_q AS BIGINT) AS n_q,
+         |       CAST(hits_1 AS BIGINT) AS hits_1,
+         |       ${Q6("CAST(hits_1 AS DOUBLE) / den_1")} AS recall_1,
+         |       CAST(hits_5 AS BIGINT) AS hits_5,
+         |       ${Q6("CAST(hits_5 AS DOUBLE) / den_5")} AS recall_5,
+         |       CAST(hits_10 AS BIGINT) AS hits_10,
+         |       ${Q6("CAST(hits_10 AS DOUBLE) / den_10")} AS recall_10
+         |FROM h, den""".stripMargin
+    },
+
     "text_tokens" ->
       s"""WITH d AS (SELECT doc_id, $NORM_TEXT_SQL AS norm FROM documents)
          |SELECT doc_id,
@@ -6481,7 +6652,7 @@ object SparkEntry {
        |           (SELECT min(k)
        |            FROM (SELECT unnest(generate_series(8, 24)) AS k) ks,
        |                 (SELECT count(*) AS n FROM embeddings) n
-       |            WHERE (CAST(1 AS BIGINT) << k) >= (n.n + 31) // 32), 24) AS b),
+       |            WHERE (CAST(1 AS BIGINT) << k) >= (n.n + 3) // 4), 24) AS b),
        |bk AS (SELECT e.vec_id, t.t AS tbl,
        |         CAST(list_sum(list_transform(generate_series(0, bsel.b - 1), bb ->
        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->

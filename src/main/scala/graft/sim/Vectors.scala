@@ -665,8 +665,25 @@ object Vectors {
     * (below it recall rises but so does the n²/2^b candidate term — the
     * documented quadratic) and capped at 24 (16M buckets; beyond that
     * the probe fan-out costs more than it saves).
+    *
+    * Why the default occupancy is 4, not 32 (the r13 1000×-decade
+    * lesson): with 1-bit multiprobe the candidate mass per vector is
+    * nTables·(b+1)·occ — the FLIP probes carry ~b× the exact-bucket
+    * mass (each of b flip buckets contributes a full load² term where
+    * the exact bucket contributes load²/2 once) while adding only
+    * ~b·(1−p)/p relative recall. At occ = 32 and 2M vectors that is
+    * 16·17·32 ≈ 8,700 candidates per vector — 17 BILLION candidate
+    * rows, ~500 GB of distinct-shuffle spill, a measured ENOSPC — for
+    * near-dup recall that occ = 4 (b three deeper, mass 16·20·4 ≈
+    * 1,280/vector, 7× less) delivers within noise: per-table collision
+    * for a cos ≥ 0.95 pair is p^b(1 + b(1−p)/p) with p ≈ 0.9, and the
+    * 16-table union keeps recall ≈ 1.0 at either depth (0.98 at cos
+    * 0.9; the mid-similarity band below τ ≈ 0.8 is the documented
+    * collision-probability gap either way). Candidates stay linear in
+    * n by the same occupancy bound; the knob only moves WHERE on the
+    * recall-vs-mass curve the generator sits.
     */
-  def autoBits(n: Long, targetOccupancy: Long = 32L): Int = {
+  def autoBits(n: Long, targetOccupancy: Long = 4L): Int = {
     require(targetOccupancy > 0, s"targetOccupancy must be positive, got $targetOccupancy")
     val cells = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
     val ceilLog2 =
@@ -684,7 +701,7 @@ object Vectors {
     * same per-table union bound, with nTables the recall knob.
     */
   def cosinePairsLshAuto(emb: DataFrame, tau: Double, nTables: Int = 16,
-                         targetOccupancy: Long = 32L, dim: Int = 64): DataFrame = {
+                         targetOccupancy: Long = 4L, dim: Int = 64): DataFrame = {
     val n = emb.agg(count(lit(1))).head.getLong(0)
     cosinePairsLsh(emb, tau, nTables, autoBits(n, targetOccupancy), dim)
   }
@@ -700,7 +717,7 @@ object Vectors {
     * measures and this audit prices). One bucket pass + two keyed
     * map-side-partial aggregations; no join anywhere.
     */
-  def lshLoad(emb: DataFrame, nTables: Int = 16, targetOccupancy: Long = 32L,
+  def lshLoad(emb: DataFrame, nTables: Int = 16, targetOccupancy: Long = 4L,
               dim: Int = 64): DataFrame = {
     val n = emb.agg(count(lit(1))).head.getLong(0)
     val b = autoBits(n, targetOccupancy)
@@ -784,7 +801,7 @@ object Vectors {
 
   /** knnGraphLsh over the corpus-size-adaptive pair generator. */
   def knnGraphLshAuto(emb: DataFrame, tau: Double, k: Int, nTables: Int = 16,
-                      targetOccupancy: Long = 32L, dim: Int = 64): DataFrame =
+                      targetOccupancy: Long = 4L, dim: Int = 64): DataFrame =
     knnFromPairs(cosinePairsLshAuto(emb, tau, nTables, targetOccupancy, dim), k)
 
   /** The symmetrize + per-vector top-k tail shared by both generators.
@@ -1131,6 +1148,92 @@ object Vectors {
       all.filter(col("vec_id") < nQueries), k, nProbe, rerank, m)
   }
 
+  /** FILTERED IVF-PQ — the complete production composition: metadata
+    * pre-filter × cell pruning × compressed-code ADC scan × exact
+    * re-rank in ONE oracle-gated plan. This is the shape a deployed
+    * vector store actually serves (faiss IVFPQ + IDSelector): the index
+    * is compressed because the corpus doesn't fit, AND every query
+    * carries a predicate — the two families the engine already gates
+    * separately (annIvfPq, annIvfFiltered), fused because their
+    * approximations interact (the filter thins the ADC candidate pool
+    * exactly as it thins the inverted lists, so a compressed config
+    * tuned unfiltered sags under a selective predicate for the same
+    * reason the r12 filtered-IVF gate read 0.30).
+    *
+    * Composition order matters and is pre-everything: the label is an
+    * equi-join key on the CODE rows (cell, label), so an inadmissible
+    * candidate never reaches the ADC sum, the rerank cut, or the exact
+    * re-rank — never post-filtered at any stage. The probe count rides
+    * the same adaptiveProbe(nCells, nProbe, |labels|) rule as the
+    * uncompressed filtered path (one count-distinct, oracle-replayable);
+    * recall of the shipped config is measured by
+    * annRecallIvfPqFiltered against the exact same-label top-k.
+    */
+  def annIvfPqFiltered(emb: DataFrame, nQueries: Int, k: Int,
+                       nCells: Int = 16, nProbe: Int = 4, rerank: Int = 32,
+                       m: Int = 8, kCodes: Int = 16, lloydIters: Int = 0,
+                       trainLimit: Long = 200000L): DataFrame = {
+    val spark = emb.sparkSession
+    val all = withNorm(emb)
+    val corpus = all.filter(col("vec_id") >= nQueries).cache()
+    val cents = trainCentroids(corpus, nCells, lloydIters, trainLimit)
+    val cd = centDf(spark, cents)
+    val assigned = assignTo(corpus, cd, carry = Seq("label"))
+    val cb = pqCodebook(assigned, m, kCodes)
+    val codes = pqAssign(assigned, cb, m)
+      .join(assigned.select(col("vec_id"), col("cell"), col("label")), Seq("vec_id"))
+    val nLabels = corpus.agg(countDistinct(col("label"))).head.getLong(0)
+    corpus.unpersist()
+    ivfPqQueryFiltered(cd, broadcast(cb), codes, assigned,
+      all.filter(col("vec_id") < nQueries), k,
+      adaptiveProbe(nCells, nProbe, nLabels), rerank, m)
+  }
+
+  /** The filtered ivfPqQuery tail: probes carry the query's label, the
+    * compressed-code candidate join keys on (cell, label) — an
+    * inadmissible code row never enters the ADC aggregation — and both
+    * cuts are bounded (rankPerQuery for the corpus-scale ADC prescreen,
+    * a plain per-query window for the ≤rerank-row exact re-rank).
+    */
+  private[sim] def ivfPqQueryFiltered(cents: DataFrame, cb: DataFrame, codes: DataFrame,
+                                      assigned: DataFrame, queries: DataFrame,
+                                      k: Int, nProbe: Int, rerank: Int,
+                                      m: Int = 8): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must cover k=$k")
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    val probes = broadcast(queries
+      .join(cents)
+      .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("label"), col("cell")))
+    val dt = broadcast(pqDistTable(queries, cb, m))
+    // (cell, label) is the candidate key: the probed-and-admissible code
+    // frame is (nProbe/nCells)·(1/|labels|) of the corpus codes per query
+    // — still corpus-scale in few query groups, hence the two-phase cut
+    val adc = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"),
+        col("cell"), col("label"))
+      .join(probes, Seq("cell", "label"))
+      .join(dt, Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("n_id"), col("label"))
+      .agg(sum(col("dist_us")).as("adc_us"))
+    val cand = rankPerQuery(adc, Seq(col("adc_us"), col("n_id")), rerank, key = "q_id")
+      .select(col("q_id"), col("n_id"), col("label"), col("adc_us"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val cv = assigned.select(col("vec_id").as("n_id"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("label").cast("long").as("label"),
+        col("rank").cast("long").as("rank"),
+        (col("adc_us").cast("double") / 1e6 + lit(0d)).as("adc_dist"),
+        graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
+
   /** Train the coarse quantizer over an already-normed (and ideally
     * cached) corpus — shared by annIvf and IvfIndex.build.
     */
@@ -1356,6 +1459,25 @@ object Vectors {
       s"every cutoff must be in [1, $k]: $ks")
     recallFrom(annTopK(emb, nQueries, k),
       annIvfPq(emb, nQueries, k, nCells, nProbe, rerank), ks)
+  }
+
+  /** The FUSED-FILTERED member — recall@k of the filtered IVF-PQ
+    * composition (annIvfPqFiltered at its adaptive probe count) vs the
+    * exact same-label top-k (annTopKFiltered). Separate from both
+    * annRecallIvfPq and annRecallIvfFiltered because the three
+    * approximations (cell miss, ADC miss, filter thinning) interact in
+    * the candidate pool; uses the FILTERED denominator
+    * Σ_q min(c, admissible_q) — a selective label class with fewer than
+    * c admissible vectors must still be able to read 1.0.
+    */
+  def annRecallIvfPqFiltered(emb: DataFrame, nQueries: Int, k: Int,
+                             ks: Seq[Int] = Seq(1, 5, 10),
+                             nCells: Int = 16, nProbe: Int = 4,
+                             rerank: Int = 32): DataFrame = {
+    require(ks.nonEmpty && ks.forall(c => c >= 1 && c <= k),
+      s"every cutoff must be in [1, $k]: $ks")
+    recallFromFiltered(annTopKFiltered(emb, nQueries, k),
+      annIvfPqFiltered(emb, nQueries, k, nCells, nProbe, rerank), ks)
   }
 
   /** The BITQ member — recall@k of the sign-bit Hamming-prescreened path

@@ -236,13 +236,16 @@ class DedupSimSpec extends SparkSuite {
   }
 
   test("auto LSH picks occupancy-bounded bits and keeps planted-dup recall") {
-    // the autoBits rule itself: floor 8, ceil(log2(n/occ)) above it, cap 24
+    // the autoBits rule itself: floor 8, ceil(log2(n/occ)) above it, cap
+    // 24 — at the default occupancy of 4 (the multiprobe-aware budget;
+    // see autoBits' doc for why 32 was an ENOSPC at the 1000× decade)
     assert(Vectors.autoBits(100) == 8)
-    assert(Vectors.autoBits(32L * 256) == 8)
-    assert(Vectors.autoBits(32L * 256 + 1) == 9)
-    assert(Vectors.autoBits(32L * (1L << 12)) == 12)
+    assert(Vectors.autoBits(4L * 256) == 8)
+    assert(Vectors.autoBits(4L * 256 + 1) == 9)
+    assert(Vectors.autoBits(4L * (1L << 12)) == 12)
     assert(Vectors.autoBits(Long.MaxValue / 2) == 24)
-    assert(Vectors.autoBits(1000, targetOccupancy = 4) == 8)
+    assert(Vectors.autoBits(1000, targetOccupancy = 32) == 8)
+    assert(Vectors.autoBits(32L * 256 + 1, targetOccupancy = 32) == 9)
     // a corpus big enough to push b to 9: planted near-dup pairs must
     // still surface through the wider buckets (subset contract holds at
     // any b; recall rides the per-table union bound)
@@ -253,7 +256,7 @@ class DedupSimSpec extends SparkSuite {
       Seq((900000L + c * 2, base),
         (900001L + c * 2, base.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)))
     }
-    val filler = (0 until 8300).map(i => (i.toLong, unitish()))
+    val filler = (0 until 1440).map(i => (i.toLong, unitish()))
     val df = spark.createDataFrame(filler ++ planted).toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     assert(Vectors.autoBits(filler.size + planted.size) == 9, "corpus sized for b=9")
@@ -1102,6 +1105,60 @@ class DedupSimSpec extends SparkSuite {
     val r = Vectors.annRecallIvfPq(e, 3, 5, Seq(1, 5),
       nCells = 4, nProbe = 4, rerank = 42).collect()(0)
     assert(r.getLong(0) == 3L && r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("annIvfPqFiltered pre-filters the CODE rows: admissible neighbors survive a dominant inadmissible mass") {
+    import spark.implicits._
+    // same geometry as the annIvfFiltered pre-filter spec: the query's
+    // label-1 class has three far vectors while twenty label-0 clones of
+    // the query dominate every unfiltered stage (cells, ADC, re-rank).
+    // The fused filtered path must return exactly the three admissible
+    // vectors — proof the label keys the compressed-code candidate join
+    // and no stage post-filters.
+    val q = Seq.tabulate(64)(d => if (d == 0) 1f else 0f)
+    val far = Seq.tabulate(64)(d => if (d == 1) 1f else 0f)
+    val near = (1L to 20L).map(i => (i, q, 0))
+    val admissible = (21L to 23L).map(i => (i, far, 1))
+    val e = ((0L, q, 1) +: (near ++ admissible)).toDF("vec_id", "embedding", "label")
+    val got = Vectors.annIvfPqFiltered(e, 1, 3, nCells = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == Set(21L, 22L, 23L), got.toSeq.toString)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("annIvfPqFiltered with every cell probed and full rerank equals the exact filtered top-k") {
+    import spark.implicits._
+    // adaptiveProbe(4, 4, 3) saturates at nCells and rerank covers every
+    // admissible candidate ⇒ no stage drops anything: the fused filtered
+    // composition must reproduce annTopKFiltered row-for-row, and the
+    // fused gate must read exactly 1.0
+    val e = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "label", "rank", "cos_sim")
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    assert(rows(Vectors.annIvfPqFiltered(e, 3, 5, nCells = 4, nProbe = 4,
+        rerank = 37)) ==
+      rows(Vectors.annTopKFiltered(e, 3, 5)))
+    val r = Vectors.annRecallIvfPqFiltered(e, 3, 5, Seq(1, 5),
+      nCells = 4, nProbe = 4, rerank = 37).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("fused-filtered gate at the registered config on the gate SF") {
+    // sfDir embeddings: 10 labels ⇒ the adaptive rule probes every cell,
+    // so the only approximation left is the ADC prescreen (rerank = 32
+    // over ~1/10 of the corpus per query) — the shipped config's recall,
+    // measured the way emb_ann_filtered_pq_recall gates it
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val r = Vectors.annRecallIvfPqFiltered(emb, 5, 10).collect()(0)
+    assert(r.getLong(0) == 5L, s"n_q: $r")
+    assert(r.getDouble(6) >= 0.9,
+      s"fused filtered recall@10 must be >= 0.9 at the registered config, got $r")
   }
 
   test("knnPurity counts same-label kNN edges per label") {
