@@ -17,6 +17,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Spark only deletes a finished query's shuffle files when the
+      // driver GC collects the plan that referenced them — default
+      // periodicGC is 30min, so a campaign of back-to-back heavy
+      // queries accumulates every predecessor's dead spill on disk
+      // (measured: 75 GB of defunct blockmgr files mid-sweep at the
+      // 1000× decade, an ENOSPC that no single query caused). Two
+      // minutes bounds the dead-file window; the explicit System.gc()
+      // between samples (below, untimed) makes the common case
+      // deterministic.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Every remaining partition-less window in the library goes through
@@ -57,7 +68,7 @@ object Bench {
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
@@ -66,6 +77,19 @@ object Bench {
           String.valueOf(e.getMessage).take(200))
         Double.NaN
       }
+      // Campaign-only (SPARK_GRAFT_GC_EACH=1): release the finished
+      // query's shuffle files NOW instead of whenever the driver heap
+      // next fills — see the periodicGC.interval comment on the session
+      // builder. OPT-IN because the call is not free even though it sits
+      // outside the timed window: a measured full-suite sf0.1 sweep with
+      // it unconditional read a uniform ~+1 s on every query (the
+      // explicit GC starts a concurrent cycle that steals CPU from the
+      // NEXT query's timed window) — 158.7 → 244.3 s total. Scale
+      // campaigns set it: at 100×/1000× a single heavy query's dead
+      // shuffle is tens of GB and the GC second is noise; at sf0.1 the
+      // per-query shuffle is MBs and the 2-min periodic cleaner suffices.
+      if (sys.env.get("SPARK_GRAFT_GC_EACH").contains("1")) System.gc()
+      r
     }
     val first = queries.map { case (name, fn) => name -> time(name, fn) }
     // Steady-state re-measure: a single sample taken while the machine is

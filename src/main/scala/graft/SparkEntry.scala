@@ -6648,11 +6648,12 @@ object SparkEntry {
     */
   private val LSH_PAIR_CTES =
     s"""e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
-       |bsel AS (SELECT coalesce(
+       |bsel AS (SELECT b, least(b, greatest(0, 16 - b)) AS nflips FROM (
+       |         SELECT coalesce(
        |           (SELECT min(k)
-       |            FROM (SELECT unnest(generate_series(8, 24)) AS k) ks,
+       |            FROM (SELECT unnest(generate_series(8, 28)) AS k) ks,
        |                 (SELECT count(*) AS n FROM embeddings) n
-       |            WHERE (CAST(1 AS BIGINT) << k) >= (n.n + 3) // 4), 24) AS b),
+       |            WHERE (CAST(1 AS BIGINT) << k) >= (n.n + 3) // 4), 28) AS b)),
        |bk AS (SELECT e.vec_id, t.t AS tbl,
        |         CAST(list_sum(list_transform(generate_series(0, bsel.b - 1), bb ->
        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
@@ -6661,7 +6662,7 @@ object SparkEntry {
        |       FROM e, (SELECT unnest(generate_series(0, 15)) AS t) t, bsel),
        |pp AS (SELECT b.vec_id, b.tbl, xor(b.bucket, f.f) AS bucket
        |       FROM bk b, (SELECT unnest(list_prepend(CAST(0 AS BIGINT),
-       |              list_transform(generate_series(0, bsel.b - 1),
+       |              list_transform(generate_series(0, bsel.nflips - 1),
        |                j -> CAST(1 AS BIGINT) << j))) AS f
        |            FROM bsel) f),
        |cand AS (SELECT DISTINCT least(p.vec_id, q.vec_id) AS id_a,

@@ -611,14 +611,33 @@ object Vectors {
     * bucket occupancy bounded (work ≈ nTables · Σ_bucket |bucket|²).
     *
     * Recall: per-table collision for a pair at angle θ is
-    * p^b + b·p^(b-1)(1−p) with p = 1 − θ/π; union over tables. At the
-    * defaults (16×8 + probe), ≥ 99.99% for true near-dups (cos ≥ 0.8)
-    * and ~94% at the 0.4 floor on near-random 64-dim data
-    * (DedupSimSpec pins both against the exact generator).
+    * p^b + f·p^(b-1)(1−p) with p = 1 − θ/π and f the flip budget below;
+    * union over tables. At the small-corpus floor (16×8 + all-bit
+    * probe), ≥ 99.99% for true near-dups (cos ≥ 0.8) and ~94% at the
+    * 0.4 floor on near-random 64-dim data (DedupSimSpec pins both
+    * against the exact generator).
+    *
+    * THE FLIP BUDGET (r13, measured at the 1000× decade): each 1-bit
+    * flip probe costs a full exact-bucket's worth of RANDOM background
+    * collisions — n/2^b expected candidates per vector per table, in
+    * BOTH probe directions — while its recall contribution decays as
+    * p^(b−1)(1−p). At b = 19 / 2M vectors the 19 flips were 4.6 B
+    * background candidate rows against 328 M exact ones (emb_lsh_load
+    * priced the exact mass at 164 M pairs; the flips held ~14× that),
+    * a measured ENOSPC that no occupancy knob fixes. So multiprobe is
+    * the FLOOR-REGIME recall subsidy it actually is: at b = 8 every bit
+    * probes (tiny corpus, candidates cheap, p^8 needs the boost), one
+    * flip retires per bit of corpus growth — flips = min(b,
+    * max(0, 16 − b)) — and from b ≥ 16 the generator probes exact
+    * buckets only, where 16 tables × occupancy-4 buckets already put
+    * the near-dup union bound at ~1.0 for cos ≥ 0.99 (p^19 ≈ 0.42 per
+    * table) and each flip would buy a sub-percent recall delta for
+    * ~2·occ·nTables ≈ 128 extra background candidates per vector.
     *
     * The md5-derived planes are engine-portable (LshBuckets.planes), so
-    * the DuckDB oracle replays buckets, probes, and cosines bit-for-bit —
-    * the bucketed path is hash-gated, not merely spec'd.
+    * the DuckDB oracle replays buckets, probes, flip budget, and
+    * cosines bit-for-bit — the bucketed path is hash-gated, not merely
+    * spec'd.
     */
   def cosinePairsLsh(emb: DataFrame, tau: Double,
                      nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
@@ -627,10 +646,12 @@ object Vectors {
       .select(col("vec_id"),
         posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsPerTable, dim))
           .as(Seq("tbl", "bucket")))
-    // probe side carries the exact bucket plus every 1-bit flip; the base
-    // side stays exact — symmetrized by least/greatest below, so a pair is
-    // a candidate if EITHER endpoint probes into the other's bucket
-    val probeFlips = (-1 until bitsPerTable).map { j =>
+    // probe side carries the exact bucket plus the BUDGETED 1-bit flips
+    // (see the flip-budget doc above); the base side stays exact —
+    // symmetrized by least/greatest below, so a pair is a candidate if
+    // EITHER endpoint probes into the other's bucket
+    val flipBits = math.min(bitsPerTable, math.max(0, 16 - bitsPerTable))
+    val probeFlips = (-1 until flipBits).map { j =>
       if (j < 0) col("bucket") else expr(s"bucket ^ ${1 << j}")
     }
     val probe = hashed
@@ -663,32 +684,36 @@ object Vectors {
     * its spec: enough bits that expected bucket occupancy stays ≤
     * `targetOccupancy` (b = ⌈log₂(n / occ)⌉), floored at the default 8
     * (below it recall rises but so does the n²/2^b candidate term — the
-    * documented quadratic) and capped at 24 (16M buckets; beyond that
-    * the probe fan-out costs more than it saves).
+    * documented quadratic) and capped at 28 (268M buckets — buckets are
+    * never materialized, so the cap only bounds per-vector hash work;
+    * 28 keeps occupancy ≤ 4 out to a 10⁹-vector corpus. The old cap of
+    * 24 guarded the all-bit probe fan-out, which the flip budget in
+    * cosinePairsLsh retires by b = 16; at 24 a 10⁹ corpus would degrade
+    * to occupancy ~60 and pay 16·60 ≈ 1000 exact candidates per
+    * vector).
     *
     * Why the default occupancy is 4, not 32 (the r13 1000×-decade
-    * lesson): with 1-bit multiprobe the candidate mass per vector is
-    * nTables·(b+1)·occ — the FLIP probes carry ~b× the exact-bucket
-    * mass (each of b flip buckets contributes a full load² term where
-    * the exact bucket contributes load²/2 once) while adding only
-    * ~b·(1−p)/p relative recall. At occ = 32 and 2M vectors that is
-    * 16·17·32 ≈ 8,700 candidates per vector — 17 BILLION candidate
-    * rows, ~500 GB of distinct-shuffle spill, a measured ENOSPC — for
-    * near-dup recall that occ = 4 (b three deeper, mass 16·20·4 ≈
-    * 1,280/vector, 7× less) delivers within noise: per-table collision
-    * for a cos ≥ 0.95 pair is p^b(1 + b(1−p)/p) with p ≈ 0.9, and the
-    * 16-table union keeps recall ≈ 1.0 at either depth (0.98 at cos
-    * 0.9; the mid-similarity band below τ ≈ 0.8 is the documented
-    * collision-probability gap either way). Candidates stay linear in
-    * n by the same occupancy bound; the knob only moves WHERE on the
-    * recall-vs-mass curve the generator sits.
+    * lesson, the parameter half of the fix whose probe half is
+    * cosinePairsLsh's flip budget): candidate mass per vector is
+    * nTables·occ·(1 + flips), so occupancy multiplies EVERY probe's
+    * collision background. At occ = 32 and 2M vectors the generator
+    * priced out at 17 BILLION candidate rows (~500 GB of
+    * distinct-shuffle spill, a measured ENOSPC); occ = 4 probes three
+    * bits deeper and cuts the exact-bucket mass 8× while the 16-table
+    * union keeps near-dup recall ≈ 1.0 (per-table collision for a
+    * cos ≥ 0.95 pair is p^b(1 + f(1−p)/p) with p ≈ 0.9; the
+    * mid-similarity band below τ ≈ 0.8 is the documented
+    * collision-probability gap at either occupancy). Candidates stay
+    * linear in n by the same occupancy bound; the knob only moves WHERE
+    * on the recall-vs-mass curve the generator sits — emb_lsh_load
+    * prices the realized mass (incl. skew) before a fleet pays it.
     */
   def autoBits(n: Long, targetOccupancy: Long = 4L): Int = {
     require(targetOccupancy > 0, s"targetOccupancy must be positive, got $targetOccupancy")
     val cells = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
     val ceilLog2 =
       if (cells <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
-    math.min(24, math.max(8, ceilLog2))
+    math.min(28, math.max(8, ceilLog2))
   }
 
   /** Corpus-size-adaptive cosinePairsLsh — the lttbAuto pattern on the

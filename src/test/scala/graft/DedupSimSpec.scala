@@ -243,7 +243,7 @@ class DedupSimSpec extends SparkSuite {
     assert(Vectors.autoBits(4L * 256) == 8)
     assert(Vectors.autoBits(4L * 256 + 1) == 9)
     assert(Vectors.autoBits(4L * (1L << 12)) == 12)
-    assert(Vectors.autoBits(Long.MaxValue / 2) == 24)
+    assert(Vectors.autoBits(Long.MaxValue / 2) == 28)
     assert(Vectors.autoBits(1000, targetOccupancy = 32) == 8)
     assert(Vectors.autoBits(32L * 256 + 1, targetOccupancy = 32) == 9)
     // a corpus big enough to push b to 9: planted near-dup pairs must
