@@ -28,6 +28,23 @@ object Bench {
       // deterministic.
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
+      // MASS-SCALED SHUFFLE (the r13 decade lesson, automated): a fixed
+      // partition count is wrong at both ends — 32 partitions spill at
+      // 1000× (the pair-graph verify join moves pairs × vector-bytes;
+      // measured 2–3× super-linear residual from sort spill), while
+      // thousands of partitions waste per-exchange overhead at sf0.1.
+      // AQE already right-sizes every exchange from RUNTIME map-output
+      // stats, but it can only coalesce DOWN from the initial count —
+      // so give it headroom. Default max(256, conf): the r14 A/B at
+      // sf0.1 measured 1024 as a real tail cost on the slice/window
+      // family (ts_sessionize 5.9 → 11.4 s cold; the 229-query sweep
+      // +50 s, concentrated there) while 256 sat within noise of the
+      // 32 baseline — 8× headroom for free, and scale campaigns export
+      // SPARK_GRAFT_INITIAL_PARTITIONS=2048+ explicitly (the knob a
+      // 1000-executor cluster sets cluster-wide).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          math.max(256, shuffle.toInt).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Every remaining partition-less window in the library goes through

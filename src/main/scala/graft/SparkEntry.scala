@@ -6638,33 +6638,48 @@ object SparkEntry {
   private def PLANE_SQL(t: String, b: String, d: String): String =
     s"((md5_number_lower(concat('lsh|', $t, '|', $b, '|', $d)) >> 11) / 9007199254740992.0 - 0.5)"
 
-  /** Mirrors graft.sim.Vectors.cosinePairsLsh(tau = 0.4, 16 tables × 8
-    * bits, 1-bit multiprobe) — buckets from the same md5-derived planes,
-    * candidates = pairs whose buckets collide (exactly, or within Hamming
-    * distance 1 from either endpoint — least/greatest symmetrizes the
-    * probe direction), exact cosine ≥ 0.4 verify in DOT_SQL's index order.
-    * Shared by emb_cosine_pairs / emb_knn / emb_clusters; yields `pr`
-    * (id_a < id_b, raw cos).
+  /** Mirrors graft.sim.Vectors.cosinePairsLshAuto (tau = 0.4, 16 tables,
+    * fractional-bit occupancy budget) — buckets from the same md5-derived
+    * planes, per-table widths from the same (b0, nUp) rule
+    * (Vectors.autoBitsFrac: b0 = clamp(⌊log₂⌈n/4⌉⌋, 8, 28); nUp tables
+    * bucket at b0 + 1 bits so the mean per-table collision rate stays
+    * 1/⌈n/4⌉ instead of riding the power-of-two occupancy sawtooth —
+    * nUp = (64·(u − 2^b0) + u) div (2u), exact integer half-up),
+    * candidates = pairs whose buckets collide exactly or within the
+    * per-table-width FLIP BUDGET (min(bits, max(0, 16 − bits)) 1-bit
+    * probes — all bits at the b=8 floor, zero from b ≥ 16) from either
+    * endpoint — least/greatest symmetrizes the probe direction — then
+    * exact cosine ≥ 0.4 verify in DOT_SQL's index order. Shared by
+    * emb_cosine_pairs / emb_knn / emb_clusters / emb_lsh_load; yields
+    * `pr` (id_a < id_b, raw cos) and `bk` (per-table buckets).
     */
   private val LSH_PAIR_CTES =
     s"""e AS (SELECT vec_id, embedding, $NORM_SQL AS nrm FROM embeddings),
-       |bsel AS (SELECT b, least(b, greatest(0, 16 - b)) AS nflips FROM (
-       |         SELECT coalesce(
-       |           (SELECT min(k)
-       |            FROM (SELECT unnest(generate_series(8, 28)) AS k) ks,
-       |                 (SELECT count(*) AS n FROM embeddings) n
-       |            WHERE (CAST(1 AS BIGINT) << k) >= (n.n + 3) // 4), 28) AS b)),
-       |bk AS (SELECT e.vec_id, t.t AS tbl,
-       |         CAST(list_sum(list_transform(generate_series(0, bsel.b - 1), bb ->
+       |bsel AS (SELECT b0, CASE WHEN b0 >= 28 OR u <= (CAST(1 AS BIGINT) << b0) THEN 0
+       |                ELSE least(16, (64 * (u - (CAST(1 AS BIGINT) << b0)) + u) // (2 * u))
+       |                END AS nup
+       |         FROM (SELECT u, coalesce(
+       |                 (SELECT max(k)
+       |                  FROM (SELECT unnest(generate_series(8, 28)) AS k) ks
+       |                  WHERE (CAST(1 AS BIGINT) << k) <= u), 8) AS b0
+       |               FROM (SELECT (n + 3) // 4 AS u
+       |                     FROM (SELECT count(*) AS n FROM embeddings) nn) uu) bb),
+       |tsel AS (SELECT t.t AS tbl,
+       |                bsel.b0 + (CASE WHEN t.t < bsel.nup THEN 1 ELSE 0 END) AS bits
+       |         FROM (SELECT unnest(generate_series(0, 15)) AS t) t, bsel),
+       |bk AS (SELECT e.vec_id, tsel.tbl,
+       |         CAST(list_sum(list_transform(generate_series(0, tsel.bits - 1), bb ->
        |           CASE WHEN list_sum(list_transform(generate_series(1, 64), dd ->
-       |                  CAST(e.embedding[dd] AS DOUBLE) * ${PLANE_SQL("t.t", "bb", "dd - 1")})) > 0
+       |                  CAST(e.embedding[dd] AS DOUBLE) * ${PLANE_SQL("tsel.tbl", "bb", "dd - 1")})) > 0
        |                THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS bucket
-       |       FROM e, (SELECT unnest(generate_series(0, 15)) AS t) t, bsel),
-       |pp AS (SELECT b.vec_id, b.tbl, xor(b.bucket, f.f) AS bucket
-       |       FROM bk b, (SELECT unnest(list_prepend(CAST(0 AS BIGINT),
-       |              list_transform(generate_series(0, bsel.nflips - 1),
-       |                j -> CAST(1 AS BIGINT) << j))) AS f
-       |            FROM bsel) f),
+       |       FROM e, tsel),
+       |pp AS (SELECT vec_id, tbl,
+       |              xor(bucket, unnest(list_prepend(CAST(0 AS BIGINT),
+       |                list_transform(
+       |                  generate_series(0, least(bits, greatest(0, 16 - bits)) - 1),
+       |                  j -> CAST(1 AS BIGINT) << j)))) AS bucket
+       |       FROM (SELECT b.vec_id, b.tbl, b.bucket, t.bits
+       |             FROM bk b JOIN tsel t ON t.tbl = b.tbl) wb),
        |cand AS (SELECT DISTINCT least(p.vec_id, q.vec_id) AS id_a,
        |                         greatest(p.vec_id, q.vec_id) AS id_b
        |         FROM pp p JOIN bk q ON p.tbl = q.tbl AND p.bucket = q.bucket

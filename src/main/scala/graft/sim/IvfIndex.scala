@@ -41,11 +41,22 @@ class IvfIndex private[sim] (val spark: SparkSession, val dir: String) {
     * from directory metadata, never the data files.
     */
   def queryFiltered(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    val nLabels = assigned.select(col("label")).distinct().count()
+    val a = assigned
+    val nLabels = a.select(col("label")).distinct().count()
     val nCells = centroids.count().toInt
-    Vectors.ivfQueryFiltered(broadcast(centroids), assigned,
-      Vectors.withNorm(queries), k,
-      Vectors.adaptiveProbe(nCells, nProbe, nLabels))
+    val probes = Vectors.adaptiveProbe(nCells, nProbe, nLabels)
+    // a bucketed index (built past maxLabelDirs) carries the lbk
+    // partition column and a meta file with the bucket count — the
+    // query derives the same hash bucket per label (layout doc:
+    // Vectors.ivfQueryFiltered)
+    if (a.columns.contains("lbk")) {
+      val nDirs = spark.read.parquet(s"$dir/meta")
+        .select(col("n_label_dirs")).head.getInt(0)
+      Vectors.ivfQueryFiltered(broadcast(centroids), a,
+        Vectors.withNorm(queries), k, probes, nDirs)
+    } else
+      Vectors.ivfQueryFiltered(broadcast(centroids), a,
+        Vectors.withNorm(queries), k, probes)
   }
 
   def pqCodebook: DataFrame = spark.read.parquet(s"$dir/pq_codebook")
@@ -115,18 +126,46 @@ object IvfIndex {
     * annIvfFiltered's doc makes for the fused path. Same quantizer
     * contract (shared trainCentroids/assignTo), so the spec pins
     * queryFiltered equal to the fused operator, including after reopen.
+    *
+    * Past `maxLabelDirs` distinct labels the layout switches to label
+    * HASH BUCKETING — partitioned by (cell, lbk = pmod(xxhash64(label),
+    * maxLabelDirs)) with label kept as a data column — because the
+    * plain grid is nCells·|labels| directories (10⁴ labels × 2¹⁰ cells
+    * = 10⁷ small files, the classic parquet small-files failure) while
+    * the bucketed grid is bounded at nCells·maxLabelDirs at any
+    * cardinality. A query still prunes to its (cell, lbk) directories
+    * and filters the exact label inside the ~|labels|/maxLabelDirs
+    * share it read; answers are identical (spec-pinned against the
+    * fused operator for both layouts).
     */
   def buildFiltered(corpus: DataFrame, dir: String, nCells: Int = 16,
-                    lloydIters: Int = 0, trainLimit: Long = 200000L): IvfIndex = {
+                    lloydIters: Int = 0, trainLimit: Long = 200000L,
+                    maxLabelDirs: Int = 256): IvfIndex = {
     val spark = corpus.sparkSession
     val c = Vectors.withNorm(corpus).cache()
     val cents = Vectors.trainCentroids(c, nCells, lloydIters, trainLimit)
     Vectors.centDf(spark, cents)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    Vectors.assignTo(c, Vectors.centDf(spark, cents), carry = Seq("label"))
-      .repartition(col("cell"), col("label"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell", "label")
-      .parquet(s"$dir/assigned")
+    val assigned = Vectors.assignTo(c, Vectors.centDf(spark, cents),
+      carry = Seq("label"))
+    val nLabels = c.agg(countDistinct(col("label"))).head.getLong(0)
+    if (nLabels > maxLabelDirs) {
+      assigned
+        .withColumn("lbk",
+          pmod(xxhash64(col("label")), lit(maxLabelDirs.toLong)).cast("int"))
+        .repartition(col("cell"), col("lbk"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell", "lbk")
+        .parquet(s"$dir/assigned")
+      // the bucket count is a BUILD-time property the query side must
+      // reproduce exactly — persist it rather than infer it from dir
+      // names (sparse buckets would under-count)
+      spark.range(1).select(lit(maxLabelDirs).as("n_label_dirs"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    } else
+      assigned
+        .repartition(col("cell"), col("label"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell", "label")
+        .parquet(s"$dir/assigned")
     c.unpersist()
     new IvfIndex(spark, dir)
   }

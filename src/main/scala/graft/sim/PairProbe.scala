@@ -1,0 +1,115 @@
+package graft.sim
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement probe for the LSH pair-graph family's scaling (the
+  * SpanProbe recipe on the embedding axis): times each stage of
+  * cosinePairsLshAuto in isolation at a given SF dir — bucket pass,
+  * candidate join, key-only distinct, vector join-back + exact verify —
+  * and prices the realized bucket grid (per-table mass, occupancy,
+  * max_load) at the fractional-bit config, so the r13 decade residual
+  * (emb_dup_sweep 51×, emb_clusters 50× for 10× data — attributed to
+  * "mass 16.9× × spill 2–3×" as an ESTIMATE) becomes a measured
+  * decomposition: which stage owes the super-linear part, and whether
+  * the fractional-bit budget (autoBitsFrac) + mass-scaled shuffle (AQE
+  * initialPartitionNum headroom) actually collapsed it.
+  * Usage: runMain graft.sim.PairProbe <sfDir> [tau=0.4]
+  * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE, SPARK_GRAFT_INITIAL_PARTITIONS
+  */
+object PairProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf10"
+    val tau = if (args.length > 1) args(1).toDouble else 0.4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      // the A/B knob this probe exists to measure: 0 disables the
+      // headroom (r13 behavior — every exchange at `shuffle`), else
+      // AQE right-sizes from runtime stats under this ceiling
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pairprobe] ${(System.nanoTime() - t0) / 1e9}%8.2f s  $label"); r
+    }
+    val n = emb.count()
+    val (b0, nUp) = Vectors.autoBitsFrac(n)
+    println(s"[pairprobe] n=$n config: b0=$b0 nUp=$nUp " +
+      s"(${nUp}@${b0 + 1} + ${16 - nUp}@$b0 bits) shuffle=$shuffle " +
+      s"initialPartitionNum=${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")}")
+
+    // stage 0: the priced grid — per-table exact-bucket mass at the
+    // fractional config (what the candidate join below will pay)
+    val load = time("lshLoad (priced grid)")(
+      Vectors.lshLoad(emb).agg(
+        sum("cand_pairs"), max("max_load"),
+        sum("n_items") / sum("n_buckets")).head())
+    println(s"[pairprobe]   exact-bucket mass=${load.getLong(0)} pairs " +
+      s"max_load=${load.getLong(1)} realized_occ=${f"${load.getDouble(2)}%.2f"}")
+
+    // stage 1: bucket pass alone (narrow codegen projection, no shuffle)
+    val bitsHi = if (nUp > 0) b0 + 1 else b0
+    val hashed0 = Vectors.withNorm(emb).select(col("vec_id"),
+      posexplode(graft.plans.LshBuckets.buckets(col("embedding"), 16, bitsHi, 64))
+        .as(Seq("tbl", "bucket")))
+    val hashed = if (nUp == 0 || nUp == 16) hashed0
+      else hashed0.withColumn("bucket",
+        when(col("tbl") < nUp, col("bucket"))
+          .otherwise(col("bucket").bitwiseAND(lit((1L << b0) - 1))))
+    time("bucket pass (hash + posexplode, count only)")(hashed.count())
+
+    // stage 2: candidate join, PRE-distinct (the raw collision mass in
+    // flight — key-only rows)
+    def probeOf(bits: Int) = {
+      val flips = math.min(bits, math.max(0, 16 - bits))
+      array((-1 until flips).map { j =>
+        if (j < 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << j))
+      }: _*)
+    }
+    val probeArr =
+      if (nUp == 0) probeOf(b0)
+      else if (nUp == 16) probeOf(b0 + 1)
+      else when(col("tbl") < nUp, probeOf(b0 + 1)).otherwise(probeOf(b0))
+    val probe = hashed.withColumn("bucket", explode(probeArr))
+      .select(col("vec_id").as("id_p"), col("tbl"), col("bucket"))
+    val base = hashed.select(col("vec_id").as("id_q"), col("tbl"), col("bucket"))
+    val rawCand = probe.join(base, Seq("tbl", "bucket"))
+      .filter(col("id_p") =!= col("id_q"))
+    val nRaw = time("candidate join (pre-distinct count)")(rawCand.count())
+
+    // stage 3: + the key-only distinct (the shuffle the r13 verdict
+    // blamed for the spill residual)
+    val cand = rawCand.select(
+      least(col("id_p"), col("id_q")).as("id_a"),
+      greatest(col("id_p"), col("id_q")).as("id_b")).distinct()
+    val nCand = time("+ key-only distinct")(cand.count())
+
+    // stage 4: the full generator (adds the two vector join-backs + the
+    // exact-cosine verify — the pairs × vector-bytes exchange)
+    val nPairs = time("FULL cosinePairsLshAuto (verify join-back incl.)")(
+      Vectors.cosinePairsLshAuto(emb, tau).count())
+    println(s"[pairprobe] rows: raw_cand=$nRaw distinct_cand=$nCand " +
+      s"pairs_tau=$nPairs cand_per_vec=${f"${nRaw.toDouble / n}%.1f"}")
+
+    // stage 5: one representative consumer end-to-end (the tau sweep —
+    // r13's worst decade ratio at 51×)
+    time("emb_dup_sweep shape (sweep over one pair set)") {
+      val pr = Vectors.cosinePairsLshAuto(emb, 0.8)
+      pr.agg(count(lit(1)).as("n_80"),
+        sum(when(col("cos_sim") >= 0.9, 1L).otherwise(0L)).as("n_90"),
+        sum(when(col("cos_sim") >= 0.95, 1L).otherwise(0L)).as("n_95"),
+        sum(when(col("cos_sim") >= 0.99, 1L).otherwise(0L)).as("n_99")).head()
+    }
+    spark.stop()
+  }
+}

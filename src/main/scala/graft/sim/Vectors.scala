@@ -640,22 +640,49 @@ object Vectors {
     * spec'd.
     */
   def cosinePairsLsh(emb: DataFrame, tau: Double,
-                     nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+                     nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame =
+    cosinePairsLshBits(emb, tau, nTables, bitsPerTable, 0, dim)
+
+  /** The generic generator behind cosinePairsLsh/cosinePairsLshAuto:
+    * `nUp` of the `nTables` tables use `b0 + 1` bucket bits and the rest
+    * use `b0` — the FRACTIONAL-BIT occupancy budget (autoBitsFrac). Bit
+    * planes are indexed (table, bit, dim) independently of the table's
+    * total bit count, so a b0-bit bucket is exactly the (b0+1)-bit
+    * bucket with its top bit masked off: one LshBuckets pass at the
+    * wider width serves both table classes, and the SQL oracle replays
+    * the per-table widths plane-for-plane. The flip budget is per table
+    * CLASS (flips = min(bits, max(0, 16 − bits)) at that table's width),
+    * so a mixed config probes exactly what two uniform configs would.
+    */
+  private[graft] def cosinePairsLshBits(emb: DataFrame, tau: Double, nTables: Int,
+                                        b0: Int, nUp: Int, dim: Int): DataFrame = {
+    require(nUp >= 0 && nUp <= nTables, s"nUp must be in [0, $nTables], got $nUp")
     val e = withNorm(emb)
-    val hashed = e
+    val bitsHi = if (nUp > 0) b0 + 1 else b0
+    val hashed0 = e
       .select(col("vec_id"),
-        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsPerTable, dim))
+        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsHi, dim))
           .as(Seq("tbl", "bucket")))
+    val hashed = if (nUp == 0 || nUp == nTables) hashed0
+      else hashed0.withColumn("bucket",
+        when(col("tbl") < nUp, col("bucket"))
+          .otherwise(col("bucket").bitwiseAND(lit((1L << b0) - 1))))
     // probe side carries the exact bucket plus the BUDGETED 1-bit flips
     // (see the flip-budget doc above); the base side stays exact —
     // symmetrized by least/greatest below, so a pair is a candidate if
     // EITHER endpoint probes into the other's bucket
-    val flipBits = math.min(bitsPerTable, math.max(0, 16 - bitsPerTable))
-    val probeFlips = (-1 until flipBits).map { j =>
-      if (j < 0) col("bucket") else expr(s"bucket ^ ${1 << j}")
+    def probeOf(bits: Int): Column = {
+      val flipBits = math.min(bits, math.max(0, 16 - bits))
+      array((-1 until flipBits).map { j =>
+        if (j < 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << j))
+      }: _*)
     }
+    val probeArr =
+      if (nUp == 0) probeOf(b0)
+      else if (nUp == nTables) probeOf(b0 + 1)
+      else when(col("tbl") < nUp, probeOf(b0 + 1)).otherwise(probeOf(b0))
     val probe = hashed
-      .withColumn("bucket", explode(array(probeFlips: _*)))
+      .withColumn("bucket", explode(probeArr))
       .select(col("vec_id").as("id_p"), col("tbl"), col("bucket"))
     val base = hashed.select(col("vec_id").as("id_q"), col("tbl"), col("bucket"))
     // candidate ID pairs, deduplicated BEFORE any vector attaches: the
@@ -716,19 +743,70 @@ object Vectors {
     math.min(28, math.max(8, ceilLog2))
   }
 
+  /** Fractional-bit occupancy budget — the r14 fix for autoBits' power-
+    * of-two SAWTOOTH (the measured r13 decade residual: between bit
+    * steps the realized occupancy drifts across (target/2, target] — at
+    * the 1000× decade it rode 3.05 → 3.81 while the corpus grew 10×, so
+    * exact-bucket candidate mass grew 12.5× flat and 16.9× with skew,
+    * and every pair-graph decade ratio carried the drift). Instead of
+    * one width for all tables, `nUp` of the `nTables` tables bucket at
+    * b0 + 1 bits and the rest at b0, chosen so the MEAN per-table
+    * collision rate stays pinned at 1/u (u = ⌈n / occ⌉ target cells):
+    * with c = 2^b0 ≤ u < 2c, solving nUp/2^(b0+1) + (nTables − nUp)/2^b0
+    * = nTables/u gives nUp = 2·nTables·(1 − c/u), rounded half-up in
+    * exact integer arithmetic — (4·nTables·(u − c) + u) div (2u) — so
+    * the SQL oracle reproduces the same (b0, nUp) from the same count.
+    * Candidate mass is then 16·n·occ/2-flat at EVERY corpus size, and
+    * the decade mass ratio collapses to 10× · skew-drift. Same clamps
+    * as autoBits (b0 floored at 8, capped at 28 with nUp = 0); at the
+    * floor or whenever the rounding lands on 0 or nTables the config
+    * degenerates to a uniform width, so the gate-SF pair sets are
+    * BIT-IDENTICAL to the r13 generator (u=125 → (8,0) ≡ b=8; u=500 →
+    * (8,16) ≡ b=9 — verified against all three driver SFs).
+    */
+  def autoBitsFrac(n: Long, targetOccupancy: Long = 4L, nTables: Int = 16): (Int, Int) = {
+    require(targetOccupancy > 0, s"targetOccupancy must be positive, got $targetOccupancy")
+    require(nTables > 0, s"nTables must be positive, got $nTables")
+    val u = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+    val b0 = math.min(28, math.max(8, 63 - java.lang.Long.numberOfLeadingZeros(u)))
+    val c = 1L << b0
+    val nUp = if (b0 >= 28 || u <= c) 0
+      else math.min(nTables.toLong, (4L * nTables * (u - c) + u) / (2L * u)).toInt
+    (b0, nUp)
+  }
+
   /** Corpus-size-adaptive cosinePairsLsh — the lttbAuto pattern on the
     * dedup axis: ONE map-side count probe picks bitsPerTable via
-    * autoBits, so the fixed-b quadratic candidate term n²/2^b (§7d's
+    * autoBitsFrac, so the fixed-b quadratic candidate term n²/2^b (§7d's
     * documented knob, the 10×-run's worst ratios) turns into bounded
     * expected occupancy at any corpus size — candidates ≈ n·occ·nTables,
-    * linear in n. The result is the same exact-verified subset contract
-    * as cosinePairsLsh at the chosen b; recall at larger b relies on the
-    * same per-table union bound, with nTables the recall knob.
+    * linear in n — and the fractional split pins the mean collision rate
+    * at 1/⌈n/occ⌉ between power-of-two steps (the r13 decade's 16.9×
+    * mass growth for 10× data was the occupancy sawtooth drifting
+    * 3.05 → 3.81). The result is the same exact-verified subset contract
+    * as cosinePairsLsh at the chosen widths.
+    *
+    * RECALL CONTRACT BY REGIME (per-table p = 1 − θ/π; union over 16
+    * tables; flips retire one per bit from the b=8 floor, zero at
+    * b ≥ 16 — so at large corpora recall is the PURE exact-bucket union
+    * 1 − (1 − p^b)^16):
+    *   - NEAR-DUPS (cos ≥ 0.99, p ≥ 0.955): ≥ 0.97 out to b = 20
+    *     (p^20 ≈ 0.40), the band the dedup/cluster/keep-best family
+    *     actually consumes — spec-pinned on planted dups.
+    *   - HIGH (cos 0.95, p ≈ 0.90): ≈ 0.96 at b = 16, ≈ 0.74 at b = 20.
+    *   - MID (cos 0.8–0.9, p 0.80–0.86): the documented GAP — ≈ 0.34 at
+    *     cos 0.8 / b = 16 and falling with b. Callers that need the mid
+    *     band at ≥ 10⁶-vector corpora must raise nTables (the recall
+    *     knob: 64 tables ≈ 1 − (1−p^b)^64) or lower tau on a PRE-FILTERED
+    *     subset; this generator deliberately trades the mid band for
+    *     linear candidate mass (the r13 ENOSPC lesson — each recovered
+    *     mid-band point costs occ·nTables background candidates).
     */
   def cosinePairsLshAuto(emb: DataFrame, tau: Double, nTables: Int = 16,
                          targetOccupancy: Long = 4L, dim: Int = 64): DataFrame = {
     val n = emb.agg(count(lit(1))).head.getLong(0)
-    cosinePairsLsh(emb, tau, nTables, autoBits(n, targetOccupancy), dim)
+    val (b0, nUp) = autoBitsFrac(n, targetOccupancy, nTables)
+    cosinePairsLshBits(emb, tau, nTables, b0, nUp, dim)
   }
 
   /** LSH bucket-load audit — the embedding-side member of the
@@ -745,10 +823,19 @@ object Vectors {
   def lshLoad(emb: DataFrame, nTables: Int = 16, targetOccupancy: Long = 4L,
               dim: Int = 64): DataFrame = {
     val n = emb.agg(count(lit(1))).head.getLong(0)
-    val b = autoBits(n, targetOccupancy)
-    emb.select(col("vec_id"),
-        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, b, dim))
-          .as(Seq("tbl", "bucket")))
+    // price the REALIZED fractional-bit config (autoBitsFrac), not a
+    // uniform approximation of it — the audit must see the same buckets
+    // cosinePairsLshAuto will pay for
+    val (b0, nUp) = autoBitsFrac(n, targetOccupancy, nTables)
+    val bitsHi = if (nUp > 0) b0 + 1 else b0
+    val hashed0 = emb.select(col("vec_id"),
+      posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsHi, dim))
+        .as(Seq("tbl", "bucket")))
+    val hashed = if (nUp == 0 || nUp == nTables) hashed0
+      else hashed0.withColumn("bucket",
+        when(col("tbl") < nUp, col("bucket"))
+          .otherwise(col("bucket").bitwiseAND(lit((1L << b0) - 1))))
+    hashed
       .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("load"))
       .groupBy(col("tbl"))
       .agg(sum(col("load")).as("n_items"),
@@ -1121,20 +1208,41 @@ object Vectors {
   /** The filtered ivfQuery tail: probes carry the query's label, the
     * candidate join keys on (cell, label), and the rank is the bounded
     * two-phase rankPerQuery cut (exact wrt the probed admissible set).
+    *
+    * `nLabelDirs > 0` selects the label-HASH-BUCKETED layout (an index
+    * built by IvfIndex.buildFiltered past its maxLabelDirs threshold —
+    * the small-files guard: (cell × label) directories explode as
+    * nCells·|labels| at high label cardinality, 10⁷ dirs at 10⁴ labels ×
+    * 2¹⁰ cells). There the assignment files are partitioned by (cell,
+    * lbk = pmod(xxhash64(label), nLabelDirs)) — a grid bounded at
+    * nCells·nLabelDirs at ANY cardinality — the probe side derives the
+    * same lbk from each query's label, and the join keys on (cell, lbk,
+    * label): the two partition columns drive the directory pruning, the
+    * label equality stays exact inside the pruned bucket (which holds
+    * ~|labels|/nLabelDirs labels' rows). Results are identical to the
+    * plain layout — lbk is derived, never decides membership.
     */
   private[sim] def ivfQueryFiltered(cents: DataFrame, assigned: DataFrame,
-                                    queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+                                    queries: DataFrame, k: Int, nProbe: Int,
+                                    nLabelDirs: Int = 0): DataFrame = {
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
-    val probes = broadcast(queries
+    val probes0 = queries
       .join(cents)
       .withColumn("score", dot(col("embedding"), col("cvec")) * 2 - col("cn2"))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na"), col("label"), col("cell")))
+        col("nrm").as("na"), col("label"), col("cell"))
+    val probes = broadcast(if (nLabelDirs > 0)
+      probes0.withColumn("lbk",
+        pmod(xxhash64(col("label")), lit(nLabelDirs.toLong)).cast("int"))
+      else probes0)
+    val candCols = Seq(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"), col("label"), col("cell")) ++
+      (if (nLabelDirs > 0) Seq(col("lbk")) else Nil)
+    val keys = if (nLabelDirs > 0) Seq("cell", "lbk", "label") else Seq("cell", "label")
     rankPerQuery(
-      probes.join(assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-          col("nrm").as("nb"), col("label"), col("cell")), Seq("cell", "label"))
+      probes.join(assigned.select(candCols: _*), keys)
         .withColumn("cos", cosine),
       Seq(col("cos").desc, col("id_b")), k)
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),

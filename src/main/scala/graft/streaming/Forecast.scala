@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class WindowMean(uuid: String, w_start: Long, v_mean: Double)
 
 private case class HwState(l: Double, b: Double, ring: List[Double],
-                           lastW: Long, n: Long)
+                           lastW: Long, n: Long, nDropped: Long)
 
 /** Online Holt-Winters — the continuous counterpart of
   * TimeSeriesOps.holtWinters: per-stream (level, trend, seasonal-ring)
@@ -27,10 +27,19 @@ private case class HwState(l: Double, b: Double, ring: List[Double],
   * before the last applied w_start are DROPPED (the recurrence is
   * order-sensitive; upstream watermarked window aggregation only emits
   * finalized windows in event-time order per key, which is the supported
-  * contract). Keys partition across executors like every other
-  * streaming op here — nothing global.
+  * contract) — and the drop is LOUD: every emitted row carries the
+  * stream's cumulative `n_dropped`, and each drop logs a warning with
+  * the offending (w_start, lastW), so an upstream that violates the
+  * in-order contract is visible in both the output and the executor
+  * logs instead of silently bending the recurrence (the r13 parity-race
+  * lesson: a mid-write micro-batch fed windows out of order and the
+  * only symptom was a subtly different level three windows later).
+  * Keys partition across executors like every other streaming op
+  * here — nothing global.
   */
 object Forecast {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.Forecast")
 
   def holtWinters(means: Dataset[WindowMean], period: Int, alpha: Double,
                   beta: Double, gamma: Double): DataFrame = {
@@ -47,10 +56,16 @@ object Forecast {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uuid: String, rows: Iterator[WindowMean], state: GroupState[HwState]) =>
           var st = state.getOption.getOrElse(
-            HwState(0.0, 0.0, Nil, Long.MinValue, 0L))
-          val out = Seq.newBuilder[(String, Long, Double, Double, Double, Double, Double)]
+            HwState(0.0, 0.0, Nil, Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[(String, Long, Double, Double, Double, Double, Double, Long)]
           rows.toSeq.sortBy(m => (m.w_start, m.v_mean)).foreach { m =>
-            if (m.w_start > st.lastW) {
+            if (m.w_start <= st.lastW) {
+              st = st.copy(nDropped = st.nDropped + 1)
+              log.warn(s"dropped out-of-order window for stream $uuid: " +
+                s"w_start=${m.w_start} <= lastW=${st.lastW} " +
+                s"(${st.nDropped} dropped so far — upstream violates the " +
+                "in-order contract; the recurrence is order-sensitive)")
+            } else {
               val (l, b, s) =
                 if (st.n == 0L) (m.v_mean, 0.0, 0.0)
                 else {
@@ -63,21 +78,24 @@ object Forecast {
                   (lNew, bNew, sNew)
                 }
               val ring = (st.ring :+ s).takeRight(period)
-              st = HwState(l, b, ring, m.w_start, st.n + 1)
+              st = HwState(l, b, ring, m.w_start, st.n + 1, st.nDropped)
               // one-step-ahead: s_{t+1−p} is the OLDEST retained seasonal
               // once the ring is full (h = 1 of holtWintersForecast)
               val sNext = if (ring.length >= period) ring.head else 0.0
-              out += ((uuid, m.w_start, m.v_mean, l, b, s, l + 1.0 * b + sNext))
+              out += ((uuid, m.w_start, m.v_mean, l, b, s, l + 1.0 * b + sNext,
+                st.nDropped))
             }
           }
           state.update(st)
           out.result().iterator
       }
-      .toDF("uuid", "w_start", "v_mean", "level", "trend", "seasonal", "forecast_next")
+      .toDF("uuid", "w_start", "v_mean", "level", "trend", "seasonal",
+        "forecast_next", "n_dropped")
       .select(col("uuid"), col("w_start"), col("v_mean"),
         graft.Quant.q6(col("level")).as("level"),
         graft.Quant.q6(col("trend")).as("trend"),
         graft.Quant.q6(col("seasonal")).as("seasonal"),
-        graft.Quant.q6(col("forecast_next")).as("forecast_next"))
+        graft.Quant.q6(col("forecast_next")).as("forecast_next"),
+        col("n_dropped"))
   }
 }

@@ -237,7 +237,7 @@ class DedupSimSpec extends SparkSuite {
 
   test("auto LSH picks occupancy-bounded bits and keeps planted-dup recall") {
     // the autoBits rule itself: floor 8, ceil(log2(n/occ)) above it, cap
-    // 24 — at the default occupancy of 4 (the multiprobe-aware budget;
+    // 28 — at the default occupancy of 4 (the multiprobe-aware budget;
     // see autoBits' doc for why 32 was an ENOSPC at the 1000× decade)
     assert(Vectors.autoBits(100) == 8)
     assert(Vectors.autoBits(4L * 256) == 8)
@@ -246,6 +246,28 @@ class DedupSimSpec extends SparkSuite {
     assert(Vectors.autoBits(Long.MaxValue / 2) == 28)
     assert(Vectors.autoBits(1000, targetOccupancy = 32) == 8)
     assert(Vectors.autoBits(32L * 256 + 1, targetOccupancy = 32) == 9)
+    // the fractional-bit budget (what cosinePairsLshAuto actually runs):
+    // nUp tables at b0+1 bits pin the mean collision rate at 1/⌈n/4⌉ —
+    // degenerate (uniform) exactly at the driver gate SFs, split at the
+    // campaign scales (the r13 decade's occupancy drift 3.05 → 3.81 was
+    // this sawtooth)
+    assert(Vectors.autoBitsFrac(100) == ((8, 0)))           // floor regime
+    assert(Vectors.autoBitsFrac(500) == ((8, 0)))           // sf0.001/sf0.01: ≡ b=8
+    assert(Vectors.autoBitsFrac(2000) == ((8, 16)))         // sf0.1: ≡ b=9
+    assert(Vectors.autoBitsFrac(200000) == ((15, 11)))      // 100×: 11@16 + 5@15
+    assert(Vectors.autoBitsFrac(2000000) == ((18, 15)))     // 1000×: 15@19 + 1@18
+    assert(Vectors.autoBitsFrac(4L * (1L << 12)) == ((12, 0))) // exact power: uniform
+    assert(Vectors.autoBitsFrac(Long.MaxValue / 2) == ((28, 0))) // cap: uniform
+    // mean per-table collision rate within 3% of 1/u across two decades
+    (1 to 40).foreach { i =>
+      val n = 1000L * i * i * i
+      val (b0, nUp) = Vectors.autoBitsFrac(n)
+      val u = (n + 3) / 4
+      if (u > 256) {
+        val rate = (nUp / math.pow(2.0, b0 + 1) + (16 - nUp) / math.pow(2.0, b0)) / 16
+        assert(math.abs(rate * u - 1.0) < 0.03, s"n=$n rate·u=${rate * u}")
+      }
+    }
     // a corpus big enough to push b to 9: planted near-dup pairs must
     // still surface through the wider buckets (subset contract holds at
     // any b; recall rides the per-table union bound)
@@ -260,6 +282,9 @@ class DedupSimSpec extends SparkSuite {
     val df = spark.createDataFrame(filler ++ planted).toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     assert(Vectors.autoBits(filler.size + planted.size) == 9, "corpus sized for b=9")
+    // the frac rule splits this corpus 10@9 + 6@8 — recall can only be
+    // ≥ the uniform b=9 it replaces (6 tables collide MORE)
+    assert(Vectors.autoBitsFrac(filler.size + planted.size) == ((8, 10)))
     val auto = Vectors.cosinePairsLshAuto(df, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val plantedPairs = (0 until 30).map(c => (900000L + c * 2, 900001L + c * 2)).toSet
@@ -978,6 +1003,52 @@ class DedupSimSpec extends SparkSuite {
     assert(got.nonEmpty && got == fused)
     val reopened = graft.sim.IvfIndex(spark, dir)
     assert(rows(reopened.queryFiltered(emb.filter(col("vec_id") < 5), 10)) == fused)
+  }
+
+  test("filtered IvfIndex past maxLabelDirs: bounded hash-bucket dirs, identical answers") {
+    import spark.implicits._
+    // 40 labels with maxLabelDirs = 8: the plain grid would be
+    // nCells·40 directories and grows with cardinality; the bucketed
+    // grid is capped at nCells·8 and a query prunes to its (cell, lbk)
+    // share, filtering the exact label inside it
+    val e = Seq.tabulate(200)(i => (i.toLong,
+        Seq.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat), i % 40))
+      .toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val fused = rows(graft.sim.Vectors.annIvfFiltered(e, 5, 10,
+      nCells = 4, lloydIters = 0))
+    val dir = tmpDir("ivf_bucketed_idx")
+    val idx = graft.sim.IvfIndex.buildFiltered(e.filter(col("vec_id") >= 5), dir,
+      nCells = 4, maxLabelDirs = 8)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/assigned"))
+      .filter(_.getPath.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    val sub = cellDirs.flatMap(c => fs.listStatus(c.getPath).map(_.getPath.getName))
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(sub.forall(_.startsWith("lbk=")), s"expected lbk= dirs, got ${sub.take(3).toSeq}")
+    assert(sub.length <= 4 * 8, s"dir grid must be bounded at nCells·maxLabelDirs: ${sub.length}")
+    // the layout's pruning promise, asserted on the scan itself: a
+    // (lbk, label) predicate reads ONLY that bucket's directories
+    val one = spark.read.parquet(s"$dir/assigned")
+      .filter(col("lbk") === org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(lit(7)), lit(8L)).cast("int") &&
+        col("label") === 7)
+    one.collect()
+    val scans = one.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty &&
+      scans.head.metrics("numFiles").value < sub.length,
+      "the bucket predicate must prune directories, not scan the grid")
+    // identical answers through the bucketed layout, incl. after reopen
+    val got = rows(idx.queryFiltered(e.filter(col("vec_id") < 5), 10))
+    assert(got.nonEmpty && got == fused)
+    assert(rows(graft.sim.IvfIndex(spark, dir)
+      .queryFiltered(e.filter(col("vec_id") < 5), 10)) == fused)
   }
 
   test("fused annIvfPq with every cell probed equals annPq exactly") {

@@ -159,7 +159,7 @@ class IngestSpec extends SparkSuite {
     q.processAllAvailable()
     // batch 2: 0.28 (within eps of last emitted 0.2 → dropped), 0.35 (kept)
     Seq(RawPoint("s", 5, 0.28), RawPoint("s", 6, 0.35))
-      .toDF().write.mode("append").parquet(src)
+      .toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql("SELECT time FROM db_out ORDER BY time")
@@ -188,7 +188,7 @@ class IngestSpec extends SparkSuite {
     // batch 2: a duplicate of doc 1 (different whitespace — normalization
     // must canonicalize) and a fresh doc
     Seq((3L, "alpha   beta"), (4L, "epsilon"))
-      .toDF("doc_id", "text").write.mode("append").parquet(src)
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql("SELECT doc_id, keep_id, is_dup FROM sd_out ORDER BY doc_id")
@@ -223,7 +223,7 @@ class IngestSpec extends SparkSuite {
     val q1 = run()
     q1.processAllAvailable()
     q1.stop()
-    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
     val q = run()
     q.processAllAvailable()
     q.stop()
@@ -311,7 +311,7 @@ class IngestSpec extends SparkSuite {
       }
       .option("checkpointLocation", tmpDir("sann_ckpt")).start()
     q.processAllAvailable()
-    queries.filter(col("vec_id") >= 2).write.mode("append").parquet(src)
+    queries.filter(col("vec_id") >= 2).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = key(spark.read.parquet(outDir))
@@ -338,7 +338,7 @@ class IngestSpec extends SparkSuite {
       }
       .option("checkpointLocation", tmpDir("sannf_ckpt")).start()
     q.processAllAvailable()
-    queries.filter(col("vec_id") >= 2).write.mode("append").parquet(src)
+    queries.filter(col("vec_id") >= 2).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = key(spark.read.parquet(outDir))
@@ -375,7 +375,7 @@ class IngestSpec extends SparkSuite {
       emb.filter(col("vec_id") >= 5 && col("vec_id") < 250), idxDir)
     val v2c2 = key(idx.query(c2, 10))
     assert(v2c2 != v1c2, "index generations must answer differently")
-    c2.write.mode("append").parquet(src)
+    c2.coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val out = spark.read.parquet(outDir)
@@ -403,7 +403,7 @@ class IngestSpec extends SparkSuite {
       .outputMode("append").format("memory").queryName("ss_out")
       .option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
-    docs.filter(col("doc_id") > mid).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") > mid).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql("SELECT doc_id, keep FROM ss_out")
@@ -442,7 +442,7 @@ class IngestSpec extends SparkSuite {
     q.processAllAvailable()
     // batch 2 opens later sessions AND advances the watermark past batch 1's
     Seq(RawPoint("s", 105 * S, 5.0), RawPoint("s", 109 * S, 7.0), RawPoint("t", 300 * S, 9.0))
-      .toDF().write.mode("append").parquet(src)
+      .toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql(
@@ -482,7 +482,7 @@ class IngestSpec extends SparkSuite {
       .option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
     // batch 2: continues from the state (last = 2.0 at t=5), not from scratch
-    Seq(RawPoint("s", 7, 5.0)).toDF().write.mode("append").parquet(src)
+    Seq(RawPoint("s", 7, 5.0)).toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql("SELECT time, inc FROM cr_out ORDER BY time")
@@ -523,12 +523,12 @@ class IngestSpec extends SparkSuite {
     // sources (the operator's cross-batch contract): the t=6 probe must
     // see the STATE-carried right (t=4, 9.0); then a new right at t=7;
     // then t=8 matches it and t=12 finds it 5 old → nulled by tolerance
-    Seq(RawPoint("s", 6, 60.0)).toDF().write.mode("append").parquet(srcL)
+    Seq(RawPoint("s", 6, 60.0)).toDF().coalesce(1).write.mode("append").parquet(srcL)
     q.processAllAvailable()
-    Seq(RawPoint("s", 7, 7.0)).toDF().write.mode("append").parquet(srcR)
+    Seq(RawPoint("s", 7, 7.0)).toDF().coalesce(1).write.mode("append").parquet(srcR)
     q.processAllAvailable()
     Seq(RawPoint("s", 8, 80.0), RawPoint("s", 12, 90.0))
-      .toDF().write.mode("append").parquet(srcL)
+      .toDF().coalesce(1).write.mode("append").parquet(srcL)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql(
@@ -590,17 +590,36 @@ class IngestSpec extends SparkSuite {
     wm.take(4).toDF().write.mode("append").parquet(src)
     val stream = spark.readStream.schema("uuid STRING, w_start LONG, v_mean DOUBLE")
       .parquet(src).as[WindowMean]
-    val q = Forecast.holtWinters(stream, 2, 0.5, 0.3, 0.4).writeStream
-      .outputMode("append").format("memory").queryName("hw_out")
-      .option("checkpointLocation", tmpDir("hw_ckpt")).start()
+    val ckpt = tmpDir("hw_ckpt")
+    val outDir = tmpDir("hw_dump")
+    def run() = Forecast.holtWinters(stream, 2, 0.5, 0.3, 0.4)
+      .writeStream.outputMode("append")
+      .foreachBatch { (res: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        res.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q = run()
     q.processAllAvailable()
-    wm.drop(4).toDF().write.mode("append").parquet(src)
-    q.processAllAvailable()
+    // STOP before the second append, RESTART after — the r13 failure was
+    // a mid-write micro-batch splitting a multi-part append (window 70
+    // picked up a batch late and dropped by the in-order rule); the
+    // append is now single-file-atomic AND lands while no query runs,
+    // and the restart exercises (level, trend, ring) state recovery from
+    // the checkpoint for free (hence the parquet foreachBatch sink — the
+    // memory sink cannot resume a checkpoint)
     q.stop()
+    wm.drop(4).toDF().coalesce(1).write.mode("append").parquet(src)
+    val q2 = run()
+    q2.processAllAvailable()
+    q2.stop()
+    spark.read.parquet(outDir).createOrReplaceTempView("hw_all")
     val got = spark.sql(
-        "SELECT w_start, level, trend, seasonal FROM hw_out ORDER BY w_start")
+        "SELECT w_start, level, trend, seasonal FROM hw_all ORDER BY w_start")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toSeq
+    // the in-order contract held throughout — the drop counter stayed 0
+    assert(spark.sql("SELECT max(n_dropped) FROM hw_all")
+      .collect().head.getLong(0) == 0L)
     val pts = wm.map(m => ("s", m.w_start + 5L, m.v_mean)).toDF("uuid", "t_us", "value")
     val batch = graft.ts.TimeSeriesOps
       .holtWinters(pts, Seq("uuid"), 0L, 100L, 10L, 2, 0.5, 0.3, 0.4)
@@ -612,9 +631,47 @@ class IngestSpec extends SparkSuite {
       .holtWintersForecast(pts, Seq("uuid"), 0L, 100L, 10L, 2, 0.5, 0.3, 0.4, 1)
       .collect().map(r => r.getDouble(3)).head
     val lastNext = spark.sql(
-        "SELECT forecast_next FROM hw_out ORDER BY w_start DESC LIMIT 1")
+        "SELECT forecast_next FROM hw_all ORDER BY w_start DESC LIMIT 1")
       .collect().head.getDouble(0)
     assert(lastNext == f1, s"stream next $lastNext != batch h=1 $f1")
+  }
+
+  test("holt-winters drops out-of-order windows LOUDLY (n_dropped counts)") {
+    import graft.streaming.{Forecast, WindowMean}
+    // windows 0,10,20 in batch 1; batch 2 replays 10 (late duplicate)
+    // and plants 5 (out of order) alongside the legitimate 30 — the
+    // recurrence must apply only 30, and the drop counter must say 2
+    val src = tmpDir("hwd_src")
+    Seq(WindowMean("s", 0L, 1.0), WindowMean("s", 10L, 3.0),
+        WindowMean("s", 20L, 1.0))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("uuid STRING, w_start LONG, v_mean DOUBLE")
+      .parquet(src).as[WindowMean]
+    val q = Forecast.holtWinters(stream, 2, 0.5, 0.3, 0.4).writeStream
+      .outputMode("append").format("memory").queryName("hwd_out")
+      .option("checkpointLocation", tmpDir("hwd_ckpt")).start()
+    q.processAllAvailable()
+    Seq(WindowMean("s", 10L, 3.0), WindowMean("s", 5L, 9.0),
+        WindowMean("s", 30L, 3.0))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT w_start, n_dropped FROM hwd_out ORDER BY w_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // both stragglers sort before 30 inside the batch, so its row
+    // already carries the full count; rows 0–20 predate any violation
+    assert(got == Seq((0L, 0L), (10L, 0L), (20L, 0L), (30L, 2L)), s"got $got")
+    // the applied recurrence skipped the stragglers entirely: the level
+    // at w=30 equals the in-order fold over windows {0,10,20,30}
+    val pts = Seq(("s", 5L, 1.0), ("s", 15L, 3.0), ("s", 25L, 1.0), ("s", 35L, 3.0))
+      .toDF("uuid", "t_us", "value")
+    val batch = graft.ts.TimeSeriesOps
+      .holtWinters(pts, Seq("uuid"), 0L, 40L, 10L, 2, 0.5, 0.3, 0.4)
+      .orderBy("w_start").collect().map(_.getDouble(3)).toSeq
+    val lvl = spark.sql("SELECT level FROM hwd_out ORDER BY w_start")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(lvl == batch, s"stream levels $lvl != batch $batch")
   }
 
   test("streaming change points match the batch flags one window late") {
@@ -639,7 +696,7 @@ class IngestSpec extends SparkSuite {
     // decision needs the successor's score — nothing emits yet
     assert(spark.sql("SELECT count(*) FROM cp_out").collect().head.getLong(0) == 0,
       "apex decisions must wait for one window of lookahead")
-    ws.filter(_.w_start >= 40).toDF().write.mode("append").parquet(src)
+    ws.filter(_.w_start >= 40).toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql(
@@ -684,11 +741,11 @@ class IngestSpec extends SparkSuite {
     // batch 2: only a resumes, at t=10s — closes a's gap AND pushes the
     // watermark past b's silence timer (1s + 2s), firing b's open alert
     // in the no-data timeout pass
-    Seq(RawPoint("a", 10 * S, 2.0)).toDF().write.mode("append").parquet(src)
+    Seq(RawPoint("a", 10 * S, 2.0)).toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     // batch 3: a again — a's second gap (10s→20s) closes; b stays silent
     // but alerted=true suppresses a duplicate open alert
-    Seq(RawPoint("a", 20 * S, 3.0)).toDF().write.mode("append").parquet(src)
+    Seq(RawPoint("a", 20 * S, 3.0)).toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql(
@@ -721,9 +778,9 @@ class IngestSpec extends SparkSuite {
     // second batch adds a window and a far-future flush point that
     // advances the watermark past every real window
     Seq(RawPoint("s", 25, 1.0), RawPoint("s", 1000, 0.0))
-      .toDF().write.mode("append").parquet(src)
+      .toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
-    Seq(RawPoint("s", 2000, 0.0)).toDF().write.mode("append").parquet(src)
+    Seq(RawPoint("s", 2000, 0.0)).toDF().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val got = spark.sql("SELECT * FROM br_out WHERE w_start < 100 ORDER BY w_start")
@@ -756,7 +813,7 @@ class IngestSpec extends SparkSuite {
         .option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
       chunks.tail.foreach { c =>
-        c.write.mode("append").parquet(src); q.processAllAvailable()
+        c.coalesce(1).write.mode("append").parquet(src); q.processAllAvailable()
       }
       q.stop()
       // final sample per stratum = the emission at that stratum's max nSeen
@@ -787,7 +844,7 @@ class IngestSpec extends SparkSuite {
       .option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
     Seq(("g", 6L, "b"), ("g", 7L, "a"), ("g", 8L, "b"), ("g", 9L, "c"), ("g", 10L, "a"))
-      .toDF("group", "time", "item").write.mode("append").parquet(src)
+      .toDF("group", "time", "item").coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     // the latest summary per group is the emission with max n_seen
@@ -810,7 +867,7 @@ class IngestSpec extends SparkSuite {
       .outputMode("update").format("memory").queryName("hh2_out")
       .option("checkpointLocation", ckpt2).start()
     q2.processAllAvailable()
-    evs.drop(8).toDF("group", "time", "item").write.mode("append").parquet(src2)
+    evs.drop(8).toDF("group", "time", "item").coalesce(1).write.mode("append").parquet(src2)
     q2.processAllAvailable()
     q2.stop()
     val truth = evs.groupBy(_._3).view.mapValues(_.size.toLong).toMap

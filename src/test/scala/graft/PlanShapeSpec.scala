@@ -629,4 +629,26 @@ class PlanShapeSpec extends SparkSuite {
     val nScans = "Scan parquet".r.findAllIn(wowPlan).length
     assert(nScans == 1, s"wow should read one scan, found $nScans:\n${wowPlan.take(3000)}")
   }
+
+  test("dupSpanStats is one gram-window pass: a single g exchange, no join") {
+    // the r13 rewrite (Dedup.scala dupSpanStats doc): df ≥ 2 ⟺
+    // min(doc_id) ≠ max(doc_id) over the g window — the old
+    // per-(doc,gram) agg → df table → join-back plan cost 388.7 s at
+    // the 1000× decade where this shape reads 28.4 s. This spec makes
+    // the shape a CONTRACT: exactly one hash exchange on the gram key
+    // and zero joins, so a refactor can't silently reintroduce the
+    // df-table join
+    val df = SparkEntry.queries("dedup_span_stats")(spark, sfDir)
+    spark.catalog.clearCache()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val gExchange = "Exchange hashpartitioning\\(g#\\d+L?".r
+    val nG = plan.linesIterator.filter(l => !l.contains("ReusedExchange"))
+      .flatMap(gExchange.findFirstIn).size
+    assert(nG == 1,
+      s"dupSpanStats must shuffle the gram key exactly once, found $nG:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"dupSpanStats must not join:\n${plan.take(3000)}")
+  }
 }
