@@ -8,6 +8,8 @@ import duckdb, pandas as pd, numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+if os.environ.get("CHECK_THREADS"):
+    con.execute(f"PRAGMA threads={int(os.environ['CHECK_THREADS'])}")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sfdir}/{t}.parquet"
     if os.path.exists(p):
