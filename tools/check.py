@@ -2,11 +2,12 @@
 """Local stand-in for the driver's correctness gate: runs each
 oracle_sql.json query in DuckDB over the same sf directory and compares
 with the Spark parquet dump (columns sorted by name, rows sorted, values
-hashed). Usage: check.py <sfdir> <verify_out_dir>"""
+hashed). Usage: check.py <sfdir> <verify_out_dir> [queryName...]"""
 import json, sys, glob, os
 import duckdb, pandas as pd, numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])  # optional query names: check only these
 con = duckdb.connect()
 if os.environ.get("CHECK_THREADS"):
     con.execute(f"PRAGMA threads={int(os.environ['CHECK_THREADS'])}")
@@ -16,6 +17,8 @@ for t in "region nation customer supplier part orders lineitem events documents 
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = []
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
