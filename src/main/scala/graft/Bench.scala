@@ -11,7 +11,7 @@ object Bench {
     // partitions is exactly what a real cluster adds (the
     // dedup_span_stats lesson; partitions are the knob, not the algo)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,24 +28,23 @@ object Bench {
       // deterministic.
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
-      // MASS-SCALED SHUFFLE (the r13 decade lesson, automated): a fixed
-      // partition count is wrong at both ends — 32 partitions spill at
-      // 1000× (the pair-graph verify join moves pairs × vector-bytes;
-      // measured 2–3× super-linear residual from sort spill), while
-      // thousands of partitions waste per-exchange overhead at sf0.1.
-      // AQE already right-sizes every exchange from RUNTIME map-output
-      // stats, but it can only coalesce DOWN from the initial count —
-      // so give it headroom. Default max(256, conf): the r14 A/B at
-      // sf0.1 measured 1024 as a real tail cost on the slice/window
-      // family (ts_sessionize 5.9 → 11.4 s cold; the 229-query sweep
-      // +50 s, concentrated there) while 256 sat within noise of the
-      // 32 baseline — 8× headroom for free, and scale campaigns export
-      // SPARK_GRAFT_INITIAL_PARTITIONS=2048+ explicitly (the knob a
-      // 1000-executor cluster sets cluster-wide).
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          math.max(256, shuffle.toInt).toString))
-      .getOrCreate()
+      // MASS-SCALED SHUFFLE (the r13 decade lesson): a fixed partition
+      // count is wrong at both ends — 32 partitions spill at 1000× (the
+      // pair-graph verify join moves pairs × vector-bytes; measured
+      // 2–3× super-linear residual from sort spill), while thousands of
+      // partitions waste per-exchange overhead at sf0.1. AQE right-sizes
+      // every exchange from RUNTIME map-output stats but can only
+      // coalesce DOWN from the initial count, so scale campaigns export
+      // SPARK_GRAFT_INITIAL_PARTITIONS=2048+ (the knob a 1000-executor
+      // cluster sets cluster-wide). The knob is CAMPAIGN-ONLY — no
+      // session default: the r14 per-FAMILY A/B showed even 256 taxes
+      // the two-phase sliced-scan family 1.5–2.4× per query at sf0.1
+      // (ts_lttb_bucketed 1.61→3.93 s quiet-to-quiet; the suite TOTAL
+      // hid it at "within noise") — many tiny exchanges each pay the
+      // coalesce bookkeeping while having nothing to spill. Unset or
+      // "0" means "leave the conf alone" (it is checkValue(_ > 0), so
+      // literally setting 0 would throw at session creation).
+    val spark = GraftConf.withInitialPartitions(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Every remaining partition-less window in the library goes through
     // graft.Bounded.window over a frame that is ≤k rows by construction

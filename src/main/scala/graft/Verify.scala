@@ -14,17 +14,16 @@ object Verify {
     // always passes exactly two, dumping the full suite)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // same campaign-only AQE headroom contract as Bench (see
+    // GraftConf.withInitialPartitions) so the correctness dump exercises
+    // the exact partitioning regime the bench measures — including the
+    // default regime, which sets NO initialPartitionNum
+    val spark = GraftConf.withInitialPartitions(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // same mass-scaled shuffle headroom as Bench (AQE coalesces small
-      // exchanges back down; see Bench.scala) so the correctness dump
-      // exercises the exact partitioning regime the bench measures
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -23,18 +23,16 @@ object PairProbe {
     val tau = if (args.length > 1) args(1).toDouble else 0.4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // AQE headroom is the A/B knob this probe exists to measure — unset
+    // or "0" leaves the conf alone (every exchange at `shuffle`, the
+    // r13 behavior); campaigns export 2048+ (GraftConf has the contract)
+    val spark = graft.GraftConf.withInitialPartitions(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      // the A/B knob this probe exists to measure: 0 disables the
-      // headroom (r13 behavior — every exchange at `shuffle`), else
-      // AQE right-sizes from runtime stats under this ceiling
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"))
+      .config("spark.cleaner.periodicGC.interval", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
@@ -46,7 +44,9 @@ object PairProbe {
     val (b0, nUp) = Vectors.autoBitsFrac(n)
     println(s"[pairprobe] n=$n config: b0=$b0 nUp=$nUp " +
       s"(${nUp}@${b0 + 1} + ${16 - nUp}@$b0 bits) shuffle=$shuffle " +
-      s"initialPartitionNum=${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")}")
+      s"initialPartitionNum=" + spark.conf.getOption(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .getOrElse("(unset)"))
 
     // stage 0: the priced grid — per-table exact-bucket mass at the
     // fractional config (what the candidate join below will pay)
