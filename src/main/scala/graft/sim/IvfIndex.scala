@@ -42,21 +42,26 @@ class IvfIndex private[sim] (val spark: SparkSession, val dir: String) {
     */
   def queryFiltered(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val a = assigned
-    val nLabels = a.select(col("label")).distinct().count()
     val nCells = centroids.count().toInt
-    val probes = Vectors.adaptiveProbe(nCells, nProbe, nLabels)
     // a bucketed index (built past maxLabelDirs) carries the lbk
-    // partition column and a meta file with the bucket count — the
-    // query derives the same hash bucket per label (layout doc:
-    // Vectors.ivfQueryFiltered)
+    // partition column and a meta file with the bucket count AND the
+    // label cardinality — label is a data column there, so a distinct
+    // over it would full-scan every assignment file per query batch;
+    // both counts are build-time properties read from one meta row. The
+    // plain layout keeps the partition-column distinct (answered from
+    // directory metadata, never the data files).
     if (a.columns.contains("lbk")) {
-      val nDirs = spark.read.parquet(s"$dir/meta")
-        .select(col("n_label_dirs")).head.getInt(0)
+      val meta = spark.read.parquet(s"$dir/meta")
+        .select(col("n_label_dirs"), col("n_labels")).head
+      val probes = Vectors.adaptiveProbe(nCells, nProbe, meta.getLong(1))
       Vectors.ivfQueryFiltered(broadcast(centroids), a,
-        Vectors.withNorm(queries), k, probes, nDirs)
-    } else
+        Vectors.withNorm(queries), k, probes, meta.getInt(0))
+    } else {
+      val nLabels = a.select(col("label")).distinct().count()
+      val probes = Vectors.adaptiveProbe(nCells, nProbe, nLabels)
       Vectors.ivfQueryFiltered(broadcast(centroids), a,
         Vectors.withNorm(queries), k, probes)
+    }
   }
 
   def pqCodebook: DataFrame = spark.read.parquet(s"$dir/pq_codebook")
@@ -151,15 +156,33 @@ object IvfIndex {
     val nLabels = c.agg(countDistinct(col("label"))).head.getLong(0)
     if (nLabels > maxLabelDirs) {
       assigned
+        // THE PERSISTED LAYOUT CONTRACT: lbk hashes the label's STRING
+        // form — Spark's xxhash64 hashes IntegerType and LongType (and
+        // every other coercible type) to different values, so hashing
+        // the raw column would make bucket derivation silently
+        // type-sensitive: a query batch whose label column is long
+        // against an index built from int32 parquet labels would derive
+        // a different lbk and prune to the WRONG directories (zero /
+        // wrong candidates, no error) — the plain (cell, label) layout
+        // tolerates exactly this via join-key coercion, so the bucketed
+        // layout must too. Canonicalizing through string makes lbk a
+        // function of the label's VALUE; the query side
+        // (Vectors.ivfQueryFiltered) applies the identical cast.
         .withColumn("lbk",
-          pmod(xxhash64(col("label")), lit(maxLabelDirs.toLong)).cast("int"))
+          pmod(xxhash64(col("label").cast("string")),
+            lit(maxLabelDirs.toLong)).cast("int"))
         .repartition(col("cell"), col("lbk"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell", "lbk")
         .parquet(s"$dir/assigned")
       // the bucket count is a BUILD-time property the query side must
       // reproduce exactly — persist it rather than infer it from dir
-      // names (sparse buckets would under-count)
-      spark.range(1).select(lit(maxLabelDirs).as("n_label_dirs"))
+      // names (sparse buckets would under-count). n_labels rides along:
+      // in the bucketed layout label is a DATA column, so deriving the
+      // cardinality at query time would full-scan every assignment file
+      // per batch — at exactly the high-cardinality scale the bucketing
+      // exists for.
+      spark.range(1).select(lit(maxLabelDirs).as("n_label_dirs"),
+          lit(nLabels).as("n_labels"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     } else
       assigned

@@ -58,48 +58,47 @@ object PairProbe {
       s"max_load=${load.getLong(1)} realized_occ=${f"${load.getDouble(2)}%.2f"}")
 
     // stage 1: bucket pass alone (narrow codegen projection, no shuffle)
-    val bitsHi = if (nUp > 0) b0 + 1 else b0
-    val hashed0 = Vectors.withNorm(emb).select(col("vec_id"),
-      posexplode(graft.plans.LshBuckets.buckets(col("embedding"), 16, bitsHi, 64))
-        .as(Seq("tbl", "bucket")))
-    val hashed = if (nUp == 0 || nUp == 16) hashed0
-      else hashed0.withColumn("bucket",
-        when(col("tbl") < nUp, col("bucket"))
-          .otherwise(col("bucket").bitwiseAND(lit((1L << b0) - 1))))
-    time("bucket pass (hash + posexplode, count only)")(hashed.count())
+    // — the SAME lshHashed/lshProbeArr/sq8Payload/sq8Admit builders the
+    // generator runs (private[sim] shared code), so this decomposition
+    // can never silently desync from the pipeline the benchmarks measure
+    val pay = Seq("codes", "mn", "st", "sumc", "nrm")
+    val hashed = Vectors.lshHashed(
+      Vectors.sq8Payload(Vectors.withNorm(emb), 64), 16, b0, nUp, 64, pay)
+    time("bucket pass (hash + posexplode + sq8 payload, count only)")(hashed.count())
 
-    // stage 2: candidate join, PRE-distinct (the raw collision mass in
-    // flight — key-only rows)
-    def probeOf(bits: Int) = {
-      val flips = math.min(bits, math.max(0, 16 - bits))
-      array((-1 until flips).map { j =>
-        if (j < 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << j))
-      }: _*)
-    }
-    val probeArr =
-      if (nUp == 0) probeOf(b0)
-      else if (nUp == 16) probeOf(b0 + 1)
-      else when(col("tbl") < nUp, probeOf(b0 + 1)).otherwise(probeOf(b0))
-    val probe = hashed.withColumn("bucket", explode(probeArr))
-      .select(col("vec_id").as("id_p"), col("tbl"), col("bucket"))
-    val base = hashed.select(col("vec_id").as("id_q"), col("tbl"), col("bucket"))
+    // stage 2: candidate join, PRE-prescreen (the raw collision mass in
+    // flight — payload-carrying rows)
+    val probe = hashed.withColumn("bucket", explode(Vectors.lshProbeArr(16, b0, nUp)))
+      .select(col("vec_id").as("id_p") +: col("tbl") +: col("bucket") +:
+        pay.map(c => col(c).as(s"${c}_p")): _*)
+    val base = hashed
+      .select(col("vec_id").as("id_q") +: col("tbl") +: col("bucket") +:
+        pay.map(c => col(c).as(s"${c}_q")): _*)
     val rawCand = probe.join(base, Seq("tbl", "bucket"))
       .filter(col("id_p") =!= col("id_q"))
-    val nRaw = time("candidate join (pre-distinct count)")(rawCand.count())
+    val nRaw = time("candidate join (pre-prescreen count)")(rawCand.count())
 
-    // stage 3: + the key-only distinct (the shuffle the r13 verdict
-    // blamed for the spill residual)
-    val cand = rawCand.select(
+    // stage 3: + the SQ8 prescreen (map-side, inside the join output —
+    // the r15 fix for the verify join-back that owned ~90% of generator
+    // wall-clock in the r14 decomposition: background collisions die
+    // here, before the distinct shuffle and the full-vector joins)
+    val screened = rawCand.filter(Vectors.sq8Admit(tau, 64))
+    val nScr = time("+ sq8 prescreen (survivors count)")(screened.count())
+
+    // stage 4: + the key-only distinct (now over survivors only)
+    val cand = screened.select(
       least(col("id_p"), col("id_q")).as("id_a"),
       greatest(col("id_p"), col("id_q")).as("id_b")).distinct()
     val nCand = time("+ key-only distinct")(cand.count())
 
-    // stage 4: the full generator (adds the two vector join-backs + the
-    // exact-cosine verify — the pairs × vector-bytes exchange)
-    val nPairs = time("FULL cosinePairsLshAuto (verify join-back incl.)")(
+    // stage 5: the full generator (adds the two full-vector join-backs +
+    // the exact-cosine verify — now survivor-sized)
+    val nPairs = time("FULL cosinePairsLshAuto (prescreen + verify)")(
       Vectors.cosinePairsLshAuto(emb, tau).count())
-    println(s"[pairprobe] rows: raw_cand=$nRaw distinct_cand=$nCand " +
-      s"pairs_tau=$nPairs cand_per_vec=${f"${nRaw.toDouble / n}%.1f"}")
+    println(s"[pairprobe] rows: raw_cand=$nRaw prescreen_surv=$nScr " +
+      s"distinct_cand=$nCand pairs_tau=$nPairs " +
+      s"cand_per_vec=${f"${nRaw.toDouble / n}%.1f"} " +
+      s"prescreen_kill=${f"${100.0 * (nRaw - nScr) / math.max(1L, nRaw)}%.1f"}%")
 
     // stage 5: one representative consumer end-to-end (the tau sweep —
     // r13's worst decade ratio at 51×)

@@ -658,38 +658,37 @@ object Vectors {
                                         b0: Int, nUp: Int, dim: Int): DataFrame = {
     require(nUp >= 0 && nUp <= nTables, s"nUp must be in [0, $nTables], got $nUp")
     val e = withNorm(emb)
-    val bitsHi = if (nUp > 0) b0 + 1 else b0
-    val hashed0 = e
-      .select(col("vec_id"),
-        posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsHi, dim))
-          .as(Seq("tbl", "bucket")))
-    val hashed = if (nUp == 0 || nUp == nTables) hashed0
-      else hashed0.withColumn("bucket",
-        when(col("tbl") < nUp, col("bucket"))
-          .otherwise(col("bucket").bitwiseAND(lit((1L << b0) - 1))))
+    // both bucket-join sides carry the SQ8 PRESCREEN payload (64 code
+    // bytes + four scalars instead of the 64-float vector): the r14
+    // PairProbe decomposition measured the exact-cosine verify join-back
+    // — candidate pairs × full-vector bytes, exchanged twice — as ~90%
+    // of generator wall-clock at both campaign scales. The prescreen
+    // evaluates INSIDE the bucket join's output, before the distinct
+    // shuffle, so a background collision (the overwhelming majority at
+    // any tau the consumers use) costs one 64-byte integer dot and never
+    // reaches the distinct, let alone the full-vector joins.
+    val pay = Seq("codes", "mn", "st", "sumc", "nrm")
+    val hashed = lshHashed(sq8Payload(e, dim), nTables, b0, nUp, dim, pay)
     // probe side carries the exact bucket plus the BUDGETED 1-bit flips
     // (see the flip-budget doc above); the base side stays exact —
     // symmetrized by least/greatest below, so a pair is a candidate if
     // EITHER endpoint probes into the other's bucket
-    def probeOf(bits: Int): Column = {
-      val flipBits = math.min(bits, math.max(0, 16 - bits))
-      array((-1 until flipBits).map { j =>
-        if (j < 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << j))
-      }: _*)
-    }
-    val probeArr =
-      if (nUp == 0) probeOf(b0)
-      else if (nUp == nTables) probeOf(b0 + 1)
-      else when(col("tbl") < nUp, probeOf(b0 + 1)).otherwise(probeOf(b0))
     val probe = hashed
-      .withColumn("bucket", explode(probeArr))
-      .select(col("vec_id").as("id_p"), col("tbl"), col("bucket"))
-    val base = hashed.select(col("vec_id").as("id_q"), col("tbl"), col("bucket"))
-    // candidate ID pairs, deduplicated BEFORE any vector attaches: the
-    // distinct shuffle carries 16-byte pairs, and each survivor's cosine
-    // is computed exactly once
+      .withColumn("bucket", explode(lshProbeArr(nTables, b0, nUp)))
+      .select(col("vec_id").as("id_p") +: col("tbl") +: col("bucket") +:
+        pay.map(c => col(c).as(s"${c}_p")): _*)
+    val base = hashed
+      .select(col("vec_id").as("id_q") +: col("tbl") +: col("bucket") +:
+        pay.map(c => col(c).as(s"${c}_q")): _*)
+    // candidate ID pairs: prescreened (conservatively — sq8Admit can
+    // only pass a superset of the exact-tau survivors, so the output is
+    // bit-identical to the unprescreened plan), THEN deduplicated before
+    // any full vector attaches — the distinct shuffle carries 16-byte
+    // pairs for survivors only, and each survivor's exact cosine is
+    // computed exactly once
     val cand = probe.join(base, Seq("tbl", "bucket"))
       .filter(col("id_p") =!= col("id_q"))
+      .filter(sq8Admit(tau, dim))
       .select(
         least(col("id_p"), col("id_q")).as("id_a"),
         greatest(col("id_p"), col("id_q")).as("id_b"))
@@ -705,6 +704,92 @@ object Vectors {
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), graft.Quant.q6(col("cos")).as("cos_sim"))
+  }
+
+  /** The (tbl, bucket) rows of a fractional-bit LSH grid — `nUp` tables
+    * at b0+1 bits, the rest at b0 (ONE LshBuckets pass at the wider
+    * width; a b0-bit bucket is the (b0+1)-bit bucket with its top bit
+    * masked off). `carry` names extra per-vector columns that ride along
+    * (the prescreen payload). Shared by cosinePairsLshBits, lshLoad, and
+    * PairProbe, so the probe's stage decomposition measures exactly the
+    * pipeline the generator runs.
+    */
+  private[graft] def lshHashed(e: DataFrame, nTables: Int, b0: Int, nUp: Int,
+                             dim: Int, carry: Seq[String] = Nil): DataFrame = {
+    val bitsHi = if (nUp > 0) b0 + 1 else b0
+    val hashed0 = e.select(col("vec_id") +: carry.map(col) :+
+      posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsHi, dim))
+        .as(Seq("tbl", "bucket")): _*)
+    if (nUp == 0 || nUp == nTables) hashed0
+    else hashed0.withColumn("bucket",
+      when(col("tbl") < nUp, col("bucket"))
+        .otherwise(col("bucket").bitwiseAND(lit((1L << b0) - 1))))
+  }
+
+  /** The budgeted multiprobe array over a `lshHashed` row — exact bucket
+    * plus the per-width 1-bit flips (flips = min(bits, max(0, 16 − bits));
+    * see the flip-budget doc on cosinePairsLsh). Shared with PairProbe.
+    */
+  private[graft] def lshProbeArr(nTables: Int, b0: Int, nUp: Int): Column = {
+    def probeOf(bits: Int): Column = {
+      val flipBits = math.min(bits, math.max(0, 16 - bits))
+      array((-1 until flipBits).map { j =>
+        if (j < 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << j))
+      }: _*)
+    }
+    if (nUp == 0) probeOf(b0)
+    else if (nUp == nTables) probeOf(b0 + 1)
+    else when(col("tbl") < nUp, probeOf(b0 + 1)).otherwise(probeOf(b0))
+  }
+
+  /** Attach the SQ8 prescreen payload to a withNorm frame: the per-vector
+    * code block (graft.plans.Sq8Encode — one byte per dimension on the
+    * vector's own [min, max] grid) plus the scalars the reconstructed
+    * dot needs (mn, step, Σcodes — the latter via sq8Dot against an
+    * all-ones block, so it is exactly the sum the codes realize). ~100
+    * serialized bytes per 64-dim vector vs ~270 for the float array.
+    */
+  private[graft] def sq8Payload(e: DataFrame, dim: Int): DataFrame = {
+    import graft.plans.Sq8Quant.{sq8Dot, sq8Encode}
+    e.withColumn("mn", array_min(col("embedding")).cast("double"))
+      .withColumn("st",
+        (array_max(col("embedding")).cast("double") - col("mn")) / 255.0)
+      .withColumn("codes", sq8Encode(col("embedding"), col("mn"), col("st")))
+      .withColumn("sumc", sq8Dot(col("codes"), lit(Array.fill(dim)(1.toByte))))
+  }
+
+  /** The conservative admission predicate over a joined candidate row
+    * whose endpoints carry (codes, mn, st, sumc, nrm) suffixed _p / _q:
+    * keep iff the SQ8-reconstructed dot plus its rigorous error envelope
+    * could still reach tau·|a|·|b| — i.e. iff the EXACT cosine could be
+    * ≥ tau. Derivation: x̂_i = mn + st·code_i reconstructs each
+    * component to within st/2 (Sq8Encode rounds to the nearest grid
+    * point; clamping never binds because (x−mn)/st ≤ 255 by
+    * construction), so
+    *   |dot(x,y) − dot(x̂,ŷ)| ≤ Σ|x_i−x̂_i||y_i| + Σ|x̂_i||y_i−ŷ_i|
+    *                          ≤ (st_x/2)·‖y‖₁ + (st_y/2)·(‖x‖₁ + d·st_x/2)
+    * and Cauchy–Schwarz bounds ‖·‖₁ ≤ √d·‖·‖₂ (the norms are already on
+    * the row), giving
+    *   env = (√d/2)(st_p·nrm_q + st_q·nrm_p) + (d/4)·st_p·st_q.
+    * The reconstructed dot itself is pure double arithmetic over
+    * exactly-known integers (Sq8Dot is an exact long), so a 10⁻⁶
+    * relative margin on env plus a 10⁻⁹ absolute slack dominates every
+    * float-rounding residue by orders of magnitude. A pair the exact
+    * verify would keep therefore ALWAYS passes — the prescreen moves
+    * work, never answers.
+    */
+  private[graft] def sq8Admit(tau: Double, dim: Int): Column = {
+    import graft.plans.Sq8Quant.sq8Dot
+    val dotHat = lit(dim.toDouble) * col("mn_p") * col("mn_q") +
+      col("mn_p") * col("st_q") * col("sumc_q").cast("double") +
+      col("mn_q") * col("st_p") * col("sumc_p").cast("double") +
+      col("st_p") * col("st_q") *
+        sq8Dot(col("codes_p"), col("codes_q")).cast("double")
+    val env = lit(0.500001 * math.sqrt(dim.toDouble)) *
+        (col("st_p") * col("nrm_q") + col("st_q") * col("nrm_p")) +
+      lit(0.250001 * dim.toDouble) * col("st_p") * col("st_q")
+    dotHat + env + lit(1e-9) * (col("nrm_p") * col("nrm_q") + lit(1.0)) >=
+      lit(tau) * col("nrm_p") * col("nrm_q")
   }
 
   /** The bitsPerTable auto-scaling rule shared by cosinePairsLshAuto and
@@ -789,18 +874,23 @@ object Vectors {
     * RECALL CONTRACT BY REGIME (per-table p = 1 − θ/π; union over 16
     * tables; flips retire one per bit from the b=8 floor, zero at
     * b ≥ 16 — so at large corpora recall is the PURE exact-bucket union
-    * 1 − (1 − p^b)^16):
-    *   - NEAR-DUPS (cos ≥ 0.99, p ≥ 0.955): ≥ 0.97 out to b = 20
-    *     (p^20 ≈ 0.40), the band the dedup/cluster/keep-best family
-    *     actually consumes — spec-pinned on planted dups.
-    *   - HIGH (cos 0.95, p ≈ 0.90): ≈ 0.96 at b = 16, ≈ 0.74 at b = 20.
-    *   - MID (cos 0.8–0.9, p 0.80–0.86): the documented GAP — ≈ 0.34 at
-    *     cos 0.8 / b = 16 and falling with b. Callers that need the mid
-    *     band at ≥ 10⁶-vector corpora must raise nTables (the recall
-    *     knob: 64 tables ≈ 1 − (1−p^b)^64) or lower tau on a PRE-FILTERED
-    *     subset; this generator deliberately trades the mid band for
-    *     linear candidate mass (the r13 ENOSPC lesson — each recovered
-    *     mid-band point costs occ·nTables background candidates).
+    * 1 − (1 − p^b)^16). MEASURED at the 1000×-campaign config
+    * (15@19 + 1@18 bits, zero flips) on planted pairs of known exact
+    * cosine (DedupSimSpec "zero-flip regime", the gate for this table):
+    *   - NEAR-DUPS (cos ≥ 0.99, p ≥ 0.955): measured 1.00 (159/159);
+    *     theory ≥ 0.96 at the 0.99 edge, ≥ 0.97 out to b = 20 — the
+    *     band the dedup/cluster/keep-best family actually consumes.
+    *   - HIGH (cos 0.95–0.99): measured 0.96; theory 0.89 at the 0.95
+    *     edge.
+    *   - 0.90–0.95: measured 0.69; theory 0.58 at the 0.90 edge.
+    *   - MID (cos 0.8–0.9, p 0.80–0.86): the documented GAP — measured
+    *     0.39 band-wide, theory 0.19 at exactly cos 0.8 (spec floor
+    *     0.10). Callers that need the mid band at ≥ 10⁶-vector corpora
+    *     must raise nTables (the recall knob: 64 tables ≈
+    *     1 − (1−p^b)^64) or lower tau on a PRE-FILTERED subset; this
+    *     generator deliberately trades the mid band for linear candidate
+    *     mass (the r13 ENOSPC lesson — each recovered mid-band point
+    *     costs occ·nTables background candidates).
     */
   def cosinePairsLshAuto(emb: DataFrame, tau: Double, nTables: Int = 16,
                          targetOccupancy: Long = 4L, dim: Int = 64): DataFrame = {
@@ -813,7 +903,7 @@ object Vectors {
     * price-before-you-pay family (Dedup.hammingLoad's hyperplane
     * sibling): per hash table, live-bucket count, hottest bucket, and
     * Σ C(load, 2) — the exact-bucket candidate mass a cosinePairsLshAuto
-    * run will feed the verify stage (the 1-bit multiprobe multiplies it
+    * run will feed the SQ8 prescreen (the 1-bit multiprobe multiplies it
     * by ≤ bitsPerTable + 1; autoBits keeps expected occupancy bounded,
     * and THIS table is the check that it actually did — hyperplane LSH
     * buckets skew when the corpus is anisotropic, which emb_pca
@@ -827,15 +917,7 @@ object Vectors {
     // uniform approximation of it — the audit must see the same buckets
     // cosinePairsLshAuto will pay for
     val (b0, nUp) = autoBitsFrac(n, targetOccupancy, nTables)
-    val bitsHi = if (nUp > 0) b0 + 1 else b0
-    val hashed0 = emb.select(col("vec_id"),
-      posexplode(graft.plans.LshBuckets.buckets(col("embedding"), nTables, bitsHi, dim))
-        .as(Seq("tbl", "bucket")))
-    val hashed = if (nUp == 0 || nUp == nTables) hashed0
-      else hashed0.withColumn("bucket",
-        when(col("tbl") < nUp, col("bucket"))
-          .otherwise(col("bucket").bitwiseAND(lit((1L << b0) - 1))))
-    hashed
+    lshHashed(emb, nTables, b0, nUp, dim)
       .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("load"))
       .groupBy(col("tbl"))
       .agg(sum(col("load")).as("n_items"),
@@ -1233,9 +1315,15 @@ object Vectors {
       .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na"), col("label"), col("cell"))
+    // lbk derivation MUST match IvfIndex.buildFiltered bit-for-bit: hash
+    // the label's canonical STRING form (xxhash64 is type-sensitive — an
+    // int32-labeled index queried with long labels would otherwise prune
+    // to the wrong directories and silently return wrong candidates;
+    // the exact label equality below stays coercion-tolerant either way)
     val probes = broadcast(if (nLabelDirs > 0)
       probes0.withColumn("lbk",
-        pmod(xxhash64(col("label")), lit(nLabelDirs.toLong)).cast("int"))
+        pmod(xxhash64(col("label").cast("string")),
+          lit(nLabelDirs.toLong)).cast("int"))
       else probes0)
     val candCols = Seq(col("vec_id").as("id_b"), col("embedding").as("vb"),
       col("nrm").as("nb"), col("label"), col("cell")) ++

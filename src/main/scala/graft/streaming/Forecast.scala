@@ -36,6 +36,16 @@ private case class HwState(l: Double, b: Double, ring: List[Double],
   * only symptom was a subtly different level three windows later).
   * Keys partition across executors like every other streaming op
   * here — nothing global.
+  *
+  * STATE-SCHEMA COMPATIBILITY: adding `nDropped` to HwState (r14)
+  * changed the flatMapGroupsWithState state encoder schema, so a query
+  * restarted against a checkpoint written by the pre-r14 operator fails
+  * Spark's state-store schema check (by design — with the check
+  * disabled it would misread state). Deploying this version over an
+  * existing stream requires a NEW checkpoint directory; the batch-fold
+  * parity contract makes the cutover cheap (re-seed by replaying the
+  * finalized window means through the batch operator, or simply restart
+  * the stream from the earliest retained window).
   */
 object Forecast {
 

@@ -318,6 +318,69 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.99, s"near-dup recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("zero-flip regime (b >= 16): banded recall at the 1000x campaign config") {
+    // the 1000x decade runs 15@19+1@18 bits — flips = min(b, max(0,
+    // 16-b)) = 0, so recall is the PURE exact-bucket union
+    // 1 - (1-p^19)^15 (1-p^18), p = 1 - acos(cos)/pi. No occupancy or
+    // corpus-size term enters that probability, so the regime is
+    // measurable on a small corpus: plant pairs at controlled cosines,
+    // run the generator AT the campaign widths, and gate each band.
+    // Theory at the band floors: cos 0.99 -> 0.96, 0.95 -> 0.89,
+    // 0.90 -> 0.58, 0.80 -> 0.19 (the documented mid-band gap the
+    // cosinePairsLshAuto contract trades for linear candidate mass).
+    val rnd = new scala.util.Random(0x19F1)
+    def unitish(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    // deltas chosen so cos(x, x + d*z) ~ 1/sqrt(1+d^2) lands inside each
+    // band; exact cosine is measured per pair below, never assumed
+    val deltas = Seq(0.10, 0.12, 0.30, 0.34, 0.44, 0.50, 0.60, 0.72)
+    val planted = deltas.zipWithIndex.flatMap { case (d, g) =>
+      (0 until 80).flatMap { j =>
+        val x = unitish()
+        val z = unitish()
+        val y = x.zip(z).map { case (a, b) => (a + d * b).toFloat }
+        val ida = 100000L + g * 1000 + j * 2
+        Seq((ida, x), (ida + 1, y))
+      }
+    }
+    val filler = (0 until 1500).map(i => (i.toLong, unitish()))
+    val df = spark.createDataFrame(filler ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // exact cosine per planted pair, driver-side, same index-ordered
+    // double accumulation as the engine
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var num = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        num += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      num / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = planted.toMap
+    val plantedCos = planted.grouped(2).map { case Seq((ida, x), (idb, y)) =>
+      (ida, idb) -> cos(x, y)
+    }.toMap
+    val found = Vectors.cosinePairsLshBits(df, 0.795, 16, 18, 15, 64)
+      .filter(col("id_a") >= 100000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = Seq((0.99, 1.01), (0.95, 0.99), (0.90, 0.95), (0.80, 0.90))
+    val recalls = bands.map { case (lo, hi) =>
+      val inBand = plantedCos.filter { case (_, c) => c >= lo && c < hi }
+      val got = inBand.keys.count(found)
+      val r = got.toDouble / inBand.size
+      info(f"band [$lo%.2f, $hi%.2f): $got/${inBand.size} recall=$r%.3f")
+      assert(inBand.size >= 40, s"band [$lo,$hi) under-populated: ${inBand.size}")
+      (lo, r)
+    }.toMap
+    assert(recalls(0.99) >= 0.95, s"near-dup band recall ${recalls(0.99)}")
+    assert(recalls(0.95) >= 0.75, s"high band recall ${recalls(0.95)}")
+    assert(recalls(0.90) >= 0.45, s"0.90 band recall ${recalls(0.90)}")
+    // the mid band IS the documented gap — gate that it stays a working
+    // floor (a regression to ~0 would silently hollow out emb_dup_sweep's
+    // tau=0.8 floor at campaign scale) without pretending it is high
+    assert(recalls(0.80) >= 0.10, s"mid band recall ${recalls(0.80)}")
+    assert(byId.size == planted.size) // ids unique (guards the generator above)
+  }
+
   test("cross-corpus LSH pairs are a subset of exact cross pairs") {
     val src = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("source"))
     val tagged = emb.join(src, emb("vec_id") === src("doc_id")).drop("doc_id")
@@ -1035,7 +1098,7 @@ class DedupSimSpec extends SparkSuite {
     // (lbk, label) predicate reads ONLY that bucket's directories
     val one = spark.read.parquet(s"$dir/assigned")
       .filter(col("lbk") === org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.xxhash64(lit(7)), lit(8L)).cast("int") &&
+        org.apache.spark.sql.functions.xxhash64(lit("7")), lit(8L)).cast("int") &&
         col("label") === 7)
     one.collect()
     val scans = one.queryExecution.executedPlan.collectLeaves().collect {
@@ -1049,6 +1112,20 @@ class DedupSimSpec extends SparkSuite {
     assert(got.nonEmpty && got == fused)
     assert(rows(graft.sim.IvfIndex(spark, dir)
       .queryFiltered(e.filter(col("vec_id") < 5), 10)) == fused)
+    // the lbk contract is TYPE-insensitive: a query batch whose label
+    // column is a different (coercible) type than the corpus's must
+    // derive the same bucket — lbk hashes the canonical string form on
+    // both sides (xxhash64 over the raw column hashes int and long
+    // differently; that bug returns zero/wrong candidates with no error)
+    val longLabels = e.filter(col("vec_id") < 5)
+      .withColumn("label", col("label").cast("long"))
+    assert(rows(idx.queryFiltered(longLabels, 10)) == fused,
+      "bucketed filtered query must tolerate a coercible label type change")
+    // n_labels is served from the meta file, not a data scan (the meta
+    // row also carries the dir count) — pin both values
+    val meta = spark.read.parquet(s"$dir/meta").head
+    assert(meta.getAs[Int]("n_label_dirs") == 8)
+    assert(meta.getAs[Long]("n_labels") == 40L)
   }
 
   test("fused annIvfPq with every cell probed equals annPq exactly") {

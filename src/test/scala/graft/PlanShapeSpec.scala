@@ -240,6 +240,17 @@ class PlanShapeSpec extends SparkSuite {
       assert(plan.contains("lsh_buckets"),
         s"$q candidates should come from LshBuckets:\n${plan.take(3000)}")
     }
+    // the SQ8 verify prescreen must sit in the pair plan (the map-side
+    // filter that starves the full-vector join-back — the r14-measured
+    // 90% owner of generator wall-clock at campaign scale); sq8_dot only
+    // appears via sq8Admit/sq8Payload. emb_clusters/keep_best consume
+    // the same generator but through an eager union-find, so their final
+    // plan no longer contains it — pin the lazy-plan consumers.
+    for (q <- Seq("emb_cosine_pairs", "emb_knn", "emb_dup_sweep")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("sq8_dot"),
+        s"$q should carry the SQ8 prescreen:\n${plan.take(3000)}")
+    }
   }
 
   test("span-mass and survivor selection stay inverted-index / keyed — never pairwise") {
