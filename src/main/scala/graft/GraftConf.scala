@@ -18,7 +18,17 @@ object GraftConf {
     * the shuffle-partitions default.
     */
   def withInitialPartitions(b: SparkSession.Builder): SparkSession.Builder = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "0").toInt
+    // empty string (the `VAR= cmd` shell idiom) reads as unset, and a
+    // non-numeric value fails naming the variable instead of with a bare
+    // NumberFormatException at session startup
+    val raw = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .map(_.trim).filter(_.nonEmpty)
+    val n = raw.map { v =>
+      try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_INITIAL_PARTITIONS must be an integer, got '$v'")
+      }
+    }.getOrElse(0)
     if (n > 0)
       b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
     else b

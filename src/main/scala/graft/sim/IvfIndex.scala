@@ -51,8 +51,33 @@ class IvfIndex private[sim] (val spark: SparkSession, val dir: String) {
     // plain layout keeps the partition-column distinct (answered from
     // directory metadata, never the data files).
     if (a.columns.contains("lbk")) {
-      val meta = spark.read.parquet(s"$dir/meta")
-        .select(col("n_label_dirs"), col("n_labels")).head
+      val metaDf = spark.read.parquet(s"$dir/meta")
+      // layout_version gates the lbk contract: an index written by an
+      // older build (string-canonical lbk, or no n_labels at all) must
+      // fail with a NAMED rebuild error here — opened leniently it
+      // would either throw an opaque missing-column AnalysisException
+      // or, worse, prune to wrong directories under the changed hash
+      // form and silently return wrong candidates.
+      if (!metaDf.columns.contains("layout_version"))
+        throw new IllegalStateException(
+          s"bucketed filtered index at $dir was built by an older graft " +
+            "version (meta has no layout_version) — rebuild with " +
+            "IvfIndex.buildFiltered")
+      val meta = metaDf
+        .select(col("n_label_dirs"), col("n_labels"),
+          col("layout_version"), col("label_kind")).head
+      if (meta.getInt(2) != IvfIndex.BucketedLayoutVersion)
+        throw new IllegalStateException(
+          s"bucketed filtered index at $dir has layout_version " +
+            s"${meta.getInt(2)}, this build reads " +
+            s"${IvfIndex.BucketedLayoutVersion} — rebuild with " +
+            "IvfIndex.buildFiltered")
+      val qKind = Vectors.labelKind(queries)
+      if (qKind != meta.getString(3))
+        throw new IllegalArgumentException(
+          s"query label type family '$qKind' does not match the index's " +
+            s"'${meta.getString(3)}' — lbk buckets would not line up; " +
+            "cast the query label column to the index's family")
       val probes = Vectors.adaptiveProbe(nCells, nProbe, meta.getLong(1))
       Vectors.ivfQueryFiltered(broadcast(centroids), a,
         Vectors.withNorm(queries), k, probes, meta.getInt(0))
@@ -101,6 +126,13 @@ class IvfIndex private[sim] (val spark: SparkSession, val dir: String) {
 }
 
 object IvfIndex {
+  /** Version stamp of the bucketed (high-label-cardinality) layout's
+    * persisted lbk contract. 2 = labelKind-canonical hash (integral →
+    * long, string as-is; Vectors.lbkCol) with label_kind in meta;
+    * version 1 (string-canonical, unstamped) is rejected at open.
+    */
+  val BucketedLayoutVersion = 2
+
   /** Open an existing index directory. */
   def apply(spark: SparkSession, dir: String): IvfIndex = new IvfIndex(spark, dir)
 
@@ -155,22 +187,20 @@ object IvfIndex {
       carry = Seq("label"))
     val nLabels = c.agg(countDistinct(col("label"))).head.getLong(0)
     if (nLabels > maxLabelDirs) {
+      // THE PERSISTED LAYOUT CONTRACT (layout_version 2): lbk hashes
+      // the label's CANONICAL form — integral labels through long,
+      // string labels as-is, every other type rejected at build — via
+      // the ONE shared derivation (Vectors.lbkCol) the query side also
+      // calls, so bucket derivation cannot be type-sensitive within a
+      // label family (xxhash64 hashes int and long differently; the
+      // raw column would silently prune a long-labeled query batch to
+      // the WRONG directories of an int32-built index). The label
+      // family is persisted and checked at query time, so even a
+      // cross-family batch (string vs integral) fails with a named
+      // error instead of silently returning wrong candidates.
+      val kind = Vectors.labelKind(assigned)
       assigned
-        // THE PERSISTED LAYOUT CONTRACT: lbk hashes the label's STRING
-        // form — Spark's xxhash64 hashes IntegerType and LongType (and
-        // every other coercible type) to different values, so hashing
-        // the raw column would make bucket derivation silently
-        // type-sensitive: a query batch whose label column is long
-        // against an index built from int32 parquet labels would derive
-        // a different lbk and prune to the WRONG directories (zero /
-        // wrong candidates, no error) — the plain (cell, label) layout
-        // tolerates exactly this via join-key coercion, so the bucketed
-        // layout must too. Canonicalizing through string makes lbk a
-        // function of the label's VALUE; the query side
-        // (Vectors.ivfQueryFiltered) applies the identical cast.
-        .withColumn("lbk",
-          pmod(xxhash64(col("label").cast("string")),
-            lit(maxLabelDirs.toLong)).cast("int"))
+        .withColumn("lbk", Vectors.lbkCol(assigned, maxLabelDirs))
         .repartition(col("cell"), col("lbk"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell", "lbk")
         .parquet(s"$dir/assigned")
@@ -180,9 +210,14 @@ object IvfIndex {
       // in the bucketed layout label is a DATA column, so deriving the
       // cardinality at query time would full-scan every assignment file
       // per batch — at exactly the high-cardinality scale the bucketing
-      // exists for.
+      // exists for. layout_version stamps the lbk contract so an index
+      // written by an older build fails with a named rebuild error at
+      // open, never an opaque missing-column exception or (worse) a
+      // silent wrong-directory prune under a changed hash form.
       spark.range(1).select(lit(maxLabelDirs).as("n_label_dirs"),
-          lit(nLabels).as("n_labels"))
+          lit(nLabels).as("n_labels"),
+          lit(IvfIndex.BucketedLayoutVersion).as("layout_version"),
+          lit(kind).as("label_kind"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     } else
       assigned

@@ -100,7 +100,7 @@ object PairProbe {
       s"cand_per_vec=${f"${nRaw.toDouble / n}%.1f"} " +
       s"prescreen_kill=${f"${100.0 * (nRaw - nScr) / math.max(1L, nRaw)}%.1f"}%")
 
-    // stage 5: one representative consumer end-to-end (the tau sweep —
+    // stage 6: one representative consumer end-to-end (the tau sweep —
     // r13's worst decade ratio at 51×)
     time("emb_dup_sweep shape (sweep over one pair set)") {
       val pr = Vectors.cosinePairsLshAuto(emb, 0.8)
