@@ -1133,12 +1133,26 @@ object SparkEntry {
     // dedup-threshold tuning: near-dup pair counts at τ ∈ {.8,.9,.95,.99}
     // from ONE pass of the LSH pair graph (base filter raw cos ≥ 0.8;
     // higher cuts applied to the quantized similarity, mirrored in SQL)
-    "emb_dup_sweep" -> ((s, dir) =>
-      Vectors.cosinePairsLshAuto(Tables.load(s, dir, "embeddings"), 0.8)
+    "emb_dup_sweep" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // the SURFACED recall contract: next to each band count, the
+      // closed-form expected recall of the generator at this corpus's
+      // autoBitsFrac config (Vectors.expectedBandRecall — shared p
+      // literals + left-fold powers, replayed exactly by the oracle),
+      // so a campaign reader sees the under-count with the counts it
+      // discounts instead of hunting for a spec table
+      val n = emb.count()
+      val rc = Vectors.bandP.map { case (band, p) =>
+        graft.Quant.q6(lit(Vectors.expectedBandRecall(n, p)))
+          .as(s"exp_recall_$band")
+      }
+      Vectors.cosinePairsLshAuto(emb, 0.8)
         .agg(count(lit(1)).as("n_80"),
           sum(when(col("cos_sim") >= 0.9, 1L).otherwise(0L)).as("n_90"),
           sum(when(col("cos_sim") >= 0.95, 1L).otherwise(0L)).as("n_95"),
-          sum(when(col("cos_sim") >= 0.99, 1L).otherwise(0L)).as("n_99"))),
+          sum(when(col("cos_sim") >= 0.99, 1L).otherwise(0L)).as("n_99"))
+        .select(col("*") +: rc: _*)
+    }),
 
     // semantic dedup: connected components over the cosine≥τ pair graph —
     // the same clustering operator driving token-level dedup, applied to
@@ -3939,8 +3953,7 @@ object SparkEntry {
          |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM d),
          |h AS (SELECT doc_id, md5_number_lower(word) AS h FROM w),
          |sig AS (SELECT doc_id, $SIMHASH_SIG_SQL AS sig FROM h GROUP BY doc_id),
-         |ck AS (SELECT doc_id, c.c AS ci, (sig >> (c.c * 16)) & 65535 AS cv
-         |       FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |ck AS (${comboCkSql("sig", 3)}),
          |l AS (SELECT ci, cv, count(*) AS load FROM ck GROUP BY 1, 2)
          |SELECT CAST(ci AS BIGINT) AS chunk,
          |       CAST(sum(load) AS BIGINT) AS n_items,
@@ -4283,15 +4296,23 @@ object SparkEntry {
 
     // mirrors the emb_dup_sweep registration: base inclusion on RAW
     // cos ≥ 0.8 (the operator's tau filter), higher cuts on the
-    // quantized value — exactly the engine's arithmetic
+    // quantized value — exactly the engine's arithmetic — plus the
+    // surfaced recall contract: expectedBandRecall replayed from the
+    // same bsel config via the same shared p literals and left-fold
+    // powers (no libm in either engine)
     "emb_dup_sweep" ->
       s"""WITH $LSH_PAIR_CTES,
-         |sw AS (SELECT ${Q6("cos")} AS c FROM pr WHERE cos >= 0.8)
-         |SELECT CAST(count(*) AS BIGINT) AS n_80,
-         |       CAST(sum(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_90,
-         |       CAST(sum(CASE WHEN c >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_95,
-         |       CAST(sum(CASE WHEN c >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_99
-         |FROM sw""".stripMargin,
+         |sw AS (SELECT ${Q6("cos")} AS c FROM pr WHERE cos >= 0.8),
+         |rc AS (SELECT ${graft.sim.Vectors.bandP.map { case (band, p) =>
+               s"${Q6(expRecallSql(p.toString))} AS exp_recall_$band"
+             }.mkString(",\n|          ")}
+         |       FROM bsel),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_80,
+         |          CAST(sum(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_90,
+         |          CAST(sum(CASE WHEN c >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_95,
+         |          CAST(sum(CASE WHEN c >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_99
+         |        FROM sw)
+         |SELECT cnt.*, rc.* FROM cnt, rc""".stripMargin,
 
     "emb_clusters" ->
       s"""WITH RECURSIVE
@@ -6358,13 +6379,13 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Mirrors Multimodal.phashLoad: the shared 6-gram md5-SimHash
-    // signature CTEs, 16-bit chunk values via shift+mask (identical bit
-    // patterns to the engine's masked arithmetic shift), per-bucket
-    // loads, per-chunk rollup — the dedup_simhash_load shape.
+    // signature CTEs, block-combination bucket keys rendered from the
+    // same hammingComboSpec fold (identical bit patterns to the
+    // engine's masked arithmetic shifts), per-bucket loads, per-combo
+    // rollup — the dedup_simhash_load shape.
     "mm_phash_load" ->
       s"""WITH $PHASH_SIG_CTES,
-         |ck AS (SELECT doc_id, c.c AS ci, (sig >> (c.c * 16)) & 65535 AS cv
-         |       FROM psig, (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |ck AS (${comboCkSql("psig", 3)}),
          |l AS (SELECT ci, cv, count(*) AS load FROM ck GROUP BY 1, 2)
          |SELECT CAST(ci AS BIGINT) AS chunk,
          |       CAST(sum(load) AS BIGINT) AS n_items,
@@ -6478,6 +6499,47 @@ object SparkEntry {
   // integer micro-units is the only float contract both engines compute
   // bit-identically. Any float column added to `queries` MUST use these.
   private def Q6(x: String) = s"round(($x) * 1000000.0, 0) / 1000000.0 + 0"
+
+  /** The pigeonhole block-combination bucket rows (doc_id, ci, cv) over a
+    * (doc_id, sig) CTE — rendered from the SAME Dedup.hammingComboSpec
+    * the engine folds, shift-for-shift, so the grid the load audits
+    * price cannot desync between engines.
+    */
+  private def comboCkSql(src: String, maxHamming: Int): String =
+    graft.text.Dedup.hammingComboSpec(maxHamming).map { case (ci, spec) =>
+      val key = spec.foldLeft("CAST(0 AS BIGINT)") { case (acc, (lo, w)) =>
+        s"((($acc) << $w) | ((sig >> $lo) & ${(1L << w) - 1}))"
+      }
+      s"SELECT doc_id, $ci AS ci, $key AS cv FROM $src"
+    }.mkString("\nUNION ALL ")
+
+  /** x^k as the LEFT-FOLD of k multiplications from 1.0 — the exact
+    * IEEE sequence Vectors.expectedBandRecall's powN loop runs, so the
+    * replay is bit-identical without trusting either engine's pow().
+    * generate_series(1, 0) is empty, so k = 0 folds to 1.0.
+    */
+  private def powFoldSql(x: String, k: String): String =
+    s"list_reduce(list_prepend(CAST(1.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $k), i -> ($x))), (a, b) -> a * b)"
+
+  /** Per-table hit p^b + f·p^(b−1)(1−p) with the one-flip-floor budget
+    * f = min(b, max(1, 16 − b)) — mirrors expectedBandRecall.hit.
+    */
+  private def bandHitSql(p: String, bits: String): String =
+    s"(${powFoldSql(p, bits)} + " +
+      s"CAST(least($bits, greatest(1, 16 - ($bits))) AS DOUBLE) * " +
+      s"${powFoldSql(p, s"($bits) - 1")} * (CAST(1.0 AS DOUBLE) - $p))"
+
+  /** 1 − (1−hit(b0+1))^nup (1−hit(b0))^(16−nup) over bsel's config —
+    * mirrors Vectors.expectedBandRecall (p arrives as the shared
+    * decimal literal from Vectors.bandP, never a libm acos).
+    */
+  private def expRecallSql(pLit: String): String = {
+    val p = s"CAST($pLit AS DOUBLE)"
+    s"(CAST(1.0 AS DOUBLE) - " +
+      s"${powFoldSql(s"(CAST(1.0 AS DOUBLE) - ${bandHitSql(p, "(b0 + 1)")})", "nup")} * " +
+      s"${powFoldSql(s"(CAST(1.0 AS DOUBLE) - ${bandHitSql(p, "b0")})", "(16 - nup)")})"
+  }
   private def US6(x: String) = s"CAST(round(($x) * 1000000.0, 0) AS BIGINT)"
   /** The ts_decompose oracle body (period 7, no ORDER BY) — shared with
     * the ts_seasonal_strength oracle, which consumes it as a CTE.
@@ -6646,8 +6708,8 @@ object SparkEntry {
     * 1/⌈n/4⌉ instead of riding the power-of-two occupancy sawtooth —
     * nUp = (64·(u − 2^b0) + u) div (2u), exact integer half-up),
     * candidates = pairs whose buckets collide exactly or within the
-    * per-table-width FLIP BUDGET (min(bits, max(0, 16 − bits)) 1-bit
-    * probes — all bits at the b=8 floor, zero from b ≥ 16) from either
+    * per-table-width FLIP BUDGET (min(bits, max(1, 16 − bits)) 1-bit
+    * probes — all bits at the b=8 floor, ONE from b ≥ 16) from either
     * endpoint — least/greatest symmetrizes the probe direction — then
     * exact cosine ≥ 0.4 verify in DOT_SQL's index order. Shared by
     * emb_cosine_pairs / emb_knn / emb_clusters / emb_lsh_load; yields
@@ -6676,7 +6738,7 @@ object SparkEntry {
        |pp AS (SELECT vec_id, tbl,
        |              xor(bucket, unnest(list_prepend(CAST(0 AS BIGINT),
        |                list_transform(
-       |                  generate_series(0, least(bits, greatest(0, 16 - bits)) - 1),
+       |                  generate_series(0, least(bits, greatest(1, 16 - bits)) - 1),
        |                  j -> CAST(1 AS BIGINT) << j)))) AS bucket
        |       FROM (SELECT b.vec_id, b.tbl, b.bucket, t.bits
        |             FROM bk b JOIN tsel t ON t.tbl = b.tbl) wb),

@@ -102,6 +102,10 @@ object TextHashes {
   private final class Md5Ctx {
     val md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")
     var buf: Array[Byte] = new Array[Byte](256)
+    // digest written in place — md.digest() allocates a fresh 16-byte
+    // array per call, which inside phash's per-position gram loop is
+    // ~40 GB of garbage per 2.5 B grams (the 1000× corpus)
+    val out: Array[Byte] = new Array[Byte](16)
   }
   private val md5Local = new ThreadLocal[Md5Ctx] {
     override def initialValue(): Md5Ctx = new Md5Ctx
@@ -121,7 +125,8 @@ object TextHashes {
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
     ctx.md.reset()
     ctx.md.update(ctx.buf, 0, len)
-    val d = ctx.md.digest()
+    val d = ctx.out
+    ctx.md.digest(d, 0, 16)
     var h = 0L
     var i = 15
     while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
@@ -291,6 +296,27 @@ object TextHashes {
     c
   }
 
+  /** Count of code points in (negate = false) or not in (negate = true)
+    * an ASCII char set — one byte scan, no Matcher. A UTF-8 lead byte
+    * outside ASCII is one code point never in the (ASCII) set;
+    * continuation bytes are skipped, so the count equals
+    * regexp_count(s, "[chars]") / "[^chars]" exactly (Java regex and
+    * RE2 both treat a single-code-point class match per position, and
+    * non-overlapping single-char matches are just the member count).
+    */
+  def charClassCountVal(s: UTF8String, set: Array[Boolean], negate: Boolean): Long = {
+    val n = s.numBytes
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { if (set(b) != negate) c += 1 }
+      else if ((b & 0xC0) != 0x80) { if (negate) c += 1 }
+      i += 1
+    }
+    c
+  }
+
   def minhashSig(norm: Column, n: Int, k: Int): Column =
     GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(norm), n, k))
 
@@ -306,6 +332,96 @@ object TextHashes {
   def intersectCount(a: Column, b: Column): Column =
     GraftSqlShim.column(SortedIntersectCount(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  def charClassCount(s: Column, chars: String, negate: Boolean): Column =
+    GraftSqlShim.column(CharClassCount(GraftSqlShim.expression(s), chars, negate))
+
+  /** lower(trim(regexp_replace(s, "\\s+", " "))) in one byte pass —
+    * the canonical normalization (TextFunctions.norm) that leads EVERY
+    * text operator. Java's \s (no UNICODE_CHARACTER_CLASS) is exactly
+    * the six ASCII whitespace bytes, none of which can occur inside a
+    * UTF-8 multibyte sequence, so a byte scan that collapses runs to
+    * one ' ' and drops leading/trailing runs reproduces
+    * regexp_replace + trim byte-for-byte; the final toLowerCase is the
+    * same UTF8String call Spark's Lower evaluates.
+    */
+  def normTextVal(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    val out = new Array[Byte](n)
+    var i = 0
+    var w = 0
+    var pendingSpace = false
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      if (ws) { if (w > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(w) = ' '; w += 1; pendingSpace = false }
+        out(w) = b
+        w += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, w).toLowerCase
+  }
+
+  def normText(s: Column): Column =
+    GraftSqlShim.column(NormText(GraftSqlShim.expression(s)))
+}
+
+/** One-pass canonical text normalization (see TextHashes.normTextVal). */
+case class NormText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireString(prettyName, child)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_text"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.normTextVal(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashes.normTextVal($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** regexp_count(s, "[chars]") (negate = false) / "[^chars]" (negate =
+  * true) for an ASCII char set, as one compiled byte scan: the
+  * single-code-point-class count is the only thing several quality /
+  * shard-gate signals need, and Matcher.find-per-match made ONE such
+  * count (punct "[^a-z0-9 ]") 25.5 s of corpus_shard's 54.9 s signal
+  * scan at the 100× probe — half the operator. The oracle keeps the
+  * plain regexp_count (RE2 is already linear); only the Spark-side
+  * evaluation changes, so values are bit-identical by the equivalence
+  * argument on charClassCountVal.
+  */
+case class CharClassCount(child: Expression, chars: String, negate: Boolean)
+    extends UnaryExpression {
+  require(chars.nonEmpty && chars.forall(_ < 128),
+    s"char set must be non-empty ASCII, got '$chars'")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireString(prettyName, child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_class_count"
+
+  @transient private lazy val table: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    chars.foreach(ch => t(ch) = true)
+    t
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.charClassCountVal(input.asInstanceOf[UTF8String], table, negate)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charClassSet", table, "boolean[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHashes.charClassCountVal($c, $ref, $negate)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** array<long> MinHash signature of a normalized-text column; null when the

@@ -628,11 +628,15 @@ object Vectors {
     * the FLOOR-REGIME recall subsidy it actually is: at b = 8 every bit
     * probes (tiny corpus, candidates cheap, p^8 needs the boost), one
     * flip retires per bit of corpus growth — flips = min(b,
-    * max(0, 16 − b)) — and from b ≥ 16 the generator probes exact
-    * buckets only, where 16 tables × occupancy-4 buckets already put
-    * the near-dup union bound at ~1.0 for cos ≥ 0.99 (p^19 ≈ 0.42 per
-    * table) and each flip would buy a sub-percent recall delta for
-    * ~2·occ·nTables ≈ 128 extra background candidates per vector.
+    * max(1, 16 − b)) — down to a ONE-FLIP floor from b ≥ 16 (r16; the
+    * r15 hard zero measured 0.39 recall in the 0.80–0.90 cosine band
+    * at the 15@19+1@18 campaign config, i.e. emb_dup_sweep's τ=0.8
+    * output silently under-counted its lowest band by ~61%). The one
+    * retained flip doubles the probe fan (~2·occ·nTables ≈ 128 extra
+    * background candidates per vector, all killed map-side by the SQ8
+    * prescreen for ~100 B each) and lifts the per-table collision for
+    * a band-floor pair from p^b to p^b + p^(b−1)(1−p) — the measured
+    * band table lives in DedupSimSpec ("one-flip regime").
     *
     * The md5-derived planes are engine-portable (LshBuckets.planes), so
     * the DuckDB oracle replays buckets, probes, flip budget, and
@@ -651,7 +655,7 @@ object Vectors {
     * bucket with its top bit masked off: one LshBuckets pass at the
     * wider width serves both table classes, and the SQL oracle replays
     * the per-table widths plane-for-plane. The flip budget is per table
-    * CLASS (flips = min(bits, max(0, 16 − bits)) at that table's width),
+    * CLASS (flips = min(bits, max(1, 16 − bits)) at that table's width),
     * so a mixed config probes exactly what two uniform configs would.
     */
   private[graft] def cosinePairsLshBits(emb: DataFrame, tau: Double, nTables: Int,
@@ -727,12 +731,12 @@ object Vectors {
   }
 
   /** The budgeted multiprobe array over a `lshHashed` row — exact bucket
-    * plus the per-width 1-bit flips (flips = min(bits, max(0, 16 − bits));
+    * plus the per-width 1-bit flips (flips = min(bits, max(1, 16 − bits));
     * see the flip-budget doc on cosinePairsLsh). Shared with PairProbe.
     */
   private[graft] def lshProbeArr(nTables: Int, b0: Int, nUp: Int): Column = {
     def probeOf(bits: Int): Column = {
-      val flipBits = math.min(bits, math.max(0, 16 - bits))
+      val flipBits = math.min(bits, math.max(1, 16 - bits))
       array((-1 until flipBits).map { j =>
         if (j < 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << j))
       }: _*)
@@ -871,27 +875,69 @@ object Vectors {
     * 3.05 → 3.81). The result is the same exact-verified subset contract
     * as cosinePairsLsh at the chosen widths.
     *
-    * RECALL CONTRACT BY REGIME (per-table p = 1 − θ/π; union over 16
-    * tables; flips retire one per bit from the b=8 floor, zero at
-    * b ≥ 16 — so at large corpora recall is the PURE exact-bucket union
-    * 1 − (1 − p^b)^16). MEASURED at the 1000×-campaign config
-    * (15@19 + 1@18 bits, zero flips) on planted pairs of known exact
-    * cosine (DedupSimSpec "zero-flip regime", the gate for this table):
-    *   - NEAR-DUPS (cos ≥ 0.99, p ≥ 0.955): measured 1.00 (159/159);
-    *     theory ≥ 0.96 at the 0.99 edge, ≥ 0.97 out to b = 20 — the
-    *     band the dedup/cluster/keep-best family actually consumes.
-    *   - HIGH (cos 0.95–0.99): measured 0.96; theory 0.89 at the 0.95
-    *     edge.
-    *   - 0.90–0.95: measured 0.69; theory 0.58 at the 0.90 edge.
-    *   - MID (cos 0.8–0.9, p 0.80–0.86): the documented GAP — measured
-    *     0.39 band-wide, theory 0.19 at exactly cos 0.8 (spec floor
-    *     0.10). Callers that need the mid band at ≥ 10⁶-vector corpora
-    *     must raise nTables (the recall knob: 64 tables ≈
-    *     1 − (1−p^b)^64) or lower tau on a PRE-FILTERED subset; this
-    *     generator deliberately trades the mid band for linear candidate
-    *     mass (the r13 ENOSPC lesson — each recovered mid-band point
-    *     costs occ·nTables background candidates).
+    * RECALL CONTRACT BY REGIME (per-table hit = p^b + f·p^(b−1)(1−p)
+    * with p = 1 − θ/π and f the flip budget, union over 16 tables;
+    * flips retire one per bit from the b=8 floor down to the ONE-FLIP
+    * floor at b ≥ 16 — r16; the r15 hard zero cost 61% of the
+    * 0.80–0.90 band). MEASURED at the 1000×-campaign config
+    * (15@19 + 1@18 bits, one flip) on planted pairs of known exact
+    * cosine (DedupSimSpec "one-flip regime", the gate for this table):
+    *   - NEAR-DUPS (cos ≥ 0.99): measured 1.00 (159/159); one-flip
+    *     theory ≥ 0.98 at the 0.99 edge — the band the dedup/cluster/
+    *     keep-best family actually consumes.
+    *   - HIGH (cos 0.95–0.99): measured 0.97; theory 0.94 at the 0.95
+    *     edge (zero-flip was 0.96 / 0.89).
+    *   - 0.90–0.95: measured 0.78; theory 0.64 at the 0.90 edge
+    *     (zero-flip was 0.69 / 0.58).
+    *   - MID (cos 0.8–0.9): still the documented GAP — measured 0.46
+    *     band-wide (zero-flip 0.39), theory 0.23 at exactly cos 0.8
+    *     (spec floor 0.40 band-wide). The gap is also SURFACED in-band:
+    *     emb_dup_sweep emits exp_recall_80/90/95/99 (expectedBandRecall
+    *     — the same closed form, oracle-replayed), so a campaign reader
+    *     sees the under-count next to the counts it discounts. Callers
+    *     that need the mid band at ≥ 10⁶-vector corpora must raise
+    *     nTables (the recall knob: 64 tables ≈ 1 − (1−hit)^64) or lower
+    *     tau on a PRE-FILTERED subset; this generator deliberately
+    *     trades the mid band for linear candidate mass (the r13 ENOSPC
+    *     lesson — each recovered mid-band point costs occ·nTables
+    *     background candidates, and the retained single flip already
+    *     doubles the probe fan for the ~0.07 it buys).
     */
+  /** 1 − acos(c)/π for the four sweep band floors, as FIXED decimal
+    * literals shared verbatim with the SQL oracle — neither engine
+    * evaluates a libm acos, so the replay is bit-identical by
+    * construction (the text_entropy lesson: transcendental libm calls
+    * are the one place two engines legitimately disagree).
+    */
+  private[graft] val bandP: Seq[(Int, Double)] = Seq(
+    80 -> 0.7951672353008665,
+    90 -> 0.8564337068712937,
+    95 -> 0.8989173758957401,
+    99 -> 0.9549465863555878)
+
+  /** Closed-form expected recall of cosinePairsLshAuto for a pair at
+    * exact cosine c (passed as p = 1 − acos(c)/π, one of bandP), at the
+    * config autoBitsFrac picks for corpus size n: per-table hit
+    * p^b + f·p^(b−1)(1−p) with the per-width flip budget, union over
+    * the fractional-bit table mix. Arithmetic is a LEFT-FOLD of
+    * multiplications over the shared literals — the SQL oracle replays
+    * the identical fold (list_reduce), so the emitted columns are
+    * hash-gated like any other value, not merely documented. UNQUANTIZED
+    * (callers q6 at the edge).
+    */
+  def expectedBandRecall(n: Long, p: Double, nTables: Int = 16,
+                         targetOccupancy: Long = 4L): Double = {
+    val (b0, nUp) = autoBitsFrac(n, targetOccupancy, nTables)
+    def powN(x: Double, k: Int): Double = {
+      var a = 1.0; var i = 0; while (i < k) { a *= x; i += 1 }; a
+    }
+    def hit(bits: Int): Double = {
+      val f = math.min(bits, math.max(1, 16 - bits))
+      powN(p, bits) + f.toDouble * powN(p, bits - 1) * (1.0 - p)
+    }
+    1.0 - powN(1.0 - hit(b0 + 1), nUp) * powN(1.0 - hit(b0), nTables - nUp)
+  }
+
   def cosinePairsLshAuto(emb: DataFrame, tau: Double, nTables: Int = 16,
                          targetOccupancy: Long = 4L, dim: Int = 64): DataFrame = {
     val n = emb.agg(count(lit(1))).head.getLong(0)
@@ -1304,6 +1350,39 @@ object Vectors {
     * ~|labels|/nLabelDirs labels' rows). Results are identical to the
     * plain layout — lbk is derived, never decides membership.
     */
+  /** The bucketed layout's label TYPE contract, shared by build and
+    * query so the two sides cannot desync: integral labels canonicalize
+    * through LONG before hashing (xxhash64 is type-sensitive, and a
+    * string canonical form would still split double 7.0 → "7.0" from
+    * int 7 → "7" while the label equality predicate coerce-matches —
+    * the silent wrong-directory prune this contract exists to prevent);
+    * string labels hash as-is; every other type is REJECTED loudly at
+    * build and at query instead of deriving a silently wrong bucket.
+    * The kind string is persisted in the index meta (layout_version 2)
+    * and checked at query time, so a cross-FAMILY batch (string labels
+    * against an integral-built index) fails with a named error too.
+    */
+  private[sim] def labelKind(df: DataFrame): String =
+    df.schema("label").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        "integral"
+      case org.apache.spark.sql.types.StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"bucketed filtered index supports integral or string label types, got $other — " +
+          "cast the label column to long or string")
+    }
+
+  /** lbk = pmod(xxhash64(canonical label), nDirs) over the canonical
+    * form labelKind prescribes — the ONE derivation both
+    * IvfIndex.buildFiltered and the query path call.
+    */
+  private[sim] def lbkCol(df: DataFrame, nDirs: Int): Column = {
+    val canon =
+      if (labelKind(df) == "integral") col("label").cast("long") else col("label")
+    pmod(xxhash64(canon), lit(nDirs.toLong)).cast("int")
+  }
+
   private[sim] def ivfQueryFiltered(cents: DataFrame, assigned: DataFrame,
                                     queries: DataFrame, k: Int, nProbe: Int,
                                     nLabelDirs: Int = 0): DataFrame = {
@@ -1315,15 +1394,13 @@ object Vectors {
       .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na"), col("label"), col("cell"))
-    // lbk derivation MUST match IvfIndex.buildFiltered bit-for-bit: hash
-    // the label's canonical STRING form (xxhash64 is type-sensitive — an
-    // int32-labeled index queried with long labels would otherwise prune
-    // to the wrong directories and silently return wrong candidates;
-    // the exact label equality below stays coercion-tolerant either way)
+    // lbk derivation MUST match IvfIndex.buildFiltered bit-for-bit —
+    // both sides call the shared lbkCol (labelKind canonical form), so
+    // an int32-labeled index queried with long labels derives the same
+    // bucket, and an unsupported label type fails loudly here instead
+    // of pruning to the wrong directories
     val probes = broadcast(if (nLabelDirs > 0)
-      probes0.withColumn("lbk",
-        pmod(xxhash64(col("label").cast("string")),
-          lit(nLabelDirs.toLong)).cast("int"))
+      probes0.withColumn("lbk", lbkCol(probes0, nLabelDirs))
       else probes0)
     val candCols = Seq(col("vec_id").as("id_b"), col("embedding").as("vb"),
       col("nrm").as("nb"), col("label"), col("cell")) ++

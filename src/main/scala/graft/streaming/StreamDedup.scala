@@ -35,7 +35,7 @@ object StreamDedup {
   def keyed(docs: DataFrame): Dataset[DocKey] = {
     implicit val e = Encoders.product[DocKey]
     docs.select(col("doc_id").cast("long").as("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        md5(graft.plans.TextHashes.normText(col("text"))).as("fp"))
       .as[DocKey]
   }
 

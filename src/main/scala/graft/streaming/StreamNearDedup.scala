@@ -62,7 +62,7 @@ object StreamNearDedup {
             bandRows: Int = 2): Dataset[BandDoc] = {
     val sigd = docs.select(col("doc_id").cast("long").as("doc_id"),
         graft.plans.TextHashes.minhashSig(
-          lower(trim(regexp_replace(col("text"), "\\s+", " "))), n, numHashes)
+          graft.plans.TextHashes.normText(col("text")), n, numHashes)
           .as("sig"))
       .filter(col("sig").isNotNull)
     val bands = (0 until numHashes / bandRows).map { b =>

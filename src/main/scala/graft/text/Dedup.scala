@@ -160,42 +160,76 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
                    bandRows: Int = 2, tau: Double = 0.8): DataFrame = {
-    // Signatures come from the codegen'd MinHashSig expression: one tight
-    // loop per document over the normalized bytes (shingle slices hashed
-    // once, k remixes each) — no shingle arrays, no interpreted lambdas.
-    // Signature AND shingle set are computed in the SAME compiled pass and
-    // materialized once (localCheckpoint): the verify stage joins the
-    // shingle side twice, so without this the corpus would be normalized
-    // and hashed three times. The materialized rows are doc_id + hashes —
-    // a few % of the raw text size — and spill to executor disk at scale
-    // (the standard persist-the-signatures shape of production dedup).
-    val base = TextFunctions.withBase(docs)
+    val base = minhashBase(docs, n, numHashes)
+    verifiedJaccard(minhashVerifyJoin(minhashCand(
+      minhashBuckets(base, numHashes, bandRows)), base), tau)
+  }
+
+  /** STAGE BUILDERS for the minhash pair graph — one definition each,
+    * shared by minhashPairs and graft.text.ShardProbe, so the probe's
+    * stage decomposition measures exactly the pipeline the queries run
+    * (the Vectors.lshHashed doctrine on the text axis).
+    *
+    * minhashBase: signatures come from the codegen'd MinHashSig
+    * expression — one tight loop per document over the normalized bytes
+    * (shingle slices hashed once, k remixes each), no shingle arrays, no
+    * interpreted lambdas. Signature AND shingle set are computed in the
+    * SAME compiled pass and materialized once (localCheckpoint): the
+    * verify stage joins the shingle side twice, so without this the
+    * corpus would be normalized and hashed three times. The materialized
+    * rows are doc_id + hashes — a few % of the raw text size — and spill
+    * to executor disk at scale (the standard persist-the-signatures
+    * shape of production dedup).
+    */
+  private[graft] def minhashBase(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    TextFunctions.withBase(docs)
       .select(col("doc_id"),
         TextHashes.minhashSig(col("norm"), n, numHashes).as("sig"),
         TextHashes.hashedShingles(col("norm"), n).as("hs"))
       .localCheckpoint()
-    val sigs = base.select(col("doc_id"), col("sig")).filter(col("sig").isNotNull)
+
+  /** (doc_id, band, bv) bucket rows. The band value is xxhash64 over the
+    * band's signature rows — 64-bit ON PURPOSE: bucket collisions
+    * between unrelated documents are pure birthday noise that the exact
+    * verify must then pay to reject, and with a 32-bit band value the
+    * random-candidate mass grows as n²·bands/2³² — ~3.7 B candidate
+    * pairs at 10⁹ documents — while at 64 bits the same corpus yields
+    * ~1. The verified output is IDENTICAL either way (equal band rows
+    * hash equal under any hash; the exact-Jaccard filter removes every
+    * false positive), so the width is free correctness-wise and removes
+    * the only quadratic term the band join has.
+    */
+  private[graft] def minhashBuckets(base: DataFrame, numHashes: Int,
+                                    bandRows: Int): DataFrame = {
     val bands = (0 until numHashes / bandRows).map { b =>
       val rows = (0 until bandRows).map(r => col("sig")(b * bandRows + r))
-      struct(lit(b).as("band"), hash(rows: _*).as("bv"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bv"))
     }
-    val buckets = sigs
+    base.select(col("doc_id"), col("sig")).filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val cand = buckets.select(col("doc_id").as("id_a"), col("band"), col("bv"))
+  }
+
+  /** Distinct candidate ID pairs from the band-bucket self-join —
+    * key-only (16 B/row through the distinct shuffle; no payload
+    * attaches before deduplication).
+    */
+  private[graft] def minhashCand(buckets: DataFrame): DataFrame =
+    buckets.select(col("doc_id").as("id_a"), col("band"), col("bv"))
       .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bv")),
         Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // Exact-Jaccard verification over hashed shingle sets (codegen'd merge
-    // walk per pair), served from the same materialized pass as the sigs.
+
+  /** The verify join-back: attach both endpoints' hashed shingle sets
+    * (from the SAME materialized base pass) to each candidate pair.
+    */
+  private[graft] def minhashVerifyJoin(cand: DataFrame, base: DataFrame): DataFrame = {
     val hsh = base.select(col("doc_id"), col("hs")).filter(col("hs").isNotNull)
-    verifiedJaccard(
-      cand
-        .join(hsh.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
-        .join(hsh.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b"),
-      tau)
+    cand
+      .join(hsh.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
+      .join(hsh.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b")
   }
 
   /** Near-duplicate decontamination: exact n-gram Jaccard between a TRAIN
@@ -725,15 +759,59 @@ object Dedup {
     * cost of one aggregation). Cost: the signature pass plus two keyed
     * map-side-partial aggregations; no join anywhere.
     */
-  private[graft] def hammingLoad(signed: DataFrame, maxHamming: Int): DataFrame = {
-    val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
-    val chunks = (0 until nChunks).map { c =>
-      struct(lit(c).as("ci"),
-        expr(s"(sig >> ${c * chunkBits}) & ${(1L << chunkBits) - 1}").as("cv"))
+  /** THE PIGEONHOLE GRID (r16: block COMBINATIONS, not single chunks).
+    * The classic h+1-chunk split buckets on 64/(h+1) bits — a FIXED
+    * 2^16 key space at h = 3, so candidate mass grows as
+    * n²·(h+1)/2^16: the 100× ShardProbe priced 60.3 M candidate pairs
+    * for 67 k real ones, and the 1000× decade rode that quadratic to
+    * 12.4× (mm_dedup_clusters). Instead, the Manku-WWW'07 table
+    * design: split the signature into B = h+3 near-equal blocks; a
+    * pair within Hamming h mismatches at most h blocks, so it matches
+    * ALL blocks of some (B−h)-subset — bucket on every such
+    * 3-block combination (C(h+3, 3) tables, ~64·3/(h+3) ≥ 32 key
+    * bits), and recall stays 1.0 by the same pigeonhole argument
+    * while random collisions fall by the key-space ratio
+    * (2^32/2^16 = 65536× at h = 3 for 5× more bucket rows). Verified
+    * output (exact bit_count ≤ h) is IDENTICAL either way.
+    * Per combo: (combo id, fold order of (shift, width) block slices) —
+    * the ONE spec both the engine columns and the SQL oracle render.
+    */
+  private[graft] def hammingComboSpec(maxHamming: Int): Seq[(Int, Seq[(Int, Int)])] = {
+    // h = 0 degenerates to whole-signature equality (use the md5/exact
+    // path); h > 13 would shrink blocks below 4 bits
+    require(maxHamming >= 1 && maxHamming <= 13,
+      s"maxHamming must be in [1, 13], got $maxHamming")
+    val nBlocks = maxHamming + 3
+    val bounds = (0 to nBlocks).map(i => 64 * i / nBlocks)
+    (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq.zipWithIndex
+      .map { case (combo, ci) =>
+        (ci, combo.map(j => (bounds(j), bounds(j + 1) - bounds(j))))
+      }
+  }
+
+  /** The bucket key of one combo — the left-fold shift-or of its block
+    * slices, identical in the SQL oracle's rendering.
+    */
+  private def comboKey(spec: Seq[(Int, Int)]): org.apache.spark.sql.Column =
+    spec.foldLeft(lit(0L)) { case (acc, (lo, w)) =>
+      shiftleft(acc, w).bitwiseOR(expr(s"(sig >> $lo) & ${(1L << w) - 1}"))
     }
-    signed.select(col("doc_id"), explode(array(chunks: _*)).as("ck"))
-      .groupBy(col("ck.ci").as("chunk"), col("ck.cv").as("cv"))
+
+  private def comboBuckets(signed: DataFrame, maxHamming: Int,
+                           carrySig: Boolean): DataFrame = {
+    val chunks = hammingComboSpec(maxHamming).map { case (ci, spec) =>
+      struct(lit(ci).as("ci"), comboKey(spec).as("cv"))
+    }
+    val cols = col("doc_id") +: (if (carrySig) Seq(col("sig")) else Nil) :+
+      explode(array(chunks: _*)).as("ck")
+    signed.select(cols: _*)
+      .withColumn("ci", col("ck.ci")).withColumn("cv", col("ck.cv"))
+      .drop("ck")
+  }
+
+  private[graft] def hammingLoad(signed: DataFrame, maxHamming: Int): DataFrame =
+    comboBuckets(signed, maxHamming, carrySig = false)
+      .groupBy(col("ci").as("chunk"), col("cv"))
       .agg(count(lit(1)).as("load"))
       .groupBy(col("chunk"))
       .agg(sum(col("load")).as("n_items"),
@@ -742,7 +820,6 @@ object Dedup {
         sum(expr("load * (load - 1) div 2")).as("cand_pairs"))
       .select(col("chunk").cast("long").as("chunk"), col("n_items"),
         col("n_buckets"), col("max_load"), col("cand_pairs"))
-  }
 
   /** hammingLoad over the SimHash signatures dedup_simhash serves from. */
   def simhashLoad(docs: DataFrame, maxHamming: Int = 3): DataFrame =
@@ -752,21 +829,27 @@ object Dedup {
       maxHamming)
 
   private[graft] def hammingPairs(signed: DataFrame, maxHamming: Int): DataFrame = {
-    val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
-    val chunks = (0 until nChunks).map { c =>
-      struct(lit(c).as("ci"),
-        expr(s"(sig >> ${c * chunkBits}) & ${(1L << chunkBits) - 1}").as("cv"))
-    }
-    val buckets = signed.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val buckets = comboBuckets(signed, maxHamming, carrySig = true)
+    // a true pair matches on up to C(h+3,3) combos (ALL of them for an
+    // exact-dup pair — the 1000× grid priced candidate mass ≈ combos ×
+    // true pairs), so emit each pair from exactly ONE combo: the
+    // minimal combo whose blocks the xor leaves untouched — a pure
+    // map-side mask test on the join output that replaces the distinct
+    // shuffle entirely (each (a,b) joins once per combo table, and
+    // exactly one combo is minimal)
+    val minMatch = hammingComboSpec(maxHamming).reverse
+      .foldLeft(lit(-1)) { case (acc, (ci, spec)) =>
+        val mask = spec.map { case (lo, w) => ((1L << w) - 1) << lo }
+          .reduce(_ | _)
+        when(expr(s"(x & $mask)") === 0L, lit(ci)).otherwise(acc)
+      }
     buckets.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("ci"), col("cv"))
       .join(buckets.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("ci"), col("cv")),
         Seq("ci", "cv"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(expr("sig_a ^ sig_b")).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("x", expr("sig_a ^ sig_b"))
+      .withColumn("hamming", bit_count(col("x")).cast("long"))
+      .filter(col("hamming") <= maxHamming && col("ci") === minMatch)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.TextHashes
+
 /** Text-analysis primitives for large-scale corpus pipelines: normalization,
   * shingling, token statistics, language-ID heuristics, fingerprints.
   *
@@ -12,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Canonical normalization: collapse whitespace, trim, lowercase. */
-  val norm: Column = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+  /** Canonical normalization: collapse whitespace, trim, lowercase —
+    * value-identical to lower(trim(regexp_replace(text, "\\s+", " ")))
+    * (which the SQL oracle keeps), as ONE compiled byte pass
+    * (TextHashes.NormText): the regex rebuild led every text operator
+    * through withBase and priced at ~6 s of corpus_shard's 9.7 s
+    * post-charclass signal scan at the 100× probe.
+    */
+  val norm: Column = TextHashes.normText(col("text"))
 
   /** docs + (norm, w = word array) base columns. Rebalanced first: every
     * downstream stage is CPU-bound per-row work that must not inherit a
@@ -97,6 +105,16 @@ object TextFunctions {
   }
 
   private val stopEn = Seq("the", "a", "is", "and", "of", "to", "in")
+
+  /** The two single-code-point-class counts every quality/gate signal
+    * shares, as compiled byte scans (TextHashes.CharClassCount) — value-
+    * identical to regexp_count("[^a-z0-9 ]") / ("[0-9]"), which the SQL
+    * oracle keeps (RE2 is linear; Java's Matcher was not the cheap path).
+    */
+  private def punctCount: Column = TextHashes.charClassCount(
+    col("norm"), "abcdefghijklmnopqrstuvwxyz0123456789 ", negate = true)
+  private def digitCount: Column = TextHashes.charClassCount(
+    col("norm"), "0123456789", negate = false)
   private def countIn(words: Seq[String]): Column = {
     val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
     expr(s"size(filter(w, x -> x IN $set))")
@@ -112,16 +130,23 @@ object TextFunctions {
       .withColumn("n_words", size(col("w")))
       .withColumn("n_chars", length(col("norm")))
       .withColumn("n_stop", countIn(stopEn))
-      .withColumn("n_punct", regexp_count(col("norm"), lit("[^a-z0-9 ]")))
-      .withColumn("n_digit", regexp_count(col("norm"), lit("[0-9]")))
+      // single-code-point-class counts via the compiled byte scan —
+      // value-identical to regexp_count("[^a-z0-9 ]") / ("[0-9]"), which
+      // the oracle keeps; Matcher.find-per-match made the punct count
+      // alone half of corpus_shard's signal scan (ShardProbe G4)
+      .withColumn("n_punct", punctCount)
+      .withColumn("n_digit", digitCount)
       .select(
         col("doc_id"), col("n_words").cast("long").as("n_words"),
         col("n_chars").cast("long").as("n_chars"),
         graft.Quant.q6(col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
         graft.Quant.q6(col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
         graft.Quant.q6(col("n_digit").cast("double") / col("n_chars")).as("digit_ratio"),
-        graft.Quant.q6(length(regexp_replace(col("norm"), lit(" "), lit(""))).cast("double")
-          / col("n_words")).as("avg_word_len"),
+        // length(regexp_replace(norm, " ", "")) ≡ n_chars − #spaces: one
+        // byte scan instead of a full rebuilt string per document
+        graft.Quant.q6((col("n_chars").cast("long")
+            - TextHashes.charClassCount(col("norm"), " ", negate = false))
+          .cast("double") / col("n_words")).as("avg_word_len"),
         graft.Quant.q6(col("n_stop").cast("double") / col("n_words") * 0.4
           + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3
           + least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.3).as("quality_score"))
@@ -943,10 +968,24 @@ object TextFunctions {
     * Dedup.exact / Dedup.keepBest over the minhash pair graph), composed
     * by keyed doc_id joins — no shuffle wider than the corpus.
     */
-  def corpusVerdict(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val q = quality(docs).select(col("doc_id"), col("quality_score"))
-    val pii = piiScan(docs).select(col("doc_id"), col("has_pii"))
-    val exact = Dedup.exact(docs).select(col("doc_id"), col("is_dup"))
+  def corpusVerdict(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    verdictWithTokens(docs, minQuality).drop("n_tokens")
+
+  /** corpusVerdict plus each doc's token count — FUSED (r16): quality /
+    * PII / exact-dup verdicts AND the token count all read from ONE
+    * shardSignals projection (arithmetic written identically to the
+    * per-gate operators, so the oracle's per-operator replay still
+    * gates every value). The previous composition normalized and
+    * rescanned the corpus once per gate plus once more for the funnel's
+    * token join — 4 scans the 100× ShardProbe priced at ~2/3 of the
+    * whole funnel. The near-dup stage keeps its own machinery (the
+    * minhash pair graph's materialized base pass).
+    */
+  private[graft] def verdictWithTokens(docs: DataFrame,
+                                       minQuality: Double): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val sig = gateSignals(docs)
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wd))
     val near = Dedup.keepBest(docs, Dedup.minhashPairs(docs, 3, 64, 2, 0.8))
       .select(col("doc_id"), col("kept"))
     val verdict = when(col("is_dup"), "exact_dup")
@@ -954,9 +993,9 @@ object TextFunctions {
       .when(col("has_pii"), "pii")
       .when(col("quality_score") < minQuality, "low_quality")
       .otherwise("kept")
-    q.join(pii, "doc_id").join(exact, "doc_id").join(near, "doc_id")
+    sig.join(near, "doc_id")
       .select(col("doc_id"), verdict.as("verdict"),
-        (verdict === "kept").as("keep"))
+        (verdict === "kept").as("keep"), col("n_tokens"))
   }
 
   /** The curation FUNNEL — corpusVerdict's drop reasons rolled up with
@@ -970,9 +1009,9 @@ object TextFunctions {
     * realistic corpus — 100 TB ≈ 2e13 tokens vs 9.2e18).
     */
   def corpusFunnel(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val toks = withBase(docs)
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-    val v = corpusVerdict(docs, minQuality).join(toks, Seq("doc_id"))
+    // n_tokens rides the verdict's own fused signal pass (r16) — the
+    // separate withBase token join was a full third normalize+scan
+    val v = verdictWithTokens(docs, minQuality)
     val stage = when(col("verdict") === "exact_dup", 1L)
       .when(col("verdict") === "near_dup", 2L)
       .when(col("verdict") === "pii", 3L)
@@ -1011,15 +1050,19 @@ object TextFunctions {
     * lives (corpusShard batch path and graft.streaming.StreamShard both
     * build on it). Stateless per row, so it streams unchanged.
     */
-  private[graft] def shardSignals(docs: DataFrame): DataFrame = {
+  /** The gate-signal columns (fingerprint, token count, quality score,
+    * language flag, PII flag) as one projection list over a withBase
+    * frame — shared by shardSignals (which adds the stratum and the
+    * sampling rank key) and verdictWithTokens (which needs no stratum,
+    * so corpusVerdict keeps working on bare (doc_id, text) frames).
+    */
+  private def gateSignalCols: Seq[Column] = {
     val Seq(en, es, de, fr) = langMarkers.map { case (_, ws) => countIn(ws) }
-    withBase(docs).select(
-      col("doc_id"), col("source").as("stratum"),
+    Seq(
       md5(col("norm")).as("fp"),
       size(col("w")).cast("long").as("n_tokens"),
-      md5(col("doc_id").cast("string")).as("rank_key"),
       graft.Quant.q6(countIn(stopEn).cast("double") / size(col("w")) * 0.4
-        + (lit(1.0) - regexp_count(col("norm"), lit("[^a-z0-9 ]")).cast("double")
+        + (lit(1.0) - punctCount.cast("double")
             / length(col("norm"))) * 0.3
         + least(size(col("w")).cast("double") / 100.0, lit(1.0)) * 0.3)
         .as("quality_score"),
@@ -1029,6 +1072,13 @@ object TextFunctions {
         + regexp_count(col("norm"), lit("\\d{3}[- ]\\d{3,4}[- ]\\d{4}")) > 0)
         .as("has_pii"))
   }
+
+  private[graft] def shardSignals(docs: DataFrame): DataFrame =
+    withBase(docs).select(col("doc_id") +: col("source").as("stratum") +:
+      md5(col("doc_id").cast("string")).as("rank_key") +: gateSignalCols: _*)
+
+  private[graft] def gateSignals(docs: DataFrame): DataFrame =
+    withBase(docs).select(col("doc_id") +: gateSignalCols: _*)
 
   def corpusShard(docs: DataFrame, minQuality: Double = 0.5,
                   budgetPerStratum: Long = 3000L): DataFrame = {
