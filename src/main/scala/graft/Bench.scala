@@ -44,7 +44,7 @@ object Bench {
       // coalesce bookkeeping while having nothing to spill. Unset or
       // "0" means "leave the conf alone" (it is checkValue(_ > 0), so
       // literally setting 0 would throw at session creation).
-    val spark = GraftConf.withInitialPartitions(builder).getOrCreate()
+    val spark = GraftConf.sessionDefaults(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Every remaining partition-less window in the library goes through
     // graft.Bounded.window over a frame that is ≤k rows by construction

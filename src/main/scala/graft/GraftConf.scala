@@ -17,6 +17,26 @@ object GraftConf {
     * through would throw at session creation instead of reverting to
     * the shuffle-partitions default.
     */
+  /** Session defaults every graft main shares, applied on top of the
+    * main's own master/shuffle settings.
+    *
+    * codegen.cache.maxEntries (STATIC conf, so it must be set at session
+    * creation): Spark's generated-class cache holds 100 entries by
+    * default — a 229-query suite compiles several codegen units per query,
+    * so consecutive queries evict each other and EVERY bench sample pays
+    * full Janino recompilation of every fragment (measured: see
+    * OPTIMIZATION_r16.md §1). 4096 entries holds the whole library's
+    * fragments; the cost is bounded driver metaspace for class metadata.
+    * This is not a local[32] tune: any long-lived session (a cluster
+    * driver serving repeated queries) wants its working set of generated
+    * classes resident. SPARK_GRAFT_CODEGEN_CACHE overrides.
+    */
+  def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    withInitialPartitions(b)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.get("SPARK_GRAFT_CODEGEN_CACHE").map(_.trim).filter(_.nonEmpty)
+          .getOrElse("4096"))
+
   def withInitialPartitions(b: SparkSession.Builder): SparkSession.Builder = {
     // empty string (the `VAR= cmd` shell idiom) reads as unset, and a
     // non-numeric value fails naming the variable instead of with a bare

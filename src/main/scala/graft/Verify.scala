@@ -18,7 +18,7 @@ object Verify {
     // GraftConf.withInitialPartitions) so the correctness dump exercises
     // the exact partitioning regime the bench measures — including the
     // default regime, which sets NO initialPartitionNum
-    val spark = GraftConf.withInitialPartitions(SparkSession.builder()
+    val spark = GraftConf.sessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

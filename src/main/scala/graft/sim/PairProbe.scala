@@ -26,7 +26,7 @@ object PairProbe {
     // AQE headroom is the A/B knob this probe exists to measure — unset
     // or "0" leaves the conf alone (every exchange at `shuffle`, the
     // r13 behavior); campaigns export 2048+ (GraftConf has the contract)
-    val spark = graft.GraftConf.withInitialPartitions(SparkSession.builder()
+    val spark = graft.GraftConf.sessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
