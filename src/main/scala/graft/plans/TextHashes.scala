@@ -317,8 +317,81 @@ object TextHashes {
     c
   }
 
+  /** k-function md5-prefix MinHash signature (the minhashTune recipe):
+    * sig[j] = min over word n-gram shingles g of the first 16 hex chars
+    * of md5("<j>|" + g) — exactly
+    * `transform(sequence(0,k-1), j -> array_min(transform(sh, g ->
+    * substring(md5(concat(j,'|',g)),1,16))))` but as ONE compiled byte
+    * pass per document: no shingle string arrays, no per-(j,gram) concat/
+    * hex/substring allocations, no interpreted lambda dispatch (measured:
+    * that form was ~26 task-seconds of dedup_minhash_tune's sf0.1 cost).
+    * Correctness notes pinned by Md5MinSigSpec:
+    *  - duplicates cannot change a minimum, so the array_distinct in the
+    *    interpreted form is irrelevant to the signature;
+    *  - 16 lowercase hex chars compare lexicographically exactly as the
+    *    first 8 digest bytes compare as an unsigned big-endian long, so
+    *    the min is tracked as a long and hex-formatted once at the end;
+    *  - a shingle IS a byte slice of the normalized text (single-space
+    *    separated words), so no gram strings are ever materialized.
+    * Null when the document has fewer than n words (the callers'
+    * size(sh) > 0 filter becomes sig IS NOT NULL).
+    */
+  def md5MinSigVal(norm: UTF8String, prefixes: Array[Array[Byte]],
+                   n: Int): ArrayData = {
+    if (norm == null) return null
+    val bounds = wordOffsets(norm)
+    val words = bounds.length / 2
+    if (words < n) return null
+    val base = norm.getBaseObject
+    val off = norm.getBaseOffset
+    val k = prefixes.length
+    val ctx = md5Local.get()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, -1L) // unsigned max; words >= n guarantees >= 1 shingle
+    var s = 0
+    while (s <= words - n) {
+      val a = bounds(s * 2)
+      val b = bounds((s + n - 1) * 2 + 1)
+      val len = b - a
+      if (ctx.buf.length < len)
+        ctx.buf = new Array[Byte](
+          if (len > (1 << 30)) len else Integer.highestOneBit(len) * 2)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + a, ctx.buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      var j = 0
+      while (j < k) {
+        ctx.md.reset()
+        ctx.md.update(prefixes(j))
+        ctx.md.update(ctx.buf, 0, len)
+        ctx.md.digest(ctx.out, 0, 16)
+        val d = ctx.out
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        if (java.lang.Long.compareUnsigned(h, mins(j)) < 0) mins(j) = h
+        j += 1
+      }
+      s += 1
+    }
+    val hex = "0123456789abcdef".getBytes
+    val out = new Array[AnyRef](k)
+    var j = 0
+    while (j < k) {
+      val bs = new Array[Byte](16)
+      val h = mins(j)
+      var i = 0
+      while (i < 16) { bs(i) = hex(((h >>> ((15 - i) * 4)) & 0xfL).toInt); i += 1 }
+      out(j) = UTF8String.fromBytes(bs)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(norm: Column, n: Int, k: Int): Column =
     GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(norm), n, k))
+
+  def md5MinSig(norm: Column, n: Int, k: Int): Column =
+    GraftSqlShim.column(Md5MinSig(GraftSqlShim.expression(norm), n, k))
 
   def simhashSig(norm: Column): Column =
     GraftSqlShim.column(SimHashSig(GraftSqlShim.expression(norm)))
@@ -442,6 +515,37 @@ case class MinHashSig(child: Expression, n: Int, k: Int) extends UnaryExpression
        |${ev.value} = graft.plans.TextHashes.minhash($c, $n, $k);
        |${ev.isNull} = ${ev.value} == null;
      """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> md5-prefix MinHash signature of a normalized-text column
+  * (see TextHashes.md5MinSigVal); null when the document has fewer than n
+  * words.
+  */
+case class Md5MinSig(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  require(n > 0 && k > 0, s"n=$n and k=$k must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireString(prettyName, child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_min_sig"
+
+  // "<j>|" md5 input prefixes, built once per expression instance
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.md5MinSigVal(input.asInstanceOf[UTF8String], prefixes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5MinSigPrefixes", prefixes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.plans.TextHashes.md5MinSigVal($c, $ref, $n);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

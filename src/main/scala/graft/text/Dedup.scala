@@ -348,14 +348,14 @@ object Dedup {
     require(rowsList.nonEmpty && rowsList.forall(r => r > 0 && numHashes % r == 0),
       s"every rows-per-band must divide numHashes=$numHashes: $rowsList")
     val scoped = idLimit.fold(docs)(l => docs.filter(col("doc_id") < l))
+    // sig[k] = min over shingles of hex16(md5("k|gram")) — one compiled
+    // byte pass per doc (graft.plans.TextHashes.Md5MinSig) replacing the
+    // interpreted transform/array_min/md5/substring tree, value-identical
+    // (Md5MinSigSpec pins it against that form; the SQL oracle keeps it)
     val base = TextFunctions.withBase(scoped)
-      .withColumn("sh", TextFunctions.wordShingles(n))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${numHashes - 1}), k -> " +
-          "array_min(transform(sh, g -> " +
-          "substring(md5(concat(cast(k as string), '|', g)), 1, 16))))")
-          .as("sig"))
+        graft.plans.TextHashes.md5MinSig(col("norm"), n, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
       .localCheckpoint()
     val truePairs = ngramJaccardPairs(scoped, n, tau)
       .select(col("id_a"), col("id_b"), lit(true).as("is_true"))

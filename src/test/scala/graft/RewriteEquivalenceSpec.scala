@@ -333,4 +333,39 @@ class RewriteEquivalenceSpec extends SparkSuite {
       assert(got == ref, s"seed $seed: ${got.size} vs ${ref.size}")
     }
   }
+
+  test("Md5MinSig equals the interpreted md5-prefix-min signature form") {
+    // the minhashTune signature: sig[k] = min over word n-gram shingles g
+    // of substring(md5(concat(k, '|', g)), 1, 16). The codegen byte-pass
+    // expression must reproduce it verbatim — including duplicate shingles
+    // (no-ops on a min), unicode words, and the null contract for docs
+    // under n words (which the interpreted form expressed as a
+    // size(sh) > 0 pre-filter).
+    val words = Vector("alpha", "beta", "gamma", "delta", "näïve", "字符",
+      "x", "longerwordhere", "07", "beta") // dup vocab → dup shingles
+    for (seed <- Seq(11L, 4242L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = ((1 to 40).map { i =>
+        val n = rnd.nextInt(30) // includes 0/1/2-word docs → null sig
+        (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+      } :+ (98L, "exactly three words") :+ (99L, "two words")).toDF("doc_id", "norm")
+      val k = 8
+      val ref = docs
+        .withColumn("sh", expr(
+          "CASE WHEN size(split(norm, ' ')) < 3 THEN array() ELSE " +
+            "array_distinct(transform(sequence(1, size(split(norm, ' ')) - 2), i -> " +
+            "concat_ws(' ', element_at(split(norm, ' '), i), " +
+            "element_at(split(norm, ' '), i + 1), " +
+            "element_at(split(norm, ' '), i + 2)))) END"))
+        .select(col("doc_id"), when(size(col("sh")) > 0,
+          expr(s"transform(sequence(0, ${k - 1}), k -> array_min(transform(sh, g -> " +
+            "substring(md5(concat(cast(k as string), '|', g)), 1, 16))))")).as("sig"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+      val got = docs
+        .select(col("doc_id"),
+          graft.plans.TextHashes.md5MinSig(col("norm"), 3, k).as("sig"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+      assert(got == ref, s"seed $seed")
+    }
+  }
 }
