@@ -6379,7 +6379,7 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Mirrors Multimodal.phashLoad: the shared 6-gram md5-SimHash
-    // signature CTEs, block-combination bucket keys rendered from the
+    // signature CTEs, pigeonhole chunk bucket keys rendered from the
     // same hammingComboSpec fold (identical bit patterns to the
     // engine's masked arithmetic shifts), per-bucket loads, per-combo
     // rollup — the dedup_simhash_load shape.
@@ -6500,7 +6500,7 @@ object SparkEntry {
   // bit-identically. Any float column added to `queries` MUST use these.
   private def Q6(x: String) = s"round(($x) * 1000000.0, 0) / 1000000.0 + 0"
 
-  /** The pigeonhole block-combination bucket rows (doc_id, ci, cv) over a
+  /** The pigeonhole chunk bucket rows (doc_id, ci, cv) over a
     * (doc_id, sig) CTE — rendered from the SAME Dedup.hammingComboSpec
     * the engine folds, shift-for-shift, so the grid the load audits
     * price cannot desync between engines.

@@ -759,34 +759,36 @@ object Dedup {
     * cost of one aggregation). Cost: the signature pass plus two keyed
     * map-side-partial aggregations; no join anywhere.
     */
-  /** THE PIGEONHOLE GRID (r16: block COMBINATIONS, not single chunks).
-    * The classic h+1-chunk split buckets on 64/(h+1) bits — a FIXED
-    * 2^16 key space at h = 3, so candidate mass grows as
-    * n²·(h+1)/2^16: the 100× ShardProbe priced 60.3 M candidate pairs
-    * for 67 k real ones, and the 1000× decade rode that quadratic to
-    * 12.4× (mm_dedup_clusters). Instead, the Manku-WWW'07 table
-    * design: split the signature into B = h+3 near-equal blocks; a
-    * pair within Hamming h mismatches at most h blocks, so it matches
-    * ALL blocks of some (B−h)-subset — bucket on every such
-    * 3-block combination (C(h+3, 3) tables, ~64·3/(h+3) ≥ 32 key
-    * bits), and recall stays 1.0 by the same pigeonhole argument
-    * while random collisions fall by the key-space ratio
-    * (2^32/2^16 = 65536× at h = 3 for 5× more bucket rows). Verified
-    * output (exact bit_count ≤ h) is IDENTICAL either way.
-    * Per combo: (combo id, fold order of (shift, width) block slices) —
-    * the ONE spec both the engine columns and the SQL oracle render.
+  /** THE PIGEONHOLE GRID (r16 final: h+1 single chunks, minimal-chunk
+    * emit). The classic split: (h+1) near-equal blocks of the 64-bit
+    * signature; a pair within Hamming h agrees on at least one whole
+    * block, so bucketing each doc once per block (h+1 narrow rows) has
+    * recall 1.0. An r16 experiment replaced this with Manku-WWW'07
+    * 3-of-(h+3) block-combination tables (C(h+3,3) = 20 tables at h = 3,
+    * >= 32 key bits) to starve the quadratic random-collision term the
+    * 2^16 key space admits -- candidate mass measured 60.3 M -> 2.22 M at
+    * 100x, 82 M at 1000x -- and it LOST on wall-clock at BOTH scales
+    * (dedup_simhash 4.3 -> 11.0 s at 100x, 5.6 -> 39.6 s at 1000x;
+    * mm_phash 69 -> 107 s at 1000x; OPTIMIZATION_r16.md has the full
+    * table): the old candidate stream never crossed the network -- it is
+    * consumed INSIDE the bucket join's codegen loop by the xor/bit_count
+    * filter -- while the 5x bucket rows (each carrying the 8-byte sig
+    * twice through the self-join) are real shuffle bytes that spill at
+    * the decade. Guide-S1.1's lesson verbatim, so: chunks restored, and
+    * the one part of the experiment that DID pay stays -- each surviving
+    * pair is emitted from exactly ONE chunk (the minimal agreeing one, a
+    * map-side mask test) instead of a distinct over all candidates.
+    * Per chunk: (chunk id, the (shift, width) slice singleton) -- the ONE
+    * spec both the engine columns and the SQL oracle render.
     */
   private[graft] def hammingComboSpec(maxHamming: Int): Seq[(Int, Seq[(Int, Int)])] = {
     // h = 0 degenerates to whole-signature equality (use the md5/exact
     // path); h > 13 would shrink blocks below 4 bits
     require(maxHamming >= 1 && maxHamming <= 13,
       s"maxHamming must be in [1, 13], got $maxHamming")
-    val nBlocks = maxHamming + 3
-    val bounds = (0 to nBlocks).map(i => 64 * i / nBlocks)
-    (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq.zipWithIndex
-      .map { case (combo, ci) =>
-        (ci, combo.map(j => (bounds(j), bounds(j + 1) - bounds(j))))
-      }
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(i => 64 * i / nChunks)
+    (0 until nChunks).map(ci => (ci, Seq((bounds(ci), bounds(ci + 1) - bounds(ci)))))
   }
 
   /** The bucket key of one combo — the left-fold shift-or of its block
@@ -830,13 +832,12 @@ object Dedup {
 
   private[graft] def hammingPairs(signed: DataFrame, maxHamming: Int): DataFrame = {
     val buckets = comboBuckets(signed, maxHamming, carrySig = true)
-    // a true pair matches on up to C(h+3,3) combos (ALL of them for an
-    // exact-dup pair — the 1000× grid priced candidate mass ≈ combos ×
-    // true pairs), so emit each pair from exactly ONE combo: the
-    // minimal combo whose blocks the xor leaves untouched — a pure
+    // a true pair matches on up to h+1 chunks (ALL of them for an
+    // exact-dup pair), so emit each pair from exactly ONE chunk: the
+    // minimal chunk whose bits the xor leaves untouched — a pure
     // map-side mask test on the join output that replaces the distinct
-    // shuffle entirely (each (a,b) joins once per combo table, and
-    // exactly one combo is minimal)
+    // shuffle entirely (each (a,b) joins once per agreeing chunk, and
+    // exactly one chunk is minimal)
     val minMatch = hammingComboSpec(maxHamming).reverse
       .foldLeft(lit(-1)) { case (acc, (ci, spec)) =>
         val mask = spec.map { case (lo, w) => ((1L << w) - 1) << lo }

@@ -754,8 +754,8 @@ object TextFunctions {
     */
   def lmScore(docs: DataFrame, vocab: Int = 1024): DataFrame = {
     require(vocab > 0, s"vocab must be positive, got $vocab")
-    val words = withBase(docs)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val base = withBase(docs)
+    val words = base.select(col("doc_id"), explode(col("w")).as("word"))
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word").asc).limit(vocab)
       .select(col("word"), lit(true).as("in_v"))
@@ -764,30 +764,46 @@ object TextFunctions {
     // wrongly merge with the bucket); the control char is an explicit
     // escape so it stays visible in review - the oracle mirrors it as
     // chr(4) || 'oov'
-    val mapped = words.join(broadcast(top), Seq("word"), "left")
-      .select(col("doc_id"), col("pos"),
-        when(col("in_v").isNotNull, col("word")).otherwise(lit("\u0004oov")).as("mw"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = mapped
-      .withColumn("nw", lead(col("mw"), 1).over(byDoc))
-      .filter(col("nw").isNotNull)
+    val oovTok = "\u0004oov"
+    // Bigrams are built ARRAY-SIDE - zip_with over two slices of `w` -
+    // instead of lead() over the exploded token stream: the array order IS
+    // the position order, so the full-token-stream Exchange + sort the
+    // window needed is gone outright. posexplode's index keeps the one
+    // fact the window carried beyond adjacency: which bigram is the
+    // document's LAST (its second word is the final word, the only token
+    // that never appears as a first word - the n_oov contract needs it
+    // exactly once).
+    val pairs = base
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))").as("ps"))
+      .select(col("doc_id"), size(col("ps")).as("np"),
+        posexplode(col("ps")).as(Seq("pi", "p")))
+      .select(col("doc_id"), col("np"), col("pi"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs
+      .join(broadcast(top.select(col("word").as("w1"), col("in_v").as("in1"))),
+        Seq("w1"), "left")
+      .join(broadcast(top.select(col("word").as("w2"), col("in_v").as("in2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"), col("np"), col("pi"),
+        when(col("in1").isNotNull, col("w1")).otherwise(lit(oovTok)).as("mw"),
+        when(col("in2").isNotNull, col("w2")).otherwise(lit(oovTok)).as("nw"))
     val bigLm = big.groupBy(col("mw"), col("nw")).agg(count(lit(1)).as("c12"))
     // the unigram LM re-aggregates the bigram LM (c1 = sum of c12 over
-    // second words) — a metadata-scale groupBy bounded by (vocab+1)^2
+    // second words) - a metadata-scale groupBy bounded by (vocab+1)^2
     // rows, replacing a second full groupBy over the token stream
     val uniLm = bigLm.groupBy(col("mw")).agg(sum(col("c12")).as("c1"))
     // n_oov rides the per-doc aggregate: OOV first-words counted over the
-    // bigram rows, plus the document's LAST word (which never appears as
-    // a first word) recovered as the nw of the max-pos bigram — so the
-    // separate count over `mapped` and its join are gone
-    val oovTok = "\u0004oov"
+    // bigram rows, plus the document's LAST word recovered from the
+    // pi == np - 1 bigram's second word (exactly one such row per doc)
     big.join(bigLm, Seq("mw", "nw")).join(uniLm, Seq("mw"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(when(col("mw") === oovTok, 1L).otherwise(0L)) +
-          when(max(struct(col("pos"), col("nw"))).getField("nw") === oovTok, 1L)
-            .otherwise(0L)).as("n_oov"),
+          sum(when(col("pi") === col("np") - 1 && col("nw") === oovTok, 1L)
+            .otherwise(0L))).as("n_oov"),
         graft.Quant.mean6(
           sum(graft.Quant.us6(col("c1").cast("double") / col("c12").cast("double"))),
           count(lit(1))).as("mean_inv_p"))

@@ -1267,15 +1267,14 @@ class DedupSimSpec extends SparkSuite {
 
   test("simhashLoad prices the pigeonhole candidate mass exactly") {
     import spark.implicits._
-    // four identical docs share every block combination: each of the
-    // C(6,3) = 20 combo tables holds ONE bucket of load 4 = C(4,2) = 6
-    // candidates (h = 3 ⇒ B = 6 blocks, 3-block combination keys)
+    // four identical docs share every chunk: each of the h+1 = 4 chunk
+    // tables holds ONE bucket of load 4 = C(4,2) = 6 candidates
     val t = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq((1L, t), (2L, t), (3L, t), (4L, t)).toDF("doc_id", "text")
     val r = Dedup.simhashLoad(d).orderBy("chunk").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getLong(4)))
-    assert(r.toSeq == (0L to 19L).map(c => (c, 4L, 1L, 4L, 6L)), r.toSeq)
+    assert(r.toSeq == (0L to 3L).map(c => (c, 4L, 1L, 4L, 6L)), r.toSeq)
   }
 
   test("annRecallIvfPq reads exactly 1.0 when nothing is pruned") {

@@ -178,9 +178,9 @@ class MultimodalSpec extends SparkSuite {
   test("phashLoad reports per-chunk bucket loads and candidate mass") {
     import Multimodal.MediaRow
     import spark.implicits._
-    // three byte-identical payloads share every block combination: one
-    // bucket of load 3 per combo table (C(6,3) = 20 of them at h = 3)
-    // = C(3,2) = 3 candidate pairs
+    // three byte-identical payloads share every chunk: one bucket of
+    // load 3 per chunk table (h+1 = 4 of them at h = 3) = C(3,2) = 3
+    // candidate pairs
     val p = ("the quick brown fox " * 10).trim.getBytes("UTF-8")
     val rows = Seq(
       MediaRow(1L, "img/0", 8, 8, p),
@@ -189,7 +189,7 @@ class MultimodalSpec extends SparkSuite {
     val r = Multimodal.phashLoad(rows.toDS()).orderBy("chunk").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getLong(4)))
-    assert(r.toSeq == (0L to 19L).map(c => (c, 3L, 1L, 3L, 3L)), r.toSeq)
+    assert(r.toSeq == (0L to 3L).map(c => (c, 3L, 1L, 3L, 3L)), r.toSeq)
   }
 
   test("byteShard cuts the per-kind md5-ordered byte stream at capacity") {

@@ -368,4 +368,61 @@ class RewriteEquivalenceSpec extends SparkSuite {
       assert(got == ref, s"seed $seed")
     }
   }
+
+  test("lmScore zip_with bigram form equals the lead()-window form") {
+    // the r16 rewrite: bigrams built array-side (zip_with over two slices
+    // of w) instead of a lead() window over the exploded token stream -
+    // the reference here IS the old implementation, inlined: posexplode ->
+    // OOV map via broadcast top-V join -> lead().over(doc_id, pos) ->
+    // bigram/unigram LMs -> per-doc aggregate with the max(struct(pos,nw))
+    // last-word recovery. Shapes covered: docs under 2 words (excluded),
+    // empty docs ("" token), OOV-heavy docs, unicode, ties in the top-V
+    // cut (count desc, word asc).
+    import org.apache.spark.sql.expressions.Window
+    val vocabWords = Vector("the", "a", "of", "to", "x1", "x2", "x3",
+      "n\u00e4\u00efve", "\u5b57\u7b26", "rare1", "rare2", "rare3")
+    for (seed <- Seq(7L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = ((1 to 60).map { i =>
+        val n = rnd.nextInt(25)
+        (i.toLong, Seq.fill(n)(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+      } :+ (97L, "") :+ (98L, "solo") :+ (99L, "two words")).toDF("doc_id", "body")
+        .select(col("doc_id"), col("body").as("text"))
+      val named = docs.select(col("doc_id"), col("text"))
+      val in = named.select(col("doc_id"), col("text"))
+      val V = 6 // small vocab so OOV is exercised hard
+      def oldLmScore(d: org.apache.spark.sql.DataFrame) = {
+        val words = graft.text.TextFunctions.withBase(d)
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+        val topV = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("word").asc).limit(V)
+          .select(col("word"), lit(true).as("in_v"))
+        val mapped = words.join(broadcast(topV), Seq("word"), "left")
+          .select(col("doc_id"), col("pos"),
+            when(col("in_v").isNotNull, col("word")).otherwise(lit("\u0004oov")).as("mw"))
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val big = mapped.withColumn("nw", lead(col("mw"), 1).over(byDoc))
+          .filter(col("nw").isNotNull)
+        val bigLm = big.groupBy(col("mw"), col("nw")).agg(count(lit(1)).as("c12"))
+        val uniLm = bigLm.groupBy(col("mw")).agg(sum(col("c12")).as("c1"))
+        val oovTok = "\u0004oov"
+        big.join(bigLm, Seq("mw", "nw")).join(uniLm, Seq("mw"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(when(col("mw") === oovTok, 1L).otherwise(0L)) +
+              when(max(struct(col("pos"), col("nw"))).getField("nw") === oovTok, 1L)
+                .otherwise(0L)).as("n_oov"),
+            graft.Quant.mean6(
+              sum(graft.Quant.us6(col("c1").cast("double") / col("c12").cast("double"))),
+              count(lit(1))).as("mean_inv_p"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("mean_inv_p"))
+      }
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+      val ref = key(oldLmScore(in))
+      val got = key(graft.text.TextFunctions.lmScore(in, V))
+      assert(got == ref, s"seed $seed")
+    }
+  }
 }
