@@ -31,11 +31,32 @@ object GraftConf {
     * driver serving repeated queries) wants its working set of generated
     * classes resident. SPARK_GRAFT_CODEGEN_CACHE overrides.
     */
+  /** maxShuffledHashJoinLocalMapThreshold (AQE): lets AQE rewrite a
+    * planned sort-merge join to a shuffled hash join at runtime when
+    * every post-shuffle partition of the build side is under the
+    * threshold — the shape of the pair-graph self-joins (band buckets,
+    * LSH probes: two equal narrow sides, so the static planner's
+    * `muchSmaller` test never picks SHJ, and at the decades the two
+    * 10⁸-row sorts dominate, guide §3.1). CAMPAIGN-ONLY knob, default
+    * OFF, exactly like SPARK_GRAFT_INITIAL_PARTITIONS: measured r17 A/B —
+    * at 1000× SHJ collapses the minhash band join (F6 125→72 s,
+    * F7 96→37 s, keepBest 62→39 s same-run) but at sf0.1 the conversions
+    * it makes cost the emb pair family ~20% per query (reps-sampled
+    * subset: 7.6→9.4 s over 8 queries — many tiny hash builds where the
+    * sort was already in-memory), and for the hot-key pigeonhole join the
+    * sorted merge's sequential cross-product beats per-probe hash-chain
+    * walks at every scale (mm M3 25.4 s SMJ vs 30.7 s SHJ at 1000×).
+    * Campaigns export SPARK_GRAFT_SHJ_THRESHOLD=64m (the AQE advisory
+    * partition size) where the band-join family dominates.
+    */
   def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
     withInitialPartitions(b)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.get("SPARK_GRAFT_CODEGEN_CACHE").map(_.trim).filter(_.nonEmpty)
           .getOrElse("4096"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.get("SPARK_GRAFT_SHJ_THRESHOLD").map(_.trim).filter(_.nonEmpty)
+          .getOrElse("0"))
 
   def withInitialPartitions(b: SparkSession.Builder): SparkSession.Builder = {
     // empty string (the `VAR= cmd` shell idiom) reads as unset, and a

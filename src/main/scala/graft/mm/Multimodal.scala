@@ -145,7 +145,10 @@ object Multimodal {
     * joins against the narrow fingerprint projection.
     */
   def phashAudit(assets: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    // materialized once: fp attaches to BOTH pair endpoints, and the md5
+    // over the full payload would otherwise run twice (once per join side)
     val fp = assets.toDF().select(col("asset_id"), md5(col("payload")).as("fp"))
+      .localCheckpoint()
     phashPairs(assets, maxHamming)
       .join(fp.select(col("asset_id").as("id_a"), col("fp").as("fa")), Seq("id_a"))
       .join(fp.select(col("asset_id").as("id_b"), col("fp").as("fb")), Seq("id_b"))

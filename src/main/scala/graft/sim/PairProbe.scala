@@ -74,8 +74,11 @@ object PairProbe {
     val base = hashed
       .select(col("vec_id").as("id_q") +: col("tbl") +: col("bucket") +:
         pay.map(c => col(c).as(s"${c}_q")): _*)
+    // id_p < id_q mirrors cosinePairsLshBits (r17): the candidate relation
+    // is symmetric, so each unordered pair is counted ONCE here (r16
+    // records counted both directions — halve them to compare)
     val rawCand = probe.join(base, Seq("tbl", "bucket"))
-      .filter(col("id_p") =!= col("id_q"))
+      .filter(col("id_p") < col("id_q"))
     val nRaw = time("candidate join (pre-prescreen count)")(rawCand.count())
 
     // stage 3: + the SQ8 prescreen (map-side, inside the join output —
@@ -87,8 +90,7 @@ object PairProbe {
 
     // stage 4: + the key-only distinct (now over survivors only)
     val cand = screened.select(
-      least(col("id_p"), col("id_q")).as("id_a"),
-      greatest(col("id_p"), col("id_q")).as("id_b")).distinct()
+      col("id_p").as("id_a"), col("id_q").as("id_b")).distinct()
     val nCand = time("+ key-only distinct")(cand.count())
 
     // stage 5: the full generator (adds the two full-vector join-backs +

@@ -690,12 +690,18 @@ object Vectors {
     // any full vector attaches — the distinct shuffle carries 16-byte
     // pairs for survivors only, and each survivor's exact cosine is
     // computed exactly once
+    // id_p < id_q (not =!=): the candidate relation is SYMMETRIC — the
+    // probe array is the exact bucket plus low-bit flips, so a probes
+    // into b's bucket iff b probes into a's (equal buckets hit both ways;
+    // a single flipped low bit hits both ways; any other difference hits
+    // neither) — which means every unordered pair used to survive the
+    // join TWICE, paying the SQ8 prescreen and the distinct input twice.
+    // Keeping only the ordered direction halves prescreen evaluations and
+    // distinct-shuffle rows with a bit-identical surviving pair set.
     val cand = probe.join(base, Seq("tbl", "bucket"))
-      .filter(col("id_p") =!= col("id_q"))
+      .filter(col("id_p") < col("id_q"))
       .filter(sq8Admit(tau, dim))
-      .select(
-        least(col("id_p"), col("id_q")).as("id_a"),
-        greatest(col("id_p"), col("id_q")).as("id_b"))
+      .select(col("id_p").as("id_a"), col("id_q").as("id_b"))
       .distinct()
     // dot(va, vb) is bitwise order-independent (per-term products commute,
     // accumulation is index-ordered), so endpoint order never matters

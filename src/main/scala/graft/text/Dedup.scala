@@ -680,10 +680,12 @@ object Dedup {
     // Codegen'd SimHashSig: one compiled pass per document — md5-lower-64
     // word hashes (TextHashes.md5Lower64, the DuckDB md5_number_lower
     // value), ±1 vote per bit, so the oracle recomputes the signature
-    // verbatim.
+    // verbatim. The signature frame is materialized once INSIDE
+    // hammingPairs (localCheckpoint); the r15 `.cache()` here leaked a
+    // CacheManager entry past the query's lifetime (the "already cached"
+    // warnings every bench sweep logged) and is gone.
     val signed = TextFunctions.withBase(docs)
       .select(col("doc_id"), TextHashes.simhashSig(col("norm")).as("sig"))
-      .cache()
     hammingPairs(signed, maxHamming)
   }
 
@@ -700,7 +702,10 @@ object Dedup {
     * not drop.
     */
   def simhashAudit(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val hs = hashedShingled(docs, n)
+    // materialized once: the shingle frame attaches to BOTH pair
+    // endpoints below, and without this the corpus is normalized and
+    // shingled twice (once per join side) — same pattern as minhashBase
+    val hs = hashedShingled(docs, n).localCheckpoint()
     val union = when(col("ha").isNull || col("hb").isNull, lit(0L))
       .otherwise((size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
     simhashPairs(docs, maxHamming)
@@ -831,7 +836,17 @@ object Dedup {
       maxHamming)
 
   private[graft] def hammingPairs(signed: DataFrame, maxHamming: Int): DataFrame = {
-    val buckets = comboBuckets(signed, maxHamming, carrySig = true)
+    // materialize the signature pass ONCE: the bucket self-join below
+    // reads `signed` through two different projections (id_a / id_b), so
+    // without this every caller's signature expression — the mm 6-gram
+    // phash in particular, the heaviest per-row scan in the mm family —
+    // runs twice, once per join side (measured at the 1000× decade:
+    // ShardProbe M1 ≈ half of every heavy mm row). localCheckpoint
+    // rather than cache: 16 B/row, freed with the RDD by the
+    // ContextCleaner, no CacheManager entry to outlive the query (the
+    // r16 verdict's №3/№5), same pattern as minhashBase.
+    val ckpt = signed.localCheckpoint()
+    val buckets = comboBuckets(ckpt, maxHamming, carrySig = true)
     // a true pair matches on up to h+1 chunks (ALL of them for an
     // exact-dup pair), so emit each pair from exactly ONE chunk: the
     // minimal chunk whose bits the xor leaves untouched — a pure
