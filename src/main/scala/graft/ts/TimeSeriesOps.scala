@@ -590,9 +590,17 @@ object TimeSeriesOps {
           "t_us", (1 until parts).map(_.toDouble / parts).toArray, 0.01)
         .map(math.ceil(_).toLong).distinct.sorted
     })
-    val slice = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col("t_us") >= c, 1).otherwise(0) }
-    df.withColumn("slice", slice)
+    // slice id = count of cuts ≤ t_us, as ONE codegen binary search
+    // (graft.plans.SliceId). The previous |cuts|-deep nested-when fold
+    // was O(parts) per row AND overflowed the driver stack converting
+    // the Column at the campaign config's 2048 initial partitions —
+    // ts_value_runs could not run at 100× at all (r17; value-identical
+    // replacement, SliceIdSpec pins it against the fold form).
+    // coalesce: the fold form scored a null t_us as slice 0 (every
+    // `when` fell to otherwise(0)); the null-intolerant expression must
+    // keep that contract
+    df.withColumn("slice",
+      coalesce(graft.plans.SliceId.sliceId(col("t_us"), cuts), lit(0)))
   }
 
   /** The main-branch exchange: cluster the sliced frame on (stream,
