@@ -47,10 +47,20 @@ object ScaleUp {
     def write(df: DataFrame, n: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
     // an unscaled table is copied 1× instead of replicated, and its copy
-    // transform (plus any probe the transform needs) is never evaluated
+    // transform (plus any probe the transform needs) is never evaluated.
+    // Copies are written in ≤500-copy union batches (first Overwrite,
+    // rest Append): one union per copy makes the logical plan `copies`
+    // deep, and at the 10000× stretch a 10000-way union spent unbounded
+    // driver time in analysis before writing a byte (guide §7.3's
+    // giant-plan trap) — batching bounds plan depth without changing a
+    // single output row.
     def replicateTo(name: String)(copy: (DataFrame, Int) => DataFrame): Unit =
       if (scaled(name))
-        write((0 until copies).map(i => copy(tbl(name), i)).reduce(_ union _), name)
+        (0 until copies).grouped(500).zipWithIndex.foreach { case (batch, bi) =>
+          val df = batch.map(i => copy(tbl(name), i)).reduce(_ union _)
+          df.write.mode(if (bi == 0) SaveMode.Overwrite else SaveMode.Append)
+            .parquet(s"$out/$name.parquet")
+        }
       else write(tbl(name), name)
 
     // the per-copy stream offset must clear the source id space — a fixed
